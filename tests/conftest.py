@@ -1,0 +1,79 @@
+"""Shared fixtures: one SparkSession per test run, testdata dirs, and a
+DuckDB-oracle compare helper replicating the driver's correctness gate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from tickdb_spark.session import get_spark
+
+    # Small local session for unit tests: fewer threads, fast startup.
+    s = get_spark(app_name="tickdb_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for sf in (SF_SMOKE, SF_CORRECT):
+        tag = os.path.basename(sf)
+        for t in TABLES:
+            path = f"{sf}/{t}.parquet"
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t}_{tag.replace('.', '_')} AS SELECT * FROM '{path}'"
+                )
+    yield con
+    con.close()
+
+
+def oracle_frame(con: duckdb.DuckDBPyConnection, sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run oracle SQL with the driver's table views registered."""
+    local = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            local.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    try:
+        return local.execute(sql).df()
+    finally:
+        local.close()
+
+
+def assert_frames_match(spark_df, duck_df: pd.DataFrame, float_tol: float = 0.0):
+    """Driver-style compare: row count, column-name set, and
+    order-insensitive values with columns sorted by name."""
+    sp = spark_df.toPandas()
+    assert sorted(sp.columns) == sorted(duck_df.columns), (
+        f"schema mismatch: spark={sorted(sp.columns)} oracle={sorted(duck_df.columns)}"
+    )
+    assert len(sp) == len(duck_df), f"row count: spark={len(sp)} oracle={len(duck_df)}"
+    cols = sorted(sp.columns)
+    a = sp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if float_tol and av.dtype.kind == "f":
+            both_nan = av.isna() & bv.isna()
+            close = (av - bv).abs() <= float_tol
+            assert (both_nan | close).all(), f"column {c} differs beyond tol"
+        else:
+            pd.testing.assert_series_equal(
+                av, bv.astype(av.dtype), check_names=False, check_exact=(av.dtype.kind != "f")
+            )

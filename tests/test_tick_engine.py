@@ -1,0 +1,183 @@
+"""End-to-end tick engine tests on tiny synthetic batches (fixtures modeled
+on FIXTURES.md F2/F3/F4: sparse fields, LWW upsert, bucket edges)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tickdb_spark.api import TickDB
+from tickdb_spark.schema import parse_time_ns
+from tickdb_spark.tickquery import parse_group
+
+NS = 1_000_000_000
+
+
+def _mk(tmp_path, spark, name="db1"):
+    tdb = TickDB(spark, str(tmp_path / "warehouse"))
+    tdb.create_db(name)
+    return tdb
+
+
+def test_parse_group():
+    assert parse_group("minute") == (1, "minute")
+    assert parse_group("5minutes") == (5, "minute")
+    assert parse_group("2hour") == (2, "hour")
+    assert parse_group("second") == (1, "second")  # B5 fixed
+    with pytest.raises(ValueError):
+        parse_group("fortnight")
+
+
+def test_parse_time_ns():
+    assert parse_time_ns("1970-01-01T00:00:01Z") == NS
+    assert parse_time_ns("2016-08-01T00:00:00Z") == 1470009600 * NS
+    assert parse_time_ns(123) == 123
+    assert parse_time_ns("2016-08-01T00:00:00.000123Z") == 1470009600 * NS + 123_000
+
+
+def test_catalog_roundtrip(tmp_path, spark):
+    tdb = _mk(tmp_path, spark)
+    assert tdb.list_dbs() == ["db1"]
+    assert tdb.db_info("db1")["indexes"] == []
+    tdb.create_db("db2")
+    tdb.drop_db("db2")
+    assert tdb.list_dbs() == ["db1"]
+    assert "version" in tdb.server_info()
+
+
+def test_put_get_query_lww(tmp_path, spark):
+    tdb = _mk(tmp_path, spark)
+    t0 = "2016-08-01T00:00:00Z"
+    tdb.put(
+        "db1",
+        [
+            {"time": t0, "index": "idx", "value": {"open": 10.0, "close": 11.0}},
+            {"time": "2016-08-01T00:00:30Z", "index": "idx", "value": {"open": 12.0}},
+            {"time": "2016-08-01T00:01:10Z", "index": "idx", "value": {"open": 20.0, "close": 21.0}},
+        ],
+    )
+    # exact GET (Q1)
+    assert tdb.get("db1", "idx", t0) == {"open": 10.0, "close": 11.0}
+    assert tdb.get("db1", "idx", "2016-08-01T09:00:00Z") is None
+
+    # LWW upsert: second batch replaces the whole value map (D6)
+    tdb.put("db1", [{"time": t0, "index": "idx", "value": {"open": 99.0}}])
+    assert tdb.get("db1", "idx", t0) == {"open": 99.0}
+
+    # minute-bucket aggregate (D3): bucket 0 has open 99,12; bucket 1 has 20
+    out = tdb.query(
+        "db1",
+        {
+            "index": "idx",
+            "from": t0,
+            "to": "2016-08-01T01:00:00Z",
+            "group": "minute",
+            "fields": {"open": {"reducer": "avg"}, "close": "last"},
+        },
+    ).collect()
+    assert len(out) == 2
+    b0, b1 = out
+    assert b0["open_avg"] == pytest.approx(55.5)
+    # close missing at LWW winner for t0 and at 00:00:30 → bucket-0 last close is NULL
+    assert b0["close_last"] is None
+    assert b1["open_avg"] == 20.0 and b1["close_last"] == 21.0
+    assert b0["bucket"] == parse_time_ns(t0)
+    assert b1["bucket"] == parse_time_ns(t0) + 60 * NS
+
+    # after compact, same answers without the dedup aggregate
+    tdb.compact("db1")
+    assert tdb.get("db1", "idx", t0) == {"open": 99.0}
+    assert tdb.db_info("db1")["indexes"] == ["idx"]
+
+
+def test_nunit_buckets_and_range(tmp_path, spark):
+    tdb = _mk(tmp_path, spark)
+    docs = [
+        {"time": f"2016-08-01T00:{m:02d}:00Z", "index": "g", "value": {"v": float(m)}}
+        for m in range(10)
+    ]
+    tdb.put("db1", docs)
+    # 2-minute from-anchored buckets over [00:01, 00:09) → anchor 00:01 (D4)
+    out = tdb.query(
+        "db1",
+        {
+            "index": "g",
+            "from": "2016-08-01T00:01:00Z",
+            "to": "2016-08-01T00:09:00Z",
+            "group": "2minutes",
+            "fields": {"v": "sum"},
+        },
+    ).collect()
+    anchor = parse_time_ns("2016-08-01T00:01:00Z")
+    assert [(r["bucket"] - anchor) // (60 * NS) for r in out] == [0, 2, 4, 6]
+    assert [r["v_sum"] for r in out] == [1 + 2, 3 + 4, 5 + 6, 7 + 8]
+    # to-bound enforced (B3 fixed): minute 9 excluded
+
+
+def test_reducers_match_semantics(tmp_path, spark):
+    tdb = _mk(tmp_path, spark)
+    tdb.put(
+        "db1",
+        [
+            {"time": "2016-08-01T00:00:01Z", "index": "r", "value": {"a": 5.0, "b": 1.0}},
+            {"time": "2016-08-01T00:00:02Z", "index": "r", "value": {"a": 3.0}},
+            {"time": "2016-08-01T00:00:03Z", "index": "r", "value": {"a": 4.0, "b": 2.0}},
+        ],
+    )
+    out = tdb.query(
+        "db1",
+        {
+            "index": "r",
+            "from": "2016-08-01T00:00:00Z",
+            "to": "2016-08-01T00:01:00Z",
+            "group": "minute",
+            "fields": {"a": "min", "b": "first"},
+        },
+    ).collect()[0]
+    assert out["a_min"] == 3.0  # B6 fixed: true min
+    assert out["b_first"] == 1.0  # earliest point where b present
+    out2 = tdb.query(
+        "db1",
+        {
+            "index": "r",
+            "from": "2016-08-01T00:00:00Z",
+            "to": "2016-08-01T00:01:00Z",
+            "group": "minute",
+            "fields": {"b": "count"},
+        },
+    ).collect()[0]
+    assert out2["b_count"] == 2  # B4 fixed: true count of non-null b
+
+
+def test_range_delete(tmp_path, spark):
+    tdb = _mk(tmp_path, spark)
+    docs = [
+        {"time": f"2016-08-0{d}T12:00:00Z", "index": "del", "value": {"v": float(d)}}
+        for d in range(1, 6)
+    ]
+    tdb.put("db1", docs)
+    # interior delete [day2 , day4) → days 2,3 gone (half-open, D7)
+    tdb.delete("db1", "del", "2016-08-02T00:00:00Z", "2016-08-04T00:00:00Z")
+    left = sorted(r["v_sum"] for r in tdb.query(
+        "db1",
+        {
+            "index": "del",
+            "from": "2016-08-01T00:00:00Z",
+            "to": "2016-09-01T00:00:00Z",
+            "group": "day",
+            "fields": {"v": "sum"},
+        },
+    ).collect())
+    assert left == [1.0, 4.0, 5.0]
+    # delete matching nothing is a no-op
+    tdb.delete("db1", "del", "2017-01-01T00:00:00Z", "2017-02-01T00:00:00Z")
+    assert tdb.get("db1", "del", "2016-08-01T12:00:00Z") == {"v": 1.0}
+
+
+def test_drop_index(tmp_path, spark):
+    tdb = _mk(tmp_path, spark)
+    tdb.put("db1", [{"time": "2016-08-01T00:00:00Z", "index": "s1", "value": {"x": 1.0}},
+                    {"time": "2016-08-01T00:00:00Z", "index": "s2", "value": {"x": 2.0}}])
+    assert tdb.db_info("db1")["indexes"] == ["s1", "s2"]
+    tdb.drop_index("db1", "s1")
+    assert tdb.db_info("db1")["indexes"] == ["s2"]
+    assert tdb.get("db1", "s2", "2016-08-01T00:00:00Z") == {"x": 2.0}

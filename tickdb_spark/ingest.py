@@ -1,0 +1,184 @@
+"""Ingest/normalize pipeline: JSON-ish docs → canonical partitioned ticks.
+
+Reference path: ``POST /{db}`` → ``putDocuments`` → ``dbstore`` → per-doc
+``DB.Put`` into the time tree (``handlers.go:57-77``, ``database.go:71-90``,
+``storage/db.go:141-151``). Spark path: whole batch → DataFrame → normalize
+→ append to a ``(series, dt)``-partitioned Parquet table. Upsert semantics
+(last write wins per ``(series, ts)``, reference ``storage/node.go:235-237``)
+are carried by a monotone ``ingest_seq`` and resolved by dedup-on-read or
+``compact()`` — the no-Delta equivalent of MERGE.
+
+Scale notes (100 TB): appends are append-only file commits (no read-modify-
+write); dedup-on-read is a single hash aggregate on ``(series, ts)`` that
+partial-aggregates map-side; ``compact()`` amortizes it away; partition
+layout ``series/dt`` gives both series pruning (reference: file-per-index,
+``database.go:49-69``) and time pruning (reference: tree descent,
+``cursor.go:188-241``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdb_spark.schema import TICKS_SCHEMA, ns_to_ts, parse_time_ns
+
+TICKS_DIR = "ticks"
+META_FILE = "_meta.json"
+
+
+def _meta_path(db_path: str) -> str:
+    return os.path.join(db_path, META_FILE)
+
+
+def _read_meta(db_path: str) -> dict:
+    try:
+        with open(_meta_path(db_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"next_seq": 0, "clean": True}
+
+
+def _write_meta(db_path: str, meta: dict) -> None:
+    tmp = _meta_path(db_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(db_path))
+
+
+def normalize_docs(spark: SparkSession, docs: list[dict], ingest_seq: int) -> DataFrame:
+    """``[{"time": ..., "index": ..., "value": {...}}]`` → canonical rows.
+
+    Mirrors the reference's ingest doc shape (``database.go:24-28``) with
+    errors propagated instead of swallowed (quirk B10).
+    """
+    # Within-batch duplicates: last doc wins, matching the reference's
+    # sequential per-doc Put (later Put replaces, ``node.go:235-237``).
+    rows: dict[tuple[str, int], tuple] = {}
+    for doc in docs:
+        ts = parse_time_ns(doc["time"])
+        value = {str(k): float(v) for k, v in doc["value"].items()}
+        key = (str(doc["index"]), ts)
+        rows[key] = (key[0], ts, None, value, ingest_seq)
+    df = spark.createDataFrame(list(rows.values()), TICKS_SCHEMA)
+    return df.withColumn("ts_utc", ns_to_ts(F.col("ts")))
+
+
+def append_batch(db_path: str, ticks: DataFrame) -> int:
+    """Atomically-visible batch append (fixes B11: the reference never
+    flushes on any handler path). Returns the batch's ingest_seq."""
+    meta = _read_meta(db_path)
+    seq = meta["next_seq"]
+    out = ticks.withColumn("ingest_seq", F.lit(seq).cast("long")).withColumn(
+        "dt", F.to_date("ts_utc")
+    )
+    out.write.mode("append").partitionBy("series", "dt").parquet(
+        os.path.join(db_path, TICKS_DIR)
+    )
+    meta["next_seq"] = seq + 1
+    meta["clean"] = meta.get("clean", True) and seq == 0
+    _write_meta(db_path, meta)
+    return seq
+
+
+def read_ticks(spark: SparkSession, db_path: str, dedup: bool | None = None) -> DataFrame:
+    """Canonical LWW view of a database's ticks.
+
+    ``dedup=None`` consults metadata: a compacted (clean) table skips the
+    dedup aggregate entirely — the hot path for query-heavy workloads.
+    Dedup keeps, per ``(series, ts)``, the row from the highest ingest_seq
+    (reference upsert semantics, ``storage/node.go:235-237``).
+    """
+    path = os.path.join(db_path, TICKS_DIR)
+    df = spark.read.parquet(path)
+    if dedup is None:
+        dedup = not _read_meta(db_path).get("clean", False)
+    if not dedup:
+        return df.select("series", "ts", "ts_utc", "value")
+    latest = F.max_by(F.struct("ts_utc", "value"), "ingest_seq").alias("r")
+    return (
+        df.groupBy("series", "ts")
+        .agg(latest)
+        .select("series", "ts", F.col("r.ts_utc").alias("ts_utc"), F.col("r.value").alias("value"))
+    )
+
+
+def compact(spark: SparkSession, db_path: str) -> None:
+    """Materialize the LWW view, replacing the table (Delta-MERGE stand-in).
+
+    After compaction ``read_ticks`` serves partition-pruned scans with no
+    dedup shuffle.
+    """
+    path = os.path.join(db_path, TICKS_DIR)
+    deduped = read_ticks(spark, db_path, dedup=True).withColumn(
+        "ingest_seq", F.lit(0).cast("long")
+    )
+    tmp = path + f".compact-{uuid.uuid4().hex[:8]}"
+    (
+        deduped.withColumn("dt", F.to_date("ts_utc"))
+        .repartition("series", "dt")
+        .write.mode("overwrite")
+        .partitionBy("series", "dt")
+        .parquet(tmp)
+    )
+    old = path + f".old-{int(time.time())}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    meta = _read_meta(db_path)
+    meta["clean"] = True
+    meta["next_seq"] = max(1, meta.get("next_seq", 1))
+    _write_meta(db_path, meta)
+
+
+def delete_range(spark: SparkSession, db_path: str, series: str, frm, to) -> None:
+    """Range delete ``[from, to)`` for one series (reference Q13:
+    ``storage/db.go:153-161``, subtree prune ``node.go:320-521``).
+
+    Implementation: rewrite only the date partitions intersecting the
+    range — the Parquet analogue of the reference's subtree pruning. A
+    production deployment on Delta/Iceberg would use ``DELETE WHERE``;
+    the partition-level rewrite keeps the same I/O profile.
+    """
+    frm_ns, to_ns = parse_time_ns(frm), parse_time_ns(to)
+    if to_ns <= frm_ns:
+        return
+    base = os.path.join(db_path, TICKS_DIR)
+    series_dir = os.path.join(base, f"series={series}")
+    if not os.path.isdir(series_dir):
+        return
+    import datetime as dt
+
+    d_from = dt.datetime.fromtimestamp(frm_ns / 1e9, dt.timezone.utc).date()
+    d_to = dt.datetime.fromtimestamp(max(frm_ns, to_ns - 1) / 1e9, dt.timezone.utc).date()
+    affected = []
+    for name in os.listdir(series_dir):
+        if not name.startswith("dt="):
+            continue
+        d = dt.date.fromisoformat(name.split("=", 1)[1])
+        if d_from <= d <= d_to:
+            affected.append(name)
+    if not affected:
+        return
+    paths = [os.path.join(series_dir, n) for n in affected]
+    keep = (
+        spark.read.option("basePath", base)
+        .parquet(*paths)
+        .where(~((F.col("ts") >= frm_ns) & (F.col("ts") < to_ns)))
+    )
+    tmp = os.path.join(db_path, f"_delete-{uuid.uuid4().hex[:8]}")
+    keep.select("ts", "ts_utc", "value", "ingest_seq", "dt").write.mode("overwrite").partitionBy(
+        "dt"
+    ).parquet(tmp)
+    for n in affected:
+        shutil.rmtree(os.path.join(series_dir, n))
+    for name in os.listdir(tmp):
+        if name.startswith("dt="):
+            os.rename(os.path.join(tmp, name), os.path.join(series_dir, name))
+    shutil.rmtree(tmp)
