@@ -1,0 +1,531 @@
+"""Query bank: every operator exposed to the driver's correctness gate.
+
+Each entry pairs a Spark implementation (``fn(spark, sf_dir) -> DataFrame``)
+with the equivalent ANSI SQL the DuckDB oracle runs on the same parquet
+tables. The driver hash-compares values with columns sorted by name, so:
+
+* every computed column is aliased identically on both sides;
+* double SUM/AVG reduce through DECIMAL (exact, order-independent) and cast
+  back to DOUBLE — bit-identical across engines and across cluster sizes;
+* timestamps are emitted as BIGINT (epoch ns for tick queries — the
+  engine's native resolution — epoch µs elsewhere);
+* top-k queries tie-break on a unique key so the selected set is stable.
+
+Tick queries run through the real engine path (``run_tick_query``) over the
+``events`` table adapted to the canonical tick schema: series=event_type,
+ts=epoch-ns, value=map('value', value) — the reference's data model
+(``storage/point.go:8-11``) on driver data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tickdb_spark.operators.asof import asof_join
+from tickdb_spark.tickquery import run_tick_query
+
+DEC = "decimal(18,6)"  # exact-sum carrier type (see EXACT_DECIMAL)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table; its ts column is Parquet TIMESTAMP(NANOS),
+    which Spark only reads via the nanosAsLong escape hatch → BIGINT ns
+    (set defensively here in case the caller's session predates our
+    config). Returned schema: ts BIGINT epoch-ns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _read(spark, sf_dir, "events")
+
+
+def events_as_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``events`` table to the canonical tick schema."""
+    ev = _read_events(spark, sf_dir)
+    return ev.select(
+        F.col("event_type").alias("series"),
+        F.col("ts").alias("ts"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+        F.create_map(F.lit("value"), F.col("value")).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tick-engine queries (reference surface D1-D5, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+_EV_RANGE = ("2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z")
+
+
+def _tick(series: str, group: str, fields: dict, frm=None, to=None):
+    spec = {
+        "index": series,
+        "from": frm or _EV_RANGE[0],
+        "to": to or _EV_RANGE[1],
+        "group": group,
+        "fields": fields,
+        "exact": True,
+    }
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_tick_query(events_as_ticks(spark, sf_dir), spec)
+
+    return fn
+
+
+_TICK_WHERE = "event_type = '{s}' AND ts >= TIMESTAMP '{f}' AND ts < TIMESTAMP '{t}'"
+
+
+def _tw(series: str, frm: str = None, to: str = None) -> str:
+    f = (frm or _EV_RANGE[0]).replace("T", " ").replace("Z", "")
+    t = (to or _EV_RANGE[1]).replace("T", " ").replace("Z", "")
+    return _TICK_WHERE.format(s=series, f=f, t=t)
+
+
+_GET_US = 1704067207179575  # 2024-01-01T00:00:07.179575Z, an sf0.01 error event
+register(
+    "tick_point_get",
+    f"""
+    SELECT epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'error' AND epoch_us(ts) = {_GET_US}
+    """,
+    "D1 exact point lookup (reference Q1, storage/db.go:127-138). The gate "
+    "addresses the point at µs precision (the oracle's parquet reader "
+    "truncates ns→µs); engine-side it's a half-open ns range, which pushes "
+    "down to the parquet scan as a plain range predicate.",
+)(
+    lambda spark, sf_dir: events_as_ticks(spark, sf_dir)
+    .where(
+        (F.col("series") == "error")
+        & (F.col("ts") >= _GET_US * 1000)
+        & (F.col("ts") < (_GET_US + 1) * 1000)
+    )
+    .select(F.expr("ts div 1000").alias("ts_us"), F.col("value").getItem("value").alias("value"))
+)
+
+register(
+    "tick_range_scan",
+    f"""
+    SELECT epoch_us(ts) AS ts_us, value
+    FROM events WHERE {_tw('signup', '2024-01-05T00:00:00Z', '2024-01-08T00:00:00Z')}
+    ORDER BY ts_us
+    """,
+    "D2 raw time-range scan in time order (reference Q2/Q15). Output ts is "
+    "µs: this DuckDB build truncates parquet ns→µs on read, so the oracle "
+    "cannot express sub-µs; the engine keeps full ns internally.",
+)(
+    lambda spark, sf_dir: run_tick_query(
+        events_as_ticks(spark, sf_dir),
+        {
+            "index": "signup",
+            "from": "2024-01-05T00:00:00Z",
+            "to": "2024-01-08T00:00:00Z",
+            "group": "minute",
+            "fields": {},
+        },
+    ).select(
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").getItem("value").alias("value"),
+    )
+)
+
+register(
+    "tick_bucket_hour_sum",
+    f"""
+    SELECT epoch_ns(date_trunc('hour', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum
+    FROM events WHERE {_tw('click')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D3 calendar hour buckets, sum reducer (reference Q3+Q4)",
+)(_tick("click", "hour", {"value": "sum"}))
+
+register(
+    "tick_bucket_minute_minmax",
+    f"""
+    SELECT epoch_ns(date_trunc('minute', ts)) AS bucket,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events WHERE {_tw('view', '2024-01-10T00:00:00Z', '2024-01-11T00:00:00Z')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D3 minute buckets, min/max reducers (Q5, Q6 with B6 fixed)",
+)(
+    _tick(
+        "view",
+        "minute",
+        {"value": ["min", "max"]},
+        "2024-01-10T00:00:00Z",
+        "2024-01-11T00:00:00Z",
+    )
+)
+
+register(
+    "tick_bucket_day_ohlc",
+    f"""
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           arg_min(value, ts) AS value_first, MAX(value) AS value_max,
+           MIN(value) AS value_min, arg_max(value, ts) AS value_last
+    FROM events WHERE {_tw('purchase')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D5 OHLC candle: first/max/min/last per day (reference Q5-Q8)",
+)(
+    _tick("purchase", "day", {"value": ["first", "max", "min", "last"]})
+)
+
+register(
+    "tick_bucket_day_count_avg",
+    f"""
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           COUNT(value) AS value_count,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(value) AS value_avg
+    FROM events WHERE {_tw('error')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D3 day buckets, count (B4 fixed) + avg (Q9, Q10)",
+)(_tick("error", "day", {"value": ["count", "avg"]}))
+
+_ANCHOR_5M = "2024-01-03T07:23:00Z"
+register(
+    "tick_bucket_5min_anchored",
+    f"""
+    SELECT (epoch_ns(ts)) - ((epoch_ns(ts) - {1704266580 * 10**9})
+           % {5 * 60 * 10**9}) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM events WHERE {_tw('click', _ANCHOR_5M, '2024-01-20T00:00:00Z')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D4 N-unit from-anchored buckets (B2 fixed): 5-minute, odd anchor",
+)(
+    _tick(
+        "click",
+        "5minutes",
+        {"value": ["sum", "count"]},
+        _ANCHOR_5M,
+        "2024-01-20T00:00:00Z",
+    )
+)
+
+register(
+    "tick_bucket_month_sum",
+    f"""
+    SELECT epoch_ns(date_trunc('month', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM events WHERE {_tw('signup')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D3 month granularity (reference LevelMonth, timeutil.go:50-81)",
+)(_tick("signup", "month", {"value": ["sum", "count"]}))
+
+register(
+    "tick_ma3_hourly",
+    f"""
+    WITH b AS (
+      SELECT epoch_ns(date_trunc('hour', ts)) AS bucket,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(value) AS value_ma
+      FROM events WHERE {_tw('view', '2024-01-01T00:00:00Z', '2024-01-08T00:00:00Z')}
+      GROUP BY bucket
+    )
+    SELECT bucket,
+           AVG(value_ma) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS value_ma
+    FROM b ORDER BY bucket
+    """,
+    "true trailing 3-bucket moving average (the reference's declared-but-"
+    "unimplemented `ma` reducer, cursor.go:337-345 / B9)",
+)(
+    _tick(
+        "view", "hour", {"value": "ma:3"}, "2024-01-01T00:00:00Z", "2024-01-08T00:00:00Z"
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational extension surface (SURVEY.md §2.3): aggregation, joins, windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC}))
+             AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: multi-agg hash aggregate",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast(DEC)).cast("double").alias("sum_disc_price"),
+            F.sum((disc * (1 + F.col("l_tax"))).cast(DEC)).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+             AS revenue,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "TPC-H Q3-style: 3-way join + agg + deterministic top-10 "
+    "(customer side broadcast: dimension ≪ fact)",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("date")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("date")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("o_orderdate_us"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+             AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    "TPC-H Q5-style: 6-way star join with broadcast dimensions",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "agg_distinct_users_daily",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY day_us ORDER BY day_us
+    """,
+    "exact distinct aggregation (extension; reference has none)",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    ts_utc = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.groupBy(F.unix_micros(F.date_trunc("day", ts_utc)).alias("day_us"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@register(
+    "win_running_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+    FROM orders WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "analytic window: per-customer running total (extension)",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice").over(w).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "win_top3_orders_per_priority",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+    """,
+    "top-k per group via ranking window (extension)",
+)
+def win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+@register(
+    "asof_purchase_last_click",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS tus, 1 AS is_left, event_id,
+             value AS purchase_value, CAST(NULL AS DOUBLE) AS click_value,
+             CAST(NULL AS BIGINT) AS tb
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 0, event_id,
+             CAST(NULL AS DOUBLE), value, event_id
+      FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT *, last_value(click_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, is_left, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      FROM u)
+    SELECT event_id, user_id, tus AS ts_us, purchase_value, last_click_value
+    FROM m WHERE is_left = 1 ORDER BY event_id
+    """,
+    "as-of join (backward): each purchase matched with the user's most "
+    "recent prior click — one shuffle, no Python (operators/asof.py)",
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").alias("click_value"), F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["click_value"],
+        direction="backward",
+        tiebreak="click_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us", "purchase_value",
+        F.col("click_value").alias("last_click_value"),
+    ).orderBy("event_id")

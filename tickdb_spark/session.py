@@ -30,6 +30,9 @@ _BASE_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     # 128 MB split target — the right granularity for large scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. the driver's events table)
+    # surface as BIGINT epoch-ns — the engine's native tick resolution.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

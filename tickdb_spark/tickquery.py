@@ -80,9 +80,18 @@ class TickQuery:
     frm: str | int
     to: str | int
     group: str
-    #: field name → reducer spec ("sum"|"max"|"min"|"avg"|"count"|"first"
-    #: |"last"|"ma"|"ma:<k>")
-    fields: dict[str, str] = dc_field(default_factory=dict)
+    #: field name → reducer spec(s): "sum"|"max"|"min"|"avg"|"count"|
+    #: "first"|"last"|"ma"|"ma:<k>", or a list of them (the reference
+    #: allows one reducer per field, ``query.go:91-96``; multi-reducer per
+    #: field is our extension — it's what OHLC candles need, D5)
+    fields: dict[str, str | list[str]] = dc_field(default_factory=dict)
+    #: When True, sum/avg reduce through DECIMAL(18,6) instead of DOUBLE.
+    #: Decimal addition is exact and associative, so results are
+    #: bit-identical regardless of partition/merge order — and identical
+    #: to any other engine using the same trick (the DuckDB oracle gate).
+    #: Float sums are order-dependent; at 1000 executors the same query
+    #: can return different low bits run-to-run.
+    exact: bool = False
 
     @classmethod
     def from_dict(cls, spec: dict) -> "TickQuery":
@@ -99,6 +108,7 @@ class TickQuery:
             to=spec["to"],
             group=spec["group"],
             fields=fields,
+            exact=bool(spec.get("exact", False)),
         )
 
 
@@ -114,8 +124,13 @@ def bucket_start_ns(ts_ns: Column, count: int, unit: str, anchor_ns: int) -> Col
     if count == 1:
         return ts_to_trunc_ns(ts_ns, unit)
     if unit in _UNIT_NS:
+        # Pure BIGINT arithmetic: ts - ((ts - anchor) % width). Long/long
+        # division would round through double (loses exactness near 2^53);
+        # modulo stays integral. Valid for ts >= anchor, which the range
+        # filter guarantees.
         width = count * _UNIT_NS[unit]
-        return anchor_ns + F.floor((ts_ns - F.lit(anchor_ns)) / F.lit(width)).cast("long") * width
+        diff = ts_ns - F.lit(anchor_ns)
+        return ts_ns - diff % F.lit(width)
     # N-month / N-year buckets: index months (or years) since epoch,
     # anchor at the month containing `anchor_ns`.
     t = ns_to_ts(ts_ns)
@@ -149,7 +164,12 @@ def ts_to_trunc_ns(ts_ns: Column, unit: str) -> Column:
     return F.unix_micros(truncated) * 1_000
 
 
-def _agg_expr(value: Column, ts: Column, red: Reducer, alias: str) -> Column:
+#: Decimal type for exact (order-independent) sums; 6 fractional digits
+#: comfortably covers the reference's float payloads.
+EXACT_DECIMAL = "decimal(18,6)"
+
+
+def _agg_expr(value: Column, ts: Column, red: Reducer, alias: str, exact: bool = False) -> Column:
     """Per-bucket aggregate for one (field, reducer).
 
     first/last use ``min_by``/``max_by`` keyed on ts *where the field is
@@ -159,6 +179,8 @@ def _agg_expr(value: Column, ts: Column, red: Reducer, alias: str) -> Column:
     """
     name = red.name
     if name == "sum":
+        if exact:
+            return F.sum(value.cast(EXACT_DECIMAL)).cast("double").alias(alias)
         return F.sum(value).alias(alias)
     if name == "max":
         return F.max(value).alias(alias)
@@ -167,6 +189,10 @@ def _agg_expr(value: Column, ts: Column, red: Reducer, alias: str) -> Column:
     if name == "count":
         return F.count(value).alias(alias)
     if name in ("avg", "ma"):  # bucket-level state; real MA applied post-agg
+        if exact:
+            return (
+                F.sum(value.cast(EXACT_DECIMAL)).cast("double") / F.count(value)
+            ).alias(alias)
         return F.avg(value).alias(alias)
     if name == "first":
         return F.min_by(value, F.when(value.isNotNull(), ts)).alias(alias)
@@ -194,13 +220,16 @@ def run_tick_query(ticks: DataFrame, query: TickQuery | dict) -> DataFrame:
     bucket = bucket_start_ns(F.col("ts"), count, unit, frm).alias("bucket")
 
     aggs, ma_cols = [], []
-    for fname, rspec in query.fields.items():
-        red = Reducer.parse(rspec)
-        alias = f"{fname}_{red.name}"
-        value = F.col("value").getItem(fname)
-        aggs.append(_agg_expr(value, F.col("ts"), red, alias))
-        if red.name == "ma" and red.ma_window > 1:
-            ma_cols.append((alias, red.ma_window))
+    for fname, rspecs in query.fields.items():
+        if isinstance(rspecs, str):
+            rspecs = [rspecs]
+        for rspec in rspecs:
+            red = Reducer.parse(rspec)
+            alias = f"{fname}_{red.name}"
+            value = F.col("value").getItem(fname)
+            aggs.append(_agg_expr(value, F.col("ts"), red, alias, exact=query.exact))
+            if red.name == "ma" and red.ma_window > 1:
+                ma_cols.append((alias, red.ma_window))
 
     if not aggs:  # raw range scan (D2) when no reducers requested
         return df.select("ts", "value").orderBy("ts")
