@@ -1,0 +1,129 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen, no Python in the
+hot path — at 100 TB a row-at-a-time UDF here would dominate the job).
+Each helper has a ``*_sql`` twin generating the equivalent DuckDB SQL from
+the same parameters, keeping engine and oracle in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the heuristic language scorer.
+#: Deterministic and dialect-neutral — real deployments would swap in
+#: fastText/CLD3 via a Pandas UDF (see operators/multimodal.py for the
+#: stub pattern).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit"],
+}
+
+TOKEN_SEP = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), TOKEN_SEP)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: words + digit runs + punctuation marks,
+    the standard cheap proxy for BPE token counts when no tokenizer model
+    is shippable to executors."""
+    words = F.size(F.split(F.trim(col), r"[^A-Za-z0-9]+"))
+    puncts = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return (words + puncts).cast("long")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) found in the language's list."""
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stoplist, t)))
+
+
+def langid(col: Column) -> Column:
+    """Heuristic language ID: arg-max of stopword hit counts, 'und' when no
+    list scores > 0. Ties resolve in STOPWORDS key order (deterministic)."""
+    scores = [(lang, stopword_hits(col, lang)) for lang in STOPWORDS]
+    # fold right-to-left so earlier languages win ties
+    expr = F.lit("und")
+    best_score = F.greatest(*[s for _, s in scores])
+    for lang, score in reversed(scores):
+        expr = F.when((score > 0) & (score == best_score), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def langid_sql(text_expr: str = "text") -> str:
+    """DuckDB equivalent of :func:`langid` (same tie order)."""
+    toks = f"string_split_regex(trim({text_expr}), '{TOKEN_SEP}')"
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+    greatest = "greatest(" + ", ".join(hits(lg) for lg in STOPWORDS) + ")"
+    expr = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        h = hits(lang)
+        expr = f"CASE WHEN {h} > 0 AND {h} = {greatest} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Cheap quality signals: length, token stats, punctuation/alpha
+    ratios, stopword ratio. Ratios are double divisions of identical
+    integers on any engine → bit-stable."""
+    n_chars = F.length(col).cast("long")
+    n_tokens = token_count(col).cast("long")
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("long")
+    n_punct = (
+        F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    ).cast("long")
+    en_stops = stopword_hits(col, "en").cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha / n_chars,
+        "punct_ratio": n_punct / n_chars,
+        "avg_token_len": n_alpha / n_tokens,
+        "stopword_ratio": en_stops / n_tokens,
+    }
+
+
+QUALITY_SQL = {
+    "n_chars": "length(text)::BIGINT",
+    "n_tokens": "len(string_split_regex(trim(text), '\\s+'))::BIGINT",
+    "alpha_ratio": "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
+    " / length(text)",
+    "punct_ratio": "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE"
+    " / length(text)",
+    "avg_token_len": "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE"
+    " / len(string_split_regex(trim(text), '\\s+'))",
+    "stopword_ratio": "len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    " t -> list_contains(['the','a','of','and','to','is','in','that'], t)))::DOUBLE"
+    " / len(string_split_regex(trim(text), '\\s+'))",
+}
+
+
+def fingerprint(col: Column, bits: int = 64) -> Column:
+    """Deterministic document fingerprint: md5 of the token-normalized text
+    (whitespace collapsed), truncated to ``bits``/4 hex chars. Identical
+    across engines — both sides md5 the same normalized string."""
+    normalized = F.concat_ws(" ", tokens(col))
+    return F.substring(F.md5(normalized), 1, bits // 4)
+
+
+def fingerprint_sql(text_expr: str = "text", bits: int = 64) -> str:
+    return (
+        f"substr(md5(array_to_string(string_split_regex(trim({text_expr}),"
+        f" '{TOKEN_SEP}'), ' ')), 1, {bits // 4})"
+    )

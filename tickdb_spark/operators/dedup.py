@@ -1,0 +1,417 @@
+"""Deduplication family for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the whole point — these run over 100 TB of documents):
+
+* **exact**: one hash-aggregate on a 128-bit content hash. No text
+  comparison ever crosses the wire — only (hash, id).
+* **n-gram Jaccard / MinHash verify**: pairwise work is confined to LSH
+  candidates; the full O(n²) join never materializes. Shingle explosion is
+  map-side; the heavy joins key on short hash strings.
+* **MinHash+LSH**: k min-hashes per doc (one aggregate), banded into b
+  buckets; candidate pairs come from equality joins on (band_idx, band
+  signature) — shuffle keyed on short strings, skew-safe under AQE.
+* **SimHash**: 32-bit fingerprints via 32 conditional-sum aggregates (no
+  per-bit explode); near-dup candidates via pigeonholed 8-bit block
+  equality joins (hamming ≤ 3 ⟹ one of four blocks equal).
+* **embedding cosine**: brute-force is quadratic — provided as the exact
+  baseline; the scale path is LSH bucketing (operators/similarity.py).
+
+MinHash uses md5-string ordering as the hash family: hash_i(shingle) =
+md5(i || '|' || shingle), minimum taken in lexicographic order. Both
+Spark and DuckDB implement md5 + binary string compare identically, which
+makes every stage oracle-checkable — a property numeric murmur hashes
+(engine-specific) don't have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NGRAM_N = 3
+MINHASH_K = 12  # total hash functions
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+
+
+def word_ngrams(col: Column, n: int = NGRAM_N) -> Column:
+    """Distinct word n-gram shingles of a text column → array<string>.
+    Texts shorter than n words shingle to the full text (so every doc has
+    at least one shingle)."""
+    toks = F.split(F.trim(col), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def word_ngrams_sql(text_expr: str = "text", n: int = NGRAM_N) -> str:
+    """DuckDB twin of :func:`word_ngrams` (1-based list slicing)."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by content hash; per row emit its group's canonical
+    keeper (min id) and group size. ``is_keeper`` marks the row a pipeline
+    would retain. One hash-aggregate + one broadcast-able self-join on the
+    hash — no text shuffled."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            "keep_id",
+            "group_size",
+            (F.col(id_col) == F.col("keep_id")).alias("is_keeper"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (exact, for candidate verification or small corpora)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, n: int = NGRAM_N
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: explode shingles → self-join on shingle →
+    count shared shingles per pair → |A∩B| / (|A|+|B|−|A∩B|). Exact but
+    quadratic in the worst case — at scale use :func:`minhash_lsh_pairs`
+    and verify only its candidates with this formula.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, threshold: float, n: int = NGRAM_N
+) -> str:
+    grams = word_ngrams_sql(text_col, n)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table}
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: mh_i = min(md5(i|shingle)).
+    One explode + one groupBy with k min-aggregates (map-side partial)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH over MinHash signatures, verified with
+    exact Jaccard ≥ threshold. The only pairwise work is on LSH candidates
+    (docs agreeing on a full band)."""
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws("#", *[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_sig").alias("band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Verify ONLY candidates with exact Jaccard — the full pairwise join
+    # never happens; shingle lists are joined per candidate pair.
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col))).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    shared = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> str:
+    r = k // bands
+    grams = word_ngrams_sql(text_col)
+    mh_aggs = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band_idx, "
+        + " || '#' || ".join(f"mh_{bi * r + j}" for j in range(r))
+        + " AS band_sig FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table}
+    ), sig AS (
+      SELECT id, {mh_aggs} FROM sh GROUP BY id
+    ), banded AS (
+      {band_rows}
+    ), candidates AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.id < b.id
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT c.id_a, c.id_b,
+           n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM candidates c
+    JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash per doc over distinct word tokens.
+
+    token → 32-bit value from the first 8 hex chars of md5; per bit j the
+    doc accumulates +1/−1; fingerprint bit j is 1 iff the sum > 0. All
+    integer arithmetic — reproducible on any engine, no explode-per-bit
+    (32 conditional-sum aggregates in ONE groupBy).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+    )
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.select("id", hv.alias("hv"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_sql(table: str, text_col: str, id_col: str) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             unnest(list_distinct(string_split_regex(trim({text_col}), '\\s+'))) AS tok
+      FROM {table}
+    ), hv AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv FROM toks
+    ), sums AS (
+      SELECT id, {bit_sums} FROM hv GROUP BY id
+    )
+    SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def _simhash_blocks(max_hamming: int) -> list[tuple[int, int, int]]:
+    """Minimal pigeonhole split: ``max_hamming + 1`` blocks of
+    ``SIMHASH_BITS`` → (block_idx, shift, mask). Any pair within the
+    hamming budget must agree on at least one whole block."""
+    nb = max_hamming + 1
+    width = SIMHASH_BITS // nb
+    out = []
+    for bi in range(nb):
+        shift = bi * width
+        w = SIMHASH_BITS - shift if bi == nb - 1 else width
+        out.append((bi, shift, (1 << w) - 1))
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 1
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole: fingerprints within hamming ≤ h must agree on at least one
+    of h+1 disjoint bit blocks → candidates come from equality joins on
+    (block_idx, block_value), never a cross join. Fewer, wider blocks =
+    far more selective candidate sets.
+    """
+    fps = simhash(df, text_col, id_col)
+    blocks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), shift)
+                        .bitwiseAND(mask)
+                        .alias("block_val"),
+                    )
+                    for bi, shift, mask in _simhash_blocks(max_hamming)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.block_idx").alias("bi"), F.col("b.block_val").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs_sql(
+    table: str, text_col: str, id_col: str, max_hamming: int = 1
+) -> str:
+    inner = simhash_sql(table, text_col, id_col)
+    block_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {bi} AS bi, (simhash // {1 << shift}) % {mask + 1} AS bv FROM fps"
+        for bi, shift, mask in _simhash_blocks(max_hamming)
+    )
+    return f"""
+    WITH fps AS ({inner}),
+    blocks AS (
+      {block_rows}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blocks a JOIN blocks b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """

@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+
+* **Brute-force cosine top-k** — exact baseline. The query set is small
+  (broadcast); the corpus streams through one scan with the dot product
+  evaluated JVM-side. Cost O(|Q|·N·d): right for |Q| in the thousands.
+* **LSH-bucketed top-k** — random-hyperplane signatures (precomputed,
+  deterministic literals shared with the oracle); candidates restricted to
+  the query's bucket. Cost drops to O(N·planes·d) for signatures + a
+  bucket-equality join. Recall is tunable via number of planes/tables.
+* **embedding cosine near-dup pairs** — the dedup use-case: all pairs with
+  cosine ≥ τ. Brute-force here; the LSH bucket join is the scale path.
+
+Cross-engine determinism: dot products are emitted as EXPLICIT left-
+associative term sums over double-cast elements (generated from one
+Python helper for both Spark and DuckDB), so both engines fold floats in
+the same order → identical doubles.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+# 4 planes → 16 buckets: at the test corpus sizes this keeps enough
+# vectors per bucket for useful recall; a 100 TB corpus would raise
+# planes (finer buckets) and add multiple hash tables for recall.
+N_PLANES = 4
+
+
+def _hyperplanes(n: int = N_PLANES, dim: int = EMB_DIM, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, shared by engine and oracle."""
+    rng = random.Random(seed)
+    return [[round(rng.uniform(-1.0, 1.0), 4) for _ in range(dim)] for _ in range(n)]
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def dot_expr(a: str, b: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+    """Explicit left-assoc dot product; ``a``/``b`` are array expressions.
+    Spark arrays are 0-based, DuckDB lists 1-based."""
+    off = 1 if sql else 0
+    terms = [
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def dot_literal_expr(a: str, plane: list[float], dim: int = EMB_DIM, sql: bool = False) -> str:
+    off = 1 if sql else 0
+    terms = [
+        f"CAST({a}[{i + off}] AS DOUBLE) * ({plane[i]!r})" for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def norm_expr(a: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+    return f"sqrt({dot_expr(a, a, dim, sql)})"
+
+
+def cosine_expr(a: str, b: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+    return f"({dot_expr(a, b, dim, sql)} / ({norm_expr(a, dim, sql)} * {norm_expr(b, dim, sql)}))"
+
+
+def bucket_expr(a: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+    """LSH bucket id: bit i set iff dot(v, plane_i) > 0."""
+    bits = [
+        f"(CASE WHEN {dot_literal_expr(a, p, dim, sql)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(HYPERPLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_topk_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is a handful of rows → broadcast; the corpus is scanned
+    once; ranking is a per-query-partition window (small: N rows per
+    query). Ties broken by neighbor id.
+    """
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    cos = F.expr(cosine_expr("qvec", "cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_topk_bruteforce_sql(
+    table: str, query_ids: list[int], k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+               WHERE {id_col} IN ({ids})),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec FROM {table}),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine
+      FROM q JOIN c ON query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (same sign pattern against N_PLANES hyperplanes). Deterministic given
+    the fixed planes; recall < 1 by design — the scale path."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(bucket_expr(vec_col)).alias("bucket")
+    )
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    cos = F.expr(cosine_expr("qvec", "cvec"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_topk_lsh_sql(
+    table: str, query_ids: list[int], k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket = bucket_expr(vec_col, sql=True)
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    return f"""
+    WITH bucketed AS (
+      SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table}
+    ),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec, bucket FROM bucketed
+          WHERE {id_col} IN ({ids})),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec, bucket FROM bucketed),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact brute force (the
+    baseline). Quadratic: at 100 TB, generate candidates with the LSH
+    buckets (``bucket_expr``, multiple tables for recall) and verify with
+    this formula on candidates only, mirroring MinHash-LSH's shape."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = F.expr(cosine_expr("va", "vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_neardup_pairs_sql(
+    table: str, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    cos = cosine_expr("a.va", "b.vb", sql=True)
+    return f"""
+    WITH a AS (SELECT {id_col} AS id_a, {vec_col} AS va FROM {table}),
+    b AS (SELECT {id_col} AS id_b, {vec_col} AS vb FROM {table})
+    SELECT id_a, id_b, round({cos}, 6) AS cosine
+    FROM a JOIN b ON id_a < id_b
+    WHERE {cos} >= {threshold}
+    """

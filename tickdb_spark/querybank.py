@@ -529,3 +529,206 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_us", "purchase_value",
         F.col("click_value").alias("last_click_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY.md §7 phase 6): dedup family,
+# similarity search, text analysis, multimodal plumbing — first-class
+# gate-checked components, each built for 100 TB shapes (see module docs).
+# ---------------------------------------------------------------------------
+
+from tickdb_spark.functions import text as _text  # noqa: E402
+from tickdb_spark.operators import dedup as _dedup  # noqa: E402
+from tickdb_spark.operators import multimodal as _mm  # noqa: E402
+from tickdb_spark.operators import similarity as _sim  # noqa: E402
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM doubled
+    ), groups AS (
+      SELECT content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+      FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.content_hash, g.keep_id, g.group_size,
+           h.doc_id = g.keep_id AS is_keeper
+    FROM hashed h JOIN groups g USING (content_hash)
+    ORDER BY h.doc_id
+    """,
+    "exact dedup via content-hash grouping; input doubled so every doc has "
+    "a planted exact duplicate (one hash-aggregate; no text shuffled)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return _dedup.exact_dedup_groups(doubled, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.8),
+    "exact word-3-gram Jaccard near-dup pairs at τ=0.8 (inverted-index "
+    "join, no cross join)",
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.7),
+    "MinHash(12)+LSH(4 bands) candidate generation, exact-Jaccard verify "
+    "at τ=0.7 — the linear-time near-dedup scale path",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    _dedup.simhash_sql("documents", "text", "doc_id") + " ORDER BY id",
+    "32-bit SimHash fingerprints (integer-exact, 32 conditional-sum "
+    "aggregates, no per-bit explode)",
+)
+def dedup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _dedup.simhash(docs, "text", "doc_id").orderBy("id")
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    _dedup.simhash_near_pairs_sql("documents", "text", "doc_id", max_hamming=1),
+    "SimHash near-dup pairs (hamming ≤ 1) via minimal-pigeonhole block joins",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "sim_ann_topk_bruteforce",
+    _sim.ann_topk_bruteforce_sql("embeddings", [0, 1, 2, 3, 4], k=5),
+    "exact cosine top-5 neighbors for 5 query vectors (broadcast query "
+    "side, single corpus scan)",
+)
+def sim_topk_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_bruteforce(emb, [0, 1, 2, 3, 4], k=5)
+
+
+@register(
+    "sim_ann_topk_lsh",
+    _sim.ann_topk_lsh_sql("embeddings", [0, 1, 2, 3, 4], k=5),
+    "approximate top-5 via random-hyperplane LSH buckets (the 100 TB "
+    "path: bucket-equality join instead of full scan per query)",
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_lsh(emb, [0, 1, 2, 3, 4], k=5)
+
+
+@register(
+    "sim_cosine_neardup_pairs",
+    _sim.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
+    "embedding cosine pairs at ≥ 0.4 — exact brute-force baseline (the "
+    "synthetic embeddings have no planted near-dups; max pair cosine ≈ "
+    "0.51, so the threshold exercises real data)",
+)
+def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.cosine_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_quality_metrics",
+    f"""
+    SELECT doc_id,
+           {_text.QUALITY_SQL['n_chars']} AS n_chars,
+           {_text.QUALITY_SQL['n_tokens']} AS n_tokens,
+           round({_text.QUALITY_SQL['alpha_ratio']}, 6) AS alpha_ratio,
+           round({_text.QUALITY_SQL['avg_token_len']}, 6) AS avg_token_len,
+           round({_text.QUALITY_SQL['stopword_ratio']}, 6) AS stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+    "per-document quality signals: lengths, token stats, ratios (pure "
+    "codegen expressions)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    m = _text.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(m["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_fingerprint",
+    f"""
+    SELECT doc_id, {_text.langid_sql()} AS lang_pred,
+           {_text.fingerprint_sql()} AS fp,
+           len(string_split_regex(trim(text), '\\s+'))
+             + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+    "heuristic language ID (stopword scoring), 64-bit md5 fingerprint, "
+    "BPE-ish token-count estimate",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _text.langid(F.col("text")).alias("lang_pred"),
+        _text.fingerprint(F.col("text")).alias("fp"),
+        _text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "media_binary_stats",
+    """
+    SELECT doc_id AS media_id, 'text' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha, 'text/plain' AS mime
+    FROM documents ORDER BY media_id
+    """,
+    "multimodal plumbing: binary content column + metadata-only stats "
+    "(codec-free pass; blobs never read for metadata queries thanks to "
+    "parquet column pruning)",
+)
+def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _mm.documents_as_media(docs)
+    return _mm.media_stats(media).orderBy("media_id")
+
+
+register(
+    "media_feature_extract",
+    None,  # mapInPandas custom kernel — not SQL-expressible; rows-only check
+    "Arrow-batched mapInPandas feature extraction over binary content "
+    "(deterministic fake decode kernel; real codecs stubbed)",
+)(
+    lambda spark, sf_dir: _mm.extract_features(
+        _mm.documents_as_media(_read(spark, sf_dir, "documents"))
+    )
+)
