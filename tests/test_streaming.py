@@ -1,0 +1,89 @@
+"""Structured Streaming: file-source doc stream → warehouse ingest parity
+with batch ingest; watermarked windowed aggregation with late data."""
+
+from __future__ import annotations
+
+import json
+
+from tickdb_spark.api import TickDB
+from tickdb_spark.streaming.ingest import stream_ingest, windowed_bucket_agg
+
+
+def _write_batch(landing, name, docs):
+    (landing / name).write_text("\n".join(json.dumps(d) for d in docs))
+
+
+def test_stream_ingest_matches_batch(tmp_path, spark):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs1 = [
+        {"time": "2024-03-01T10:00:00Z", "index": "st", "value": {"p": 1.0}},
+        {"time": "2024-03-01T10:00:30Z", "index": "st", "value": {"p": 2.0}},
+    ]
+    docs2 = [
+        {"time": "2024-03-01T10:01:00Z", "index": "st", "value": {"p": 3.0}},
+        # late out-of-order point + an upsert of an earlier ts
+        {"time": "2024-03-01T10:00:00Z", "index": "st", "value": {"p": 9.0}},
+    ]
+    _write_batch(landing, "b1.json", docs1)
+    _write_batch(landing, "b2.json", docs2)
+
+    tdb = TickDB(spark, str(tmp_path / "wh"))
+    tdb.create_db("s")
+    db_path = tdb.catalog._existing("s")
+    q = stream_ingest(spark, str(landing), db_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # LWW: the epoch processing b2 has a higher ingest_seq → p=9 wins
+    assert tdb.get("s", "st", "2024-03-01T10:00:00Z") == {"p": 9.0}
+    out = tdb.query(
+        "s",
+        {
+            "index": "st",
+            "from": "2024-03-01T10:00:00Z",
+            "to": "2024-03-01T10:02:00Z",
+            "group": "minute",
+            "fields": {"p": ["sum", "count"]},
+        },
+    ).collect()
+    assert [(r["p_sum"], r["p_count"]) for r in out] == [(11.0, 2), (3.0, 1)]
+
+    # restart with no new files: checkpoint prevents re-ingest
+    q2 = stream_ingest(spark, str(landing), db_path, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert tdb.get("s", "st", "2024-03-01T10:00:30Z") == {"p": 2.0}
+
+
+def test_windowed_bucket_agg_with_late_data(tmp_path, spark):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs = [
+        {"time": "2024-03-01T10:00:10Z", "index": "w", "value": {"v": 1.0}},
+        {"time": "2024-03-01T10:00:50Z", "index": "w", "value": {"v": 2.0}},
+        {"time": "2024-03-01T10:01:10Z", "index": "w", "value": {"v": 5.0}},
+        {"time": "2024-03-01T10:00:20Z", "index": "w", "value": {"v": 10.0}},  # late, in wm
+        {"time": "2024-03-01T10:30:00Z", "index": "w", "value": {"v": 0.5}},  # advances wm
+    ]
+    _write_batch(landing, "b.json", docs)
+
+    from tickdb_spark.streaming.ingest import normalize_stream, read_doc_stream
+
+    ticks = normalize_stream(read_doc_stream(spark, str(landing)))
+    agg = windowed_bucket_agg(ticks, "v", window="1 minute", watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["bucket_us"]: r
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # closed windows (watermark passed): 10:00 and 10:01
+    t0 = 1709287200 * 10**6
+    assert rows[t0]["v_sum"] == 13.0 and rows[t0]["v_count"] == 3
+    assert rows[t0]["v_min"] == 1.0 and rows[t0]["v_max"] == 10.0
+    assert rows[t0 + 60 * 10**6]["v_sum"] == 5.0

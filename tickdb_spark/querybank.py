@@ -732,3 +732,100 @@ register(
         _mm.documents_as_media(_read(spark, sf_dir, "documents"))
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Rollup-routed and streaming variants of the core bucket aggregate
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from tickdb_spark.ingest import append_batch as _append_batch  # noqa: E402
+from tickdb_spark.rollup import RollupStore as _RollupStore  # noqa: E402
+from tickdb_spark.rollup import route_tick_query as _route  # noqa: E402
+
+_WH_CACHE: dict[str, str] = {}
+
+
+def _events_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest the events table into a real tick warehouse (once per
+    process) and build the rollup cascade — the full engine write path
+    exercised inside the correctness gate."""
+    if sf_dir not in _WH_CACHE:
+        db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh_"), "db")
+        _os.makedirs(db_path)
+        _append_batch(db_path, events_as_ticks(spark, sf_dir))
+        _RollupStore(spark, db_path).refresh(("hour", "day", "month"))
+        _WH_CACHE[sf_dir] = db_path
+    return _WH_CACHE[sf_dir]
+
+
+@register(
+    "tick_rollup_day_agg",
+    f"""
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count,
+           MIN(value) AS value_min, MAX(value) AS value_max,
+           arg_min(value, ts) AS value_first, arg_max(value, ts) AS value_last,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) / COUNT(value) AS value_avg
+    FROM events WHERE {_tw('click')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "the reference's soul (Q14): day-granularity query answered from the "
+    "materialized rollup cascade (ingest → rollup refresh → routed read), "
+    "hash-identical to the raw-tick answer thanks to decimal sum states",
+)
+def tick_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db_path = _events_warehouse(spark, sf_dir)
+    return _route(
+        spark,
+        db_path,
+        {
+            "index": "click",
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "day",
+            "fields": {"value": ["sum", "count", "min", "max", "first", "last", "avg"]},
+            "exact": True,
+        },
+    )
+
+
+@register(
+    "stream_windowed_bucket_agg",
+    None,  # watermark-governed append-mode emission — not SQL-expressible
+    "streaming D3: watermarked tumbling-window aggregate over a file "
+    "stream of the events table (availableNow), emitting closed buckets",
+)
+def stream_bucket_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from tickdb_spark.streaming.ingest import windowed_bucket_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landing = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_stream_"), "events")
+    _os.makedirs(landing)
+    _shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).parquet(landing)
+        .select(
+            F.col("event_type").alias("series"),
+            F.col("ts"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+            F.create_map(F.lit("value"), F.col("value")).alias("value"),
+        )
+    )
+    agg = windowed_bucket_agg(stream, "value", window="1 hour", watermark="10 minutes")
+    name = f"stream_out_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,217 @@
+"""Materialized rollup tables + query routing — the Spark-idiomatic
+equivalent of the reference's interior-node pre-aggregation.
+
+The reference maintains ``{sum, max, min, first, last, count}`` per field
+on every interior tree pointer (``storage/node.go:39-53``), updated on
+each insert (``node.go:213-226``, ``523-579``), so coarse queries never
+touch raw points (``storage/cursor.go:269-352``). Here the same algebra
+becomes a cascade of per-granularity rollup *tables*
+(minute → hour → day → month → year), each derived from the previous by
+re-aggregating the partial states — exactly the merge in
+``node.go:553-577``:
+
+    sum   ← sum(sum)            count ← sum(count)
+    max   ← max(max)            min   ← min(min)     [B6 fixed]
+    first ← min_by(first, first_ts)   last ← max_by(last, last_ts)
+
+The cascade costs one shuffle per level over already-tiny data (each level
+is ~60× smaller than the last), and a day-granularity query over a year of
+ticks reads 365 rows/series instead of ~31M — the same asymptotic win the
+reference's tree gives, with Parquet partition pruning standing in for
+tree descent.
+
+Routing: a bucket query at calendar granularity G with G-aligned bounds is
+answered from the coarsest rollup ≤ G; everything else falls back to raw
+ticks. Pure Python planning — no Catalyst extension needed (SURVEY.md
+§4.2.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdb_spark.ingest import TICKS_DIR, read_ticks
+from tickdb_spark.schema import parse_time_ns
+from tickdb_spark.tickquery import TickQuery, parse_group, run_tick_query, ts_to_trunc_ns
+
+ROLLUPS_DIR = "rollups"
+
+#: Cascade order, finest first.
+LEVELS = ("minute", "hour", "day", "month", "year")
+
+#: ns widths used only for alignment checks (months/years align via
+#: date_trunc, not fixed widths).
+_ALIGN_CHECK = {
+    "minute": 60 * 10**9,
+    "hour": 3_600 * 10**9,
+    "day": 86_400 * 10**9,
+}
+
+
+def rollup_from_ticks(ticks: DataFrame, unit: str) -> DataFrame:
+    """Base rollup: explode the field map and aggregate per
+    (series, bucket, field). Output schema is the algebraic state."""
+    exploded = ticks.select(
+        "series", "ts", F.explode("value").alias("field", "v")
+    )
+    bucket = ts_to_trunc_ns(F.col("ts"), unit).alias("bucket")
+    # DECIMAL sum state: exact and order-independent, so a rollup-routed
+    # answer is bit-identical to the exact-mode raw-tick answer (and to
+    # any other engine summing through decimal) at every cascade level.
+    return (
+        exploded.groupBy("series", bucket, "field")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("sum"),
+            F.max("v").alias("max"),
+            F.min("v").alias("min"),
+            F.count("v").alias("count"),
+            F.min_by("v", "ts").alias("first"),
+            F.min("ts").alias("first_ts"),
+            F.max_by("v", "ts").alias("last"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def rollup_merge(finer: DataFrame, unit: str) -> DataFrame:
+    """Coarsen a rollup one level by merging partial states
+    (reference ``node.go:553-577``, with the B6 min fix)."""
+    bucket = ts_to_trunc_ns(F.col("bucket"), unit).alias("bucket")
+    return (
+        finer.groupBy("series", bucket, "field")
+        .agg(
+            F.sum("sum").alias("sum"),
+            F.max("max").alias("max"),
+            F.min("min").alias("min"),
+            F.sum("count").alias("count"),
+            F.min_by("first", "first_ts").alias("first"),
+            F.min("first_ts").alias("first_ts"),
+            F.max_by("last", "last_ts").alias("last"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+class RollupStore:
+    """Persisted rollup cascade for one database directory."""
+
+    def __init__(self, spark: SparkSession, db_path: str):
+        self.spark = spark
+        self.db_path = db_path
+
+    def _path(self, unit: str) -> str:
+        return os.path.join(self.db_path, ROLLUPS_DIR, unit)
+
+    def available(self) -> list[str]:
+        return [u for u in LEVELS if os.path.isdir(self._path(u))]
+
+    def refresh(self, levels: tuple[str, ...] = LEVELS) -> None:
+        """(Re)build the cascade. Each level reads the previous level's
+        parquet (not raw ticks), so the whole refresh is one raw scan plus
+        progressively tiny merges. Incremental refresh would rebuild only
+        date partitions touched since the last ingest batch — the
+        partition layout already supports it."""
+        ticks = read_ticks(self.spark, self.db_path)
+        prev: DataFrame | None = None
+        for unit in LEVELS:
+            if unit not in levels:
+                continue  # a coarser level merges fine from any finer one
+            df = rollup_from_ticks(ticks, unit) if prev is None else rollup_merge(prev, unit)
+            path = self._path(unit)
+            df.repartition("series").write.mode("overwrite").partitionBy("series").parquet(path)
+            prev = self.spark.read.parquet(path)
+
+    def read(self, unit: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(unit))
+
+
+def _aligned(ns: int, unit: str) -> bool:
+    if unit in _ALIGN_CHECK:
+        return ns % _ALIGN_CHECK[unit] == 0
+    # month/year alignment: must be at a month boundary (UTC)
+    import datetime as dt
+
+    t = dt.datetime.fromtimestamp(ns / 1e9, dt.timezone.utc)
+    month_ok = t.day == 1 and t.hour == t.minute == t.second == 0 and t.microsecond == 0
+    if unit == "month":
+        return month_ok and ns % 1000 == 0
+    return month_ok and t.month == 1 and ns % 1000 == 0
+
+
+def route_tick_query(
+    spark: SparkSession, db_path: str, query: TickQuery | dict
+) -> DataFrame:
+    """Answer a bucket query from the best rollup, falling back to raw
+    ticks when semantics demand it (N-unit buckets, unaligned bounds, or
+    no rollup built). Result is identical either way — routing is purely
+    a physical choice, like the reference's rollup-vs-leaf read path
+    (``cursor.go:269-352``)."""
+    if isinstance(query, dict):
+        query = TickQuery.from_dict(query)
+    count, unit = parse_group(query.group)
+    store = RollupStore(spark, db_path)
+    usable = None
+    if count == 1 and unit in LEVELS:
+        frm, to = parse_time_ns(query.frm), parse_time_ns(query.to)
+        for candidate in reversed(LEVELS[: LEVELS.index(unit) + 1]):
+            if candidate in store.available() and _aligned(frm, candidate) and _aligned(to, candidate):
+                usable = candidate
+                break
+    if usable is None:
+        return run_tick_query(read_ticks(spark, db_path), query)
+    return _answer_from_rollup(store.read(usable), query, unit)
+
+
+def _answer_from_rollup(rollup: DataFrame, query: TickQuery, unit: str) -> DataFrame:
+    frm, to = parse_time_ns(query.frm), parse_time_ns(query.to)
+    df = rollup.where(
+        (F.col("series") == query.series) & (F.col("bucket") >= frm) & (F.col("bucket") < to)
+    )
+    bucket = ts_to_trunc_ns(F.col("bucket"), unit).alias("bucket")
+    aggs = []
+    for fname, rspecs in query.fields.items():
+        if isinstance(rspecs, str):
+            rspecs = [rspecs]
+        for rspec in rspecs:
+            alias = f"{fname}_{rspec}"
+            aggs.append(_merge_reducer(rspec, alias))
+    if not aggs:
+        raise ValueError("raw scans cannot be answered from a rollup")
+    out = (
+        df.groupBy("series", bucket, "field")
+        .agg(*aggs)
+        .where(F.col("field").isin(list(query.fields)))
+    )
+    # pivot fields back to columns: one output row per bucket
+    field_cols = []
+    for fname, rspecs in query.fields.items():
+        if isinstance(rspecs, str):
+            rspecs = [rspecs]
+        for rspec in rspecs:
+            alias = f"{fname}_{rspec}"
+            field_cols.append(
+                F.max(F.when(F.col("field") == fname, F.col(alias))).alias(alias)
+            )
+    return out.groupBy("bucket").agg(*field_cols).orderBy("bucket")
+
+
+def _merge_reducer(rspec: str, alias: str):
+    name = rspec.split(":", 1)[0]
+    if name == "sum":
+        return F.sum("sum").cast("double").alias(alias)
+    if name == "max":
+        return F.max("max").alias(alias)
+    if name == "min":
+        return F.min("min").alias(alias)
+    if name == "count":
+        return F.sum("count").alias(alias)
+    if name in ("avg", "ma"):
+        return (F.sum("sum").cast("double") / F.sum("count")).alias(alias)
+    if name == "first":
+        return F.min_by("first", "first_ts").alias(alias)
+    if name == "last":
+        return F.max_by("last", "last_ts").alias(alias)
+    raise ValueError(f"unknown reducer: {name}")

@@ -1,0 +1,123 @@
+"""Streaming ingest + windowed aggregation.
+
+Reference parity: the reference ingests via HTTP POST batches
+(``handlers.go:57-77``) and treats late/out-of-order points as ordinary
+tree inserts (``node.go:229-245``). The Spark-native equivalents:
+
+* **stream_ingest** — ``readStream`` over a landing directory of JSON doc
+  batches → normalize to the canonical tick schema → ``foreachBatch``
+  append through the SAME batch append path (atomic-visible commits, LWW
+  via per-epoch ingest_seq). foreachBatch is the Structured Streaming
+  idiom for MERGE-style sinks; checkpointing gives exactly-once appends.
+* **windowed_bucket_agg** — the reference's bucket-aggregate operator
+  (D3) as a continuous query: watermark bounds state, tumbling window =
+  calendar bucket. Late data within the watermark updates its bucket,
+  mirroring the reference's out-of-order insert semantics with an
+  explicit, bounded lateness contract instead of an unbounded one.
+
+Scale: the aggregation state is (series × open windows) rows — watermark
+keeps it finite; ``foreachBatch`` appends are partitioned the same as
+batch ingest, so downstream queries are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from tickdb_spark import ingest as _ingest
+from tickdb_spark.schema import ns_to_ts
+
+#: Landing-file schema for streaming doc batches (JSON lines):
+#: {"time": "...", "index": "...", "value": {"field": 1.0}}
+STREAM_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.StringType(), False),
+        T.StructField("index", T.StringType(), False),
+        T.StructField("value", T.MapType(T.StringType(), T.DoubleType()), False),
+    ]
+)
+
+
+def read_doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of ingest docs (the test/local stand-in for a
+    Kafka topic; swap ``format`` only).
+
+    One landing file per micro-batch: a file is the ingest-batch unit —
+    the analogue of one reference HTTP POST — so each file gets its own
+    ingest_seq and cross-file LWW ordering is well defined. (Within a
+    single file, duplicate (series, ts) resolve arbitrarily; batch HTTP
+    ingest dedups in order driver-side, see ingest.normalize_docs.)"""
+    return (
+        spark.readStream.schema(STREAM_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+    )
+
+
+def normalize_stream(docs: DataFrame) -> DataFrame:
+    """Doc stream → canonical tick columns (parse time to ns, derive
+    ts_utc). Pure column expressions — runs incrementally."""
+    ts_ns = (F.unix_micros(F.to_timestamp("time")) * 1000).alias("ts")
+    return docs.select(
+        F.col("index").alias("series"),
+        ts_ns,
+        F.col("value").alias("value"),
+    ).withColumn("ts_utc", ns_to_ts(F.col("ts")))
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    db_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous ingest into a database directory. Each micro-batch goes
+    through the batch append path, so visibility, LWW ordering and the
+    partition layout are identical to HTTP-style batch ingest."""
+    ticks = normalize_stream(read_doc_stream(spark, landing_dir))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _ingest.append_batch(db_path, batch_df)
+
+    return (
+        ticks.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_bucket_agg(
+    ticks: DataFrame,
+    field: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming D3: per-series tumbling-window sum/count/min/max over one
+    field, with late data accepted up to the watermark. Output mode
+    'append' emits a bucket once its watermark passes — the streaming
+    contract for 'one row per non-empty bucket'."""
+    v = F.col("value").getItem(field)
+    return (
+        ticks.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", window).alias("win"), "series")
+        .agg(
+            F.sum(v).alias(f"{field}_sum"),
+            F.count(v).alias(f"{field}_count"),
+            F.min(v).alias(f"{field}_min"),
+            F.max(v).alias(f"{field}_max"),
+        )
+        .select(
+            "series",
+            F.unix_micros(F.col("win.start")).alias("bucket_us"),
+            f"{field}_sum",
+            f"{field}_count",
+            f"{field}_min",
+            f"{field}_max",
+        )
+    )
