@@ -1,0 +1,75 @@
+"""Plan-shape regression tests: the properties that make these queries
+viable at 100 TB, asserted against the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+from tickdb_spark.plans import count_op, pushed_filters, scan_read_schemas
+from tickdb_spark.querybank import REGISTRY
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF_CORRECT)
+
+
+def test_tick_bucket_pushdown_and_pruning(spark):
+    df = _df(spark, "tick_bucket_hour_sum")
+    pf = " ".join(pushed_filters(df))
+    # series equality + both ts range bounds must reach the parquet scan
+    assert "EqualTo(event_type,click)" in pf
+    assert "GreaterThanOrEqual(ts," in pf and "LessThan(ts," in pf
+    # column pruning: only the three needed columns are read
+    (schema,) = scan_read_schemas(df)
+    assert "ts" in schema and "event_type" in schema and "value" in schema
+    assert "props" not in schema and "user_id" not in schema
+    # exactly partial-agg + final-agg (one data shuffle) + one sort exchange
+    assert count_op(df, "HashAggregate") == 2
+    assert count_op(df, "Exchange") <= 2
+
+
+def test_point_get_no_shuffle(spark):
+    df = _df(spark, "tick_point_get")
+    assert count_op(df, "Exchange") == 0
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(ts," in pf  # ns-range addressing pushed down
+
+
+def test_star_joins_broadcast(spark):
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_regional_revenue"):
+        df = _df(spark, name)
+        assert count_op(df, "SortMergeJoin") == 0, name
+        assert count_op(df, "BroadcastHashJoin") >= 2, name
+
+
+def test_q5_fact_scans_do_not_shuffle_for_joins(spark):
+    # all 6 relations joined; only the aggregate + order need exchanges
+    df = _df(spark, "tpch_q5_regional_revenue")
+    assert count_op(df, "Exchange") <= 2
+
+
+def test_asof_single_shuffle(spark):
+    # as-of join = union + one hash-partitioned window: exactly one
+    # data shuffle (plus the final presentation sort)
+    df = _df(spark, "asof_purchase_last_click")
+    assert count_op(df, "Window") == 1
+    assert count_op(df, "Exchange") <= 2
+    assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_date_filter_pushed_in_q1(spark):
+    df = _df(spark, "tpch_q1_pricing_summary")
+    pf = " ".join(pushed_filters(df))
+    assert "LessThanOrEqual(l_shipdate," in pf
+    (schema,) = scan_read_schemas(df)
+    assert "l_orderkey" not in schema  # pruned: Q1 never reads the key
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh_pairs", "sim_ann_topk_lsh", "dedup_simhash_near_pairs"]
+)
+def test_lsh_family_avoids_cartesian(spark, name):
+    df = _df(spark, name)
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
