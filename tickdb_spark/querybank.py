@@ -829,3 +829,342 @@ def stream_bucket_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface, wave 2: multi-dimensional grouping, set ops,
+# semi/anti joins, pivot, sessionization (SURVEY.md §2.3 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "multi-dimensional CUBE aggregate (grouping sets family)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "setop_nation_coverage",
+    """
+    SELECT 'both' AS kind, n FROM (
+      SELECT c_nationkey AS n FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS kind, n FROM (
+      SELECT c_nationkey AS n FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    ORDER BY kind, n
+    """,
+    "set operations: INTERSECT / EXCEPT over nation keys",
+)
+def setop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    supp = _read(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = cust.intersect(supp).withColumn("kind", F.lit("both"))
+    only = cust.distinct().subtract(supp.distinct()).withColumn("kind", F.lit("customer_only"))
+    return both.unionByName(only).select("kind", "n").orderBy("kind", "n")
+
+
+@register(
+    "join_semi_anti_customers",
+    """
+    SELECT kind, count(*) AS n_customers FROM (
+      SELECT 'with_orders' AS kind, c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate < DATE '1995-04-01')
+      UNION ALL
+      SELECT 'without_orders', c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate < DATE '1995-04-01'))
+    GROUP BY kind ORDER BY kind
+    """,
+    "left-semi and left-anti joins (EXISTS / NOT EXISTS)",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("date")
+    )
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        F.lit("with_orders").alias("kind")
+    )
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("without_orders").alias("kind")
+    )
+    return (
+        semi.unionByName(anti)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("kind")
+    )
+
+
+@register(
+    "pivot_qty_by_status",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "pivot: one column per line status (CASE-sum equivalent declared)",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "sessionize_user_events",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(tus) AS start_us, max(tus) AS end_us
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    "sessionization: 1-hour-gap sessions via lag + running sum "
+    "(the classic batch pattern; streaming uses session_window)",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    tus = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = tus - F.lag(tus).over(w)
+    e = ev.select(
+        "user_id",
+        tus.alias("tus"),
+        F.when(gap > 3600 * 1_000_000, 1).otherwise(0).alias("new_sess"),
+        F.col("ts"),
+    )
+    s = e.select(
+        "user_id",
+        "tus",
+        F.sum("new_sess").over(Window.partitionBy("user_id").orderBy("tus").rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tick semantics, wave 3: upsert+delete lifecycle (D6/D7), sparse-field
+# NULL semantics (B8), second/year granularity (B5), N-month buckets (D4)
+# ---------------------------------------------------------------------------
+
+_WH2_CACHE: dict[str, str] = {}
+_DEL_FROM, _DEL_TO = "2024-01-10T00:00:00Z", "2024-01-15T00:00:00Z"
+
+
+def _lifecycle_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Warehouse exercising the full write lifecycle: initial ingest →
+    upsert batch (click values doubled for user_id < 10, same timestamps
+    → LWW replace, D6) → range delete of click [Jan 10, Jan 15) (D7)."""
+    if sf_dir not in _WH2_CACHE:
+        from tickdb_spark.ingest import delete_range as _delete_range
+
+        db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh2_"), "db")
+        _os.makedirs(db_path)
+        ev = _read_events(spark, sf_dir)
+        _append_batch(db_path, events_as_ticks(spark, sf_dir))
+        upserts = ev.where((F.col("event_type") == "click") & (F.col("user_id") < 10)).select(
+            F.col("event_type").alias("series"),
+            F.col("ts"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+            F.create_map(F.lit("value"), F.col("value") * 2).alias("value"),
+        )
+        _append_batch(db_path, upserts)
+        _delete_range(spark, db_path, "click", _DEL_FROM, _DEL_TO)
+        _WH2_CACHE[sf_dir] = db_path
+    return _WH2_CACHE[sf_dir]
+
+
+@register(
+    "tick_upsert_delete_lifecycle",
+    f"""
+    WITH live AS (
+      SELECT ts, CASE WHEN user_id < 10 THEN value * 2 ELSE value END AS value
+      FROM events
+      WHERE event_type = 'click'
+        AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-15 00:00:00')
+    )
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM live GROUP BY bucket ORDER BY bucket
+    """,
+    "full write lifecycle in the gate: ingest → LWW upsert batch (D6) → "
+    "range delete (D7) → day aggregate; oracle reconstructs the same "
+    "state declaratively",
+)
+def tick_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.ingest import read_ticks as _read_ticks
+
+    db_path = _lifecycle_warehouse(spark, sf_dir)
+    return run_tick_query(
+        _read_ticks(spark, db_path),
+        {
+            "index": "click",
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "day",
+            "fields": {"value": ["sum", "count"]},
+            "exact": True,
+        },
+    )
+
+
+@register(
+    "tick_sparse_field_nulls",
+    f"""
+    WITH sparse AS (
+      SELECT ts, CASE WHEN event_id % 3 = 0 THEN value END AS alt
+      FROM events WHERE {_tw('view')}
+    )
+    SELECT epoch_ns(date_trunc('hour', ts)) AS bucket,
+           COUNT(alt) AS alt_count,
+           arg_min(alt, ts) AS alt_first, arg_max(alt, ts) AS alt_last,
+           CAST(SUM(CAST(alt AS {DEC})) AS DOUBLE) / COUNT(alt) AS alt_avg
+    FROM sparse GROUP BY bucket ORDER BY bucket
+    """,
+    "schemaless sparse-field semantics (B8): the 'alt' field exists on "
+    "every third point only; count counts non-null, first/last skip "
+    "absent, avg over present values — NULL not 0.0",
+)
+def tick_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    ticks = ev.select(
+        F.col("event_type").alias("series"),
+        F.col("ts"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+        F.create_map(
+            F.lit("value"), F.col("value"),
+            F.lit("alt"), F.when(F.col("event_id") % 3 == 0, F.col("value")),
+        ).alias("value"),
+    )
+    return run_tick_query(
+        ticks,
+        {
+            "index": "view",
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "hour",
+            "fields": {"alt": ["count", "first", "last", "avg"]},
+            "exact": True,
+        },
+    )
+
+
+register(
+    "tick_bucket_second",
+    f"""
+    SELECT epoch_ns(date_trunc('second', ts)) AS bucket,
+           COUNT(value) AS value_count,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum
+    FROM events WHERE {_tw('click', '2024-01-02T00:00:00Z', '2024-01-03T00:00:00Z')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "second granularity (unreachable in the reference, quirk B5 fixed)",
+)(
+    _tick(
+        "click",
+        "second",
+        {"value": ["count", "sum"]},
+        "2024-01-02T00:00:00Z",
+        "2024-01-03T00:00:00Z",
+    )
+)
+
+register(
+    "tick_bucket_year",
+    f"""
+    SELECT epoch_ns(date_trunc('year', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events WHERE {_tw('purchase')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "year granularity — the reference's LevelYear (timeutil.go:50-81)",
+)(_tick("purchase", "year", {"value": ["sum", "count", "min", "max"]}))
+
+# N-month from-anchored buckets: anchor Dec 2023 → Jan 2024 falls in the
+# [Dec 2023, Feb 2024) bucket. Oracle mirrors the month-index arithmetic.
+_M_ANCHOR_IDX = (2023 - 1970) * 12 + 12 - 1  # Dec 2023
+register(
+    "tick_bucket_2month_anchored",
+    f"""
+    WITH m AS (
+      SELECT value,
+             (year(ts) - 1970) * 12 + month(ts) - 1 AS idx
+      FROM events WHERE event_type = 'signup'
+        AND ts >= TIMESTAMP '2023-12-01 00:00:00'
+        AND ts < TIMESTAMP '2024-06-01 00:00:00'
+    ), b AS (
+      SELECT value,
+             {_M_ANCHOR_IDX} + ((idx - {_M_ANCHOR_IDX}) // 2) * 2 AS bidx
+      FROM m
+    )
+    SELECT epoch_ns(make_timestamp((bidx // 12) + 1970, (bidx % 12) + 1, 1, 0, 0, 0))
+             AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "D4 with calendar-sized units: 2-month from-anchored buckets via "
+    "month-index arithmetic (fixed-width ns math cannot express months)",
+)(
+    _tick(
+        "signup",
+        "2months",
+        {"value": ["sum", "count"]},
+        "2023-12-01T00:00:00Z",
+        "2024-06-01T00:00:00Z",
+    )
+)
