@@ -42,6 +42,34 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Sustained ingest throughput (BASELINE.md target: ≥100k points/s):
+    # 10 time-shifted copies of the events table → ~10× points in one
+    # batch, so per-batch fixed costs (task setup, file creation) amortize
+    # the way a production-sized batch would.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.ingest import append_batch
+    from tickdb_spark.querybank import events_as_ticks
+
+    ticks = events_as_ticks(spark, sf_dir)
+    shift = 35 * 86_400_000_000_000  # 35 days in ns, per copy
+    big = ticks.crossJoin(spark.range(10).select(F.col("id").alias("k"))).select(
+        "series",
+        (F.col("ts") + F.col("k") * shift).alias("ts"),
+        F.timestamp_micros(F.expr(f"(ts + k * {shift}) div 1000")).alias("ts_utc"),
+        "value",
+    )
+    n_points = big.count()
+    wh = tempfile.mkdtemp(prefix="bench_ingest_")
+    t0 = time.perf_counter()
+    append_batch(wh, big)
+    ingest_sec = time.perf_counter() - t0
+    shutil.rmtree(wh, ignore_errors=True)
+    timings["ingest_events_warehouse"] = round(ingest_sec, 4)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -51,6 +79,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "ingest_points_per_sec": round(n_points / ingest_sec),
             }
         )
     )
