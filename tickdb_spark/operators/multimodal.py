@@ -84,6 +84,9 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    # Decode work parallelizes by input partition; a single parquet split
+    # would serialize the whole corpus through one Python worker.
+    df = df.repartition(spark.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
