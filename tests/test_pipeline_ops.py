@@ -132,3 +132,28 @@ def test_media_plumbing(spark):
     assert len(feats[1]["feat"]) == 8
     assert feats[1]["n_bytes"] == 11
     assert feats[1]["sha"] == stats[1]["sha"]
+
+
+def test_salted_agg_matches_plain(spark):
+    from tickdb_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    # skewed: key 'hot' holds 90% of rows
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(8)
+    salted = {
+        r["k"]: r
+        for r in salted_agg(
+            df, ["k"], {"s": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    plain = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k]["n"] == plain[k]["n"] and salted[k]["mx"] == plain[k]["mx"]
+        assert abs(salted[k]["s"] - plain[k]["s"]) < 1e-6

@@ -1168,3 +1168,61 @@ register(
         "2024-06-01T00:00:00Z",
     )
 )
+
+
+@register(
+    "win_analytic_suite",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           rank() OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk,
+           ntile(4) OVER w2 AS quartile,
+           round(percent_rank() OVER w2, 6) AS pct_rank
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "analytic window suite: lag/lead/rank/dense_rank/ntile/percent_rank",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w2).alias("quartile"),
+        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "agg_percentiles_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "exact interpolated percentiles (p50/p95) per group; the approximate "
+    "path at 100 TB is percentile_approx (same API shape, no oracle)",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
