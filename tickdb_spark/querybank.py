@@ -49,16 +49,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Pin the confs correctness depends on, in case the caller's session
+    (e.g. the driver's) was built without them: UTC calendar arithmetic
+    (the DuckDB oracle is TZ-naive; a non-UTC session shifts every
+    date_trunc/date-cast) and nanosecond-parquet reads as BIGINT ns."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table; its ts column is Parquet TIMESTAMP(NANOS),
-    which Spark only reads via the nanosAsLong escape hatch → BIGINT ns
-    (set defensively here in case the caller's session predates our
-    config). Returned schema: ts BIGINT epoch-ns."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Read the events table; its ts column is Parquet TIMESTAMP(NANOS) →
+    BIGINT epoch-ns via nanosAsLong."""
     return _read(spark, sf_dir, "events")
 
 
