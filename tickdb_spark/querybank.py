@@ -1233,3 +1233,31 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "tick_multiseries_day_agg",
+    f"""
+    SELECT event_type AS series,
+           epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY series, bucket ORDER BY series, bucket
+    """,
+    "multi-series bucket aggregation — extends the reference's one-index-"
+    "per-query rule (query.go:13): all series grouped in one scan",
+)
+def tick_multiseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_tick_query(
+        events_as_ticks(spark, sf_dir),
+        {
+            "index": None,
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "day",
+            "fields": {"value": ["sum", "count"]},
+            "exact": True,
+        },
+    )

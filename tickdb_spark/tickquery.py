@@ -74,9 +74,15 @@ class Reducer:
 
 @dataclass(frozen=True)
 class TickQuery:
-    """Declarative tick query (reference ``query.go:9-18``, bugs fixed)."""
+    """Declarative tick query (reference ``query.go:9-18``, bugs fixed).
 
-    series: str
+    ``series`` extends the reference's one-index-per-query rule
+    (``query.go:13``): a string targets one series; a tuple targets that
+    set; ``None`` targets every series. Multi-series results carry a
+    ``series`` output column (grouped per series per bucket).
+    """
+
+    series: str | tuple[str, ...] | None
     frm: str | int
     to: str | int
     group: str
@@ -214,9 +220,13 @@ def run_tick_query(ticks: DataFrame, query: TickQuery | dict) -> DataFrame:
     to = parse_time_ns(query.to)
     count, unit = parse_group(query.group)
 
-    df = ticks.where(
-        (F.col("series") == query.series) & (F.col("ts") >= frm) & (F.col("ts") < to)
-    )
+    multi = not isinstance(query.series, str)
+    cond = (F.col("ts") >= frm) & (F.col("ts") < to)
+    if isinstance(query.series, str):
+        cond = (F.col("series") == query.series) & cond
+    elif query.series is not None:
+        cond = F.col("series").isin(list(query.series)) & cond
+    df = ticks.where(cond)
     bucket = bucket_start_ns(F.col("ts"), count, unit, frm).alias("bucket")
 
     aggs, ma_cols = [], []
@@ -232,10 +242,14 @@ def run_tick_query(ticks: DataFrame, query: TickQuery | dict) -> DataFrame:
                 ma_cols.append((alias, red.ma_window))
 
     if not aggs:  # raw range scan (D2) when no reducers requested
-        return df.select("ts", "value").orderBy("ts")
+        cols = (["series"] if multi else []) + ["ts", "value"]
+        return df.select(*cols).orderBy(*cols[: 2 if multi else 1])
 
-    out = df.groupBy(bucket).agg(*aggs)
+    group_cols = (["series"] if multi else []) + [bucket]
+    out = df.groupBy(*group_cols).agg(*aggs)
+    order_cols = (["series"] if multi else []) + ["bucket"]
     for alias, k in ma_cols:
-        w = Window.orderBy("bucket").rowsBetween(-(k - 1), 0)
+        base = Window.partitionBy("series") if multi else Window
+        w = base.orderBy("bucket").rowsBetween(-(k - 1), 0)
         out = out.withColumn(alias, F.avg(alias).over(w))
-    return out.orderBy("bucket")
+    return out.orderBy(*order_cols)
