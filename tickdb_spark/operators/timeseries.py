@@ -1,0 +1,138 @@
+"""Advanced time-series operators beyond the reference surface:
+time-weighted average and gap-fill with last-observation-carried-forward.
+
+Both are staples of production TSDBs (irregular sampling makes plain AVG
+misleading; dashboards need dense bucket spines). Both are pure DataFrame
+compositions — window + join, no Python — and both have exact SQL twins
+for the oracle gate.
+
+Scale: TWA is one window (partitioned by series, ordered by ts — the same
+shuffle an aggregation needs) plus a hash aggregate. Gap-fill joins a
+generated spine (buckets are few: range/width rows) against the bucketed
+aggregate, then one ordered window for LOCF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,6)"
+
+
+def time_weighted_avg(
+    ticks: DataFrame,
+    series: str,
+    frm_ns: int,
+    to_ns: int,
+    width_ns: int,
+    field: str = "value",
+) -> DataFrame:
+    """Per-bucket time-weighted average of a map field.
+
+    Each point's value holds until the next point (step interpolation),
+    clipped at its bucket's end; the last point in a bucket extends to the
+    bucket end. TWA = Σ v·Δt / Σ Δt. Weights are BIGINT ns (exact); the
+    weighted sum reduces through DECIMAL → identical across engines.
+    """
+    v = F.col("value").getItem(field)
+    df = ticks.where(
+        (F.col("series") == series) & (F.col("ts") >= frm_ns) & (F.col("ts") < to_ns)
+    ).select("series", "ts", v.alias("v"))
+    w = Window.partitionBy("series").orderBy("ts")
+    bucket = (F.col("ts") - (F.col("ts") - F.lit(frm_ns)) % F.lit(width_ns)).alias("bucket")
+    df = df.withColumn("next_ts", F.lead("ts").over(w)).select(
+        bucket, "ts", "v", "next_ts"
+    )
+    bucket_end = F.col("bucket") + F.lit(width_ns)
+    dt = F.least(F.coalesce(F.col("next_ts"), bucket_end), bucket_end) - F.col("ts")
+    df = df.withColumn("dt", dt)
+    return (
+        df.groupBy("bucket")
+        .agg(
+            (
+                F.sum((F.col("v") * F.col("dt")).cast(DEC)).cast("double")
+                / F.sum("dt")
+            ).alias(f"{field}_twa"),
+            F.sum("dt").alias("covered_ns"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def time_weighted_avg_sql(
+    table_filter: str, frm_ns: int, to_ns: int, width_ns: int, field_alias: str = "value"
+) -> str:
+    """DuckDB twin over an events-style table; ``table_filter`` is the full
+    FROM/WHERE for rows (ts TIMESTAMP, value DOUBLE)."""
+    return f"""
+    WITH pts AS (
+      SELECT epoch_ns(ts) AS tns, value AS v FROM {table_filter}
+    ), stepped AS (
+      SELECT tns - ((tns - {frm_ns}) % {width_ns}) AS bucket, tns, v,
+             lead(tns) OVER (ORDER BY tns) AS next_tns
+      FROM pts
+    ), weighted AS (
+      SELECT bucket, v,
+             least(coalesce(next_tns, bucket + {width_ns}), bucket + {width_ns}) - tns AS dt
+      FROM stepped
+    )
+    SELECT bucket,
+           CAST(SUM(CAST(v * dt AS DECIMAL(28,6))) AS DOUBLE) / SUM(dt)
+             AS {field_alias}_twa,
+           SUM(dt) AS covered_ns
+    FROM weighted GROUP BY bucket ORDER BY bucket
+    """
+
+
+def gapfill_locf(
+    bucketed: DataFrame,
+    frm_ns: int,
+    to_ns: int,
+    width_ns: int,
+    value_cols: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Densify a bucketed result onto the full bucket spine of
+    ``[frm, to)`` and fill missing buckets by carrying the last observed
+    value forward (LOCF). Buckets before the first observation stay NULL.
+
+    ``n_obs`` marks real vs filled rows (count of source rows per bucket
+    would be the caller's agg; here 1/0 presence flag).
+    """
+    spark = bucketed.sparkSession
+    n = (to_ns - frm_ns) // width_ns
+    spine = spark.range(n).select((F.lit(frm_ns) + F.col("id") * width_ns).alias(bucket_col))
+    joined = spine.join(bucketed.withColumn("_present", F.lit(1)), bucket_col, "left")
+    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (
+        out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
+        .drop("_present")
+        .orderBy(bucket_col)
+    )
+
+
+def gapfill_locf_sql(
+    inner_sql: str, frm_ns: int, to_ns: int, width_ns: int, value_cols: list[str]
+) -> str:
+    """DuckDB twin; ``inner_sql`` must yield (bucket BIGINT, <value_cols>)."""
+    fills = ",\n           ".join(
+        f"last_value({c} IGNORE NULLS) OVER (ORDER BY spine.bucket "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+        for c in value_cols
+    )
+    return f"""
+    WITH agg AS ({inner_sql}),
+    spine AS (
+      SELECT {frm_ns} + (g.x * {width_ns}) AS bucket
+      FROM (SELECT unnest(range(0, {(to_ns - frm_ns) // width_ns})) AS x) g
+    )
+    SELECT spine.bucket,
+           {fills},
+           CASE WHEN agg.bucket IS NULL THEN 0 ELSE 1 END AS n_obs
+    FROM spine LEFT JOIN agg ON spine.bucket = agg.bucket
+    ORDER BY spine.bucket
+    """

@@ -1261,3 +1261,82 @@ def tick_multiseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact": True,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced time-series operators: week buckets, time-weighted average,
+# gap-fill with LOCF (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+from tickdb_spark.operators import timeseries as _ts  # noqa: E402
+
+register(
+    "tick_bucket_week_sum",
+    f"""
+    SELECT epoch_ns(date_trunc('week', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM events WHERE {_tw('view')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "week granularity (beyond the reference's calendar levels; Monday-"
+    "anchored in both engines)",
+)(_tick("view", "week", {"value": ["sum", "count"]}))
+
+_TWA_FROM = 1704067200 * 10**9  # 2024-01-01
+_TWA_TO = 1706745600 * 10**9  # 2024-02-01
+_TWA_W = 6 * 3600 * 10**9  # 6-hour buckets
+
+
+@register(
+    "tick_twa_6h",
+    _ts.time_weighted_avg_sql(
+        f"events WHERE {_tw('purchase')}", _TWA_FROM, _TWA_TO, _TWA_W
+    ),
+    "time-weighted average over 6-hour buckets: step interpolation, each "
+    "value holds until the next point (irregular sampling makes plain AVG "
+    "misleading); weights exact BIGINT ns, weighted sum through DECIMAL",
+)
+def tick_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Truncate ts to whole µs for the gate: the oracle's parquet reader
+    # cannot see sub-µs, and TWA weights are Δt-sensitive.
+    ticks = events_as_ticks(spark, sf_dir).withColumn(
+        "ts", F.expr("(ts div 1000) * 1000")
+    )
+    return _ts.time_weighted_avg(ticks, "purchase", _TWA_FROM, _TWA_TO, _TWA_W)
+
+
+_GAP_FROM = 1704067200 * 10**9
+_GAP_TO = 1704672000 * 10**9  # one week
+_GAP_W = 2 * 3600 * 10**9  # 2-hour buckets
+
+_GAP_INNER = f"""
+      SELECT epoch_ns(ts) - ((epoch_ns(ts) - {_GAP_FROM}) % {_GAP_W}) AS bucket,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum
+      FROM events
+      WHERE event_type = 'error' AND epoch_us(ts) % 5 = 0
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY bucket"""
+
+
+@register(
+    "tick_gapfill_locf",
+    _ts.gapfill_locf_sql(_GAP_INNER, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"]),
+    "gap-fill onto a dense 2-hour bucket spine with last-observation-"
+    "carried-forward; sparse input (every-5th-µs filter) guarantees real "
+    "gaps; n_obs flags filled rows",
+)
+def tick_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_as_ticks(spark, sf_dir).where(
+        (F.col("series") == "error")
+        & (F.expr("(ts div 1000) % 5") == 0)
+        & (F.col("ts") >= _GAP_FROM)
+        & (F.col("ts") < _GAP_FROM + 7 * 86400 * 10**9)
+    )
+    bucketed = (
+        ev.groupBy(
+            (F.col("ts") - (F.col("ts") - F.lit(_GAP_FROM)) % F.lit(_GAP_W)).alias("bucket")
+        )
+        .agg(F.sum(F.col("value").getItem("value").cast(DEC)).cast("double").alias("value_sum"))
+    )
+    return _ts.gapfill_locf(bucketed, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"])

@@ -34,11 +34,14 @@ _UNIT_NS = {
     "minute": 60 * NS_PER_SECOND,
     "hour": 3_600 * NS_PER_SECOND,
     "day": 86_400 * NS_PER_SECOND,
+    "week": 7 * 86_400 * NS_PER_SECOND,
 }
 
-_CALENDAR_UNITS = ("second", "minute", "hour", "day", "month", "year")
+# week beyond the reference's levels (node.go:8-24); both Spark and DuckDB
+# anchor date_trunc('week') on Monday.
+_CALENDAR_UNITS = ("second", "minute", "hour", "day", "week", "month", "year")
 
-_GROUP_RE = re.compile(r"^(\d*)\s*(second|minute|hour|day|month|year)s?$")
+_GROUP_RE = re.compile(r"^(\d*)\s*(second|minute|hour|day|week|month|year)s?$")
 
 
 def parse_group(group: str) -> tuple[int, str]:
