@@ -73,3 +73,12 @@ def test_lsh_family_avoids_cartesian(spark, name):
     df = _df(spark, name)
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_rangejoin_is_hash_join(spark):
+    # the bucket-expansion construction must plan as an equi (hash/SMJ)
+    # join, never the nested-loop theta join Spark would pick for a raw
+    # BETWEEN condition
+    df = _df(spark, "rangejoin_click_attribution")
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert count_op(df, "CartesianProduct") == 0

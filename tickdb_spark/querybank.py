@@ -1340,3 +1340,106 @@ def tick_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("value").getItem("value").cast(DEC)).cast("double").alias("value_sum"))
     )
     return _ts.gapfill_locf(bucketed, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"])
+
+
+# ---------------------------------------------------------------------------
+# Range join + moment statistics
+# ---------------------------------------------------------------------------
+
+from tickdb_spark.operators.rangejoin import point_in_interval_join  # noqa: E402
+
+_RJ_WINDOW = 3600 * 10**6  # 1 hour in µs
+
+
+@register(
+    "rangejoin_click_attribution",
+    f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, epoch_us(ts) AS c_us, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id,
+           COUNT(c.c_us) AS n_clicks,
+           CAST(SUM(CAST(c.click_value AS {DEC})) AS DOUBLE) AS click_value_sum
+    FROM purchases p LEFT JOIN clicks c
+      ON c.user_id = p.user_id AND c.c_us >= p.p_us AND c.c_us < p.p_us + {_RJ_WINDOW}
+    GROUP BY p.purchase_id, p.user_id
+    ORDER BY p.purchase_id
+    """,
+    "range (interval) join: clicks within 1 hour after each purchase per "
+    "user — bucket-expansion equi-join instead of the nested-loop theta "
+    "join Spark would otherwise plan (operators/rangejoin.py)",
+)
+def rangejoin_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("p_us"),
+        (F.expr("ts div 1000") + _RJ_WINDOW).alias("p_end_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").alias("c_us"), F.col("value").alias("click_value")
+    )
+    joined = point_in_interval_join(
+        clicks, purchases, keys=["user_id"], point_ts="c_us",
+        start="p_us", end="p_end_us", bucket_ns=_RJ_WINDOW,
+    )
+    attributed = joined.groupBy("purchase_id", "user_id").agg(
+        F.count("c_us").alias("n_clicks"),
+        F.sum(F.col("click_value").cast(DEC)).cast("double").alias("click_value_sum"),
+    )
+    # left semantics: purchases with no clicks keep a zero/NULL row
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(attributed, ["purchase_id", "user_id"], "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "click_value_sum",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "agg_stats_moments",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(value * epoch_us(ts) % 1000000 AS DECIMAL(28,10))) AS DOUBLE)
+               AS sxy_unused
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(sx / n, 6) AS mean,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev
+    FROM m ORDER BY event_type
+    """,
+    "variance/stddev via explicit decimal moment sums — deterministic "
+    "cross-engine, unlike built-in stddev (Welford order-dependence)",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(28,10)")).cast("double").alias("sxx"),
+        F.sum(
+            (v * (F.expr("ts div 1000") % 1000000)).cast("decimal(28,10)")
+        ).cast("double").alias("sxy_unused"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+        F.round(F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)), 6).alias("stddev"),
+    ).orderBy("event_type")
