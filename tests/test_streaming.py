@@ -87,3 +87,45 @@ def test_windowed_bucket_agg_with_late_data(tmp_path, spark):
     assert rows[t0]["v_sum"] == 13.0 and rows[t0]["v_count"] == 3
     assert rows[t0]["v_min"] == 1.0 and rows[t0]["v_max"] == 10.0
     assert rows[t0 + 60 * 10**6]["v_sum"] == 5.0
+
+
+def test_stateful_spike_detection(tmp_path, spark):
+    """applyInPandasWithState: EMA state must carry ACROSS micro-batches
+    (one landing file per batch), flagging spikes against history."""
+    from tickdb_spark.streaming.ingest import normalize_stream, read_doc_stream
+    from tickdb_spark.streaming.stateful import detect_spikes
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = [
+        {"time": f"2024-03-01T10:00:{s:02d}Z", "index": "cpu", "value": {"v": 10.0}}
+        for s in range(6)
+    ]
+    _write_batch(landing, "b1.json", base)
+    # batch 2: a 100.0 spike then return to baseline — only detectable if
+    # the EMA state from batch 1 survived
+    _write_batch(
+        landing,
+        "b2.json",
+        [
+            {"time": "2024-03-01T10:01:00Z", "index": "cpu", "value": {"v": 100.0}},
+            {"time": "2024-03-01T10:01:10Z", "index": "cpu", "value": {"v": 10.0}},
+        ],
+    )
+    ticks = normalize_stream(read_doc_stream(spark, str(landing)))
+    out = detect_spikes(ticks, field="v")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("spikes")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM spikes ORDER BY ts").collect()
+    assert len(rows) == 8
+    flags = [r["is_spike"] for r in rows]
+    assert flags == [False] * 6 + [True, False]
+    # EMA decayed after the spike but retains its influence
+    assert rows[7]["ema"] > 10.0

@@ -181,3 +181,25 @@ def test_drop_index(tmp_path, spark):
     tdb.drop_index("db1", "s1")
     assert tdb.db_info("db1")["indexes"] == ["s2"]
     assert tdb.get("db1", "s2", "2016-08-01T00:00:00Z") == {"x": 2.0}
+
+
+def test_sql_surface(tmp_path, spark):
+    tdb = _mk(tmp_path, spark, "sq")
+    tdb.put(
+        "sq",
+        [
+            {"time": f"2016-08-01T00:0{m}:00Z", "index": "a", "value": {"v": float(m)}}
+            for m in range(5)
+        ],
+    )
+    out = tdb.sql(
+        "sq",
+        """
+        SELECT series, count(*) AS n, sum(value['v']) AS total,
+               max(ts) - min(ts) AS span_ns
+        FROM ticks GROUP BY series
+        """,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 5 and r["total"] == 10.0 and r["span_ns"] == 4 * 60 * 10**9

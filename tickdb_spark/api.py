@@ -80,6 +80,16 @@ class TickDB:
         """Range delete ``[from, to)`` (``handlers.go:126-166``)."""
         _ingest.delete_range(self.spark, self.catalog._existing(db), series, frm, to)
 
+    # -- SQL surface ----------------------------------------------------
+    def sql(self, db: str, query: str) -> DataFrame:
+        """Run arbitrary Spark SQL with the database's LWW tick view
+        registered as ``ticks`` — the full relational surface (joins,
+        windows, CTEs) over warehouse data; nothing comparable exists in
+        the reference (its only query language is the JSON spec,
+        ``query.go:9-18``)."""
+        self.ticks(db).createOrReplaceTempView("ticks")
+        return self.spark.sql(query)
+
     # -- maintenance --------------------------------------------------
     def compact(self, db: str) -> None:
         _ingest.compact(self.spark, self.catalog._existing(db))

@@ -1443,3 +1443,59 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
         F.round(F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)), 6).alias("stddev"),
     ).orderBy("event_type")
+
+
+register(
+    "agg_approx_sketches",
+    None,  # approximations are engine-specific — rows-only by design
+    "approximate aggregates (HLL distinct, quantile sketch) — the 100 TB "
+    "substitutes for exact distinct/percentile; exact counterparts are "
+    "gate-checked in agg_distinct_users_daily / agg_percentiles_by_priority",
+)(
+    lambda spark, sf_dir: _read_events(spark, sf_dir)
+    .groupBy("event_type")
+    .agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    )
+    .orderBy("event_type")
+)
+
+
+@register(
+    "stream_stateful_spike_detect",
+    None,  # cross-batch carried state — not SQL-expressible
+    "custom stateful streaming op (applyInPandasWithState): per-series "
+    "EMA carried across micro-batches, flagging values > 3x running EMA; "
+    "state is O(distinct series), bounded on unbounded streams",
+)
+def stream_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from tickdb_spark.streaming.stateful import detect_spikes
+
+    _ensure_session_conf(spark)
+    landing = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_spike_"), "events")
+    _os.makedirs(landing)
+    _shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).parquet(landing)
+        .select(
+            F.col("event_type").alias("series"),
+            F.col("ts"),
+            F.create_map(F.lit("value"), F.col("value")).alias("value"),
+        )
+    )
+    out = detect_spikes(stream, field="value")
+    name = f"spike_out_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("is_spike")).orderBy("series", "ts")
