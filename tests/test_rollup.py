@@ -99,3 +99,54 @@ def test_rollup_scan_is_smaller(db, spark):
     minute = store.read("minute")
     assert day.count() < minute.count()
     assert set(store.available()) == {"minute", "hour", "day", "month", "year"}
+
+
+def test_incremental_refresh_matches_full(tmp_path, spark):
+    """Incremental refresh after new batches + a delete must produce the
+    same rollup tables as a full rebuild."""
+    from tickdb_spark.ingest import _read_meta
+
+    tdb = TickDB(spark, str(tmp_path / "wh"))
+    tdb.create_db("inc")
+    path = tdb.catalog._existing("inc")
+    batch1 = [
+        {"time": f"2016-08-{d:02d}T{h:02d}:00:00Z", "index": s, "value": {"x": float(d * 100 + h)}}
+        for d in (1, 2, 20) for h in (0, 6, 12) for s in ("a", "b")
+    ]
+    tdb.put("inc", batch1)
+    store = RollupStore(spark, path)
+    store.refresh(("minute", "hour", "day", "month"))
+    assert _read_meta(path)["dirty"] == []
+
+    # new batch: new dates AND an upsert of an existing (series, ts)
+    batch2 = [
+        {"time": "2016-08-02T06:00:00Z", "index": "a", "value": {"x": 9999.0}},  # upsert
+        {"time": "2016-09-05T03:00:00Z", "index": "a", "value": {"x": 7.0}},  # new month
+        {"time": "2016-08-21T12:00:00Z", "index": "b", "value": {"x": 8.0}},
+    ]
+    tdb.put("inc", batch2)
+    # delete a slice of series b (dirties its partitions too)
+    tdb.delete("inc", "b", "2016-08-20T00:00:00Z", "2016-08-21T00:00:00Z")
+    assert _read_meta(path)["dirty"] != []
+
+    store.refresh_incremental()
+    assert _read_meta(path)["dirty"] == []
+    incremental = {
+        u: sorted(
+            (r["series"], r["bucket"], r["field"], float(r["sum"]), r["count"],
+             r["first"], r["last"], r["min"], r["max"])
+            for r in store.read(u).collect()
+        )
+        for u in ("minute", "hour", "day", "month")
+    }
+
+    store.refresh(("minute", "hour", "day", "month"))
+    full = {
+        u: sorted(
+            (r["series"], r["bucket"], r["field"], float(r["sum"]), r["count"],
+             r["first"], r["last"], r["min"], r["max"])
+            for r in store.read(u).collect()
+        )
+        for u in ("minute", "hour", "day", "month")
+    }
+    assert incremental == full

@@ -87,6 +87,16 @@ def append_batch(db_path: str, ticks: DataFrame) -> int:
     out.write.mode("append").partitionBy("series", "dt").parquet(
         os.path.join(db_path, TICKS_DIR)
     )
+    # Record which (series, dt) partitions this batch touched so rollup
+    # refresh can be incremental (reference: dirty-path tracking,
+    # node.go:34 / cursor.go:34-39). The distinct list is bounded by the
+    # batch's partition fan-out, not its row count.
+    touched = [
+        [r["series"], str(r["dt"])]
+        for r in out.select("series", "dt").distinct().collect()
+    ]
+    dirty = {tuple(x) for x in meta.get("dirty", [])} | {tuple(t) for t in touched}
+    meta["dirty"] = sorted([list(t) for t in dirty])
     meta["next_seq"] = seq + 1
     meta["clean"] = meta.get("clean", True) and seq == 0
     _write_meta(db_path, meta)
@@ -188,3 +198,9 @@ def delete_range(spark: SparkSession, db_path: str, series: str, frm, to) -> Non
         if name.startswith("dt="):
             os.rename(os.path.join(tmp, name), os.path.join(series_dir, name))
     shutil.rmtree(tmp)
+    # deletes invalidate rollups for the touched partitions too
+    meta = _read_meta(db_path)
+    dirty = {tuple(x) for x in meta.get("dirty", [])}
+    dirty |= {(series, n.split("=", 1)[1]) for n in affected}
+    meta["dirty"] = sorted([list(t) for t in dirty])
+    _write_meta(db_path, meta)

@@ -123,9 +123,104 @@ class RollupStore:
             path = self._path(unit)
             df.repartition("series").write.mode("overwrite").partitionBy("series").parquet(path)
             prev = self.spark.read.parquet(path)
+        # a full rebuild supersedes any pending incremental work
+        from tickdb_spark.ingest import _read_meta, _write_meta
+
+        meta = _read_meta(self.db_path)
+        meta["dirty"] = []
+        _write_meta(self.db_path, meta)
 
     def read(self, unit: str) -> DataFrame:
         return self.spark.read.parquet(self._path(unit))
+
+    def refresh_incremental(self) -> None:
+        """Rebuild only the rollup slices invalidated since the last
+        refresh — the Spark analogue of the reference's on-insert dirty-
+        path re-reduce (``node.go:213-226``, ``523-579``).
+
+        Ingest/delete record touched ``(series, dt)`` partitions in the
+        db metadata; per level we recompute ONLY the buckets covering
+        those dates (partition-pruned raw scan for the base level, pruned
+        finer-level scan for merges), keep every untouched row of the
+        dirty series, and dynamically overwrite just the dirty series'
+        partitions. Untouched series are never read or written.
+        """
+        from tickdb_spark.ingest import _read_meta, _write_meta
+
+        meta = _read_meta(self.db_path)
+        dirty = [tuple(x) for x in meta.get("dirty", [])]
+        levels = self.available()
+        if not levels:
+            self.refresh()
+            meta = _read_meta(self.db_path)
+            meta["dirty"] = []
+            _write_meta(self.db_path, meta)
+            return
+        if not dirty:
+            return
+        dirty_series = sorted({s for s, _ in dirty})
+        dirty_dates = sorted({d for _, d in dirty})
+
+        ticks = read_ticks(self.spark, self.db_path).where(
+            F.col("series").isin(dirty_series)
+            & F.to_date("ts_utc").isin(dirty_dates)
+        )
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        prev_unit: str | None = None
+        for unit in LEVELS:
+            if unit not in levels:
+                continue
+            # a dirty date invalidates the whole bucket containing it at
+            # this level (one dirty day → that entire month's bucket)
+            affected = [
+                r["b"]
+                for r in ticks.select(
+                    ts_to_trunc_ns(F.col("ts"), unit).alias("b")
+                ).distinct().collect()
+            ]
+            if prev_unit is None:
+                # base level: every base bucket lies inside one dirty
+                # date, so the dirty-date tick scan covers it fully
+                fresh = rollup_from_ticks(ticks, unit)
+            else:
+                # merge from ALL finer rows inside each affected bucket —
+                # including finer buckets from clean dates (the finer
+                # level was refreshed in the previous iteration)
+                finer = self.read(prev_unit).where(
+                    F.col("series").isin(dirty_series)
+                    & ts_to_trunc_ns(F.col("bucket"), unit).isin(affected)
+                )
+                fresh = rollup_merge(finer, unit)
+            kept = self.read(unit).where(
+                F.col("series").isin(dirty_series)
+                & ~F.col("bucket").isin(affected)
+            )
+            # can't lazily read and overwrite the same path: write the
+            # refreshed series partitions to a tmp dir, then swap them in
+            import shutil as _shutil
+            import uuid as _uuid
+
+            tmp = self._path(unit) + f".inc-{_uuid.uuid4().hex[:8]}"
+            (
+                kept.unionByName(fresh)
+                .repartition("series")
+                .write.mode("overwrite")
+                .partitionBy("series")
+                .parquet(tmp)
+            )
+            for name in os.listdir(tmp):
+                if not name.startswith("series="):
+                    continue
+                dst = os.path.join(self._path(unit), name)
+                if os.path.isdir(dst):
+                    _shutil.rmtree(dst)
+                os.rename(os.path.join(tmp, name), dst)
+            _shutil.rmtree(tmp)
+            prev_unit = unit
+        meta = _read_meta(self.db_path)
+        meta["dirty"] = []
+        _write_meta(self.db_path, meta)
 
 
 def _aligned(ns: int, unit: str) -> bool:
