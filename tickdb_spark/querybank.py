@@ -1499,3 +1499,70 @@ def stream_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).where(F.col("is_spike")).orderBy("series", "ts")
+
+
+@register(
+    "text_c4_quality_filter",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+             (SELECT max(cnt) FROM (
+                SELECT count(*) AS cnt
+                FROM unnest(list_transform(
+                       range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 1, 1) + 1),
+                       i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 1), ' '))) AS t(bg)
+                GROUP BY bg)) AS top_bigram
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(1.0 - n_distinct::DOUBLE / n_words, 6) AS dup_word_ratio,
+           round(top_bigram::DOUBLE / greatest(n_words - 1, 1), 6) AS top_bigram_ratio,
+           (n_words >= 20 AND n_words <= 1000
+            AND (1.0 - n_distinct::DOUBLE / n_words) < 0.6
+            AND (top_bigram::DOUBLE / greatest(n_words - 1, 1)) < 0.2) AS keep
+    FROM sig ORDER BY doc_id
+    """,
+    "C4/Gopher-style quality filter: word-count bounds, duplicate-word "
+    "ratio, top-bigram repetition ratio → keep/drop decision per doc — "
+    "the standard pretraining-corpus hygiene pass, all codegen",
+)
+def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    # top bigram count per doc: explode → count per (doc, bigram) → max
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    top_bg = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram"))
+    )
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+    ).join(top_bg, "doc_id")
+    dup_ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words")
+    bg_ratio = F.col("top_bigram").cast("double") / F.greatest(
+        F.col("n_words") - 1, F.lit(1)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        F.round(dup_ratio, 6).alias("dup_word_ratio"),
+        F.round(bg_ratio, 6).alias("top_bigram_ratio"),
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("n_words") <= 1000)
+            & (dup_ratio < 0.6)
+            & (bg_ratio < 0.2)
+        ).alias("keep"),
+    ).orderBy("doc_id")
