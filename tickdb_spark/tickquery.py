@@ -256,3 +256,13 @@ def run_tick_query(ticks: DataFrame, query: TickQuery | dict) -> DataFrame:
         w = base.orderBy("bucket").rowsBetween(-(k - 1), 0)
         out = out.withColumn(alias, F.avg(alias).over(w))
     return out.orderBy(*order_cols)
+
+
+def wide_view(ticks: DataFrame, fields: list[str]) -> DataFrame:
+    """Pivot the schemaless map into fixed columns (SURVEY.md §1.2): one
+    DOUBLE column per requested field, NULL where absent. The ergonomic
+    shape for fixed-schema workloads (OHLC candles etc.); map access is
+    a per-row lookup, so this is pure projection — no shuffle."""
+    cols = [F.col("series"), F.col("ts"), F.col("ts_utc")]
+    cols += [F.col("value").getItem(f).alias(f) for f in fields]
+    return ticks.select(*cols)
