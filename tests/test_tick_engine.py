@@ -221,3 +221,49 @@ def test_wide_view(tmp_path, spark):
     assert [r["open"] for r in rows] == [1.0, 3.0]
     assert [r["close"] for r in rows] == [2.0, None]
     assert all(r["volume"] is None for r in rows)
+
+
+def test_bucket_edges_f4(tmp_path, spark):
+    """FIXTURES.md F4: leap day, exact boundaries, 23:59:59.999999 vs
+    next-midnight neighbors, mid-bucket from/to, from == to."""
+    tdb = _mk(tmp_path, spark, "edge")
+    docs = [
+        {"time": "2016-01-01T00:00:00Z", "index": "e", "value": {"v": 1.0}},
+        {"time": "2016-02-29T00:00:00Z", "index": "e", "value": {"v": 1.0}},  # leap day
+        {"time": "2016-02-29T23:59:59.999999Z", "index": "e", "value": {"v": 1.0}},
+        {"time": "2016-03-01T00:00:00Z", "index": "e", "value": {"v": 1.0}},
+        {"time": "2016-03-13T07:30:00Z", "index": "e", "value": {"v": 1.0}},  # US DST moment
+    ]
+    tdb.put("edge", docs)
+
+    days = tdb.query("edge", {
+        "index": "e", "from": "2016-01-01T00:00:00Z", "to": "2017-01-01T00:00:00Z",
+        "group": "day", "fields": {"v": "count"}}).collect()
+    got = {r["bucket"]: r["v_count"] for r in days}
+    assert got == {
+        parse_time_ns("2016-01-01T00:00:00Z"): 1,
+        parse_time_ns("2016-02-29T00:00:00Z"): 2,  # leap day holds both
+        parse_time_ns("2016-03-01T00:00:00Z"): 1,
+        parse_time_ns("2016-03-13T00:00:00Z"): 1,  # UTC day regardless of DST
+    }
+
+    # months: February bucket exists and ends before March
+    months = tdb.query("edge", {
+        "index": "e", "from": "2016-01-01T00:00:00Z", "to": "2017-01-01T00:00:00Z",
+        "group": "month", "fields": {"v": "count"}}).collect()
+    got_m = {r["bucket"]: r["v_count"] for r in months}
+    assert got_m[parse_time_ns("2016-02-01T00:00:00Z")] == 2
+
+    # mid-bucket from: point at 00:00:00 is excluded, partial day still buckets at midnight
+    part = tdb.query("edge", {
+        "index": "e", "from": "2016-02-29T12:00:00Z", "to": "2016-03-02T00:00:00Z",
+        "group": "day", "fields": {"v": "count"}}).collect()
+    assert {r["bucket"]: r["v_count"] for r in part} == {
+        parse_time_ns("2016-02-29T00:00:00Z"): 1,
+        parse_time_ns("2016-03-01T00:00:00Z"): 1,
+    }
+
+    # from == to → empty
+    assert tdb.query("edge", {
+        "index": "e", "from": "2016-02-29T00:00:00Z", "to": "2016-02-29T00:00:00Z",
+        "group": "day", "fields": {"v": "count"}}).count() == 0

@@ -127,3 +127,32 @@ def fingerprint_sql(text_expr: str = "text", bits: int = 64) -> str:
         f"substr(md5(array_to_string(string_split_regex(trim({text_expr}),"
         f" '{TOKEN_SEP}'), ' ')), 1, {bits // 4})"
     )
+
+
+ROLL_MOD = 1_000_000_007
+ROLL_BASE = 31
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling-hash fingerprint over tokens:
+    ``fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) % M)`` with
+    ``h(t)`` = first 32 bits of md5. Order-sensitive (unlike the md5
+    set fingerprint) — permuted documents hash differently. Pure integer
+    arithmetic, identical on any engine."""
+    toks = tokens(col)
+    hv = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.transform(toks, hv),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+
+
+def rolling_fingerprint_sql(text_expr: str = "text") -> str:
+    toks = f"string_split_regex(trim({text_expr}), '{TOKEN_SEP}')"
+    hv = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform({toks}, t -> {hv})),"
+        f" (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
+    )

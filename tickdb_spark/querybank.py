@@ -693,6 +693,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id, {_text.langid_sql()} AS lang_pred,
            {_text.fingerprint_sql()} AS fp,
+           {_text.rolling_fingerprint_sql()} AS rolling_fp,
            len(string_split_regex(trim(text), '\\s+'))
              + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
              AS n_tokens_bpe
@@ -707,6 +708,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _text.langid(F.col("text")).alias("lang_pred"),
         _text.fingerprint(F.col("text")).alias("fp"),
+        _text.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
         _text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
     ).orderBy("doc_id")
 
