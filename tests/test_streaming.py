@@ -129,3 +129,39 @@ def test_stateful_spike_detection(tmp_path, spark):
     assert flags == [False] * 6 + [True, False]
     # EMA decayed after the spike but retains its influence
     assert rows[7]["ema"] > 10.0
+
+
+def test_stream_ingest_maintains_rollups(tmp_path, spark):
+    """Streaming ingest with maintain_rollups: after the stream drains,
+    rollup-routed answers equal raw answers with no manual refresh."""
+    from tickdb_spark.api import TickDB
+    from tickdb_spark.rollup import RollupStore, route_tick_query
+    from tickdb_spark.tickquery import run_tick_query
+
+    tdb = TickDB(spark, str(tmp_path / "wh"))
+    tdb.create_db("sr")
+    db_path = tdb.catalog._existing("sr")
+    # bootstrap the cascade so the stream has something to maintain
+    tdb.put("sr", [{"time": "2024-03-01T00:00:00Z", "index": "m", "value": {"p": 1.0}}])
+    RollupStore(spark, db_path).refresh(("hour", "day"))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_batch(landing, "b1.json", [
+        {"time": "2024-03-01T05:00:00Z", "index": "m", "value": {"p": 2.0}},
+        {"time": "2024-03-02T07:00:00Z", "index": "m", "value": {"p": 3.0}},
+    ])
+    _write_batch(landing, "b2.json", [
+        {"time": "2024-03-01T00:00:00Z", "index": "m", "value": {"p": 10.0}},  # upsert
+    ])
+    q = stream_ingest(spark, str(landing), db_path, str(tmp_path / "ck"),
+                      maintain_rollups=True)
+    q.awaitTermination(180)
+
+    spec = {"index": "m", "from": "2024-03-01T00:00:00Z", "to": "2024-03-05T00:00:00Z",
+            "group": "day", "fields": {"p": ["sum", "count", "last"]}, "exact": True}
+    routed = [tuple(r) for r in route_tick_query(spark, db_path, spec).collect()]
+    raw = [tuple(r) for r in run_tick_query(tdb.ticks("sr"), spec).collect()]
+    assert routed == raw
+    assert routed[0][1] == 12.0  # day1: 10 (upserted) + 2
+    assert routed[1][1] == 3.0

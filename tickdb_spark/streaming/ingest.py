@@ -73,16 +73,29 @@ def stream_ingest(
     landing_dir: str,
     db_path: str,
     checkpoint_dir: str,
+    maintain_rollups: bool = False,
 ) -> StreamingQuery:
     """Continuous ingest into a database directory. Each micro-batch goes
     through the batch append path, so visibility, LWW ordering and the
-    partition layout are identical to HTTP-style batch ingest."""
+    partition layout are identical to HTTP-style batch ingest.
+
+    ``maintain_rollups=True`` runs an incremental rollup refresh after
+    each micro-batch — the streaming form of the reference's on-insert
+    rollup maintenance (``node.go:213-226``): only the (series, dt)
+    partitions the batch touched are re-reduced, so coarse queries stay
+    rollup-served with bounded per-batch maintenance cost."""
     ticks = normalize_stream(read_doc_stream(spark, landing_dir))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         _ingest.append_batch(db_path, batch_df)
+        if maintain_rollups:
+            from tickdb_spark.rollup import RollupStore
+
+            store = RollupStore(spark, db_path)
+            if store.available():
+                store.refresh_incremental()
 
     return (
         ticks.writeStream.foreachBatch(sink)
