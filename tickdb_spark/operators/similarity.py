@@ -242,3 +242,131 @@ def cosine_neardup_pairs_sql(
     FROM a JOIN b ON id_a < id_b
     WHERE {cos} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization into centroid cells
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+IVF_MARGIN = 0.5  # additive probe margin on the cell-distance score
+
+
+def _centroids(n: int = N_CENTROIDS, dim: int = EMB_DIM, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-centroids, shared by engine and oracle. A
+    production build would k-means these from a sample; fixed literals
+    keep the operator oracle-checkable."""
+    rng = random.Random(seed)
+    return [[round(rng.uniform(-0.5, 0.5), 4) for _ in range(dim)] for _ in range(n)]
+
+
+CENTROIDS = _centroids()
+#: per-centroid constant |c|^2, folded into the distance score
+_C_NORM2 = [round(sum(x * x for x in c), 8) for c in CENTROIDS]
+
+
+def _cell_scores(vec: str, dim: int = EMB_DIM, sql: bool = False) -> list[str]:
+    """Distance score per centroid: |v-c|^2 - |v|^2 = -2<v,c> + |c|^2
+    (the |v|^2 term is constant per vector, so argmin is unchanged)."""
+    out = []
+    for c, n2 in zip(CENTROIDS, _C_NORM2):
+        neg2c = [round(-2.0 * x, 6) for x in c]
+        out.append(f"({dot_literal_expr(vec, neg2c, dim, sql)} + ({n2!r}))")
+    return out
+
+
+def ivf_cell_expr(vec: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+    """Nearest-centroid cell id (argmin score, lowest index wins ties)."""
+    scores = _cell_scores(vec, dim, sql)
+    best = "least(" + ", ".join(scores) + ")"
+    expr = "-1"
+    for k in reversed(range(len(scores))):
+        expr = f"(CASE WHEN {scores[k]} = {best} THEN {k} ELSE {expr} END)"
+    return expr
+
+
+def ivf_probe_cells_expr(vec: str, margin: float, dim: int = EMB_DIM, sql: bool = False) -> str:
+    """Array of cell ids whose score is within ``margin`` of the best —
+    the query-side probe set (≥1 cell always)."""
+    scores = _cell_scores(vec, dim, sql)
+    best = "least(" + ", ".join(scores) + ")"
+    pairs = ", ".join(
+        f"CASE WHEN {s} <= {best} + {margin!r} THEN {k} ELSE -1 END"
+        for k, s in enumerate(scores)
+    )
+    if sql:
+        return f"list_filter([{pairs}], x -> x >= 0)"
+    return f"filter(array({pairs}), x -> x >= 0)"
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    margin: float = IVF_MARGIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization: the corpus is
+    assigned to its nearest centroid cell once (linear scan); each query
+    probes every cell within ``margin`` of its best cell and ranks only
+    those cells' vectors. Equi-join on cell id — the classic
+    IVF-flat search shape, deterministic given the fixed centroids."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(ivf_cell_expr(vec_col)).alias("cell"),
+    ).repartition(par)
+    q = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(F.expr(ivf_probe_cells_expr(vec_col, margin))).alias("cell"),
+        )
+    )
+    cos = F.expr(cosine_expr("qvec", "cvec"))
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_topk_ivf_sql(
+    table: str, query_ids: list[int], k: int = 5, margin: float = IVF_MARGIN,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cell = ivf_cell_expr(vec_col, sql=True)
+    probes = ivf_probe_cells_expr(vec_col, margin, sql=True)
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    return f"""
+    WITH c AS (
+      SELECT {id_col} AS neighbor_id, {vec_col} AS cvec, {cell} AS cell FROM {table}
+    ),
+    q AS (
+      SELECT {id_col} AS query_id, {vec_col} AS qvec, unnest({probes}) AS cell
+      FROM {table} WHERE {id_col} IN ({ids})
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine
+      FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """

@@ -1568,3 +1568,15 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (bg_ratio < 0.2)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sim_ann_topk_ivf",
+    _sim.ann_topk_ivf_sql("embeddings", [0, 1, 2, 3, 4], k=5),
+    "IVF-flat approximate top-5: corpus coarse-quantized to centroid "
+    "cells once, queries probe cells within a margin of their best — "
+    "the second scale path alongside random-hyperplane LSH",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_ivf(emb, [0, 1, 2, 3, 4], k=5)
