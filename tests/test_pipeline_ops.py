@@ -157,3 +157,35 @@ def test_salted_agg_matches_plain(spark):
     for k in plain:
         assert salted[k]["n"] == plain[k]["n"] and salted[k]["mx"] == plain[k]["mx"]
         assert abs(salted[k]["s"] - plain[k]["s"]) < 1e-6
+
+
+def test_connected_components_chain(spark):
+    """Transitive closure: a chain a-b-c collapses to one component even
+    though (a,c) is never an edge; singletons keep their own id."""
+    from tickdb_spark.operators.cluster import connected_components, dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    # chain 1-2-3, pair 4-5, singletons 6,7
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (4, 5)], ["id_a", "id_b"])
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, pairs, id_col="doc_id").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+    rows = dedup_clusters(nodes, pairs, id_col="doc_id").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[3]["cluster_size"] == 3 and not by_id[3]["is_canonical"]
+    assert by_id[1]["is_canonical"] and by_id[6]["is_canonical"]
+    assert sum(r["is_canonical"] for r in rows) == 4  # {1},{4},{6},{7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds (diameter 11);
+    hash-min must iterate to convergence, not stop after one round."""
+    from tickdb_spark.operators.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["id_a", "id_b"])
+    comp = connected_components(nodes, pairs, id_col="doc_id").collect()
+    assert all(r["component"] == 0 for r in comp)

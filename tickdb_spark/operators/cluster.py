@@ -1,0 +1,151 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph, then one canonical document per cluster.
+
+This is the step the reference lacks entirely (no joins at all,
+``/root/reference/query.go:12-18``) but every production dedup pipeline
+needs: pair detectors (``operators/dedup.py``) emit edges, and the
+*transitive closure* of those edges — not the raw pairs — defines what
+gets dropped (A~B, B~C ⟹ {A,B,C} is one duplicate group even when A~C
+was never emitted).
+
+Scale design (100 TB: billions of nodes, pair graph ≪ node count):
+
+* **hash-min label propagation**: every node starts labeled with its own
+  id; each round, a node adopts the minimum label among itself and its
+  neighbors. Converges in O(graph diameter) rounds — near-dup clusters
+  are small, dense cliques, so diameter is tiny (2-3) regardless of
+  corpus size. Each round is one shuffle keyed on node id.
+* **frontier-only work**: label propagation joins only touch the edge
+  list (pair-graph sized — millions), never the full corpus; the corpus
+  join happens once at the end to label singletons.
+* **lineage truncation**: each round ``localCheckpoint``s the label
+  frame — an iterative DataFrame loop otherwise re-executes every prior
+  round per action and overflows the planner. (On a real cluster use
+  ``checkpoint`` to HDFS for fault-tolerance; localCheckpoint keeps the
+  blocks executor-resident, which is the right trade in one JVM.)
+* For adversarial graphs (long chains / giant components) the
+  alternating large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond") halves diameter per round; not
+  needed for dedup-shaped graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact connected components by hash-min propagation.
+
+    nodes: one row per vertex (``id_col``); vertices with no edge become
+    singleton components. edges: undirected pair list. Returns
+    ``(id, component)`` where component = min node id in the component.
+    """
+    ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
+    # Symmetrize once; both directions needed so min labels flow both ways.
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    # Labels only for nodes that appear in edges — the frontier. Singletons
+    # join in at the end (no reason to drag the whole corpus through the
+    # loop).
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Each node's candidate label: min over neighbors' current labels.
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+
+    return (
+        ids.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Full duplicate-group resolution: components over the pair graph,
+    cluster sizes, and the keep/drop verdict (canonical = min doc id —
+    deterministic, engine-independent).
+
+    Returns ``(doc_id, component, cluster_size, is_canonical)``.
+    """
+    comp = connected_components(
+        docs, pairs, id_col=id_col, src_col=src_col, dst_col=dst_col
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            "component",
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+    )
+
+
+def dedup_clusters_sql(pairs_sql: str, table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin: transitive closure by recursive CTE, then min-id per
+    node. Exponential pair blowup is bounded by dedup-cluster size (tiny);
+    the UNION (not UNION ALL) dedups reach rows per step."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT {id_col}::BIGINT, {id_col}::BIGINT FROM {table}
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS {id_col}, min(v) AS component FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT c.{id_col}, c.component, s.cluster_size,
+           c.{id_col} = c.component AS is_canonical
+    FROM comp c JOIN sizes s USING (component)
+    """

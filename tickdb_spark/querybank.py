@@ -545,6 +545,7 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from tickdb_spark.functions import text as _text  # noqa: E402
+from tickdb_spark.operators import cluster as _cluster  # noqa: E402
 from tickdb_spark.operators import dedup as _dedup  # noqa: E402
 from tickdb_spark.operators import multimodal as _mm  # noqa: E402
 from tickdb_spark.operators import similarity as _sim  # noqa: E402
@@ -1568,6 +1569,25 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (bg_ratio < 0.2)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_cluster_components",
+    _cluster.dedup_clusters_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5),
+        table="documents",
+        id_col="doc_id",
+    )
+    + " ORDER BY doc_id",
+    "duplicate-group resolution: connected components (hash-min label "
+    "propagation, O(diameter) shuffles over the pair graph only) over "
+    "ngram-Jaccard pairs at τ=0.5, one canonical doc per cluster; oracle "
+    "is a recursive-CTE transitive closure",
+)
+def dedup_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _cluster.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
 
 
 @register(
