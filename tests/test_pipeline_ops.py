@@ -189,3 +189,41 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["id_a", "id_b"])
     comp = connected_components(nodes, pairs, id_col="doc_id").collect()
     assert all(r["component"] == 0 for r in comp)
+
+
+def test_hash_sample_deterministic_under_repartition(spark):
+    """The sample is a pure function of ids: same rows regardless of
+    partitioning (df.sample() can't promise this)."""
+    from tickdb_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r[0] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    b = {r[0] for r in hash_sample(df.repartition(13), "doc_id", 0.2).collect()}
+    assert a == b
+    # Multiplicative hashing is uniform: 20% ± a few points on 5k ids.
+    assert 0.15 < len(a) / 5000 < 0.25
+
+
+def test_stratified_sample_exact_quota(spark):
+    from tickdb_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], ["doc_id", "grp"]
+    )
+    out = stratified_sample(df, "grp", "doc_id", 5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], []).append(r["doc_id"])
+    assert len(by["big"]) == 5
+    assert len(by["small"]) == 5
+    # rerun → identical selection
+    out2 = stratified_sample(df, "grp", "doc_id", 5).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_stratified_sample_small_stratum_kept_whole(spark):
+    from tickdb_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["doc_id", "grp"])
+    out = stratified_sample(df, "grp", "doc_id", 10).collect()
+    assert len(out) == 3

@@ -1,0 +1,85 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is the wrong tool for corpus curation at 100 TB: it is
+seed+partitioning dependent (recomputes differently after a repartition,
+unreproducible across engines), and quota sampling ("N docs per
+language") isn't expressible with it at all. Both operators here are
+*pure functions of the data* — rerunnable, engine-independent (DuckDB
+twins are exact), and stable under repartitioning/AQE.
+
+* **hash_sample** — keep a row iff a multiplicative integer hash
+  (Knuth 2^32 golden-ratio constant) of its id lands under the cut.
+  A stateless filter: whole-stage codegen, no shuffle, pushes past
+  column pruning; at 100 TB it's free relative to the scan.
+* **stratified_sample** — exactly n rows per stratum, chosen by the
+  same hash (then id as total tie-break). One shuffle on the stratum
+  key + window top-n; per-stratum output is tiny so skewed strata cost
+  scan time, not shuffle spill. (For huge n per stratum, switch to a
+  two-phase approximate quantile cut on the hash — same determinism.)
+
+The hash is NOT Spark's murmur `F.hash` — engine-specific hashes can't
+be oracle-checked. (id * 2654435761) mod 2^32 on BIGINT arithmetic is
+identical in any engine with 64-bit ints; ids up to ~7e9 stay inside
+int64 before the mod.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # floor(2^32 / golden ratio), odd → bijective mod 2^32
+MOD = 1 << 32
+
+
+def id_hash(id_col: Column) -> Column:
+    """Deterministic 32-bit mixing hash of an integer id (Fibonacci
+    hashing): uniform enough for sampling, exactly reproducible in SQL."""
+    return (id_col.cast("long") * F.lit(KNUTH)) % F.lit(MOD)
+
+
+def id_hash_sql(id_expr: str) -> str:
+    return f"(({id_expr}::BIGINT * {KNUTH}) % {MOD})"
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~`fraction` sample: keep rows whose id-hash falls in
+    the first `fraction` of the 2^32 hash space. Pure filter — no
+    shuffle, no state, reproducible on any engine/partitioning."""
+    cut = int(fraction * MOD)
+    return df.where(id_hash(F.col(id_col)) < F.lit(cut))
+
+
+def hash_sample_sql(table: str, id_col: str, fraction: float) -> str:
+    cut = int(fraction * MOD)
+    return f"SELECT * FROM {table} WHERE {id_hash_sql(id_col)} < {cut}"
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum — the "language/domain
+    quota" primitive. Selection order is the id-hash (uniform within the
+    stratum), tie-broken by id so the chosen set is total-order stable."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_hash(F.col(id_col)), F.col(id_col))
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str, strata_col: str, id_col: str, n_per_stratum: int
+) -> str:
+    return f"""
+    SELECT * EXCLUDE (_rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {strata_col}
+        ORDER BY {id_hash_sql(id_col)}, {id_col}
+      ) AS _rn FROM {table}
+    ) WHERE _rn <= {n_per_stratum}
+    """

@@ -548,6 +548,7 @@ from tickdb_spark.functions import text as _text  # noqa: E402
 from tickdb_spark.operators import cluster as _cluster  # noqa: E402
 from tickdb_spark.operators import dedup as _dedup  # noqa: E402
 from tickdb_spark.operators import multimodal as _mm  # noqa: E402
+from tickdb_spark.operators import sampling as _sampling  # noqa: E402
 from tickdb_spark.operators import similarity as _sim  # noqa: E402
 
 
@@ -1588,6 +1589,35 @@ def dedup_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
     return _cluster.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+@register(
+    "sample_hash_deterministic",
+    _sampling.hash_sample_sql(
+        "(SELECT doc_id, lang, source, n_chars FROM documents)", "doc_id", 0.1
+    )
+    + " ORDER BY doc_id",
+    "deterministic ~10% corpus sample via multiplicative id-hash — a pure "
+    "codegen filter (no shuffle, no seed/partitioning dependence), exactly "
+    "reproducible across engines and reruns",
+)
+def sample_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return _sampling.hash_sample(docs, "doc_id", 0.1).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified_quota",
+    _sampling.stratified_sample_sql(
+        "(SELECT doc_id, lang, source FROM documents)", "lang", "doc_id", 7
+    )
+    + " ORDER BY doc_id",
+    "exactly-7-docs-per-language quota sample (hash-ordered window top-n "
+    "per stratum, id tie-break) — the language/domain balancing primitive",
+)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return _sampling.stratified_sample(docs, "lang", "doc_id", 7).orderBy("doc_id")
 
 
 @register(
