@@ -227,3 +227,37 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
     df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["doc_id", "grp"])
     out = stratified_sample(df, "grp", "doc_id", 10).collect()
     assert len(out) == 3
+
+
+def test_ngram_prefix_filter_equals_naive(spark):
+    """Prefix-filtered exact Jaccard must emit exactly the naive join's
+    pairs — including at the FP-hostile boundary (τ·n_sh landing on an
+    integer, where a mis-rounded ceil would shorten the prefix and drop
+    true pairs)."""
+    from tickdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, base),
+        (2, base),                                  # identical → jaccard 1.0
+        (3, base + " theta"),                       # near-dup
+        (4, "one two three four five six seven"),   # disjoint
+        (5, "one two three four five six eight"),   # near-dup of 4
+        (6, "lone document with its own words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for tau in (0.8, 0.5, 0.25):  # 0.25·(4 shingles)=1.0 → integer boundary
+        naive = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", tau, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", tau, prefix_filter=True
+            ).collect()
+        }
+        assert naive == pref, f"tau={tau}: {naive} != {pref}"
+        assert naive, f"tau={tau}: empty result defeats the test"

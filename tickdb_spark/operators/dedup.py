@@ -26,7 +26,7 @@ makes every stage oracle-checkable — a property numeric murmur hashes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NGRAM_N = 3
@@ -88,30 +88,101 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, n: int = NGRAM_N
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = NGRAM_N,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """All pairs with word-n-gram Jaccard ≥ threshold.
+    """All pairs with word-n-gram Jaccard ≥ threshold. Exact.
 
-    Inverted-index join: explode shingles → self-join on shingle →
-    count shared shingles per pair → |A∩B| / (|A|+|B|−|A∩B|). Exact but
-    quadratic in the worst case — at scale use :func:`minhash_lsh_pairs`
-    and verify only its candidates with this formula.
+    ``prefix_filter=False``: plain inverted-index join — explode shingles
+    → self-join on shingle → count shared per pair. Every co-occurrence
+    of every shingle becomes a join row, so frequent shingles dominate
+    (Σ df² blowup).
+
+    ``prefix_filter=True`` (default): AllPairs/PPJoin-style prefix
+    filtering. Order each doc's shingles by a single global canonical
+    order (ascending document frequency, then shingle — rare first);
+    a pair can reach Jaccard ≥ τ only if the two *prefixes* — the first
+    ``n_sh − ceil(τ·n_sh) + 1`` shingles per doc — intersect. Candidates
+    come from the prefix-only self-join (frequent shingles land outside
+    prefixes, killing the df² term), then only candidates are verified
+    with an exact intersection count. Same output, strictly less join
+    volume — this is the exact-dedup scale path when MinHash recall
+    isn't acceptable.
     """
-    # shingles feed three consumers (sizes + both join sides); cache so
-    # the tokenize+explode runs once, not three times (measured ~35% at
+    # shingles feed several consumers (sizes + join sides); cache so the
+    # tokenize+explode runs once, not per consumer (measured ~35% at
     # sf0.1; at 100 TB this would be a materialized intermediate table)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
     ).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+
+    if not prefix_filter:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(
+                b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    else:
+        # Global canonical order: (document frequency, shingle). Both docs
+        # of any pair rank their shingles identically, which the prefix
+        # guarantee requires.
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "shingle")
+                ),
+            )
+            .join(sizes, "id")
+        )
+        # p = n_sh − ceil(τ·n_sh) + 1, with an epsilon inside the ceil: FP
+        # can round τ·n_sh past an integer (0.8·5 → 4.0000000000000002 →
+        # ceil 5), which would SHORTEN the prefix and silently drop true
+        # pairs. The epsilon biases toward a longer prefix — extra
+        # candidates get killed by exact verify; missed ones are gone.
+        plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+        prefix = ranked.where(F.col("rnk") <= plen).select("id", "shingle")
+        pa, pb = prefix.alias("pa"), prefix.alias("pb")
+        candidates = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") < F.col("pb.id")),
+            )
+            .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+            .distinct()
+            # length filter: |B| ≥ τ·|A| is necessary for Jaccard ≥ τ
+            # (conservative epsilon again — only prunes, never decides)
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(
+                F.greatest("n_a", "n_b") * F.lit(threshold)
+                <= F.least("n_a", "n_b") + F.lit(1e-9)
+            )
+            .select("id_a", "id_b")
+        )
+        # Exact verify confined to candidates: count true intersection.
+        sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+        sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+        shared = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+
     return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
