@@ -261,3 +261,22 @@ def test_ngram_prefix_filter_equals_naive(spark):
         }
         assert naive == pref, f"tau={tau}: {naive} != {pref}"
         assert naive, f"tau={tau}: empty result defeats the test"
+
+
+def test_cosine_gemm_candidates_equal_naive(spark):
+    """GEMM candidate generation + exact re-score must emit exactly the
+    naive nested-loop pairs, values included (the hash gate compares
+    rounded cosines bit-for-bit)."""
+    from tickdb_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    naive = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(emb, 0.3, gemm_candidates=False).collect()
+    }
+    gemm = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs(emb, 0.3, gemm_candidates=True).collect()
+    }
+    assert naive == gemm
+    assert naive, "empty result defeats the test"

@@ -204,27 +204,78 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm_candidates: bool = True,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — exact brute force (the
-    baseline). Quadratic by definition: at 100 TB, generate candidates
-    with the LSH buckets (``bucket_expr``, multiple tables for recall)
-    and verify with this formula on candidates only.
+    """All pairs with cosine ≥ threshold — exact.
 
-    Perf note (measured at sf0.1): this raw-float-array form codegens and
-    runs ~4× faster than a "pre-normalize into an intermediate table,
-    then single dot per pair" rewrite, whose double-array expressions
-    fell back to interpreted evaluation. Fewer ops lost to a codegen
-    cliff — keep the simple shape.
+    ``gemm_candidates=False``: pure nested-loop pair join with the dot
+    product evaluated JVM-side. O(n²·d) through codegen — the reference
+    shape, and the fallback when Arrow/numpy is unavailable.
+
+    ``gemm_candidates=True`` (default): two-phase. Candidates come from a
+    blocked matrix multiply — each Arrow batch of vectors multiplies
+    against the L2-normalized corpus matrix (broadcast; ~n·d·8 bytes) in
+    one BLAS GEMM, keeping pairs with sim ≥ τ−1e-4. The slack absorbs
+    FP-order differences between BLAS and sequential summation. Survivors
+    are re-scored with the EXPLICIT left-associative expression both
+    engines share, and the threshold + rounding applied to THAT value —
+    so the emitted pairs and cosines are bit-identical to the naive path.
+    Same O(n²·d) flops, but dense GEMM instead of per-row codegen: ~10×
+    at sf0.1. At 100 TB the broadcast no longer fits — block BOTH sides
+    (grid of matrix tiles) or use the LSH/IVF candidate paths.
+
+    Perf note (measured at sf0.1): the naive form must stay a raw-float-
+    array expression — a "pre-normalize then single dot" rewrite fell off
+    codegen and ran 4× slower.
     """
-    # The corpus often arrives as one parquet split; the nested-loop pair
-    # scoring parallelizes by stream-side partition count, so spread it
-    # (measured 13× at sf0.1: 27s → 2s on 16 cores).
     par = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).repartition(par)
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = F.expr(cosine_expr("va", "vb"))
+
+    if not gemm_candidates:
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    # Build the broadcast corpus matrix (the "build side" of this join).
+    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors match nothing (cos undefined)
+    mat_n = mat / norms[:, None]
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat_n))
+    cut = threshold - 1e-4
+
+    def gen(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            block = np.vstack(batch["v"].to_numpy()).astype("float64")
+            bn = np.linalg.norm(block, axis=1)
+            bn[bn == 0.0] = np.inf
+            sims = (block / bn[:, None]) @ b_mat.T
+            ii, jj = np.where(sims >= cut)
+            ida, idb = batch["id"].to_numpy()[ii], b_ids[jj]
+            keep = ida < idb
+            yield pd.DataFrame({"id_a": ida[keep], "id_b": idb[keep]})
+
+    cand = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .repartition(par)
+        .mapInPandas(gen, "id_a long, id_b long")
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

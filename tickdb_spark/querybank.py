@@ -601,6 +601,146 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_function_battery",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           lower(o_orderstatus) AS status_lower,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           length(o_orderpriority) AS pri_len,
+           replace(o_orderpriority, '-', '_') AS pri_snake,
+           lpad(CAST(o_orderkey % 1000 AS VARCHAR), 6, '0') AS key_padded,
+           CAST(round(o_totalprice, 1) AS DOUBLE) AS price_r1,
+           CAST(floor(o_totalprice) AS DOUBLE) AS price_floor,
+           CAST(ceiling(o_totalprice) AS DOUBLE) AS price_ceil,
+           o_orderkey % 7 AS key_mod7,
+           CAST(abs(o_totalprice - 150000) AS DOUBLE) AS price_dev,
+           year(o_orderdate) AS o_year,
+           quarter(o_orderdate) AS o_quarter,
+           month(o_orderdate) AS o_month,
+           isodow(o_orderdate) AS o_isodow,
+           strftime(o_orderdate, '%Y-%m') AS o_ym
+    FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey
+    """,
+    "scalar function battery: string (upper/lower/substr/length/replace/"
+    "lpad), math (round/floor/ceil/mod/abs), date-part (year/quarter/"
+    "month/isodow/format) — the expression-library parity check; all "
+    "codegen, zero UDFs (the reference has no expression language at "
+    "all, query.go:12-18)",
+)
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_snake"),
+        F.lpad((F.col("o_orderkey") % 1000).cast("string"), 6, "0").alias("key_padded"),
+        F.round("o_totalprice", 1).cast("double").alias("price_r1"),
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.abs(F.col("o_totalprice") - 150000).cast("double").alias("price_dev"),
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.month("o_orderdate").alias("o_month"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("o_isodow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "join_full_outer_nation_parties",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    "full outer join of two grouped sides with asymmetric coverage "
+    "(some nations have only customers or only suppliers) — the one "
+    "outer-join shape not already covered by asof/gapfill/semi/anti",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _read(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 3 == 0)
+        .groupBy(F.col("s_nationkey").alias("s_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c["nationkey"] == s["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce("nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "win_trailing_7day_revenue",
+    f"""
+    WITH daily AS (
+      SELECT l_returnflag, l_shipdate AS day,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-03-01'
+      GROUP BY l_returnflag, l_shipdate
+    )
+    SELECT l_returnflag, epoch_us(CAST(day AS TIMESTAMP)) AS day_us,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (
+             PARTITION BY l_returnflag ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue
+    FROM daily ORDER BY l_returnflag, day_us
+    """,
+    "time-RANGE window frame: per-day revenue with a calendar trailing "
+    "7-day sum — a value-range frame (rangeBetween on epoch days), not a "
+    "row-count frame like the running/analytic suites",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("date"))
+    )
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_shipdate").alias("day")
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("rev")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.unix_date(F.col("day").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "l_returnflag",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("trailing_7d_revenue"),
+    ).orderBy("l_returnflag", "day_us")
+
+
+@register(
     "agg_distinct_users_daily",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
