@@ -83,7 +83,10 @@ def append_batch(db_path: str, ticks: DataFrame) -> int:
     # one task sequentially emitting every partition's files. (Measured
     # 2.3× ingest throughput at sf0.1; at cluster scale this is also the
     # small-files defense.)
-    out = out.repartition("series", "dt")
+    # Time-sort inside each file: parquet row-group min/max stats on ts
+    # then prune [from, to) scans within a day — the file-level analogue
+    # of the reference's time-sorted leaf order (node.go:229-245).
+    out = out.repartition("series", "dt").sortWithinPartitions("ts")
     out.write.mode("append").partitionBy("series", "dt").parquet(
         os.path.join(db_path, TICKS_DIR)
     )
@@ -139,6 +142,7 @@ def compact(spark: SparkSession, db_path: str) -> None:
     (
         deduped.withColumn("dt", F.to_date("ts_utc"))
         .repartition("series", "dt")
+        .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .partitionBy("series", "dt")
         .parquet(tmp)

@@ -741,6 +741,93 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup_region_nation",
+    f"""
+    SELECT COALESCE(r_name, '__ALL__') AS region,
+           CASE WHEN n_name IS NULL OR GROUPING(n_name) = 1
+                THEN '__ALL__' ELSE n_name END AS nation,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+    "hierarchical ROLLUP (region → nation → grand total): the partial-"
+    "grouping shape CUBE doesn't cover; GROUPING() disambiguates the "
+    "subtotal rows",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+            F.grouping("n_name").alias("_gn"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region"),
+            F.when(
+                F.col("n_name").isNull() | (F.col("_gn") == 1), "__ALL__"
+            ).otherwise(F.col("n_name")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "setop_all_multiset_variants",
+    """
+    WITH jan AS (SELECT o_orderpriority FROM orders
+                 WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-02-01'),
+         feb AS (SELECT o_orderpriority FROM orders
+                 WHERE o_orderdate >= DATE '1996-02-01' AND o_orderdate < DATE '1996-03-01')
+    SELECT 'except_all' AS op, o_orderpriority, count(*) AS n FROM
+      (SELECT o_orderpriority FROM jan EXCEPT ALL SELECT o_orderpriority FROM feb)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS n FROM
+      (SELECT o_orderpriority FROM jan INTERSECT ALL SELECT o_orderpriority FROM feb)
+    GROUP BY o_orderpriority
+    ORDER BY op, o_orderpriority
+    """,
+    "multiset (ALL) set operations — EXCEPT ALL / INTERSECT ALL preserve "
+    "duplicate counts, unlike the distinct set ops in setop_nation_coverage",
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    jan = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("date"))
+    ).select("o_orderpriority")
+    feb = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-02-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-03-01").cast("date"))
+    ).select("o_orderpriority")
+    ex = (
+        jan.exceptAll(feb)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    it = (
+        jan.intersectAll(feb)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    return ex.unionByName(it).orderBy("op", "o_orderpriority")
+
+
+@register(
     "agg_distinct_users_daily",
     """
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
