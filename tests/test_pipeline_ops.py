@@ -280,3 +280,24 @@ def test_cosine_gemm_candidates_equal_naive(spark):
     }
     assert naive == gemm
     assert naive, "empty result defeats the test"
+
+
+def test_kmeans_fit_improves_and_deterministic(spark):
+    from tickdb_spark.operators.kmeans import assign_cells, inertia, kmeans_fit
+    from tickdb_spark.operators.sampling import id_hash  # noqa: F401
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # the hash-min seed set IS the max_iter=0 state
+    seeds = kmeans_fit(emb, k=4, max_iter=0)
+    trained = kmeans_fit(emb, k=4, max_iter=5)
+    assert inertia(emb, trained) < inertia(emb, seeds)
+    # determinism: refit reproduces bit-identically
+    assert trained == kmeans_fit(emb, k=4, max_iter=5)
+    # assignment is stable under repartitioning
+    a = {r["vec_id"]: r["cell"] for r in assign_cells(emb, trained).collect()}
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb.repartition(7), trained).collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(4))

@@ -2039,6 +2039,26 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_kmeans_cells",
+    None,  # iterative (Lloyd) — not SQL-expressible; rows-only check
+    "k-means-trained IVF cells: deterministic hash-min seeding, GEMM "
+    "assignment + per-cell mean aggregate per iteration; output is the "
+    "cell histogram (stable across reruns/partitionings)",
+)
+def sim_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators import kmeans as _km
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3)
+    return (
+        _km.assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+@register(
     "sim_ann_topk_ivf",
     _sim.ann_topk_ivf_sql("embeddings", [0, 1, 2, 3, 4], k=5),
     "IVF-flat approximate top-5: corpus coarse-quantized to centroid "
