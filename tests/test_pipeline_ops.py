@@ -301,3 +301,28 @@ def test_kmeans_fit_improves_and_deterministic(spark):
     }
     assert a == b
     assert set(a.values()) == set(range(4))
+
+
+def test_series_trend_exact_slope(spark):
+    """Hand-checkable OLS: y = 2t + 5 over t in hours → slope exactly 2
+    per hour; exact integer path means no FP tolerance needed."""
+    from tickdb_spark.operators.trend import US_PER_HOUR, series_trend
+
+    rows = [
+        ("s", t * US_PER_HOUR, 2.0 * t + 5.0) for t in range(5)
+    ] + [("flat", t * US_PER_HOUR, 7.5) for t in range(3)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts_us", "value"])
+    got = {
+        r["event_type"]: (r["n_points"], r["slope_per_hour"])
+        for r in series_trend(ev, "event_type", "ts_us", "value", 0).collect()
+    }
+    assert got["s"] == (5, 2.0)
+    assert got["flat"] == (3, 0.0)
+    # stable under repartitioning (bigint sums are order-free)
+    got2 = {
+        r["event_type"]: (r["n_points"], r["slope_per_hour"])
+        for r in series_trend(
+            ev.repartition(5), "event_type", "ts_us", "value", 0
+        ).collect()
+    }
+    assert got == got2

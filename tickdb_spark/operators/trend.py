@@ -1,0 +1,109 @@
+"""Per-series OLS trend fitting — the batch grouped-map
+(``applyInPandas``) member of the UDF surface, built to stay
+oracle-checkable.
+
+Why this exists: ``mapInPandas`` (multimodal kernels) and
+``applyInPandasWithState`` (streaming spikes) are covered elsewhere;
+batch grouped-map is the remaining Arrow UDF shape, and a per-group
+least-squares fit is its canonical use (the whole group must be in one
+pandas frame).
+
+Cross-engine exactness, the hard part: a float OLS in pandas would never
+hash-match a SQL oracle (different accumulation orders). So the fit is
+computed in EXACT arithmetic on both sides —
+
+* timestamps become µs offsets from a fixed anchor (BIGINT, exact);
+* values are fixed-pointed to 6 decimals via ``floor(v·1e6 + 0.5)``
+  (one double multiply-add + floor: bit-identical in any engine; NOT
+  ``round``, whose half-way rule differs between Python/numpy banker's
+  rounding and SQL half-away);
+* the OLS sums Σx, Σy, Σxy, Σx² run in Python bigints (pandas side)
+  and DECIMAL(38,0) / HUGEINT (DuckDB side) — both exact;
+* slope = double(num)/double(den) — one conversion + one division on
+  identical integers → identical doubles.
+
+Scale: one shuffle on the group key; each group materializes in one
+Arrow batch (fine for ≤ millions of points per series — beyond that,
+the moment sums become a plain hash aggregate and no UDF is needed;
+this operator exists to exercise the grouped-map path with real
+semantics).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US_PER_HOUR = 3_600_000_000
+
+
+def series_trend(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    anchor_us: int,
+) -> DataFrame:
+    """Per-group OLS slope of value vs time.
+
+    ``ts_col`` must be µs-precision epoch (BIGINT). Returns one row per
+    group: ``(group, n_points, slope_per_hour)`` where slope is in
+    value-units per hour, computed exactly (see module docstring).
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) - anchor_us for v in pdf[ts_col]]
+        ys = [math.floor(float(v) * 1e6 + 0.5) for v in pdf[value_col]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num = n * sxy - sx * sy  # slope numerator, in 1e-6 units per µs
+        den = n * sxx - sx * sx
+        slope_hr = (
+            None if den == 0 else float(num) / float(den) * US_PER_HOUR / 1e6
+        )
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_points": [n],
+                "slope_per_hour": [slope_hr],
+            }
+        )
+
+    return (
+        events.select(group_col, ts_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(fit, f"{group_col} string, n_points long, slope_per_hour double")
+    )
+
+
+def series_trend_sql(
+    table_where: str, group_col: str, ts_us_expr: str, value_col: str, anchor_us: int
+) -> str:
+    """DuckDB twin: the same exact integer sums in HUGEINT (int128 —
+    decimal-typed products would overflow DuckDB's width-38 cap)."""
+    x = f"CAST({ts_us_expr} - {anchor_us} AS HUGEINT)"
+    y = f"CAST(floor({value_col} * 1000000 + 0.5) AS HUGEINT)"
+    return f"""
+    WITH m AS (
+      SELECT {group_col},
+             count(*) AS n,
+             SUM({x}) AS sx,
+             SUM({y}) AS sy,
+             SUM({x} * {y}) AS sxy,
+             SUM({x} * {x}) AS sxx
+      FROM {table_where}
+      GROUP BY {group_col}
+    )
+    SELECT {group_col}, n AS n_points,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * {US_PER_HOUR} / 1000000.0
+           END AS slope_per_hour
+    FROM m
+    """

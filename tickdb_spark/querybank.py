@@ -967,6 +967,7 @@ from tickdb_spark.operators import cluster as _cluster  # noqa: E402
 from tickdb_spark.operators import dedup as _dedup  # noqa: E402
 from tickdb_spark.operators import multimodal as _mm  # noqa: E402
 from tickdb_spark.operators import sampling as _sampling  # noqa: E402
+from tickdb_spark.operators import trend as _trend  # noqa: E402
 from tickdb_spark.operators import similarity as _sim  # noqa: E402
 
 
@@ -2036,6 +2037,40 @@ def sample_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return _sampling.stratified_sample(docs, "lang", "doc_id", 7).orderBy("doc_id")
+
+
+_TREND_ANCHOR_US = 1704067200 * 10**6  # 2024-01-01 in µs
+
+
+@register(
+    "trend_series_ols_slope",
+    _trend.series_trend_sql(
+        "events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts < TIMESTAMP '2024-02-01 00:00:00'",
+        "event_type",
+        "epoch_us(ts)",
+        "value",
+        1704067200 * 10**6,
+    )
+    + " ORDER BY event_type",
+    "per-series OLS trend slope via grouped-map applyInPandas, computed "
+    "in exact integer arithmetic (Python bigints vs HUGEINT sums) so the "
+    "Arrow-UDF path still hash-matches the SQL oracle",
+)
+def trend_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(
+            (F.col("ts") >= _TREND_ANCHOR_US * 1000)
+            & (F.col("ts") < (_TREND_ANCHOR_US + 31 * 86400 * 10**6) * 1000)
+        )
+        .select(
+            "event_type", F.expr("ts div 1000").alias("ts_us"), "value"
+        )
+    )
+    return _trend.series_trend(
+        ev, "event_type", "ts_us", "value", _TREND_ANCHOR_US
+    ).orderBy("event_type")
 
 
 @register(
