@@ -165,3 +165,46 @@ def test_stream_ingest_maintains_rollups(tmp_path, spark):
     assert routed == raw
     assert routed[0][1] == 12.0  # day1: 10 (upserted) + 2
     assert routed[1][1] == 3.0
+
+
+def test_session_gap_agg_closes_on_gap(tmp_path, spark):
+    """Two bursts 2 hours apart with a 30-min gap must land in two
+    sessions; within-burst events merge."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.streaming.ingest import session_gap_agg
+
+    base = 1704067200_000_000  # 2024-01-01 in µs
+    rows = (
+        [(base + i * 60_000_000, 1.0) for i in range(3)]            # burst 1
+        + [(base + 2 * 3600_000_000 + i * 60_000_000, 2.0) for i in range(2)]  # burst 2
+        + [(base + 9 * 3600_000_000, 9.9)]                          # watermark pusher
+    )
+    pdf = spark.createDataFrame(rows, ["ts_us", "value"])
+    src = str(tmp_path / "events")
+    pdf.write.parquet(src)
+    stream = (
+        spark.readStream.schema(pdf.schema).parquet(src)
+        .select(
+            F.lit("s").alias("series"),
+            F.timestamp_micros("ts_us").alias("ts_utc"),
+            F.create_map(F.lit("value"), F.col("value")).alias("value"),
+        )
+    )
+    agg = session_gap_agg(stream, "value", gap="30 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["session_start_us"]: (r["n_events"], r["value_sum"])
+        for r in spark.table("sess_test").collect()
+    }
+    assert got[base] == (3, 3.0)
+    assert got[base + 2 * 3600_000_000] == (2, 4.0)

@@ -1261,6 +1261,46 @@ def stream_bucket_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_session_windows",
+    None,  # dynamic session windows + watermark emission — not SQL-expressible
+    "streaming sessionization: session_window(30 min gap) per series over "
+    "a replayed file stream, closed sessions emitted in append mode",
+)
+def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from tickdb_spark.streaming.ingest import session_gap_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landing = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_sess_"), "events")
+    _os.makedirs(landing)
+    _shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema).parquet(landing)
+        # sparsify so real >30-min gaps exist (same trick as the gapfill
+        # gate query); sessions on the full stream would all merge
+        .where(F.expr("(ts div 1000) % 7") == 0)
+        .select(
+            F.col("event_type").alias("series"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+            F.create_map(F.lit("value"), F.col("value")).alias("value"),
+        )
+    )
+    agg = session_gap_agg(stream, "value", gap="30 minutes", watermark="10 minutes")
+    name = f"stream_sess_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, wave 2: multi-dimensional grouping, set ops,
 # semi/anti joins, pivot, sessionization (SURVEY.md §2.3 extensions)

@@ -134,3 +134,36 @@ def windowed_bucket_agg(
             f"{field}_max",
         )
     )
+
+
+def session_gap_agg(
+    ticks: DataFrame,
+    field: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization: events on one series closer than ``gap``
+    merge into one session window (``F.session_window`` — dynamic-length
+    state, unlike the fixed tumbling buckets of windowed_bucket_agg).
+    A session closes, and is emitted, once the watermark passes its end.
+
+    The batch twin is the lag+running-sum sessionizer behind the
+    ``sessionize_user_events`` gate query; this is the continuous form
+    with bounded state (open sessions × series, capped by the watermark).
+    """
+    v = F.col("value").getItem(field)
+    return (
+        ticks.withWatermark("ts_utc", watermark)
+        .groupBy("series", F.session_window("ts_utc", gap).alias("win"))
+        .agg(
+            F.count(v).alias("n_events"),
+            F.sum(v).alias(f"{field}_sum"),
+        )
+        .select(
+            "series",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+            f"{field}_sum",
+        )
+    )
