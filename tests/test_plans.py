@@ -82,3 +82,42 @@ def test_rangejoin_is_hash_join(spark):
     df = _df(spark, "rangejoin_click_attribution")
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
     assert count_op(df, "CartesianProduct") == 0
+
+
+def test_q6_full_pushdown_single_scan(spark):
+    df = _df(spark, "tpch_q6_revenue_forecast")
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate," in pf and "LessThan(l_shipdate," in pf
+    assert "LessThan(l_quantity," in pf
+    (schema,) = scan_read_schemas(df)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in schema
+    assert "l_orderkey" not in schema  # pruned
+
+
+def test_hash_sample_no_shuffle(spark):
+    # a deterministic sample must stay a pure filter over the scan
+    df = _df(spark, "sample_hash_deterministic")
+    assert count_op(df, "Exchange") <= 1  # only the presentation sort
+
+
+def test_q4_semi_join_shape(spark):
+    df = _df(spark, "tpch_q4_order_priority")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_ngram_prefix_join_no_cartesian(spark):
+    df = _df(spark, "dedup_ngram_jaccard_pairs")
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_q18_no_fact_broadcast(spark):
+    # the HAVING survivors broadcast; lineitem/orders never do
+    df = _df(spark, "tpch_q18_large_volume_customers")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one lineitem aggregation feeds both the filter and the output qty
+    assert count_op(df, "CartesianProduct") == 0

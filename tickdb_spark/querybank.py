@@ -2114,6 +2114,61 @@ def trend_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "collection_function_battery",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_slice(toks, 1, 6)), ' ') AS first6_sorted,
+           len(toks) AS n_toks,
+           list_contains(toks, 'the') AS has_the,
+           CAST(list_aggregate(list_transform(list_slice(toks, 1, 6), x -> length(x)),
+                               'sum') AS BIGINT) AS first6_len_sum,
+           -- DuckDB's array_to_string of an empty list is NULL; Spark's
+           -- array_join is '' — align on ''
+           COALESCE(array_to_string(list_filter(list_slice(toks, 1, 6),
+                                                x -> length(x) > 4),
+                                    '|'), '') AS first6_long_toks,
+           json_extract_string('{"lang": "' || lang || '", "n": ' || n_chars || '}',
+                               '$.lang') AS j_lang,
+           CAST(json_extract_string('{"lang": "' || lang || '", "n": ' || n_chars || '}',
+                                    '$.n') AS BIGINT) AS j_n
+    FROM t ORDER BY doc_id
+    """,
+    "collection + JSON function battery: array sort/slice/contains/"
+    "transform/filter/aggregate lambdas and JSON-path extraction — the "
+    "higher-order-function parity check (all codegen, no UDFs)",
+)
+def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    first6 = F.slice(toks, 1, 6)
+    payload = F.concat(
+        F.lit('{"lang": "'), F.col("lang"), F.lit('", "n": '),
+        F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(first6), " ").alias("first6_sorted"),
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.aggregate(
+            F.transform(first6, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("first6_len_sum"),
+        F.array_join(
+            F.filter(first6, lambda x: F.length(x) > 4), "|"
+        ).alias("first6_long_toks"),
+        F.get_json_object(payload, "$.lang").alias("j_lang"),
+        F.get_json_object(payload, "$.n").cast("long").alias("j_n"),
+    ).orderBy("doc_id")
+
+
+@register(
     "sim_ivf_kmeans_cells",
     None,  # iterative (Lloyd) — not SQL-expressible; rows-only check
     "k-means-trained IVF cells: deterministic hash-min seeding, GEMM "
