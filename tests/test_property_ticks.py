@@ -117,3 +117,52 @@ def test_engine_matches_oracle_on_random_batches(batches, tdb_factory):
             assert (both_nan | close).all(), (col, a[~(both_nan | close)], b[~(both_nan | close)])
         else:
             assert (both_nan | (a == b)).all(), (col, a, b)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Spark hash-min label propagation ≡ a pure-Python union-find on
+    random graphs over 20 nodes (self-loops and duplicate edges legal)."""
+    from tickdb_spark.operators.cluster import connected_components
+
+    parent = list(range(20))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(20)}
+    # canonicalize: min member per component
+    comp_min = {}
+    for i, r in expected.items():
+        comp_min.setdefault(r, i)
+    expected = {i: comp_min[r] for i, r in expected.items()}
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    pairs = (
+        spark.createDataFrame(edges, ["id_a", "id_b"])
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, pairs, id_col="id").collect()
+    }
+    assert got == expected
