@@ -2169,6 +2169,47 @@ def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_multi_distinct_stringagg",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_active_days,
+           count(*) AS n_events,
+           string_agg(DISTINCT CAST(user_id % 7 AS VARCHAR), ','
+                      ORDER BY CAST(user_id % 7 AS VARCHAR)) AS cohort_list
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "multiple DISTINCT aggregates in one grouping (Catalyst Expand "
+    "rewrite — each distinct column gets its own aggregation lane) plus "
+    "an ordered string_agg of a distinct set (sorted collect keeps the "
+    "concatenation deterministic)",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).where(
+        (F.col("ts") >= 1704067200 * 10**9) & (F.col("ts") < 1706745600 * 10**9)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.date_trunc("day", F.timestamp_micros(F.expr("ts div 1000")))
+            ).alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set((F.col("user_id") % 7).cast("string"))
+                ),
+                ",",
+            ).alias("cohort_list"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "sim_ivf_kmeans_cells",
     None,  # iterative (Lloyd) — not SQL-expressible; rows-only check
     "k-means-trained IVF cells: deterministic hash-min seeding, GEMM "
