@@ -1908,6 +1908,54 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "agg_corr_covar_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM m ORDER BY l_returnflag
+    """,
+    "covariance + Pearson correlation via exact decimal moment sums — "
+    "deterministic cross-engine where built-in corr/covar_samp (Welford-"
+    "style, order-dependent) would hash-mismatch",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    D38 = "decimal(38,10)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(D38)).cast("double").alias("sx"),
+        F.sum(y.cast(D38)).cast("double").alias("sy"),
+        F.sum((x * x).cast(D38)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(D38)).cast("double").alias("syy"),
+        F.sum((x * y).cast(D38)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp"),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
 register(
     "agg_approx_sketches",
     None,  # approximations are engine-specific — rows-only by design
