@@ -2062,12 +2062,16 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     top_bg_expr = F.aggregate(F.array_sort(bigrams), acc0, _step, lambda a: a.best)
+    # cache() is a projection barrier: the ratio + keep columns below each
+    # reference these signals, and CollapseProject would otherwise inline
+    # (and recompute) the sort+fold per reference — measured 2-3× worse
+    # than the explode it replaced. The cached frame is 4 ints per doc.
     sig = docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct"),
         top_bg_expr.alias("top_bigram"),
-    )
+    ).cache()
     dup_ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words")
     bg_ratio = F.col("top_bigram").cast("double") / F.greatest(
         F.col("n_words") - 1, F.lit(1)
