@@ -2066,7 +2066,11 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference these signals, and CollapseProject would otherwise inline
     # (and recompute) the sort+fold per reference — measured 2-3× worse
     # than the explode it replaced. The cached frame is 4 ints per doc.
-    sig = docs.select(
+    # repartition first: the single-split parquet would otherwise run the
+    # whole fold in one task (the explode version parallelized for free
+    # at its shuffle; per-row compute needs the spread up front).
+    par = spark.sparkContext.defaultParallelism
+    sig = docs.repartition(par).select(
         "doc_id",
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct"),
