@@ -87,6 +87,43 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus — how a production
+    pipeline actually runs: the historical side is a compact
+    ``(content_hash)`` fingerprint table (16 bytes/doc, not the corpus),
+    and each arriving batch does (1) within-batch canonical election,
+    then (2) an anti-join of the batch's keepers against the seen hashes.
+    Full-corpus re-dedup never happens.
+
+    Returns the new batch's rows with ``is_new`` (survives both stages —
+    append it and its hash) and ``dup_of_corpus`` (killed by stage 2).
+    Scale: the join keys on the hash; with the fingerprint table bucketed
+    by hash this is a co-located join, and the batch side is the small
+    side — broadcast when it fits.
+    """
+    within = exact_dedup_groups(new_docs, text_col, id_col)
+    seen_h = seen.select(F.col(seen_hash_col).alias("content_hash")).distinct()
+    return (
+        within.join(
+            seen_h.withColumn("_seen", F.lit(True)), "content_hash", "left"
+        )
+        .select(
+            id_col,
+            "content_hash",
+            "keep_id",
+            "group_size",
+            (F.col("is_keeper") & F.col("_seen").isNull()).alias("is_new"),
+            F.col("_seen").isNotNull().alias("dup_of_corpus"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -2095,6 +2095,60 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_vs_corpus",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 250
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id >= 400
+      UNION ALL SELECT doc_id + 2000000, text FROM documents
+                WHERE doc_id >= 100 AND doc_id < 150
+    ), hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM batch
+    ), groups AS (
+      SELECT content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+      FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.content_hash, g.keep_id, g.group_size,
+           (h.doc_id = g.keep_id AND s.content_hash IS NULL) AS is_new,
+           s.content_hash IS NOT NULL AS dup_of_corpus
+    FROM hashed h
+    JOIN groups g USING (content_hash)
+    LEFT JOIN seen s ON s.content_hash = h.content_hash
+    ORDER BY h.doc_id
+    """,
+    "incremental dedup: a new batch (with planted within-batch dupes) "
+    "dedups against the historical fingerprint table via hash anti-join — "
+    "the production shape; the corpus is never re-deduped",
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    seen = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    batch = (
+        docs.where(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") >= 400).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(  # planted corpus re-submissions -> dup_of_corpus
+            docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return _dedup.incremental_exact_dedup(batch, seen, "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "dedup_cluster_components",
     _cluster.dedup_clusters_sql(
         _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5),
