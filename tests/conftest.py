@@ -69,6 +69,17 @@ def assert_frames_match(spark_df, duck_df: pd.DataFrame, float_tol: float = 0.0)
     b = duck_df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     for c in cols:
         av, bv = a[c], b[c]
+        # Driver-faithful dtype discipline: the driver hashes raw values, so
+        # an integer column on one side vs float on the other (e.g. DuckDB
+        # SUM(int) -> HUGEINT -> float64) is a hash mismatch even when the
+        # values are numerically equal. Catch it here instead of coercing.
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        int_vs_float = (ak in "iu" and bk == "f") or (ak == "f" and bk in "iu")
+        assert not int_vs_float, (
+            f"column {c} dtype-kind mismatch: spark={av.dtype} oracle={bv.dtype} "
+            "(integer vs float — would fail the driver's hash; CAST the oracle "
+            "aggregate to BIGINT or the Spark side to DOUBLE)"
+        )
         if float_tol and av.dtype.kind == "f":
             both_nan = av.isna() & bv.isna()
             close = (av - bv).abs() <= float_tol

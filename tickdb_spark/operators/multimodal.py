@@ -108,6 +108,20 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+def extract_features_gate(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Gate-facing contract for feature extraction: every column scalar
+    (``feat`` serialized to a stable decimal string) so any downstream
+    canonicalizer can sort/hash rows. The array form stays available via
+    :func:`extract_features` for operator composition."""
+    feats = extract_features(df, batch_rows=batch_rows)
+    feat_json = F.concat_ws(
+        ",", F.transform("feat", lambda x: F.format_number(x, 6))
+    )
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "sha", feat_json.alias("feat_json")
+    )
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """Real image decode — requires PIL/opencv, not in this container."""
     raise NotImplementedError(

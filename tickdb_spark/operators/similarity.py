@@ -205,6 +205,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm_candidates: bool = True,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact.
 
@@ -212,17 +213,25 @@ def cosine_neardup_pairs(
     product evaluated JVM-side. O(n²·d) through codegen — the reference
     shape, and the fallback when Arrow/numpy is unavailable.
 
-    ``gemm_candidates=True`` (default): two-phase. Candidates come from a
-    blocked matrix multiply — each Arrow batch of vectors multiplies
-    against the L2-normalized corpus matrix (broadcast; ~n·d·8 bytes) in
-    one BLAS GEMM, keeping pairs with sim ≥ τ−1e-4. The slack absorbs
-    FP-order differences between BLAS and sequential summation. Survivors
-    are re-scored with the EXPLICIT left-associative expression both
-    engines share, and the threshold + rounding applied to THAT value —
-    so the emitted pairs and cosines are bit-identical to the naive path.
-    Same O(n²·d) flops, but dense GEMM instead of per-row codegen: ~10×
-    at sf0.1. At 100 TB the broadcast no longer fits — block BOTH sides
-    (grid of matrix tiles) or use the LSH/IVF candidate paths.
+    ``gemm_candidates=True`` (default): two-phase, fully distributed.
+    Candidates come from a **tiled** matrix multiply: each vector is
+    hashed into one of ``n_blocks`` blocks, replicated once per block it
+    must meet, and every block *pair* (i ≤ j) becomes one
+    ``applyInPandas`` group that runs a single BLAS GEMM between the two
+    L2-normalized tiles, keeping pairs with sim ≥ τ−1e-4. The slack
+    absorbs FP-order differences between BLAS and sequential summation.
+    Survivors are re-scored with the EXPLICIT left-associative expression
+    both engines share, and the threshold + rounding applied to THAT
+    value — so the emitted pairs and cosines are bit-identical to the
+    naive path. Same O(n²·d) flops as naive, but dense GEMM instead of
+    per-row codegen: ~10× at sf0.1.
+
+    Scale: nothing touches the driver — shuffle volume is
+    ``n_blocks·n·d`` floats and peak executor memory is two tiles
+    (2·(n/n_blocks)·d·8 bytes). Size ``n_blocks ≈ n·d·8 / 256 MB`` so a
+    tile pair fits comfortably; the flop count is unchanged by B, so at
+    true 100-TB corpus sizes prefer the LSH/IVF candidate paths and keep
+    this exact path for per-bucket refinement.
 
     Perf note (measured at sf0.1): the naive form must stay a raw-float-
     array expression — a "pre-normalize then single dot" rewrite fell off
@@ -244,35 +253,70 @@ def cosine_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    # Build the broadcast corpus matrix (the "build side" of this join).
-    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    ids = pdf["id"].to_numpy()
-    mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = np.inf  # zero vectors match nothing (cos undefined)
-    mat_n = mat / norms[:, None]
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat_n))
     cut = threshold - 1e-4
+    B = n_blocks
 
-    def gen(batches):
-        b_ids, b_mat = bc.value
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            block = np.vstack(batch["v"].to_numpy()).astype("float64")
-            bn = np.linalg.norm(block, axis=1)
-            bn[bn == 0.0] = np.inf
-            sims = (block / bn[:, None]) @ b_mat.T
-            ii, jj = np.where(sims >= cut)
-            ida, idb = batch["id"].to_numpy()[ii], b_ids[jj]
-            keep = ida < idb
-            yield pd.DataFrame({"id_a": ida[keep], "id_b": idb[keep]})
-
-    cand = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .repartition(par)
-        .mapInPandas(gen, "id_a long, id_b long")
+    # Replicate each vector to every block pair it participates in: a row
+    # in block k lands in groups (min(k,j), max(k,j)) for all j — B copies
+    # per row, B(B+1)/2 GEMM tasks, no driver materialization.
+    rep = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("blk"),
+        )
+        .select(
+            "id",
+            "v",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other"),
+        )
+        .select(
+            "id",
+            "v",
+            "blk",
+            F.least("blk", "other").alias("pa"),
+            F.greatest("blk", "other").alias("pb"),
+        )
     )
+
+    def _normed(pdf: pd.DataFrame):
+        ids = pdf["id"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        return ids, mat / norms[:, None]
+
+    def gemm_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if pa == pb:
+            # full square; each unordered pair shows up twice — keep one
+            if len(pdf) == 0:
+                return empty
+            ids, mat = _normed(pdf)
+            sims = mat @ mat.T
+            ii, jj = np.where(sims >= cut)
+            ida, idb = ids[ii], ids[jj]
+            keep = ida < idb
+            ida, idb = ida[keep], idb[keep]
+        else:
+            # each unordered pair shows up once; block order is hash order,
+            # not id order — normalize to (lo, hi)
+            left = pdf[pdf["blk"] == pa]
+            right = pdf[pdf["blk"] == pb]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            l_ids, l_mat = _normed(left)
+            r_ids, r_mat = _normed(right)
+            sims = l_mat @ r_mat.T
+            ii, jj = np.where(sims >= cut)
+            la, rb = l_ids[ii], r_ids[jj]
+            ida, idb = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"id_a": ida, "id_b": idb})
+
+    cand = rep.groupBy("pa", "pb").applyInPandas(gemm_tile, "id_a long, id_b long")
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

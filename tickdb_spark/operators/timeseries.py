@@ -80,7 +80,7 @@ def time_weighted_avg_sql(
     SELECT bucket,
            CAST(SUM(CAST(v * dt AS DECIMAL(28,6))) AS DOUBLE) / SUM(dt)
              AS {field_alias}_twa,
-           SUM(dt) AS covered_ns
+           CAST(SUM(dt) AS BIGINT) AS covered_ns
     FROM weighted GROUP BY bucket ORDER BY bucket
     """
 

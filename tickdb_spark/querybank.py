@@ -481,10 +481,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_by_linestatus",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -1156,11 +1156,13 @@ register(
     "media_feature_extract",
     None,  # mapInPandas custom kernel — not SQL-expressible; rows-only check
     "Arrow-batched mapInPandas feature extraction over binary content "
-    "(deterministic fake decode kernel; real codecs stubbed)",
+    "(deterministic fake decode kernel; real codecs stubbed). Gate contract "
+    "is all-scalar (feat serialized to feat_json) so the driver's "
+    "canonicalizer can sort/hash rows.",
 )(
-    lambda spark, sf_dir: _mm.extract_features(
+    lambda spark, sf_dir: _mm.extract_features_gate(
         _mm.documents_as_media(_read(spark, sf_dir, "documents"))
-    )
+    ).orderBy("media_id")
 )
 
 
@@ -1422,8 +1424,9 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, tus,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM e
     )
     SELECT user_id, session_id, count(*) AS n_events,
