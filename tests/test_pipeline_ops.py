@@ -303,6 +303,45 @@ def test_kmeans_fit_improves_and_deterministic(spark):
     assert set(a.values()) == set(range(4))
 
 
+def test_kmeans_sampled_training_deterministic(spark):
+    """hash_sample training (the 100-TB path) stays bit-deterministic and
+    partitioning-independent; a sample too thin to seed k centroids falls
+    back to full-corpus training."""
+    from tickdb_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t1 = kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5)
+    t2 = kmeans_fit(emb.repartition(5), k=4, max_iter=3, sample_fraction=0.5)
+    assert t1 == t2
+    # sampled training sees different rows than full training
+    assert t1 != kmeans_fit(emb, k=4, max_iter=3)
+    # near-zero fraction -> sample has < k rows -> full-corpus fallback
+    assert kmeans_fit(emb, k=4, max_iter=0, sample_fraction=1e-9) == kmeans_fit(
+        emb, k=4, max_iter=0
+    )
+
+
+def test_ann_topk_ivf_trained_centroids(spark):
+    """Trainer -> IVF routing end-to-end: k rows per query, deterministic
+    across reruns, and every reported neighbor's cosine is exact (matches
+    the brute-force score for that pair)."""
+    from tickdb_spark.operators.kmeans import kmeans_fit
+    from tickdb_spark.operators.similarity import ann_topk_bruteforce, ann_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5)
+    got = ann_topk_ivf(emb, [0, 1, 2], k=5, centroids=cents).collect()
+    assert len(got) == 15  # 3 queries x top-5 (cells are dense enough)
+    again = ann_topk_ivf(emb, [0, 1, 2], k=5, centroids=cents).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_topk_bruteforce(emb, [0, 1, 2], k=1_000_000).collect()
+    }
+    for r in got:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
 def test_series_trend_exact_slope(spark):
     """Hand-checkable OLS: y = 2t + 5 over t in hours → slope exactly 2
     per hour; exact integer path means no FP tolerance needed."""

@@ -49,22 +49,44 @@ def kmeans_fit(
     vec_col: str = "embedding",
     max_iter: int = 20,
     tol: float = 1e-6,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Train k centroids; returns them as plain Python lists (broadcast-
     able literals, directly usable by ``ann_topk_ivf``-style cell
-    routing). Deterministic: hash-min seeding + float64 means."""
+    routing). Deterministic: hash-min seeding + float64 means.
+
+    ``sample_fraction`` trains on a deterministic ``hash_sample`` of the
+    corpus — the 100-TB path (1-10M vectors is plenty for k≤65k cells;
+    each Lloyd iteration then scans the sample, not the corpus). The
+    final full-corpus assignment stays with the caller (``assign_cells``).
+    Sampling is by id-hash, so the trained centroids are still exactly
+    reproducible run-to-run and partitioning-independent."""
     import numpy as np
 
+    from tickdb_spark.operators.sampling import hash_sample
+
+    train = emb
+    if sample_fraction is not None and sample_fraction < 1.0:
+        train = hash_sample(emb, id_col, sample_fraction)
+
     seeds = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(id_hash(F.col("id")), F.col("id"))
         .limit(k)
         .toPandas()
     )
+    if len(seeds) < k:  # sample too thin for k seeds — train on the corpus
+        train = emb
+        seeds = (
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy(id_hash(F.col("id")), F.col("id"))
+            .limit(k)
+            .toPandas()
+        )
     centroids = np.vstack(seeds["v"].to_numpy()).astype("float64")
 
     for _ in range(max_iter):
-        assigned = assign_cells(emb, centroids.tolist(), id_col, vec_col)
+        assigned = assign_cells(train, centroids.tolist(), id_col, vec_col)
         # per-cell running sums: k·d doubles of state per task (map-side
         # combine), one k-row shuffle
         sums = (

@@ -360,17 +360,31 @@ CENTROIDS = _centroids()
 _C_NORM2 = [round(sum(x * x for x in c), 8) for c in CENTROIDS]
 
 
-def _cell_scores(vec: str, dim: int = EMB_DIM, sql: bool = False) -> list[str]:
+def _cell_scores(
+    vec: str,
+    dim: int = EMB_DIM,
+    sql: bool = False,
+    centroids: list[list[float]] | None = None,
+) -> list[str]:
     """Distance score per centroid: |v-c|^2 - |v|^2 = -2<v,c> + |c|^2
     (the |v|^2 term is constant per vector, so argmin is unchanged)."""
+    cents = CENTROIDS if centroids is None else centroids
+    norm2 = _C_NORM2 if centroids is None else [
+        round(sum(x * x for x in c), 8) for c in cents
+    ]
     out = []
-    for c, n2 in zip(CENTROIDS, _C_NORM2):
+    for c, n2 in zip(cents, norm2):
         neg2c = [round(-2.0 * x, 6) for x in c]
         out.append(f"({dot_literal_expr(vec, neg2c, dim, sql)} + ({n2!r}))")
     return out
 
 
-def ivf_scores_expr(vec: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+def ivf_scores_expr(
+    vec: str,
+    dim: int = EMB_DIM,
+    sql: bool = False,
+    centroids: list[list[float]] | None = None,
+) -> str:
     """Array of per-centroid distance scores, computed ONCE per row.
 
     Deriving cell / probe set from this array (instead of inlining every
@@ -378,7 +392,7 @@ def ivf_scores_expr(vec: str, dim: int = EMB_DIM, sql: bool = False) -> str:
     limit: the inlined form re-embedded all 8 scores (64-term dots each)
     per CASE level — ~4.6k multiply-adds/row, interpreted — and ran 40×
     slower (measured: 38.7 s → this form, sub-second-per-stage)."""
-    scores = _cell_scores(vec, dim, sql)
+    scores = _cell_scores(vec, dim, sql, centroids)
     body = ", ".join(scores)
     return f"[{body}]" if sql else f"array({body})"
 
@@ -418,13 +432,19 @@ def ann_topk_ivf(
     margin: float = IVF_MARGIN,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization: the corpus is
     assigned to its nearest centroid cell once (linear scan); each query
     probes every cell within ``margin`` of its best cell and ranks only
     those cells' vectors. Equi-join on cell id — the classic
-    IVF-flat search shape, deterministic given the fixed centroids."""
+    IVF-flat search shape, deterministic given the fixed centroids.
+
+    ``centroids`` routes through caller-supplied cells (the production
+    shape: ``kmeans.kmeans_fit`` → here); default is the fixed
+    pseudo-centroid set shared with the SQL oracle."""
     par = emb.sparkSession.sparkContext.defaultParallelism
+    n_cells = N_CENTROIDS if centroids is None else len(centroids)
     # Two-step: materialize the scores array in its own projection, then
     # reference it — Catalyst keeps the projections separate (collapsing
     # would duplicate a non-cheap expression used twice), so the 8 dot
@@ -433,7 +453,7 @@ def ann_topk_ivf(
         emb.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),
-            F.expr(ivf_scores_expr(vec_col)).alias("scores"),
+            F.expr(ivf_scores_expr(vec_col, centroids=centroids)).alias("scores"),
         )
         .select(
             "neighbor_id", "cvec", F.expr(ivf_cell_from_scores()).alias("cell")
@@ -445,12 +465,14 @@ def ann_topk_ivf(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.expr(ivf_scores_expr(vec_col)).alias("scores"),
+            F.expr(ivf_scores_expr(vec_col, centroids=centroids)).alias("scores"),
         )
         .select(
             "query_id",
             "qvec",
-            F.explode(F.expr(ivf_probes_from_scores(margin))).alias("cell"),
+            F.explode(
+                F.expr(ivf_probes_from_scores(margin, n=n_cells))
+            ).alias("cell"),
         )
     )
     cos = F.expr(cosine_expr("qvec", "cvec"))

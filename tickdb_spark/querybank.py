@@ -2340,13 +2340,32 @@ def sim_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickdb_spark.operators import kmeans as _km
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = _km.kmeans_fit(emb, k=4, max_iter=3)
+    # 100-TB shape: Lloyd iterations over a deterministic hash-sample,
+    # one full-corpus assignment pass at the end.
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5)
     return (
         _km.assign_cells(emb, cents)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cell")
     )
+
+
+@register(
+    "sim_ann_topk_ivf_trained",
+    None,  # trainer is iterative (Lloyd) — centroids are data-dependent,
+    # so no static SQL twin exists; rows-only. Determinism: hash-min
+    # seeding + hash-sampled training make the centroids (and therefore
+    # the result) bit-stable across reruns and repartitionings.
+    "production IVF shape end-to-end: k-means trainer (hash-sampled) -> "
+    "trained centroid cells -> margin-probed equi-join top-k",
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators import kmeans as _km
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5)
+    return _sim.ann_topk_ivf(emb, [0, 1, 2, 3, 4], k=5, centroids=cents)
 
 
 @register(
