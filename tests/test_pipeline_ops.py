@@ -191,6 +191,64 @@ def test_connected_components_long_chain_converges(spark):
     assert all(r["component"] == 0 for r in comp)
 
 
+def test_two_phase_cc_matches_union_find_random_graph(spark):
+    """large-star/small-star must agree with a driver-side union-find on
+    a random sparse graph (mixed components, singletons)."""
+    import random
+
+    from tickdb_spark.operators.cluster import connected_components
+
+    rng = random.Random(42)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # union-find roots are arbitrary; canonicalize to min id per component
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    want = {i: min(g) for g in groups.values() for i in g}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, pairs, id_col="doc_id", algorithm="two_phase"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_two_phase_cc_path_graph_log_rounds(spark):
+    """The adversarial case hash-min can't afford: a 10k-node path
+    (diameter 9999). two_phase must collapse it to one component within
+    its bounded round budget (O(log n) ≈ 14, budget 25)."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.cluster import connected_components
+
+    n = 10_000
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components(
+        nodes, pairs, id_col="doc_id", algorithm="two_phase", max_iter=25
+    )
+    assert comp.where(F.col("component") != 0).limit(1).count() == 0
+    assert comp.count() == n
+
+
 def test_hash_sample_deterministic_under_repartition(spark):
     """The sample is a pure function of ids: same rows regardless of
     partitioning (df.sample() can't promise this)."""

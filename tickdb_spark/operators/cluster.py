@@ -25,8 +25,10 @@ Scale design (100 TB: billions of nodes, pair graph ≪ node count):
   blocks executor-resident, which is the right trade in one JVM.)
 * For adversarial graphs (long chains / giant components) the
   alternating large-star/small-star algorithm (Kiveris et al., "Connected
-  Components in MapReduce and Beyond") halves diameter per round; not
-  needed for dedup-shaped graphs.
+  Components in MapReduce and Beyond") converges in O(log diameter)
+  rounds — pass ``algorithm="two_phase"`` to use it. Dedup-shaped graphs
+  (tiny dense cliques) don't need it; a 10k-node path graph does (the
+  property test covers exactly that).
 """
 
 from __future__ import annotations
@@ -42,13 +44,24 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "hash_min",
 ) -> DataFrame:
-    """Exact connected components by hash-min propagation.
+    """Exact connected components.
 
     nodes: one row per vertex (``id_col``); vertices with no edge become
     singleton components. edges: undirected pair list. Returns
     ``(id, component)`` where component = min node id in the component.
+
+    ``algorithm="hash_min"`` (default): min-label propagation, one round
+    per graph-diameter step — right for dedup graphs (clique-ish, diameter
+    2-3). ``algorithm="two_phase"``: alternating large-star/small-star
+    (Kiveris et al.), O(log diameter) rounds — for adversarial shapes
+    (long chains, giant stringy components).
     """
+    if algorithm == "two_phase":
+        return _cc_two_phase(nodes, edges, id_col, src_col, dst_col, max_iter)
+    if algorithm != "hash_min":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
     # Symmetrize once; both directions needed so min labels flow both ways.
     e = edges.select(
@@ -92,6 +105,83 @@ def connected_components(
     return (
         ids.join(labels, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def _cc_two_phase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Invariant: the edge set always links nodes within one true component;
+    each round contracts toward per-component stars centered at the min
+    id. Both phases are one groupBy (per-node min) + one equi-join on the
+    edge list — never the corpus — and the round count is O(log diameter)
+    instead of hash-min's O(diameter).
+
+    * large-star: every node u re-links its LARGER neighbors to
+      ``m = min(N(u) ∪ {u})`` — long chains fold in half.
+    * small-star: every node u re-links its smaller neighbors (and
+      itself) to the min — stars flatten to depth 1.
+
+    Convergence = the edge set reaches a fixed point (then every edge is
+    (node, component-min)).
+    """
+    ids = nodes.select(F.col(id_col).cast("long").alias("id")).distinct()
+    # Canonical orientation (big, small); self-loops dropped.
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    e = (
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # --- large-star over the symmetrized neighborhood ---
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star over the (u > v)-oriented result ---
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(m2, "u")
+        ss = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            ss.count() == e.count()
+            and ss.exceptAll(e).limit(1).count() == 0
+        )
+        e = ss
+        if converged:
+            break
+
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
     )
 
 

@@ -1227,9 +1227,27 @@ def tick_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_windowed_bucket_agg",
-    None,  # watermark-governed append-mode emission — not SQL-expressible
+    """
+    WITH pts AS (
+      SELECT event_type AS series, epoch_us(ts) AS tus, value AS v FROM events
+    ),
+    agg AS (
+      SELECT series, (tus - (tus % 3600000000)) AS bucket_us,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+             COUNT(v) AS value_count,
+             MIN(v) AS value_min, MAX(v) AS value_max
+      FROM pts GROUP BY series, bucket_us
+    ),
+    cut AS (SELECT max(tus) - 600000000 AS wm FROM pts)
+    SELECT a.* FROM agg a, cut
+    WHERE a.bucket_us + 3600000000 <= cut.wm
+    ORDER BY a.series, a.bucket_us
+    """,
     "streaming D3: watermarked tumbling-window aggregate over a file "
-    "stream of the events table (availableNow), emitting closed buckets",
+    "stream of the events table (availableNow), emitting closed buckets. "
+    "Oracle = the batch view after the final watermark: every 1h window "
+    "whose end <= max(event time) - 10 min is emitted exactly once "
+    "(append mode), so the sunk result is deterministic and hash-checkable",
 )
 def stream_bucket_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
@@ -1260,14 +1278,47 @@ def stream_bucket_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return spark.table(name).orderBy("series", "bucket_us")
 
 
 @register(
     "stream_session_windows",
-    None,  # dynamic session windows + watermark emission — not SQL-expressible
+    """
+    WITH pts AS (
+      SELECT event_type AS series, epoch_us(ts) AS tus, value AS v
+      FROM events WHERE (epoch_us(ts) % 7) = 0
+    ),
+    e AS (
+      SELECT series, tus, v,
+             CASE WHEN tus - lag(tus) OVER (PARTITION BY series ORDER BY tus)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM pts
+    ),
+    s AS (
+      SELECT series, tus, v,
+             CAST(SUM(new_sess) OVER (PARTITION BY series ORDER BY tus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM e
+    ),
+    sess AS (
+      SELECT series, min(tus) AS session_start_us,
+             max(tus) + 1800000000 AS session_end_us,
+             count(*) AS n_events,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM s GROUP BY series, sid
+    ),
+    cut AS (SELECT max(tus) - 600000000 AS wm FROM pts)
+    SELECT series, session_start_us, session_end_us, n_events, value_sum
+    FROM sess, cut WHERE session_end_us <= cut.wm
+    ORDER BY series, session_start_us
+    """,
     "streaming sessionization: session_window(30 min gap) per series over "
-    "a replayed file stream, closed sessions emitted in append mode",
+    "a replayed file stream, closed sessions emitted in append mode. "
+    "Oracle = batch gap-sessionization (lag + running sum) of the same "
+    "rows, keeping sessions whose end (last event + gap) closed before "
+    "the final watermark (max event time - 10 min)",
 )
 def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
@@ -1300,7 +1351,7 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return spark.table(name).orderBy("series", "session_start_us")
 
 
 # ---------------------------------------------------------------------------

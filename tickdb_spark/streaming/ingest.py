@@ -120,7 +120,10 @@ def windowed_bucket_agg(
         ticks.withWatermark("ts_utc", watermark)
         .groupBy(F.window("ts_utc", window).alias("win"), "series")
         .agg(
-            F.sum(v).alias(f"{field}_sum"),
+            # decimal accumulation -> the sum is partition-order-independent
+            # and bit-identical to any other engine's decimal sum (the same
+            # discipline as every batch double-SUM in the query bank)
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias(f"{field}_sum"),
             F.count(v).alias(f"{field}_count"),
             F.min(v).alias(f"{field}_min"),
             F.max(v).alias(f"{field}_max"),
@@ -157,7 +160,8 @@ def session_gap_agg(
         .groupBy("series", F.session_window("ts_utc", gap).alias("win"))
         .agg(
             F.count(v).alias("n_events"),
-            F.sum(v).alias(f"{field}_sum"),
+            # same decimal discipline as windowed_bucket_agg: order-free sum
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias(f"{field}_sum"),
         )
         .select(
             "series",
