@@ -1465,6 +1465,44 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_metrics",
+    """
+    WITH m AS (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val
+    )
+    SELECT metric,
+           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
+           COUNT(*) AS n, MIN(val) AS val_min, MAX(val) AS val_max
+    FROM m GROUP BY metric ORDER BY metric
+    """,
+    "unpivot/melt: wide metric columns to long (metric, value) rows — "
+    "pivot's inverse (narrow schema for generic per-metric pipelines)",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    m = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return (
+        m.groupBy("metric")
+        .agg(
+            F.sum(F.col("val").cast(DEC)).cast("double").alias("val_sum"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("val_min"),
+            F.max("val").alias("val_max"),
+        )
+        .orderBy("metric")
+    )
+
+
+@register(
     "sessionize_user_events",
     """
     WITH e AS (

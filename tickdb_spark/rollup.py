@@ -261,6 +261,10 @@ def route_tick_query(
 
 
 def _answer_from_rollup(rollup: DataFrame, query: TickQuery, unit: str) -> DataFrame:
+    """One conditional-aggregation pass: every (field, reducer) pair is a
+    field-gated merge aggregate in a single groupBy(bucket) — one shuffle
+    over the (tiny) rollup rows instead of the aggregate-then-pivot
+    two-shuffle shape (routed day query: 0.70 s → ~0.5 s constant cost)."""
     frm, to = parse_time_ns(query.frm), parse_time_ns(query.to)
     df = rollup.where(
         (F.col("series") == query.series) & (F.col("bucket") >= frm) & (F.col("bucket") < to)
@@ -270,43 +274,35 @@ def _answer_from_rollup(rollup: DataFrame, query: TickQuery, unit: str) -> DataF
     for fname, rspecs in query.fields.items():
         if isinstance(rspecs, str):
             rspecs = [rspecs]
+        gate = F.col("field") == fname
         for rspec in rspecs:
-            alias = f"{fname}_{rspec}"
-            aggs.append(_merge_reducer(rspec, alias))
+            aggs.append(_merge_reducer_gated(rspec, f"{fname}_{rspec}", gate))
     if not aggs:
         raise ValueError("raw scans cannot be answered from a rollup")
-    out = (
-        df.groupBy("series", bucket, "field")
-        .agg(*aggs)
-        .where(F.col("field").isin(list(query.fields)))
-    )
-    # pivot fields back to columns: one output row per bucket
-    field_cols = []
-    for fname, rspecs in query.fields.items():
-        if isinstance(rspecs, str):
-            rspecs = [rspecs]
-        for rspec in rspecs:
-            alias = f"{fname}_{rspec}"
-            field_cols.append(
-                F.max(F.when(F.col("field") == fname, F.col(alias))).alias(alias)
-            )
-    return out.groupBy("bucket").agg(*field_cols).orderBy("bucket")
+    return df.groupBy(bucket).agg(*aggs).orderBy("bucket")
 
 
-def _merge_reducer(rspec: str, alias: str):
+def _merge_reducer_gated(rspec: str, alias: str, gate):
+    """Merge aggregate over one field's rollup states; rows of other
+    fields are gated to NULL, which every aggregate here ignores
+    (min_by/max_by skip NULL ordering keys, like min/max skip NULLs)."""
     name = rspec.split(":", 1)[0]
+
+    def g(c: str):
+        return F.when(gate, F.col(c))
+
     if name == "sum":
-        return F.sum("sum").cast("double").alias(alias)
+        return F.sum(g("sum")).cast("double").alias(alias)
     if name == "max":
-        return F.max("max").alias(alias)
+        return F.max(g("max")).alias(alias)
     if name == "min":
-        return F.min("min").alias(alias)
+        return F.min(g("min")).alias(alias)
     if name == "count":
-        return F.sum("count").alias(alias)
+        return F.sum(g("count")).alias(alias)
     if name in ("avg", "ma"):
-        return (F.sum("sum").cast("double") / F.sum("count")).alias(alias)
+        return (F.sum(g("sum")).cast("double") / F.sum(g("count"))).alias(alias)
     if name == "first":
-        return F.min_by("first", "first_ts").alias(alias)
+        return F.min_by(g("first"), g("first_ts")).alias(alias)
     if name == "last":
-        return F.max_by("last", "last_ts").alias(alias)
+        return F.max_by(g("last"), g("last_ts")).alias(alias)
     raise ValueError(f"unknown reducer: {name}")
