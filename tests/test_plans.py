@@ -115,6 +115,41 @@ def test_ngram_prefix_join_no_cartesian(spark):
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
 
 
+def test_ivf_trained_single_equijoin_no_bnlj(spark):
+    """The production IVF shape (trained centroids) must keep the fixed-
+    centroid plan: one hash equi-join on cell, never a nested loop."""
+    from tickdb_spark.operators.kmeans import kmeans_fit
+    from tickdb_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=4, max_iter=1, sample_fraction=0.5)
+    df = ann_topk_ivf(emb, [0, 1, 2], k=5, centroids=cents)
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert count_op(df, "CartesianProduct") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cosine_tiled_gemm_distributed_shape(spark):
+    """The tiled candidate pass must be a grouped applyInPandas (block
+    pairs), not a driver collect: plan shows FlatMapGroupsInPandas and
+    no nested-loop join; the exact re-score joins back by id (hash)."""
+    df = _df(spark, "sim_cosine_neardup_pairs")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_unpivot_single_scan_no_join(spark):
+    """Melt is an Expand/Generate over one scan — no join, one data
+    shuffle for the final aggregate."""
+    df = _df(spark, "unpivot_lineitem_metrics")
+    assert count_op(df, "Join") == 0
+    (schema,) = scan_read_schemas(df)
+    assert "l_shipdate" not in schema  # pruning survives the unpivot
+
+
 def test_q18_no_fact_broadcast(spark):
     # the HAVING survivors broadcast; lineitem/orders never do
     df = _df(spark, "tpch_q18_large_volume_customers")

@@ -17,14 +17,20 @@ Scale design (the whole point — these run over 100 TB of documents):
 * **embedding cosine**: brute-force is quadratic — provided as the exact
   baseline; the scale path is LSH bucketing (operators/similarity.py).
 
-MinHash uses md5-string ordering as the hash family: hash_i(shingle) =
-md5(i || '|' || shingle), minimum taken in lexicographic order. Both
-Spark and DuckDB implement md5 + binary string compare identically, which
-makes every stage oracle-checkable — a property numeric murmur hashes
-(engine-specific) don't have.
+MinHash uses the textbook universal family over ONE base hash: h =
+first 44 bits of md5(shingle) as an integer, then hash_i = (a_i·h + b_i)
+mod P (P prime < 2^44, fixed pseudo-random a_i/b_i literals shared with
+the oracle SQL). One md5 per shingle instead of k — measured 12 md5/row
+→ 1 md5 + 12 integer mul-add-mods (codegen) — and both engines compute
+the identical integers, so every stage stays oracle-checkable (a
+property engine-specific murmur hashes don't have). 44-bit h × 17-bit
+a_i stays < 2^62: no int64 overflow on either engine (DuckDB raises on
+BIGINT overflow; Spark would silently wrap — both are avoided).
 """
 
 from __future__ import annotations
+
+import random as _random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,6 +38,14 @@ from pyspark.sql import functions as F
 NGRAM_N = 3
 MINHASH_K = 12  # total hash functions
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+MINHASH_P = 17_592_186_044_399  # largest prime below 2^44
+
+_mh_rng = _random.Random(13)
+#: (a_i, b_i) literals for the universal hash family, shared with SQL.
+MH_COEF = [
+    (_mh_rng.randrange(1, 1 << 17), _mh_rng.randrange(MINHASH_P))
+    for _ in range(MINHASH_K)
+]
 
 
 def word_ngrams(col: Column, n: int = NGRAM_N) -> Column:
@@ -263,16 +277,19 @@ def ngram_jaccard_pairs_sql(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: mh_i = min(md5(i|shingle)).
-    One explode + one groupBy with k min-aggregates (map-side partial)."""
+    """k-permutation MinHash signature per doc: mh_i = min((a_i·h + b_i)
+    mod P) over shingles, h = 44-bit md5 prefix. One md5 per shingle +
+    one groupBy with k integer min-aggregates (map-side partial)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col))).alias("shingle")
     )
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 11), 16, 10).cast("long")
+    hashed = sh.select("id", h.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(k)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MH_COEF[:k])
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -349,7 +366,8 @@ def minhash_lsh_pairs_sql(
     r = k // bands
     grams = word_ngrams_sql(text_col)
     mh_aggs = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(k)
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(MH_COEF[:k])
     )
     band_rows = " UNION ALL ".join(
         f"SELECT id, {bi} AS band_idx, "
@@ -361,7 +379,11 @@ def minhash_lsh_pairs_sql(
     WITH sh AS (
       SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table}
     ), sig AS (
-      SELECT id, {mh_aggs} FROM sh GROUP BY id
+      SELECT id, {mh_aggs} FROM (
+        SELECT id,
+               CAST(concat('0x', substr(md5(shingle), 1, 11)) AS BIGINT) AS h
+        FROM sh
+      ) GROUP BY id
     ), banded AS (
       {band_rows}
     ), candidates AS (

@@ -66,13 +66,17 @@ def media_stats(df: DataFrame) -> DataFrame:
 def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic FAKE decode: derives a feature vector from raw bytes.
     Stands in for image decode + embedding; replace with a real kernel
-    (PIL/torchvision/ffmpeg) when the libraries are available."""
+    (PIL/torchvision/ffmpeg) when the libraries are available.
+
+    Vectorized: feature j is (Σ bytes at positions ≡ j mod dim) mod 997 —
+    modular sums are order-free, so the numpy strided sum is bit-identical
+    to the original per-byte loop at ~100× the speed."""
     if content is None:
         return [0.0] * dim
-    acc = [0] * dim
-    for i, byte in enumerate(content):
-        acc[i % dim] = (acc[i % dim] + byte) % 997
-    return [a / 997.0 for a in acc]
+    import numpy as np
+
+    arr = np.frombuffer(content, dtype=np.uint8)
+    return [float(int(arr[j::dim].sum(dtype=np.int64)) % 997) / 997.0 for j in range(dim)]
 
 
 def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:

@@ -287,7 +287,7 @@ def cosine_neardup_pairs(
         norms[norms == 0.0] = np.inf  # zero vectors match nothing
         return ids, mat / norms[:, None]
 
-    def gemm_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm_tile(key, pdf):
         pa, pb = key
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                               "id_b": pd.Series(dtype="int64")})
