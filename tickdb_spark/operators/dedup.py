@@ -166,9 +166,19 @@ def ngram_jaccard_pairs(
     """
     # shingles feed several consumers (sizes + join sides); cache so the
     # tokenize+explode runs once, not per consumer (measured ~35% at
-    # sf0.1; at 100 TB this would be a materialized intermediate table)
+    # sf0.1; at 100 TB this would be a materialized intermediate table).
+    # Shingles are hashed to 60-bit ints (md5 prefix) right at the source:
+    # every downstream sort/join/group keys on 8-byte longs instead of
+    # text, mirrored exactly in the oracle SQL. Distinct-shingle counts
+    # are exact up to 60-bit collisions (~n²/2^61 — negligible, and both
+    # engines hash identically so the gate is unaffected regardless).
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shingle"),
     ).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -252,7 +262,9 @@ def ngram_jaccard_pairs_sql(
     grams = word_ngrams_sql(text_col, n)
     return f"""
     WITH sh AS (
-      SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table}
+      SELECT id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+      FROM (SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table})
     ), sizes AS (
       SELECT id, count(*) AS n_sh FROM sh GROUP BY id
     ), shared AS (
@@ -274,22 +286,40 @@ def ngram_jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle: 60-bit md5-prefix int) — the shared substrate for
+    Jaccard verification AND MinHash signatures (the 44-bit MinHash base
+    is ``shingle >> 16``: the first 11 hex chars of the same md5)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col))).alias("shingle"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shingle"),
+    )
+
+
+def _sigs_from_hashed(sh: DataFrame, k: int) -> DataFrame:
+    """MinHash signatures from hashed shingles: mh_i = min((a_i·h + b_i)
+    mod P), h = shingle >> 16 (44 bits). One groupBy with k integer
+    min-aggregates (map-side partial)."""
+    h = F.shiftright("shingle", 16)
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MH_COEF[:k])
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: mh_i = min((a_i·h + b_i)
     mod P) over shingles, h = 44-bit md5 prefix. One md5 per shingle +
     one groupBy with k integer min-aggregates (map-side partial)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col))).alias("shingle")
-    )
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 11), 16, 10).cast("long")
-    hashed = sh.select("id", h.alias("h"))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MH_COEF[:k])
-    ]
-    return hashed.groupBy("id").agg(*aggs)
+    return _sigs_from_hashed(_hashed_shingles(df, text_col, id_col), k)
 
 
 def minhash_lsh_pairs(
@@ -304,7 +334,11 @@ def minhash_lsh_pairs(
     exact Jaccard ≥ threshold. The only pairwise work is on LSH candidates
     (docs agreeing on a full band)."""
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k)
+    # One tokenize+md5 pass feeds BOTH the signatures and the exact-verify
+    # join (cached); signatures derive their 44-bit base by shifting the
+    # shared 60-bit shingle hash.
+    sh = _hashed_shingles(df, text_col, id_col).cache()
+    sig = _sigs_from_hashed(sh, k)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -328,10 +362,6 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY candidates with exact Jaccard — the full pairwise join
     # never happens; shingle lists are joined per candidate pair.
-    # Cached: feeds sizes and both verify-join sides.
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col))).alias("shingle")
-    ).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
@@ -366,7 +396,7 @@ def minhash_lsh_pairs_sql(
     r = k // bands
     grams = word_ngrams_sql(text_col)
     mh_aggs = ", ".join(
-        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        f"min(((shingle >> 16) * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
         for i, (a, b) in enumerate(MH_COEF[:k])
     )
     band_rows = " UNION ALL ".join(
@@ -377,13 +407,11 @@ def minhash_lsh_pairs_sql(
     )
     return f"""
     WITH sh AS (
-      SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table}
+      SELECT id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+      FROM (SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table})
     ), sig AS (
-      SELECT id, {mh_aggs} FROM (
-        SELECT id,
-               CAST(concat('0x', substr(md5(shingle), 1, 11)) AS BIGINT) AS h
-        FROM sh
-      ) GROUP BY id
+      SELECT id, {mh_aggs} FROM sh GROUP BY id
     ), banded AS (
       {band_rows}
     ), candidates AS (
