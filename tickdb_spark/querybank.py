@@ -2192,6 +2192,94 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT 100
+    """,
+    "vocabulary building: corpus-wide term + document frequencies, top-100 "
+    "(tie-broken on token). One explode + one hash aggregate — the "
+    "tokenizer-training / vocab-pruning primitive; at 100 TB the aggregate "
+    "is map-side-combined (vocab is zipf-bounded, tiny vs the corpus)",
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             t.tf * ((SELECT n_docs FROM n)::DOUBLE / d.df) AS score
+      FROM tf t JOIN dfreq d USING (token)
+    ), ranked AS (
+      SELECT doc_id, token, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, round(score, 6) AS score, rnk FROM ranked
+    WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    "per-document top-3 salient terms by tf-idf with a LINEAR idf "
+    "(tf * N/df): log-idf ranks identically (log is monotonic) but "
+    "libm log() may differ at 1 ulp across engines and break the hash "
+    "gate — the rational score is IEEE-exact on both. df table joins "
+    "broadcast (vocab << corpus); ranking is one per-doc window",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "score", F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "token", "tf", "df", F.round("score", 6).alias("score"), "rnk"
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
     "dedup_incremental_vs_corpus",
     """
     WITH seen AS (
