@@ -238,6 +238,30 @@ def test_connected_components_long_chain_converges(spark):
     assert all(r["component"] == 0 for r in comp)
 
 
+def test_weighted_mixture_sample_quotas(spark):
+    """Per-stratum quotas honored exactly; small strata taken whole;
+    strata without a quota excluded; selection repartition-stable."""
+    from tickdb_spark.operators.sampling import weighted_mixture_sample
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(1000 + i, "zh") for i in range(3)]
+        + [(2000 + i, "xx") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = weighted_mixture_sample(df, "lang", "doc_id", {"en": 20, "zh": 8}).collect()
+    by_lang: dict[str, set] = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 20
+    assert len(by_lang["zh"]) == 3  # smaller than quota -> whole stratum
+    assert "xx" not in by_lang  # no quota -> excluded
+    again = weighted_mixture_sample(
+        df.repartition(9), "lang", "doc_id", {"en": 20, "zh": 8}
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+
+
 def test_two_phase_cc_matches_union_find_random_graph(spark):
     """large-star/small-star must agree with a driver-side union-find on
     a random sparse graph (mixed components, singletons)."""

@@ -72,6 +72,50 @@ def stratified_sample(
     )
 
 
+def weighted_mixture_sample(
+    df: DataFrame, strata_col: str, id_col: str, quotas: dict[str, int]
+) -> DataFrame:
+    """Dataset mixing: per-stratum quotas (``{"en": 40, "zh": 6, ...}``) —
+    the "recompose the training mix by source/language weights" primitive.
+    Strata absent from ``quotas`` contribute nothing; a stratum smaller
+    than its quota is taken whole. Selection is the id-hash order (same
+    determinism contract as :func:`stratified_sample`): the chosen set is
+    a pure function of the data, stable under repartitioning and across
+    engines."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_hash(F.col(id_col)), F.col(id_col))
+    )
+    quota = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == F.lit(k), F.lit(int(v)))
+            for k, v in quotas.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def weighted_mixture_sample_sql(
+    table: str, strata_col: str, id_col: str, quotas: dict[str, int]
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v)}" for k, v in quotas.items()
+    )
+    return f"""
+    SELECT * EXCLUDE (_rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {strata_col}
+        ORDER BY {id_hash_sql(id_col)}, {id_col}
+      ) AS _rn FROM {table}
+    ) WHERE _rn <= (CASE {cases} ELSE 0 END)
+    """
+
+
 def stratified_sample_sql(
     table: str, strata_col: str, id_col: str, n_per_stratum: int
 ) -> str:

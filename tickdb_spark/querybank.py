@@ -2381,6 +2381,30 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.stratified_sample(docs, "lang", "doc_id", 7).orderBy("doc_id")
 
 
+_MIX_QUOTAS = {"en": 40, "fr": 12, "es": 12, "de": 12, "zh": 6}
+
+
+@register(
+    "sample_weighted_mixture",
+    _sampling.weighted_mixture_sample_sql(
+        "(SELECT doc_id, lang, source FROM documents)",
+        "lang",
+        "doc_id",
+        _MIX_QUOTAS,
+    )
+    + " ORDER BY doc_id",
+    "dataset mixing: per-language quotas (en-heavy mix) selected in "
+    "id-hash order — recomposing a training corpus to target source/"
+    "language weights, deterministically (stable under repartitioning, "
+    "identical on any engine)",
+)
+def sample_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return _sampling.weighted_mixture_sample(docs, "lang", "doc_id", _MIX_QUOTAS).orderBy(
+        "doc_id"
+    )
+
+
 _TREND_ANCHOR_US = 1704067200 * 10**6  # 2024-01-01 in µs
 
 
