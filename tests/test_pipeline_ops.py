@@ -238,6 +238,58 @@ def test_connected_components_long_chain_converges(spark):
     assert all(r["component"] == 0 for r in comp)
 
 
+def test_pii_scrub_and_counts(spark):
+    """Planted PII (the driver's synthetic docs carry none): every class
+    counted and replaced; clean text untouched; Spark output matches the
+    DuckDB twin byte-for-byte."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.functions.text import (
+        pii_counts, pii_counts_sql, pii_scrub, pii_scrub_sql,
+    )
+
+    rows = [
+        (1, "contact bob@example.com or alice@mail.co for details"),
+        (2, "server at 10.0.255.7 answered; card 4111111122223333 declined"),
+        (3, "totally clean text with the number 42 in it"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cnt = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            cnt["email"].alias("e"),
+            cnt["ipv4"].alias("i"),
+            cnt["longnum"].alias("n"),
+            pii_scrub(F.col("text")).alias("scrubbed"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["i"], got[1]["n"]) == (2, 0, 0)
+    assert (got[2]["e"], got[2]["i"], got[2]["n"]) == (0, 1, 1)
+    assert (got[3]["e"], got[3]["i"], got[3]["n"]) == (0, 0, 0)
+    assert "<EMAIL>" in got[1]["scrubbed"] and "@" not in got[1]["scrubbed"]
+    assert "<IPV4>" in got[2]["scrubbed"] and "<LONGNUM>" in got[2]["scrubbed"]
+    assert got[3]["scrubbed"] == rows[2][1]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    c = pii_counts_sql("text")
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            f"SELECT doc_id, {c['email']}, {c['ipv4']}, {c['longnum']}, "
+            f"{pii_scrub_sql('text')} FROM t"
+        ).fetchall()
+    }
+    for i in (1, 2, 3):
+        assert (got[i]["e"], got[i]["i"], got[i]["n"]) == tuple(duck[i][1:4])
+        assert got[i]["scrubbed"] == duck[i][4]
+
+
 def test_weighted_mixture_sample_quotas(spark):
     """Per-stratum quotas honored exactly; small strata taken whole;
     strata without a quota excluded; selection repartition-stable."""

@@ -129,6 +129,50 @@ def fingerprint_sql(text_expr: str = "text", bits: int = 64) -> str:
     )
 
 
+#: PII patterns — deliberately simple, lookaround-free regexes that parse
+#: identically under Java regex (Spark) and RE2 (DuckDB). Real pipelines
+#: extend the list; the plumbing (codegen scrub + per-doc counts) is what
+#: matters at 100 TB.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "longnum": r"\b\d{9,}\b",
+}
+PII_ORDER = ("email", "ipv4", "longnum")  # scrub order matters (overlaps)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-pattern match counts (regexp_extract_all → size), all codegen."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(col: Column) -> Column:
+    """Replace each PII class with a typed placeholder, in fixed order so
+    both engines transform identically (an email scrubbed first can't be
+    half-eaten by the number pattern)."""
+    out = col
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
+def pii_counts_sql(text_expr: str = "text") -> dict[str, str]:
+    return {
+        name: f"len(regexp_extract_all({text_expr}, '{pat}'))::BIGINT"
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub_sql(text_expr: str = "text") -> str:
+    out = text_expr
+    for name in PII_ORDER:
+        out = f"regexp_replace({out}, '{PII_PATTERNS[name]}', '<{name.upper()}>', 'g')"
+    return out
+
+
 ROLL_MOD = 1_000_000_007
 ROLL_BASE = 31
 

@@ -2279,6 +2279,61 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_CNT_SQL = _text.pii_counts_sql("text")
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           {_PII_CNT_SQL['email']} AS n_email,
+           {_PII_CNT_SQL['ipv4']} AS n_ipv4,
+           {_PII_CNT_SQL['longnum']} AS n_longnum,
+           md5({_text.pii_scrub_sql('text')}) AS scrub_fp
+    FROM documents ORDER BY doc_id
+    """,
+    "PII scrub: per-class match counts (email/IPv4/long digit runs) + "
+    "md5 of the placeholder-scrubbed text — all codegen regex, fixed "
+    "scrub order so both engines transform identically",
+)
+def text_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    cnt = _text.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cnt["email"].alias("n_email"),
+        cnt["ipv4"].alias("n_ipv4"),
+        cnt["longnum"].alias("n_longnum"),
+        F.md5(_text.pii_scrub(F.col("text"))).alias("scrub_fp"),
+    ).orderBy("doc_id")
+
+
+from tickdb_spark.operators import decontam as _decontam  # noqa: E402
+
+
+@register(
+    "decontaminate_train_vs_eval",
+    _decontam.contamination_report_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0",
+        "text",
+        "doc_id",
+        n=8,
+    )
+    + " ORDER BY id",
+    "benchmark decontamination: flag training docs sharing any word "
+    "8-gram with the (synthetic) eval split — GPT-3-style overlap check; "
+    "eval gram-hash set broadcasts, corpus never shuffles",
+)
+def decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    eval_set = docs.where(F.col("doc_id") % 25 == 0)
+    return _decontam.contamination_report(
+        train, eval_set, "text", "doc_id", n=8
+    ).orderBy("id")
+
+
 @register(
     "dedup_incremental_vs_corpus",
     """
