@@ -281,13 +281,13 @@ register(
     "tpch_q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           SUM(l_quantity) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
              AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC}))
              AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2001-09-02'
@@ -303,13 +303,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            # l_quantity is integer-valued: double sums below 2^53 are
+            # exact and order-free — no decimal detour (prices keep it)
+            F.sum("l_quantity").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
             F.sum(disc.cast(DEC)).cast("double").alias("sum_disc_price"),
             F.sum((disc * (1 + F.col("l_tax"))).cast(DEC)).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "avg_qty"
-            ),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -559,12 +559,12 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_name, c_custkey, o_orderkey,
            epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
            o_totalprice,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+           SUM(l_quantity) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS {DEC})) > 250
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
@@ -579,10 +579,12 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big_orders = (
+        # integer-valued qty: exact double sum; the >250 filter compares
+        # identical doubles on both engines
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"))
+        .agg(F.sum("l_quantity").alias("_sq"))
         .where(F.col("_sq") > 250)
-        .select("l_orderkey", F.col("_sq").cast("double").alias("total_qty"))
+        .select("l_orderkey", F.col("_sq").alias("total_qty"))
     )
     return (
         orders.join(F.broadcast(big_orders), F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1364,7 +1366,7 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_flag_status",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           SUM(l_quantity) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1377,7 +1379,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            # integer-valued qty: exact double sum, no decimal needed
+            F.sum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
@@ -1444,10 +1447,8 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_qty_by_status",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_F
+           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "pivot: one column per line status (CASE-sum equivalent declared)",
@@ -1457,7 +1458,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .agg(F.sum("l_quantity"))
     )
     return piv.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
