@@ -238,6 +238,37 @@ def test_connected_components_long_chain_converges(spark):
     assert all(r["component"] == 0 for r in comp)
 
 
+def test_approx_sketches_within_error_bounds(spark):
+    """The rows-only gate can't check sketch values; pin their accuracy
+    here: HLL distinct within 5% of exact, approx quantiles inside the
+    exact [p-eps, p+eps] quantile band (Spark's default accuracy 1/10000
+    gives eps ~ 1e-4; we allow a generous band on 60k rows)."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.querybank import REGISTRY, _read_events
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["event_type"]: r for r in REGISTRY["agg_approx_sketches"].fn(spark, sf).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in _read_events(spark, sf)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.45)").alias("p45"),
+            F.expr("percentile(value, 0.55)").alias("p55"),
+            F.expr("percentile(value, 0.985)").alias("p985"),
+            F.expr("percentile(value, 0.995)").alias("p995"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, e in exact.items():
+        assert abs(got[k]["approx_users"] - e["users"]) <= 0.05 * e["users"], k
+        assert e["p45"] <= got[k]["approx_p50"] <= e["p55"], k
+        assert e["p985"] <= got[k]["approx_p99"] <= e["p995"], k
+
+
 def test_pii_scrub_and_counts(spark):
     """Planted PII (the driver's synthetic docs carry none): every class
     counted and replaced; clean text untouched; Spark output matches the
