@@ -150,6 +150,21 @@ def test_unpivot_single_scan_no_join(spark):
     assert "l_shipdate" not in schema  # pruning survives the unpivot
 
 
+def test_bucketed_join_zero_exchange(spark):
+    """Bucketed tables (16 buckets, sorted on the key) must sort-merge
+    join with NO exchange and NO sort — the clustering was paid at write
+    time. Only the final aggregate/order may shuffle."""
+    df = _df(spark, "join_bucketed_colocated")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2  # both scans use the buckets
+    assert count_op(df, "Exchange") <= 2  # agg + presentation sort only
+    # the join subtree (printed after the SortMergeJoin node) holds only
+    # scans and local sorts — the clustering shuffle was paid at write
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree
+
+
 def test_q18_no_fact_broadcast(spark):
     # the HAVING survivors broadcast; lineitem/orders never do
     df = _df(spark, "tpch_q18_large_volume_customers")

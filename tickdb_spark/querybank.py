@@ -1503,6 +1503,72 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem as bucketed external tables (16 buckets on the
+    order key, sorted within buckets) — built once per sf_dir. The write
+    pays the clustering shuffle; every later join on the key is
+    exchange-free."""
+    if sf_dir in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[sf_dir]
+    from tickdb_spark.sources.io import write_bucketed
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = _tempfile.mkdtemp(prefix="tickdb_bucketed_")
+    names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
+    for name, table, key, sort in (
+        (names[0], "orders", "o_orderkey", ["o_orderkey"]),
+        (names[1], "lineitem", "l_orderkey", ["l_orderkey"]),
+    ):
+        df = _read(spark, sf_dir, table)
+        df.write.mode("overwrite").option(
+            "path", _os.path.join(base, name)
+        ).bucketBy(16, key).sortBy(*sort).saveAsTable(name)
+    _BUCKETED_CACHE[sf_dir] = names
+    return names
+
+
+@register(
+    "join_bucketed_colocated",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "co-located big-fact join: both sides bucketed (16 buckets, sorted) "
+    "on the order key, so the sort-merge join runs with ZERO exchanges "
+    "and zero sorts (plan-asserted) — the pay-the-shuffle-once pattern "
+    "for fact-fact joins too big to broadcast at 100 TB",
+)
+def join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_t, lineitem_t = _bucketed_tables(spark, sf_dir)
+    orders = spark.table(orders_t).select("o_orderkey", "o_orderpriority")
+    li = spark.table(lineitem_t).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # hint forces SMJ so the proof is about bucketing, not broadcast
+    joined = orders.hint("merge").join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register(
     "sessionize_user_events",
     """
