@@ -1466,6 +1466,41 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_value_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 5.0), 19) AS BIGINT) AS bucket,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket,
+           count(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    "value histogram: fixed-width binning (width 5, 20 bins, top bin "
+    "clamps the tail) per series — the dashboard distribution primitive; "
+    "floor/least on identical doubles bins identically on any engine, "
+    "and the aggregate is one map-side-combined shuffle",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 5.0), F.lit(19)).cast("long")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
     "unpivot_lineitem_metrics",
     """
     WITH m AS (
