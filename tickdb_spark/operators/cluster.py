@@ -179,7 +179,11 @@ def _cc_two_phase(
         if converged:
             break
 
-    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # Defensive collapse: if max_iter exhausted before the edge set reached
+    # its fixed point, e may still carry multiple (u, v) rows per node;
+    # min-reduce keeps the one-row-per-node (id, component) contract (the
+    # labels are then hash-min partial rather than silently duplicated).
+    labels = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
     return ids.join(labels, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )

@@ -118,8 +118,12 @@ def extract_features_gate(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     canonicalizer can sort/hash rows. The array form stays available via
     :func:`extract_features` for operator composition."""
     feats = extract_features(df, batch_rows=batch_rows)
+    # format_string, NOT format_number: the latter inserts thousands-
+    # grouping commas for values >= 1000 — the same character used as the
+    # list separator — which would silently corrupt the serialization once
+    # a real decode kernel emits large feature values.
     feat_json = F.concat_ws(
-        ",", F.transform("feat", lambda x: F.format_number(x, 6))
+        ",", F.transform("feat", lambda x: F.format_string("%.6f", x))
     )
     return feats.select(
         "media_id", "media_type", "n_bytes", "sha", feat_json.alias("feat_json")

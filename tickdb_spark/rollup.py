@@ -269,6 +269,11 @@ def _answer_from_rollup(rollup: DataFrame, query: TickQuery, unit: str) -> DataF
     df = rollup.where(
         (F.col("series") == query.series) & (F.col("bucket") >= frm) & (F.col("bucket") < to)
     )
+    # Pre-filter to queried fields: a bucket whose rollup rows cover only
+    # non-queried fields must emit NO row (matching the raw-scan answer),
+    # not a row of all-NULL aggregates — and gated-out rows never entering
+    # the aggregate is cheaper anyway.
+    df = df.where(F.col("field").isin(list(query.fields)))
     bucket = ts_to_trunc_ns(F.col("bucket"), unit).alias("bucket")
     aggs = []
     for fname, rspecs in query.fields.items():
