@@ -1,0 +1,102 @@
+"""Pure-numpy media codec kernels: roundtrips and the format corners a
+naive parser gets wrong (BMP row padding / bottom-up / BGR / pixel offset,
+RIFF chunk walking, Y4M chroma formats). No Spark session needed — these
+run in milliseconds and pin the kernels the mapInPandas operators ship to
+executors."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tickdb_spark.operators.mediacodec import (
+    decode_bmp,
+    decode_wav,
+    decode_y4m,
+    encode_bmp,
+    encode_wav,
+    encode_y4m,
+)
+
+
+@pytest.mark.parametrize("w,h", [(2, 2), (3, 5), (4, 1), (5, 3), (33, 18), (127, 2)])
+def test_bmp_roundtrip_all_padding_residues(w, h):
+    img = np.random.default_rng(w * 1000 + h).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_orientation_top_left_pixel():
+    # pixel(y, x, c) = x + y + c: top-left is (0,1,2); a decoder that skips
+    # the bottom-up flip would report the bottom-left (h-1, h, h+1) instead.
+    h, w = 5, 7
+    img = (
+        np.arange(w, dtype=np.uint8)[None, :, None]
+        + np.arange(h, dtype=np.uint8)[:, None, None]
+        + np.arange(3, dtype=np.uint8)[None, None, :]
+    )
+    out = decode_bmp(encode_bmp(img))
+    assert list(out[0, 0]) == [0, 1, 2]
+    assert list(out[h - 1, 0]) == [h - 1, h, h + 1]
+
+
+def test_bmp_top_down_negative_height():
+    # height < 0 means top-down row order per the spec
+    img = np.random.default_rng(1).integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    data = bytearray(encode_bmp(img[::-1]))  # encoder wrote it bottom-up
+    struct.pack_into("<i", data, 14 + 8, -4)  # flip to top-down declaration
+    assert np.array_equal(decode_bmp(bytes(data)), img[::-1][::-1])
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG....definitely not a bmp....................................")
+    img = np.zeros((2, 2, 3), np.uint8)
+    data = bytearray(encode_bmp(img))
+    struct.pack_into("<H", data, 14 + 14, 8)  # bpp 8 (palette) unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(data))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    s = (np.arange(137, dtype=np.int16) - 50) * 3
+    rate, ch, out = decode_wav(encode_wav(s, sample_rate=8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out, s)
+    # insert a LIST chunk (odd-sized, word-aligned) before data: the chunk
+    # walker must skip it, not assume fixed offsets
+    raw = encode_wav(s, sample_rate=8000)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    patched = struct.pack("<4sI", b"RIFF", len(patched) - 8) + patched[8:]
+    rate2, _, out2 = decode_wav(patched)
+    assert rate2 == 8000 and np.array_equal(out2, s)
+
+
+def test_wav_stereo_interleave():
+    s = np.arange(20, dtype=np.int16)
+    rate, ch, out = decode_wav(encode_wav(s, sample_rate=1000, channels=2))
+    assert ch == 2 and len(out) // ch == 10
+    assert np.array_equal(out, s)
+
+
+def test_y4m_roundtrip_c444_and_c420():
+    fr = np.random.default_rng(3).integers(0, 256, (4, 6, 8)).astype(np.uint8)
+    w, h, fn, fd, out = decode_y4m(encode_y4m(fr, 30, 1))
+    assert (w, h, fn, fd) == (8, 6, 30, 1)
+    assert np.array_equal(out, fr)
+    # hand-build a C420 stream: Y plane + two quarter-size chroma planes
+    head = b"YUV4MPEG2 W8 H6 F25:1 C420jpeg\n"
+    chroma = bytes(4 * 3 * 2)
+    data = head + b"".join(b"FRAME\n" + fr[i].tobytes() + chroma for i in range(4))
+    w2, h2, _, _, out2 = decode_y4m(data)
+    assert (w2, h2) == (8, 6) and np.array_equal(out2, fr)
+
+
+def test_y4m_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_y4m(b"MPEG4...\n")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n\x00\x00")  # truncated

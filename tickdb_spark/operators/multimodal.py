@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The real decode/resize/frame-sample kernels need image/audio libraries not
-present in this container — they are STUBBED behind ``NotImplementedError``
-or a clearly-marked deterministic fake. Everything Spark-side is real and
-tested: schema, partition sizing, mapInPandas batch shape, metadata
-extraction that doesn't need a codec.
+The decode kernels are REAL: pure-numpy parsers for three public container
+formats (24-bit BMP, RIFF/PCM WAV, YUV4MPEG2 — see ``mediacodec.py``),
+written against the format specs since PIL/opencv/ffmpeg are not in this
+container. Compressed codecs (JPEG/H.264/MP3) would slot into the same
+mapInPandas bodies when those libraries are available; only
+``_fake_decode_features`` remains a clearly-marked deterministic stand-in
+for a learned embedding model.
 
 Scale notes: media blobs ride in the same rows as metadata (parquet keeps
 them in separate column chunks, so metadata-only queries never read the
@@ -130,19 +132,261 @@ def extract_features_gate(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     )
 
 
+def _codec():
+    """The mediacodec module, registered for by-value cloudpickle
+    serialization: decode kernels referenced from mapInPandas closures
+    then travel inside the pickled closure, so executor Python workers
+    never need ``tickdb_spark`` on their own import path (the driver's
+    process may run from any cwd)."""
+    from pyspark import cloudpickle
+
+    from tickdb_spark.operators import mediacodec
+
+    cloudpickle.register_pickle_by_value(mediacodec)
+    return mediacodec
+
+
+def _repartitioned(df: DataFrame) -> DataFrame:
+    # Decode work parallelizes by input partition; a single parquet split
+    # would serialize the whole corpus through one Python worker.
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL/opencv, not in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv on executors; wire the kernel into "
-        "extract_features' mapInPandas body (plumbing is ready)"
+    """Real image decode: pure-numpy 24-bit BMP parser (public spec —
+    pixel-data offset, 4-byte row padding, bottom-up rows, BGR order; see
+    ``operators/mediacodec.py``) over Arrow batches.
+
+    Returns one row per asset: ``(media_id, width, height, channels,
+    px_sum, corner_sum)`` — ``px_sum`` the exact int sum of every channel
+    byte, ``corner_sum`` the channel sum of the TOP-LEFT pixel (a decoder
+    that forgets the bottom-up flip reports the bottom-left pixel here, so
+    the oracle catches orientation bugs that order-free sums cannot).
+    """
+    decode_bmp = _codec().decode_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_bmp(bytes(content))
+                h, w, c = img.shape
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        c,
+                        int(img.sum(dtype=np.int64)),
+                        int(img[0, 0].sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "px_sum", "corner_sum"]
+            )
+
+    return _repartitioned(df).mapInPandas(
+        run,
+        schema="media_id long, width int, height int, channels int, "
+        "px_sum long, corner_sum long",
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Real audio decode: RIFF/WAVE 16-bit PCM chunk walker (pure numpy).
+
+    Returns ``(media_id, sample_rate, n_channels, n_samples, sample_sum,
+    duration_ms)`` — ``sample_sum`` the exact int64 sum of all samples.
+    """
+    decode_wav = _codec().decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, ch, samples = decode_wav(bytes(content))
+                n = len(samples) // ch
+                rows.append(
+                    (mid, rate, ch, n, int(samples.sum(dtype=np.int64)), n * 1000 // rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "sample_sum",
+                    "duration_ms",
+                ],
+            )
+
+    return _repartitioned(df).mapInPandas(
+        run,
+        schema="media_id long, sample_rate int, n_channels int, n_samples long, "
+        "sample_sum long, duration_ms long",
     )
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Real frame sampling — requires ffmpeg/pyav, not in this container."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg/pyav on executors; use the "
-        "extract_features mapInPandas pattern with one output row per frame"
+    """Real frame sampling: YUV4MPEG2 parser (pure numpy; C444/C420) with
+    time-based sampling — one output row per sampled frame.
+
+    Frames are sampled at t = 0, every_ms, 2*every_ms, … for the clip
+    duration; ``frame_idx = floor(t * fps_num / (1000 * fps_den))``.
+    Returns ``(media_id, frame_idx, t_ms, width, height, y_sum)`` with
+    ``y_sum`` the exact int64 luma-plane sum of the sampled frame.
+    """
+    decode_y4m = _codec().decode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fn, fd, frames = decode_y4m(bytes(content))
+                n = len(frames)
+                t = 0
+                while True:
+                    idx = t * fn // (1000 * fd)
+                    if idx >= n:
+                        break
+                    rows.append((mid, idx, t, w, h, int(frames[idx].sum(dtype=np.int64))))
+                    t += every_ms
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "t_ms", "width", "height", "y_sum"]
+            )
+
+    return _repartitioned(df).mapInPandas(
+        run,
+        schema="media_id long, frame_idx long, t_ms long, width long, height long, y_sum long",
+    )
+
+
+def decode_media_stats(df: DataFrame) -> DataFrame:
+    """Unified decode-stats pass over a mixed media table: sniffs the
+    container from the BYTES (BMP / RIFF-WAVE magic — never the metadata
+    column), decodes with the matching pure-numpy kernel, and emits stats
+    in long format ``(media_id, media_type, stat, value)``.
+
+    Long format keeps every ``value`` a non-NULL BIGINT, so the gate's
+    column-sorted value hash is engine-exact with no NULL-dtype coercion.
+    """
+    m = _codec()
+    decode_bmp, decode_wav = m.decode_bmp, m.decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:2] == b"BM":
+                    img = decode_bmp(b)
+                    h, w, c = img.shape
+                    rows += [
+                        (mid, "image", "width", w),
+                        (mid, "image", "height", h),
+                        (mid, "image", "channels", c),
+                        (mid, "image", "px_sum", int(img.sum(dtype=np.int64))),
+                        (mid, "image", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
+                    ]
+                elif b[:4] == b"RIFF":
+                    rate, ch, samples = decode_wav(b)
+                    n = len(samples) // ch
+                    rows += [
+                        (mid, "audio", "sample_rate", rate),
+                        (mid, "audio", "n_samples", n),
+                        (mid, "audio", "sample_sum", int(samples.sum(dtype=np.int64))),
+                        (mid, "audio", "duration_ms", n * 1000 // rate),
+                    ]
+                else:
+                    rows.append((mid, "unknown", "n_bytes", len(b)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "stat", "value"])
+
+    return _repartitioned(df).mapInPandas(
+        run, schema="media_id long, media_type string, stat string, value long"
+    )
+
+
+def plant_media_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL media bytes deterministically from ``doc_id`` —
+    even ids become 24-bit BMPs, odd ids PCM WAVs — with decoded
+    statistics in closed form, so a SQL oracle can verify the decoder
+    from the id alone:
+
+    image (d even):  w = 2 + d % 31, h = 2 + d % 17,
+                     pixel(y, x, c) = x + y + c            (max 48 < 256)
+                     ⇒ px_sum = 3·w·h·(w+h)/2, corner_sum = 3
+    audio (d odd):   n = 100 + d % 50, rate = 1 kHz, base = d % 100,
+                     sample[i] = base + i
+                     ⇒ sample_sum = n·base + n·(n−1)/2, duration_ms = n
+
+    Widths hit every (3·w) % 4 residue, so the BMP row padding and the
+    bottom-up/BGR conventions are all exercised; the planting runs in the
+    same Arrow-batched shape real ingestion would.
+    """
+    m = _codec()
+    encode_bmp, encode_wav = m.encode_bmp, m.encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = 2 + d % 31, 2 + d % 17
+                    img = (
+                        np.arange(w, dtype=np.uint8)[None, :, None]
+                        + np.arange(h, dtype=np.uint8)[:, None, None]
+                        + np.arange(3, dtype=np.uint8)[None, None, :]
+                    )
+                    out.append((d, "image", encode_bmp(img)))
+                else:
+                    n, base = 100 + d % 50, d % 100
+                    out.append(
+                        (d, "audio", encode_wav(base + np.arange(n, dtype=np.int16)))
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def plant_video_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize YUV4MPEG2 clips from ``doc_id`` with closed-form luma
+    sums: w = 4 + d % 13, h = 3 + d % 7, n_frames = 3 + d % 6 at 25 fps,
+    luma(f, y, x) = f + y + x (max 33 < 256)
+    ⇒ y_sum(f) = w·h·f + w·h·(w+h−2)/2."""
+    encode_y4m = _codec().encode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, n = 4 + d % 13, 3 + d % 7, 3 + d % 6
+                frames = (
+                    np.arange(n, dtype=np.uint8)[:, None, None]
+                    + np.arange(h, dtype=np.uint8)[None, :, None]
+                    + np.arange(w, dtype=np.uint8)[None, None, :]
+                )
+                out.append((d, "video", encode_y4m(frames, 25, 1)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
     )
 
 

@@ -1168,6 +1168,74 @@ register(
 )
 
 
+@register(
+    "media_decode_stats",
+    """
+    WITH img AS (
+      SELECT doc_id, 2 + doc_id % 31 AS w, 2 + doc_id % 17 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    aud AS (
+      SELECT doc_id, 100 + doc_id % 50 AS n, doc_id % 100 AS base
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT media_id, media_type, stat, CAST(value AS BIGINT) AS value FROM (
+      SELECT doc_id AS media_id, 'image' AS media_type, 'width' AS stat,
+             w AS value FROM img
+      UNION ALL SELECT doc_id, 'image', 'height', h FROM img
+      UNION ALL SELECT doc_id, 'image', 'channels', 3 FROM img
+      UNION ALL SELECT doc_id, 'image', 'px_sum',
+                       (3 * w * h * (w + h)) // 2 FROM img
+      UNION ALL SELECT doc_id, 'image', 'corner_sum', 3 FROM img
+      UNION ALL SELECT doc_id, 'audio', 'sample_rate', 1000 FROM aud
+      UNION ALL SELECT doc_id, 'audio', 'n_samples', n FROM aud
+      UNION ALL SELECT doc_id, 'audio', 'sample_sum',
+                       n * base + (n * (n - 1)) // 2 FROM aud
+      UNION ALL SELECT doc_id, 'audio', 'duration_ms', n FROM aud
+    )
+    ORDER BY media_id, stat
+    """,
+    "REAL media decode, oracle-checked: doc_ids are planted as genuine "
+    "24-bit BMPs (even ids) / PCM WAVs (odd ids) whose decoded stats have "
+    "closed forms; the decoder sniffs the container from the BYTES and "
+    "parses with pure-numpy kernels (mediacodec.py — row padding, "
+    "bottom-up/BGR, RIFF chunk walk). corner_sum pins orientation (a "
+    "decoder skipping the bottom-up flip reports 3·(h−1)+3, not 3); "
+    "px_sum/sample_sum pin padding and sample framing.",
+)
+def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _mm.plant_media_assets(docs)
+    return _mm.decode_media_stats(media).orderBy("media_id", "stat")
+
+
+@register(
+    "media_video_frame_sample",
+    """
+    WITH vid AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             3 + doc_id % 6 AS n
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id AS media_id, CAST(idx AS BIGINT) AS frame_idx,
+           CAST(idx * 40 AS BIGINT) AS t_ms,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h * idx + (w * h * (w + h - 2)) // 2 AS BIGINT) AS y_sum
+    FROM vid, UNNEST(range(0, n, 2)) AS t(idx)
+    ORDER BY media_id, frame_idx
+    """,
+    "REAL video frame sampling, oracle-checked: doc_ids (every 5th) are "
+    "planted as genuine YUV4MPEG2 clips at 25 fps; sample_video_frames "
+    "parses the Y4M header + FRAME markers and samples every 80 ms "
+    "(frame_idx = t·fps/1000 → 0, 2, 4, …), emitting exact luma sums "
+    "with closed forms over (w, h, frame).",
+)
+def media_video_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    media = _mm.plant_video_assets(docs)
+    return _mm.sample_video_frames(media, every_ms=80).orderBy("media_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Rollup-routed and streaming variants of the core bucket aggregate
 # ---------------------------------------------------------------------------
@@ -2764,6 +2832,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
     "media_decode_stats",
+    "media_video_frame_sample",
     "stream_dedup_ingest",
     "sim_ann_topk_multiprobe",
     "tick_bucket_5min_routed",
