@@ -577,3 +577,31 @@ def test_series_trend_exact_slope(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_multitable_lsh_recall_floor(spark):
+    """OR-amplification must buy real recall: multi-table LSH recall@5 vs
+    brute-force ground truth on the gate corpus (sf0.01) is pinned above a
+    floor AND strictly above the single-table recall. Guards both the
+    plane-set independence (identical seeds would make tables redundant)
+    and candidate-set plumbing (an empty/broken union collapses recall)."""
+    from tickdb_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_lsh_multitable,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(0, 60, 2))
+    gt = ann_topk_bruteforce(emb, qids, k=5).toPandas()
+    one = ann_topk_lsh(emb, qids, k=5).toPandas()
+    multi = ann_topk_lsh_multitable(emb, qids, k=5).toPandas()
+
+    def recall(df):
+        g = set(map(tuple, gt[["query_id", "neighbor_id"]].values))
+        d = set(map(tuple, df[["query_id", "neighbor_id"]].values))
+        return len(g & d) / len(g)
+
+    r1, rm = recall(one), recall(multi)
+    # measured on this corpus: single 0.147, multi 0.340
+    assert rm >= 0.25, f"multi-table recall collapsed: {rm}"
+    assert rm > r1, f"amplification bought nothing: multi {rm} <= single {r1}"

@@ -67,7 +67,13 @@ def test_date_filter_pushed_in_q1(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh_pairs", "sim_ann_topk_lsh", "dedup_simhash_near_pairs"]
+    "name",
+    [
+        "dedup_minhash_lsh_pairs",
+        "sim_ann_topk_lsh",
+        "sim_ann_topk_lsh_multitable",
+        "dedup_simhash_near_pairs",
+    ],
 )
 def test_lsh_family_avoids_cartesian(spark, name):
     df = _df(spark, name)

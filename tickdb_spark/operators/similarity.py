@@ -68,13 +68,25 @@ def cosine_expr(a: str, b: str, dim: int = EMB_DIM, sql: bool = False) -> str:
     return f"({dot_expr(a, b, dim, sql)} / ({norm_expr(a, dim, sql)} * {norm_expr(b, dim, sql)}))"
 
 
-def bucket_expr(a: str, dim: int = EMB_DIM, sql: bool = False) -> str:
+def bucket_expr(
+    a: str, dim: int = EMB_DIM, sql: bool = False,
+    planes: list[list[float]] | None = None,
+) -> str:
     """LSH bucket id: bit i set iff dot(v, plane_i) > 0."""
     bits = [
         f"(CASE WHEN {dot_literal_expr(a, p, dim, sql)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(HYPERPLANES)
+        for i, p in enumerate(HYPERPLANES if planes is None else planes)
     ]
     return "(" + " + ".join(bits) + ")"
+
+
+#: OR-amplified multi-table LSH: each table draws an independent plane set.
+#: P(candidate found) = 1 - (1 - p^planes)^tables — tables buy recall at
+#: linear signature cost, the standard production knob random-hyperplane
+#: LSH needs at scale (a single table's miss rate is data-independent and
+#: irreducible).
+N_TABLES = 3
+TABLE_PLANES = [_hyperplanes(seed=7 + 13 * t) for t in range(N_TABLES)]
 
 
 def ann_topk_bruteforce(
@@ -189,6 +201,117 @@ def ann_topk_lsh_sql(
     scored AS (
       SELECT query_id, neighbor_id, {cos} AS cosine
       FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
+def ann_topk_lsh_multitable(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with OR-amplified multi-table LSH: ``N_TABLES``
+    independent plane sets; a corpus vector is a candidate if it shares a
+    bucket with the query in ANY table. Candidates are distinct-ed on
+    (query, neighbor) before scoring, so a pair colliding in several
+    tables is scored once and ranking matches the single-table shape.
+
+    Scale: one signature projection per table, UNIONed — NOT one
+    array-of-all-tables expression: 3 tables × 4 planes × 64-dim literal
+    dots in a single projection breaches janino's 64 KB method limit and
+    drops the whole stage to interpreted mode (measured here); per-union-
+    branch each expression is the proven single-table size and every
+    branch is its own WholeStageCodegen unit. The join key
+    (table_id, bucket) keeps each probe confined to one bucket of one
+    table — never all-pairs. Recall floor vs brute force is pinned by
+    tests/test_pipeline_ops.py on the same corpus the gate uses.
+    """
+    from functools import reduce
+
+    bucketed = reduce(
+        DataFrame.unionByName,
+        [
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("table_id"),
+                F.expr(bucket_expr(vec_col, planes=p)).alias("bucket"),
+            )
+            for t, p in enumerate(TABLE_PLANES)
+        ],
+    )
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "table_id",
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), "table_id", "bucket"
+    )
+    cand = (
+        c.join(F.broadcast(q.select("query_id", "table_id", "bucket")),
+               ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    qvecs = q.select("query_id", "qvec").distinct()
+    cvecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    cos = F.expr(cosine_expr("qvec", "cvec"))
+    scored = (
+        cand.repartition(par)
+        .join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("cosine", cos)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_topk_lsh_multitable_sql(
+    table: str, query_ids: list[int], k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    per_table = " UNION ALL ".join(
+        f"SELECT {id_col}, {t} AS table_id, "
+        f"{bucket_expr(vec_col, sql=True, planes=p)} AS bucket FROM {table}"
+        for t, p in enumerate(TABLE_PLANES)
+    )
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    return f"""
+    WITH bucketed AS ({per_table}),
+    qb AS (SELECT {id_col} AS query_id, table_id, bucket FROM bucketed
+           WHERE {id_col} IN ({ids})),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.{id_col} AS neighbor_id
+      FROM bucketed b JOIN qb USING (table_id, bucket)
+      WHERE qb.query_id <> b.{id_col}
+    ),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+          WHERE {id_col} IN ({ids})),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec FROM {table}),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+      FROM cand JOIN q ON cand.query_id = q.query_id
+                JOIN c ON cand.neighbor_id = c.neighbor_id
     ), ranked AS (
       SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
              ROW_NUMBER() OVER (PARTITION BY query_id

@@ -1073,6 +1073,19 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_topk_lsh_multitable",
+    _sim.ann_topk_lsh_multitable_sql("embeddings", [0, 1, 2, 3, 4], k=5),
+    "OR-amplified multi-table LSH top-5: 3 independent plane sets, "
+    "candidate = same bucket in ANY table (distinct-ed before scoring). "
+    "The production recall knob: P(found) = 1-(1-p^planes)^tables; "
+    "recall floor vs brute force pinned in tests/test_pipeline_ops.py",
+)
+def sim_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_lsh_multitable(emb, [0, 1, 2, 3, 4], k=5)
+
+
+@register(
     "sim_cosine_neardup_pairs",
     _sim.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "embedding cosine pairs at ≥ 0.4 — exact brute-force baseline (the "
@@ -2834,7 +2847,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_decode_stats",
     "media_video_frame_sample",
     "stream_dedup_ingest",
-    "sim_ann_topk_multiprobe",
+    "sim_ann_topk_lsh_multitable",
     "tick_bucket_5min_routed",
     # the 28 entries with no CORRECTNESS_r01/r02 row
     "tick_bucket_2month_anchored",
