@@ -77,19 +77,98 @@ def test_router_falls_back_on_unaligned(db, spark):
     assert [r.asDict() for r in raw] == [r.asDict() for r in routed]
 
 
-def test_router_nunit_falls_back(db, spark):
+def _reads_rollup(df, level: str) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return f"rollups/{level}" in plan or f"rollups\\{level}" in plan
+
+
+@pytest.mark.parametrize(
+    "group,level",
+    [
+        ("2hours", "hour"),  # width 2h: hour divides it, day doesn't
+        ("5minutes", "minute"),  # the D4 flagship shape
+        ("90minutes", "minute"),  # no coarser level divides 90 min
+        ("week", "day"),  # calendar week = union of days
+        ("2months", "month"),  # N-month buckets = unions of months
+    ],
+)
+def test_router_nunit_routes_and_matches_raw(db, spark, group, level):
+    """N-unit anchored buckets (D4) are unions of whole finer-level
+    buckets when alignment allows — the router must answer them from the
+    rollup (plan reads rollups/<level>) and match raw bit-for-bit."""
+    tdb, path = db
+    spec = {
+        "index": "s1",
+        "from": "2016-08-01T00:00:00Z",
+        "to": "2016-09-01T00:00:00Z" if "month" in group or group == "week" else "2016-08-06T00:00:00Z",
+        "group": group,
+        "fields": {"x": ALL_REDUCERS, "y": ["sum", "count", "first"]},
+        "exact": True,
+    }
+    routed_df = route_tick_query(spark, path, spec)
+    assert _reads_rollup(routed_df, level), f"{group} did not route via {level}"
+    raw = run_tick_query(tdb.ticks("r"), spec).collect()
+    routed = routed_df.collect()
+    assert len(raw) == len(routed) and len(raw) > 0
+    for a, b in zip(raw, routed):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
+def test_router_nunit_falls_back_unaligned(db, spark):
+    """A 2-hour query with a half-hour anchor is NOT a union of hour
+    buckets — must fall back to raw and still be correct."""
     tdb, path = db
     spec = {
         "index": "s2",
-        "from": "2016-08-01T00:00:00Z",
-        "to": "2016-08-06T00:00:00Z",
+        "from": "2016-08-01T00:30:00Z",
+        "to": "2016-08-05T00:30:00Z",
         "group": "2hours",
         "fields": {"x": "avg"},
         "exact": True,
     }
+    routed_df = route_tick_query(spark, path, spec)
+    assert not _reads_rollup(routed_df, "hour")
     raw = run_tick_query(tdb.ticks("r"), spec).collect()
-    routed = route_tick_query(spark, path, spec).collect()
-    assert [r.asDict() for r in raw] == [r.asDict() for r in routed]
+    assert [r.asDict() for r in raw] == [r.asDict() for r in routed_df.collect()]
+
+
+def test_router_multiseries_routes(db, spark):
+    """Multi-series specs group per (series, bucket) through the rollup
+    path too — one row per series per bucket, same as raw."""
+    tdb, path = db
+    spec = {
+        "index": None,
+        "from": "2016-08-01T00:00:00Z",
+        "to": "2016-08-06T00:00:00Z",
+        "group": "day",
+        "fields": {"x": ["sum", "count"]},
+        "exact": True,
+    }
+    routed_df = route_tick_query(spark, path, spec)
+    assert _reads_rollup(routed_df, "day")
+    raw = run_tick_query(tdb.ticks("r"), spec).collect()
+    routed = routed_df.collect()
+    assert len(raw) == len(routed) and len(raw) > 0
+    for a, b in zip(raw, routed):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
+def test_router_ma_window_falls_back(db, spark):
+    """ma:<k> needs the post-aggregation window; the router must not
+    answer it from rollup merge aggregates."""
+    tdb, path = db
+    spec = {
+        "index": "s1",
+        "from": "2016-08-01T00:00:00Z",
+        "to": "2016-08-06T00:00:00Z",
+        "group": "hour",
+        "fields": {"x": "ma:3"},
+        "exact": True,
+    }
+    routed_df = route_tick_query(spark, path, spec)
+    assert not _reads_rollup(routed_df, "hour")
+    raw = run_tick_query(tdb.ticks("r"), spec).collect()
+    assert [r.asDict() for r in raw] == [r.asDict() for r in routed_df.collect()]
 
 
 def test_rollup_scan_is_smaller(db, spark):

@@ -1271,7 +1271,10 @@ def _events_warehouse(spark: SparkSession, sf_dir: str) -> str:
         db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh_"), "db")
         _os.makedirs(db_path)
         _append_batch(db_path, events_as_ticks(spark, sf_dir))
-        _RollupStore(spark, db_path).refresh(("hour", "day", "month"))
+        # minute first: the cascade then derives hour from minute states
+        # (cheaper than re-scanning raw), and N-minute anchored queries
+        # (tick_bucket_5min_routed) become rollup-answerable
+        _RollupStore(spark, db_path).refresh(("minute", "hour", "day", "month"))
         _WH_CACHE[sf_dir] = db_path
     return _WH_CACHE[sf_dir]
 
@@ -1303,6 +1306,38 @@ def tick_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to": _EV_RANGE[1],
             "group": "day",
             "fields": {"value": ["sum", "count", "min", "max", "first", "last", "avg"]},
+            "exact": True,
+        },
+    )
+
+
+@register(
+    "tick_bucket_5min_routed",
+    f"""
+    SELECT (epoch_ns(ts)) - ((epoch_ns(ts) - {1704266580 * 10**9})
+           % {5 * 60 * 10**9}) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM events WHERE {_tw('click', _ANCHOR_5M, '2024-01-20T00:00:00Z')}
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "D4 + Q14 combined: the 5-minute anchored query answered FROM the "
+    "minute rollup (router merges 5 minute-states per bucket — width "
+    "divides into minutes and both bounds are minute-aligned), "
+    "hash-identical to the raw-scan answer tick_bucket_5min_anchored "
+    "produces for the same spec",
+)
+def tick_5min_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db_path = _events_warehouse(spark, sf_dir)
+    return _route(
+        spark,
+        db_path,
+        {
+            "index": "click",
+            "from": _ANCHOR_5M,
+            "to": "2024-01-20T00:00:00Z",
+            "group": "5minutes",
+            "fields": {"value": ["sum", "count"]},
             "exact": True,
         },
     )

@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 
 from tickdb_spark.ingest import TICKS_DIR, read_ticks
 from tickdb_spark.schema import parse_time_ns
-from tickdb_spark.tickquery import TickQuery, parse_group, run_tick_query, ts_to_trunc_ns
+from tickdb_spark.tickquery import (
+    _UNIT_NS,
+    TickQuery,
+    bucket_start_ns,
+    parse_group,
+    run_tick_query,
+    ts_to_trunc_ns,
+)
 
 ROLLUPS_DIR = "rollups"
 
@@ -240,41 +247,83 @@ def route_tick_query(
     spark: SparkSession, db_path: str, query: TickQuery | dict
 ) -> DataFrame:
     """Answer a bucket query from the best rollup, falling back to raw
-    ticks when semantics demand it (N-unit buckets, unaligned bounds, or
-    no rollup built). Result is identical either way — routing is purely
-    a physical choice, like the reference's rollup-vs-leaf read path
-    (``cursor.go:269-352``)."""
+    ticks when semantics demand it (unaligned bounds, bucket widths no
+    level divides, or no rollup built). Result is identical either way —
+    routing is purely a physical choice, like the reference's
+    rollup-vs-leaf read path (``cursor.go:269-352``).
+
+    N-unit anchored buckets (D4) route too: a ``count > 1`` bucket is a
+    union of whole level-L buckets whenever L's width divides the bucket
+    width and both bounds are L-aligned (the anchor IS ``from``), so e.g.
+    a 5-minute anchored query merges 5 minute-states per bucket instead
+    of rescanning raw ticks. N-month/N-year buckets are unions of whole
+    months, so they route from the month (or day/…) level when bounds sit
+    on month boundaries."""
     if isinstance(query, dict):
         query = TickQuery.from_dict(query)
     count, unit = parse_group(query.group)
+    # semantics the rollup answerer doesn't cover: raw scans (no fields)
+    # and windowed moving averages (ma:<k> needs a post-agg window over
+    # the full bucket sequence) go to the raw path
+    specs = [
+        r
+        for rs in query.fields.values()
+        for r in ([rs] if isinstance(rs, str) else rs)
+    ]
+    if not specs or any(s.startswith("ma:") for s in specs):
+        return run_tick_query(read_ticks(spark, db_path), query)
     store = RollupStore(spark, db_path)
+    avail = store.available()
+    frm, to = parse_time_ns(query.frm), parse_time_ns(query.to)
     usable = None
     if count == 1 and unit in LEVELS:
-        frm, to = parse_time_ns(query.frm), parse_time_ns(query.to)
-        for candidate in reversed(LEVELS[: LEVELS.index(unit) + 1]):
-            if candidate in store.available() and _aligned(frm, candidate) and _aligned(to, candidate):
-                usable = candidate
-                break
+        candidates = tuple(reversed(LEVELS[: LEVELS.index(unit) + 1]))
+    elif unit in _UNIT_NS:
+        # fixed-width bucket (incl. count==1 week / N-second): usable
+        # levels are the fixed-width ones whose width divides the bucket's
+        width = count * _UNIT_NS[unit]
+        candidates = tuple(
+            lv for lv in ("day", "hour", "minute") if width % _ALIGN_CHECK[lv] == 0
+        )
+    elif unit == "month":
+        candidates = ("month", "day", "hour", "minute")
+    else:  # year (N-year buckets are unions of whole years and months)
+        candidates = ("year", "month", "day", "hour", "minute")
+    for candidate in candidates:
+        if candidate in avail and _aligned(frm, candidate) and _aligned(to, candidate):
+            usable = candidate
+            break
     if usable is None:
         return run_tick_query(read_ticks(spark, db_path), query)
-    return _answer_from_rollup(store.read(usable), query, unit)
+    return _answer_from_rollup(store.read(usable), query, count, unit, frm)
 
 
-def _answer_from_rollup(rollup: DataFrame, query: TickQuery, unit: str) -> DataFrame:
+def _answer_from_rollup(
+    rollup: DataFrame, query: TickQuery, count: int, unit: str, anchor_ns: int
+) -> DataFrame:
     """One conditional-aggregation pass: every (field, reducer) pair is a
     field-gated merge aggregate in a single groupBy(bucket) — one shuffle
     over the (tiny) rollup rows instead of the aggregate-then-pivot
     two-shuffle shape (routed day query: 0.70 s → ~0.5 s constant cost)."""
     frm, to = parse_time_ns(query.frm), parse_time_ns(query.to)
-    df = rollup.where(
-        (F.col("series") == query.series) & (F.col("bucket") >= frm) & (F.col("bucket") < to)
-    )
+    multi = not isinstance(query.series, str)
+    cond = (F.col("bucket") >= frm) & (F.col("bucket") < to)
+    if isinstance(query.series, str):
+        cond = (F.col("series") == query.series) & cond
+    elif query.series is not None:
+        cond = F.col("series").isin(list(query.series)) & cond
+    df = rollup.where(cond)
     # Pre-filter to queried fields: a bucket whose rollup rows cover only
     # non-queried fields must emit NO row (matching the raw-scan answer),
     # not a row of all-NULL aggregates — and gated-out rows never entering
     # the aggregate is cheaper anyway.
     df = df.where(F.col("field").isin(list(query.fields)))
-    bucket = ts_to_trunc_ns(F.col("bucket"), unit).alias("bucket")
+    # bucket_start_ns maps a (finer) rollup bucket start to its query
+    # bucket for every group shape: calendar truncation for count == 1,
+    # anchored BIGINT arithmetic for N-unit, month-index arithmetic for
+    # N-month/N-year — the same expression raw ticks go through, applied
+    # to level-bucket starts instead of tick timestamps.
+    bucket = bucket_start_ns(F.col("bucket"), count, unit, anchor_ns).alias("bucket")
     aggs = []
     for fname, rspecs in query.fields.items():
         if isinstance(rspecs, str):
@@ -284,7 +333,9 @@ def _answer_from_rollup(rollup: DataFrame, query: TickQuery, unit: str) -> DataF
             aggs.append(_merge_reducer_gated(rspec, f"{fname}_{rspec}", gate))
     if not aggs:
         raise ValueError("raw scans cannot be answered from a rollup")
-    return df.groupBy(bucket).agg(*aggs).orderBy("bucket")
+    group_cols = (["series"] if multi else []) + [bucket]
+    order_cols = (["series"] if multi else []) + ["bucket"]
+    return df.groupBy(*group_cols).agg(*aggs).orderBy(*order_cols)
 
 
 def _merge_reducer_gated(rspec: str, alias: str, gate):
@@ -303,7 +354,9 @@ def _merge_reducer_gated(rspec: str, alias: str, gate):
     if name == "min":
         return F.min(g("min")).alias(alias)
     if name == "count":
-        return F.sum(g("count")).alias(alias)
+        # raw-path count of a field absent from a (non-empty) bucket is 0,
+        # not NULL — coalesce so merged states agree bit-for-bit
+        return F.coalesce(F.sum(g("count")), F.lit(0).cast("long")).alias(alias)
     if name in ("avg", "ma"):
         return (F.sum(g("sum")).cast("double") / F.sum(g("count"))).alias(alias)
     if name == "first":
