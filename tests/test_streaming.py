@@ -208,3 +208,43 @@ def test_session_gap_agg_closes_on_gap(tmp_path, spark):
     }
     assert got[base] == (3, 3.0)
     assert got[base + 2 * 3600_000_000] == (2, 4.0)
+
+
+def test_stream_dedup_incremental_across_restarts(spark, tmp_path):
+    """Kept set = first-seen doc per content hash; a restarted stream
+    (same work_dir, new landing files) dedups against the PERSISTED
+    fingerprint table — duplicates of docs kept before the restart are
+    dropped, fresh content survives."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdb_spark.streaming.dedup import stream_dedup_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "state")
+
+    def put(name, rows, mtime):
+        p = str(landing / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    put("b0.parquet", [(1, "alpha"), (2, "beta"), (3, "alpha")], 1_600_000_000)
+    put("b1.parquet", [(4, "beta"), (5, "gamma")], 1_600_000_001)
+    kept = stream_dedup_ingest(spark, str(landing), work).orderBy("doc_id").collect()
+    assert [r.doc_id for r in kept] == [1, 2, 5]
+
+    # restart: new batch with one dup of pre-restart content, one fresh doc
+    put("b2.parquet", [(6, "alpha"), (7, "delta")], 1_600_000_002)
+    kept2 = stream_dedup_ingest(spark, str(landing), work).orderBy("doc_id").collect()
+    assert [r.doc_id for r in kept2] == [1, 2, 5, 7]

@@ -1480,6 +1480,64 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("series", "session_start_us")
 
 
+@register(
+    "stream_dedup_ingest",
+    """
+    WITH stream AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 7 = 3
+      UNION ALL SELECT doc_id + 2000000, text FROM documents
+                WHERE doc_id % 11 = 5
+    )
+    SELECT doc_id, md5(text) AS content_hash FROM stream
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ORDER BY doc_id
+    """,
+    "streaming incremental dedup: a doc stream (4 ordered landing files — "
+    "originals split by id range, duplicate echoes in the last file) "
+    "dedups per micro-batch against the persistent fingerprint table via "
+    "foreachBatch (within-batch keeper election + hash anti-join, "
+    "dedup.py incremental shape). Kept set == min doc_id per content "
+    "hash over the whole stream — exactly what the oracle window states — "
+    "because every dup group's min-id member lands no later than its "
+    "echoes. Corpus state lives in the fingerprint table, not stream "
+    "state: the dedup horizon is unbounded (a watermarked dropDuplicates "
+    "would forget old hashes).",
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from tickdb_spark.streaming.dedup import stream_dedup_ingest as _sdi
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sdedup_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    # landing-file harness (the local stand-in for a Kafka topic): four
+    # id-range batches + echo duplicates appended to the LAST file, so
+    # the first-seen keeper is always the min-id original
+    pdf = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    n = len(pdf)
+    step = (n + 3) // 4
+    parts = [pdf.iloc[k * step : (k + 1) * step] for k in range(4)]
+    ech1 = pdf[pdf.doc_id % 7 == 3].assign(doc_id=lambda d: d.doc_id + 1_000_000)
+    ech2 = pdf[pdf.doc_id % 11 == 5].assign(doc_id=lambda d: d.doc_id + 2_000_000)
+    parts[3] = _pd.concat([parts[3], ech1, ech2], ignore_index=True)
+    base = 1_600_000_000
+    for k, part in enumerate(parts):
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _pq.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
+        _os.utime(p, (base + k, base + k))  # file source processes in mtime order
+    return _sdi(spark, landing, _os.path.join(work, "state")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, wave 2: multi-dimensional grouping, set ops,
 # semi/anti joins, pivot, sessionization (SURVEY.md §2.3 extensions)
