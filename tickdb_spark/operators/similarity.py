@@ -42,22 +42,40 @@ HYPERPLANES = _hyperplanes()
 
 
 def dot_expr(a: str, b: str, dim: int = EMB_DIM, sql: bool = False) -> str:
-    """Explicit left-assoc dot product; ``a``/``b`` are array expressions.
-    Spark arrays are 0-based, DuckDB lists 1-based."""
-    off = 1 if sql else 0
-    terms = [
-        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
-        for i in range(dim)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """Left-associative dot product; ``a``/``b`` are array expressions.
+
+    DuckDB side: explicit term list (1-based lists). Spark side: a
+    ``zip_with`` + ``aggregate`` left fold — the identical summation
+    order (foldLeft), so the doubles are bit-identical to the literal
+    expansion (verified) while the generated code stays tiny. The
+    64-dim literal expansion costs ~2 s of janino compilation PER QUERY
+    and breaches the 64 KB method limit once a stage holds a few of
+    them (cosine = 3 dots), silently dropping the stage to interpreted
+    mode; the fold form compiles in milliseconds.
+    """
+    if sql:
+        terms = [
+            f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+            for i in range(dim)
+        ]
+        return "(" + " + ".join(terms) + ")"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
 
 
 def dot_literal_expr(a: str, plane: list[float], dim: int = EMB_DIM, sql: bool = False) -> str:
-    off = 1 if sql else 0
-    terms = [
-        f"CAST({a}[{i + off}] AS DOUBLE) * ({plane[i]!r})" for i in range(dim)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    if sql:
+        terms = [
+            f"CAST({a}[{i + 1}] AS DOUBLE) * ({plane[i]!r})" for i in range(dim)
+        ]
+        return "(" + " + ".join(terms) + ")"
+    lits = "array(" + ", ".join(repr(float(x)) for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({a}, {lits}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
 
 
 def norm_expr(a: str, dim: int = EMB_DIM, sql: bool = False) -> str:
@@ -224,29 +242,21 @@ def ann_topk_lsh_multitable(
     (query, neighbor) before scoring, so a pair colliding in several
     tables is scored once and ranking matches the single-table shape.
 
-    Scale: one signature projection per table, UNIONed — NOT one
-    array-of-all-tables expression: 3 tables × 4 planes × 64-dim literal
-    dots in a single projection breaches janino's 64 KB method limit and
-    drops the whole stage to interpreted mode (measured here); per-union-
-    branch each expression is the proven single-table size and every
-    branch is its own WholeStageCodegen unit. The join key
-    (table_id, bucket) keeps each probe confined to one bucket of one
-    table — never all-pairs. Recall floor vs brute force is pinned by
-    tests/test_pipeline_ops.py on the same corpus the gate uses.
+    Scale: all ``N_TABLES`` signatures come from ONE corpus scan — a
+    single posexploded array projection (the fold-based dot expressions
+    keep it far under janino's 64 KB method limit; the literal expansion
+    of the same array did not and fell to interpreted mode). The join
+    key (table_id, bucket) keeps each probe confined to one bucket of
+    one table — never all-pairs. Recall floor vs brute force is pinned
+    by tests/test_pipeline_ops.py on the same corpus the gate uses.
     """
-    from functools import reduce
-
-    bucketed = reduce(
-        DataFrame.unionByName,
-        [
-            emb.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.lit(t).alias("table_id"),
-                F.expr(bucket_expr(vec_col, planes=p)).alias("bucket"),
-            )
-            for t, p in enumerate(TABLE_PLANES)
-        ],
+    sigs = "array(" + ", ".join(
+        bucket_expr(vec_col, planes=p) for p in TABLE_PLANES
+    ) + ")"
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.expr(sigs)).alias("table_id", "bucket"),
     )
     q = bucketed.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -343,11 +353,14 @@ def cosine_neardup_pairs(
     ``applyInPandas`` group that runs a single BLAS GEMM between the two
     L2-normalized tiles, keeping pairs with sim ≥ τ−1e-4. The slack
     absorbs FP-order differences between BLAS and sequential summation.
-    Survivors are re-scored with the EXPLICIT left-associative expression
-    both engines share, and the threshold + rounding applied to THAT
-    value — so the emitted pairs and cosines are bit-identical to the
-    naive path. Same O(n²·d) flops as naive, but dense GEMM instead of
-    per-row codegen: ~10× at sf0.1.
+    Survivors are re-scored IN THE TILE with a vectorized left-
+    associative dimension fold — the exact summation order of the shared
+    dot/norm expressions — and the threshold + rounding applied to THAT
+    value, so the emitted pairs and cosines are bit-identical to the
+    naive path with no join-back stage (the former expression-based
+    re-score join breached janino's 64 KB limit and ran interpreted).
+    Same O(n²·d) flops as naive, but dense GEMM instead of per-row
+    codegen: ~10× at sf0.1.
 
     Scale: nothing touches the driver — shuffle volume is
     ``n_blocks·n·d`` floats and peak executor memory is two tiles
@@ -379,6 +392,22 @@ def cosine_neardup_pairs(
     cut = threshold - 1e-4
     B = n_blocks
 
+    def _exact_cos(A: "np.ndarray", Bm: "np.ndarray") -> "np.ndarray":
+        """Exact cosine for row-aligned pairs, folding dimensions LEFT-
+        ASSOCIATIVELY per element — the same 0.0-seeded order as the
+        shared dot/norm expressions, so the emitted doubles are
+        bit-identical to the JVM/DuckDB evaluation (vectorized across
+        pairs, looped over the 64 dims)."""
+        m = A.shape[0]
+        dot = np.zeros(m)
+        na = np.zeros(m)
+        nb = np.zeros(m)
+        for i in range(A.shape[1]):
+            dot += A[:, i] * Bm[:, i]
+            na += A[:, i] * A[:, i]
+            nb += Bm[:, i] * Bm[:, i]
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
     # Replicate each vector to every block pair it participates in: a row
     # in block k lands in groups (min(k,j), max(k,j)) for all j — B copies
     # per row, B(B+1)/2 GEMM tasks, no driver materialization.
@@ -403,27 +432,29 @@ def cosine_neardup_pairs(
         )
     )
 
-    def _normed(pdf: pd.DataFrame):
+    def _mats(pdf: pd.DataFrame):
         ids = pdf["id"].to_numpy()
-        mat = np.vstack(pdf["v"].to_numpy()).astype("float64")
-        norms = np.linalg.norm(mat, axis=1)
+        raw = np.vstack(pdf["v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(raw, axis=1)
         norms[norms == 0.0] = np.inf  # zero vectors match nothing
-        return ids, mat / norms[:, None]
+        return ids, raw, raw / norms[:, None]
 
     def gemm_tile(key, pdf):
         pa, pb = key
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64")})
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
         if pa == pb:
             # full square; each unordered pair shows up twice — keep one
             if len(pdf) == 0:
                 return empty
-            ids, mat = _normed(pdf)
+            ids, raw, mat = _mats(pdf)
             sims = mat @ mat.T
             ii, jj = np.where(sims >= cut)
+            keep = ids[ii] < ids[jj]
+            ii, jj = ii[keep], jj[keep]
             ida, idb = ids[ii], ids[jj]
-            keep = ida < idb
-            ida, idb = ida[keep], idb[keep]
+            cos_exact = _exact_cos(raw[ii], raw[jj])
         else:
             # each unordered pair shows up once; block order is hash order,
             # not id order — normalize to (lo, hi)
@@ -431,22 +462,25 @@ def cosine_neardup_pairs(
             right = pdf[pdf["blk"] == pb]
             if len(left) == 0 or len(right) == 0:
                 return empty
-            l_ids, l_mat = _normed(left)
-            r_ids, r_mat = _normed(right)
+            l_ids, l_raw, l_mat = _mats(left)
+            r_ids, r_raw, r_mat = _mats(right)
             sims = l_mat @ r_mat.T
             ii, jj = np.where(sims >= cut)
             la, rb = l_ids[ii], r_ids[jj]
             ida, idb = np.minimum(la, rb), np.maximum(la, rb)
-        return pd.DataFrame({"id_a": ida, "id_b": idb})
+            cos_exact = _exact_cos(l_raw[ii], r_raw[jj])
+        # the GEMM only SELECTED candidates (τ−ε); the EMITTED value and
+        # the final threshold both come from the exact left-assoc fold,
+        # so pairs and cosines are bit-identical to the expression path
+        keep = cos_exact >= threshold
+        return pd.DataFrame(
+            {"id_a": ida[keep], "id_b": idb[keep], "cosine": cos_exact[keep]}
+        )
 
-    cand = rep.groupBy("pa", "pb").applyInPandas(gemm_tile, "id_a long, id_b long")
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    cand = rep.groupBy("pa", "pb").applyInPandas(
+        gemm_tile, "id_a long, id_b long, cosine double"
     )
+    return cand.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def cosine_neardup_pairs_sql(
