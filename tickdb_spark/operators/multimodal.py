@@ -357,7 +357,7 @@ def plant_media_assets(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
-    return docs.select("doc_id").mapInPandas(
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
         run, schema="media_id long, media_type string, content binary"
     )
 
@@ -385,7 +385,7 @@ def plant_video_assets(docs: DataFrame) -> DataFrame:
                 out.append((d, "video", encode_y4m(frames, 25, 1)))
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
-    return docs.select("doc_id").mapInPandas(
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
         run, schema="media_id long, media_type string, content binary"
     )
 
