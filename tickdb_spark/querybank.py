@@ -1730,15 +1730,21 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     exchange-free."""
     if sf_dir in _BUCKETED_CACHE:
         return _BUCKETED_CACHE[sf_dir]
-    from tickdb_spark.sources.io import write_bucketed
+    import atexit as _atexit
+    import shutil as _shutil
 
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
     base = _tempfile.mkdtemp(prefix="tickdb_bucketed_")
+    _atexit.register(_shutil.rmtree, base, ignore_errors=True)
     names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
     for name, table, key, sort in (
         (names[0], "orders", "o_orderkey", ["o_orderkey"]),
         (names[1], "lineitem", "l_orderkey", ["l_orderkey"]),
     ):
+        # a prior session in this process (or a stale metastore entry from
+        # a crashed one) may still own the table name — drop it first; the
+        # cache is per-process, the metastore per-JVM
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
         df = _read(spark, sf_dir, table)
         df.write.mode("overwrite").option(
             "path", _os.path.join(base, name)
