@@ -605,3 +605,42 @@ def test_multitable_lsh_recall_floor(spark):
     # measured on this corpus: single 0.147, multi 0.340
     assert rm >= 0.25, f"multi-table recall collapsed: {rm}"
     assert rm > r1, f"amplification bought nothing: multi {rm} <= single {r1}"
+
+
+def test_chunk_sliding_overlap_and_coverage(spark):
+    """Chunks tile every token with the declared overlap: chunk k starts
+    at token k*stride+1, spans <=window tokens, and consecutive chunks
+    share window-stride tokens; every token appears in some chunk."""
+    from tickdb_spark.functions.text import chunk_sliding
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_sliding(df, window=4, stride=3).orderBy("chunk_id").collect()
+    assert [r.chunk_text for r in out] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9",
+    ]
+    assert [r.n_tokens for r in out] == [4, 4, 4, 1]
+
+
+def test_split_assign_stable_and_exhaustive(spark):
+    """Split membership is a pure function of the id: identical after
+    repartition, every row assigned, fractions roughly honored."""
+    from tickdb_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    a = split_assign(df, "doc_id", splits).orderBy("doc_id").collect()
+    b = (
+        split_assign(df.repartition(13), "doc_id", splits)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.split for r in a] == [r.split for r in b]
+    from collections import Counter
+
+    c = Counter(r.split for r in a)
+    assert c["train"] + c["val"] + c["test"] == 2000
+    assert 0.85 <= c["train"] / 2000 <= 0.95

@@ -200,3 +200,76 @@ def rolling_fingerprint_sql(text_expr: str = "text") -> str:
         f" list_transform({toks}, t -> {hv})),"
         f" (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_sliding(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> "DataFrame":
+    """Split each document into overlapping token chunks — the context-
+    window preparation step every LLM training pipeline runs before
+    tokenization: window tokens per chunk, advancing by ``stride``
+    (``window - stride`` tokens of overlap preserve cross-boundary
+    context).
+
+    One projection + posexplode, all codegen, no shuffle: chunk starts
+    come from ``sequence(1, n, stride)``, the text from ``slice``; at
+    100 TB this runs at scan speed and multiplies rows by ~n/stride.
+    Returns ``(id, chunk_id, chunk_text, n_tokens)``.
+    """
+    from pyspark.sql import functions as FF
+
+    toks = FF.split(FF.trim(FF.col(text_col)), r"\s+")
+    base = df.select(
+        FF.col(id_col),
+        toks.alias("_toks"),
+        FF.greatest(FF.size(toks), FF.lit(1)).alias("_n"),
+    ).select(
+        id_col,
+        "_toks",
+        "_n",
+        FF.posexplode(
+            FF.sequence(FF.lit(1), FF.col("_n"), FF.lit(stride))
+        ).alias("chunk_id", "_s"),
+    )
+    return base.select(
+        id_col,
+        FF.col("chunk_id").cast("long").alias("chunk_id"),
+        FF.concat_ws(" ", FF.slice("_toks", FF.col("_s"), window)).alias("chunk_text"),
+        FF.least(FF.lit(window), FF.col("_n") - FF.col("_s") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def chunk_sliding_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB twin of :func:`chunk_sliding` (1-based inclusive slices;
+    chunk_id recomputed from the start offset so UNNEST needs no
+    ordinality)."""
+    toks = f"string_split_regex(trim({text_col}), '{TOKEN_SEP}')"
+    return f"""
+    WITH d AS (
+      SELECT {id_col}, {toks} AS toks,
+             greatest(len({toks}), 1) AS n
+      FROM {table}
+    )
+    SELECT {id_col}, CAST((s - 1) // {stride} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, s, s + {window} - 1), ' ')
+             AS chunk_text,
+           CAST(least({window}, n - s + 1) AS BIGINT) AS n_tokens
+    FROM d, UNNEST(range(1, n + 1, {stride})) AS t(s)
+    """

@@ -127,3 +127,35 @@ def stratified_sample_sql(
       ) AS _rn FROM {table}
     ) WHERE _rn <= {n_per_stratum}
     """
+
+
+def split_assign(
+    df: DataFrame, id_col: str, splits: list[tuple[str, float]]
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id-hash position in
+    the 2^32 space picks the split by cumulative fraction. A pure
+    projection (no shuffle, no state) — membership is a function of the
+    id alone, so it is stable across reruns, repartitions, engines, and
+    incremental corpus growth (new docs never move old docs between
+    splits — the property random splitting loses)."""
+    h = id_hash(F.col(id_col))
+    acc = 0.0
+    cases = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        cases.append((int(acc * MOD), name))
+    expr = F.lit(splits[-1][0])
+    for cut, name in reversed(cases):  # innermost = last declared split
+        expr = F.when(h < cut, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(table: str, id_col: str, splits: list[tuple[str, float]]) -> str:
+    h = id_hash_sql(id_col)
+    acc = 0.0
+    whens = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        whens.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"

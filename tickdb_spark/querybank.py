@@ -1181,6 +1181,67 @@ register(
 )
 
 
+from tickdb_spark.functions.text import chunk_sliding as _chunk_sliding  # noqa: E402
+from tickdb_spark.functions.text import chunk_sliding_sql as _chunk_sliding_sql  # noqa: E402
+
+
+@register(
+    "text_chunk_sliding",
+    _chunk_sliding_sql("documents", window=64, stride=48)
+    + " ORDER BY doc_id, chunk_id",
+    "sliding-window document chunking (64-token windows, stride 48 → "
+    "16-token overlap): the context-window preparation step before "
+    "tokenization. Pure posexplode projection — runs at scan speed, "
+    "no shuffle",
+)
+def text_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _chunk_sliding(docs, window=64, stride=48).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "sample_split_assign",
+    None,  # placeholder replaced below after sampling import
+    "deterministic train/val/test split from the id-hash position in "
+    "the 2^32 space: stable under reruns, repartitioning, engines, and "
+    "incremental corpus growth (new docs never move old docs across "
+    "splits). Aggregated to per-(split, lang) doc/char counts",
+)
+def sample_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    assigned = split_assign(docs, "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _sample_split_oracle() -> str:
+    from tickdb_spark.operators.sampling import split_assign_sql
+
+    inner = split_assign_sql(
+        "documents", "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    )
+    return f"""
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM ({inner}) GROUP BY split, lang ORDER BY split, lang
+    """
+
+
+REGISTRY["sample_split_assign"] = QueryDef(
+    REGISTRY["sample_split_assign"].fn,
+    _sample_split_oracle(),
+    REGISTRY["sample_split_assign"].doc,
+)
+
+
 @register(
     "media_decode_stats",
     """
@@ -2943,6 +3004,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
+    "text_chunk_sliding",
+    "sample_split_assign",
     "media_decode_stats",
     "media_video_frame_sample",
     "stream_dedup_ingest",
