@@ -268,7 +268,7 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def decode_media_stats(df: DataFrame) -> DataFrame:
+def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
     """Unified decode-stats pass over a mixed media table: sniffs the
     container from the BYTES (BMP / RIFF-WAVE magic — never the metadata
     column), decodes with the matching pure-numpy kernel, and emits stats
@@ -310,7 +310,8 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
                     rows.append((mid, "unknown", "n_bytes", len(b)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "stat", "value"])
 
-    return _repartitioned(df).mapInPandas(
+    src_df = _repartitioned(df) if repartition else df
+    return src_df.mapInPandas(
         run, schema="media_id long, media_type string, stat string, value long"
     )
 

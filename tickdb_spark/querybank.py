@@ -1280,7 +1280,9 @@ REGISTRY["sample_split_assign"] = QueryDef(
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     media = _mm.plant_media_assets(docs)
-    return _mm.decode_media_stats(media).orderBy("media_id", "stat")
+    # plant already fanned out across defaultParallelism; a second
+    # repartition would shuffle the blob bytes again for nothing
+    return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
 
 
 @register(
