@@ -644,3 +644,22 @@ def test_split_assign_stable_and_exhaustive(spark):
     c = Counter(r.split for r in a)
     assert c["train"] + c["val"] + c["test"] == 2000
     assert 0.85 <= c["train"] / 2000 <= 0.95
+
+
+def test_segment_dedup_drops_copied_spans(spark):
+    """A doc that copies another's prefix loses those spans and keeps
+    only its unique tail; a full copy vanishes; originals reassemble
+    verbatim."""
+    from tickdb_spark.operators.dedup import segment_dedup
+
+    base = " ".join(f"w{i}" for i in range(8))  # 2 segments at window=4
+    rows = [
+        (1, base),
+        (2, base),  # full duplicate -> no output row
+        (3, base + " unique tail here"),  # copied prefix + own tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_dedup(df, window=4).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].clean_text == base and out[1].n_kept == 2
+    assert out[3].clean_text == "unique tail here" and out[3].n_kept == 1

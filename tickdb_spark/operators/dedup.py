@@ -577,3 +577,73 @@ def simhash_near_pairs_sql(
     SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (span) dedup across the corpus
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Remove text spans duplicated ANYWHERE in the corpus — the
+    C4/RefinedWeb "repeated passage" removal step, at segment rather than
+    document granularity: documents sharing boilerplate lose the repeated
+    spans but keep their unique content.
+
+    Compositional: non-overlapping ``window``-token segments come from
+    :func:`tickdb_spark.functions.text.chunk_sliding` (stride = window);
+    the global first occurrence of each segment hash (ordered by
+    (doc id, position) — deterministic) survives; surviving segments
+    reassemble in position order. Docs whose every segment was seen
+    earlier emit no row.
+
+    Scale: one shuffle on the segment hash (the window), one on the doc
+    id (reassembly). Both carry segment text — at 100 TB, swap stage one
+    for a hash-only pass then semi-join survivors back (same output,
+    hashes cross the wire instead of text).
+    """
+    from tickdb_spark.functions.text import chunk_sliding
+
+    segs = chunk_sliding(
+        docs, text_col=text_col, id_col=id_col, window=window, stride=window
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_id")
+    kept = segs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.getField("chunk_text")), " "
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def segment_dedup_sql(
+    src: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> str:
+    """DuckDB twin of :func:`segment_dedup`; ``src`` is a CTE/table name
+    holding ``(doc_id, text)``."""
+    from tickdb_spark.functions.text import chunk_sliding_sql
+
+    chunks = chunk_sliding_sql(src, text_col, id_col, window=window, stride=window)
+    return f"""
+    WITH segs AS ({chunks}),
+    r AS (
+      SELECT {id_col}, chunk_id, chunk_text,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY {id_col}, chunk_id) AS rn
+      FROM segs
+    )
+    SELECT {id_col},
+           string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM r WHERE rn = 1 GROUP BY {id_col}
+    """

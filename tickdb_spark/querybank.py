@@ -1183,6 +1183,38 @@ register(
 
 from tickdb_spark.functions.text import chunk_sliding as _chunk_sliding  # noqa: E402
 from tickdb_spark.functions.text import chunk_sliding_sql as _chunk_sliding_sql  # noqa: E402
+from tickdb_spark.operators.dedup import segment_dedup as _segment_dedup  # noqa: E402
+from tickdb_spark.operators.dedup import segment_dedup_sql as _segment_dedup_sql  # noqa: E402
+
+
+@register(
+    "dedup_segment_spans",
+    """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substr(text, 1, CAST(n_chars // 2 AS INT))
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    inner_q AS ("""
+    + _segment_dedup_sql("src")
+    + """)
+    SELECT * FROM inner_q ORDER BY doc_id
+    """,
+    "span-level dedup across the corpus (C4-style repeated-passage "
+    "removal): 16-token non-overlapping segments, global first "
+    "occurrence survives, position-ordered reassembly. Planted half-doc "
+    "echoes (every 3rd doc) lose their copied prefix spans and keep only "
+    "the trailing partial segment — originals reassemble verbatim",
+)
+def dedup_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    echoes = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, F.expr("CAST(n_chars / 2 AS INT)")).alias("text"),
+    )
+    src = docs.select("doc_id", "text").unionByName(echoes)
+    return _segment_dedup(src).orderBy("doc_id")
 
 
 @register(
@@ -3006,6 +3038,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
+    "dedup_segment_spans",
     "text_chunk_sliding",
     "sample_split_assign",
     "media_decode_stats",
