@@ -177,3 +177,28 @@ def test_q18_no_fact_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one lineitem aggregation feeds both the filter and the output qty
     assert count_op(df, "CartesianProduct") == 0
+
+
+def test_chunk_sliding_scan_speed_shape(spark):
+    """Chunking must stay a pure posexplode projection: no join, no
+    aggregate, only the presentation sort's exchange; the scan reads
+    only (doc_id, text)."""
+    df = _df(spark, "text_chunk_sliding")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "CartesianProduct") == 0
+    assert "Join" not in plan
+    assert count_op(df, "Exchange") <= 1  # presentation sort only
+    (schema,) = scan_read_schemas(df)
+    assert "doc_id" in schema and "text" in schema
+    assert "lang" not in schema and "source" not in schema  # pruned
+
+
+def test_split_assign_pure_projection(spark):
+    """Split assignment itself is a stateless projection — the only
+    shuffles in the gate query belong to the report aggregation."""
+    from tickdb_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = split_assign(docs, "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    assert count_op(df, "Exchange") == 0
+    assert count_op(df, "CartesianProduct") == 0
