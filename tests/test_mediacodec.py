@@ -100,3 +100,34 @@ def test_y4m_rejects_garbage():
         decode_y4m(b"MPEG4...\n")
     with pytest.raises(ValueError):
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n\x00\x00")  # truncated
+
+
+def test_decode_image_audio_operators(spark):
+    """The wide-format Spark operators over planted assets: decode_image
+    reports exact dims/sums for BMPs, decode_audio exact sample stats
+    for WAVs — the operator-composition API next to the long-format
+    gate contract."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        plant_media_assets,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = plant_media_assets(docs)
+    imgs = {r.media_id: r for r in decode_image(media.where("media_type = 'image'")).collect()}
+    for d in range(0, 40, 2):
+        w, h = 2 + d % 31, 2 + d % 17
+        r = imgs[d]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.px_sum == 3 * w * h * (w + h) // 2
+        assert r.corner_sum == 3
+    auds = {r.media_id: r for r in decode_audio(media.where("media_type = 'audio'")).collect()}
+    for d in range(1, 40, 2):
+        n, base = 100 + d % 50, d % 100
+        r = auds[d]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (1000, 1, n)
+        assert r.sample_sum == n * base + n * (n - 1) // 2
+        assert r.duration_ms == n

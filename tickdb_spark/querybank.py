@@ -1275,6 +1275,44 @@ REGISTRY["sample_split_assign"] = QueryDef(
 
 
 @register(
+    "agg_salted_hotkey",
+    f"""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "two-phase salted aggregation over the full events table: each hot "
+    "key shards across 16 salts (partial agg per shard spreads one key "
+    "over 16 reducers), shard states merge per key — the straggler-killer "
+    "for skewed 100 TB aggregations. Decimal sum states make the "
+    "two-phase result bit-identical to the oracle's single GROUP BY",
+)
+def agg_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators.skew import salted_agg
+
+    ev = _read_events(spark, sf_dir).withColumn("vdec", F.col("value").cast(DEC))
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "value_sum": ("sum", "vdec"),
+            "n": ("count", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "n",
+        "vmin",
+        "vmax",
+    ).orderBy("event_type")
+
+
+@register(
     "media_decode_stats",
     """
     WITH img AS (
@@ -3038,6 +3076,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
+    "agg_salted_hotkey",
     "dedup_segment_spans",
     "text_chunk_sliding",
     "sample_split_assign",
