@@ -2496,10 +2496,35 @@ register(
 
 @register(
     "stream_stateful_spike_detect",
-    None,  # cross-batch carried state — not SQL-expressible
+    """
+    WITH RECURSIVE ord AS (
+      SELECT event_type AS series, epoch_us(ts) AS tus, value AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts)) AS rn
+      FROM events WHERE (epoch_us(ts) % 5) = 0
+    ),
+    -- the EMA recurrence IS the oracle: one recursion step per event in
+    -- event-time order evaluates 0.2*v + 0.8*prev with the same IEEE
+    -- double ops the Python state loop runs, so the carried state is
+    -- bit-identical (no pow()-based closed form — libm differs at 1 ulp
+    -- across engines and FP order would change anyway)
+    ema AS (
+      SELECT series, rn, tus, v, v AS ema, CAST(NULL AS DOUBLE) AS prev_ema
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.series, o.rn, o.tus, o.v, 0.2 * o.v + 0.8 * e.ema, e.ema
+      FROM ema e JOIN ord o ON o.series = e.series AND o.rn = e.rn + 1
+    )
+    SELECT series, tus AS ts, v AS value, ema
+    FROM ema WHERE rn >= 4 AND v > 3.0 * prev_ema
+    ORDER BY series, ts
+    """,
     "custom stateful streaming op (applyInPandasWithState): per-series "
     "EMA carried across micro-batches, flagging values > 3x running EMA; "
-    "state is O(distinct series), bounded on unbounded streams",
+    "state is O(distinct series), bounded on unbounded streams. "
+    "Oracle-EXACT (upgraded from rows-only): a recursive CTE replays the "
+    "identical fold per event over a deterministic 1/5 event slice "
+    "(µs timestamps are tie-free per series at both gate SFs)",
 )
 def stream_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
@@ -2515,9 +2540,13 @@ def stream_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema).parquet(landing)
         .select(
             F.col("event_type").alias("series"),
-            F.col("ts"),
+            # µs timestamps: DuckDB reads parquet ns truncated to µs, so
+            # the oracle can only order/emit µs — feed the operator µs so
+            # both sides fold the EMA in the same event order
+            F.expr("ts div 1000").alias("ts"),
             F.create_map(F.lit("value"), F.col("value")).alias("value"),
         )
+        .where((F.col("ts") % 5) == 0)
     )
     out = detect_spikes(stream, field="value")
     name = f"spike_out_{abs(hash(sf_dir)) % 10**8}"
@@ -2529,7 +2558,12 @@ def stream_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name).where(F.col("is_spike")).orderBy("series", "ts")
+    return (
+        spark.table(name)
+        .where(F.col("is_spike"))
+        .select("series", "ts", "value", "ema")
+        .orderBy("series", "ts")
+    )
 
 
 @register(

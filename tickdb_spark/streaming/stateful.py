@@ -54,6 +54,14 @@ def detect_spikes(ticks: DataFrame, field: str = "value") -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # ship _detect by value so executor workers don't need the package
+    # on their own import path (the driver process may run from any cwd)
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
     events = ticks.select(
         "series", "ts", F.col("value").getItem(field).alias("value")
     )
