@@ -90,6 +90,12 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    # ship the kernel by value (workers may lack our import path)
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
     # Decode work parallelizes by input partition; a single parquet split
     # would serialize the whole corpus through one Python worker.
     df = df.repartition(spark.sparkContext.defaultParallelism)

@@ -1169,11 +1169,29 @@ def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "media_feature_extract",
-    None,  # mapInPandas custom kernel — not SQL-expressible; rows-only check
-    "Arrow-batched mapInPandas feature extraction over binary content "
-    "(deterministic fake decode kernel; real codecs stubbed). Gate contract "
-    "is all-scalar (feat serialized to feat_json) so the driver's "
-    "canonicalizer can sort/hash rows.",
+    """
+    SELECT doc_id AS media_id, 'text' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha,
+           -- the deterministic kernel is SQL-replayable: feature j is
+           -- (sum of bytes at positions == j mod 8) mod 997 / 997; the
+           -- corpus is ASCII so ord(char) == byte, and all 997 possible
+           -- values verified to format identically under JVM
+           -- format_string and C printf
+           array_to_string(list_transform(range(0, 8), j ->
+             printf('%.6f',
+               (COALESCE(list_sum(list_transform(
+                  range(j + 1, len(text) + 1, 8),
+                  i -> ord(substr(text, i, 1)))), 0) % 997) / 997.0)),
+             ',') AS feat_json
+    FROM documents ORDER BY media_id
+    """,
+    "Arrow-batched mapInPandas feature extraction over binary content. "
+    "Oracle-EXACT (upgraded from rows-only): the deterministic byte-sum "
+    "kernel is replayed in SQL over the ASCII corpus, strided ord() sums "
+    "mod 997; feat_json string-equal incl. %.6f formatting (all 997 "
+    "values JVM-vs-C verified). Gate contract is all-scalar so the "
+    "driver's canonicalizer can sort/hash rows.",
 )(
     lambda spark, sf_dir: _mm.extract_features_gate(
         _mm.documents_as_media(_read(spark, sf_dir, "documents"))
@@ -3112,6 +3130,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
     "agg_salted_hotkey",
     "dedup_segment_spans",
+    "media_feature_extract",  # upgraded rows-only -> exact oracle in r3
     "text_chunk_sliding",
     "sample_split_assign",
     "media_decode_stats",
