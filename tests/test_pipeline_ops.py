@@ -663,3 +663,25 @@ def test_segment_dedup_drops_copied_spans(spark):
     assert set(out) == {1, 3}
     assert out[1].clean_text == base and out[1].n_kept == 2
     assert out[3].clean_text == "unique tail here" and out[3].n_kept == 1
+
+
+def test_segment_dedup_identity_on_dup_free_corpus(spark):
+    """With no duplicated spans, segment dedup is the identity (modulo
+    whitespace normalization): clean_text == the original token stream.
+    (The driver's documents corpus deliberately PLANTS duplicated spans,
+    so the identity is checked on disjoint-token synthetic docs.)"""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.dedup import segment_dedup
+
+    rows = [
+        (d, " ".join(f"d{d}w{i}" for i in range(7 + d % 23)))
+        for d in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = segment_dedup(docs)
+    joined = out.join(docs, "doc_id").select(
+        "doc_id", (F.col("clean_text") == F.col("text")).alias("same")
+    )
+    assert joined.count() == 60
+    assert joined.where(~F.col("same")).count() == 0
