@@ -1293,6 +1293,44 @@ REGISTRY["sample_split_assign"] = QueryDef(
 
 
 @register(
+    "source_csv_json_roundtrip",
+    """
+    SELECT 'csv' AS src, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'json', n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'orc', n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY src, n_nationkey
+    """,
+    "source/sink adapters through the gate: nation written to csv and "
+    "json via write_any, read back via read_any with explicit schemas "
+    "(no inference — 100 TB pipelines pin schemas), values identical to "
+    "the parquet original for both formats",
+)
+def source_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.sources.io import read_any, write_any
+
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = _tempfile.mkdtemp(prefix="tickdb_src_")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    parts = []
+    for fmt in ("csv", "json", "orc"):
+        path = _os.path.join(base, fmt)
+        write_any(nation, path, fmt=fmt)
+        parts.append(
+            read_any(spark, path, fmt=fmt, schema=schema).select(
+                F.lit(fmt).alias("src"), "n_nationkey", "n_name", "n_regionkey"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("src", "n_nationkey")
+
+
+@register(
     "agg_salted_hotkey",
     f"""
     SELECT event_type,
@@ -3129,6 +3167,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
     "agg_salted_hotkey",
+    "source_csv_json_roundtrip",
     "dedup_segment_spans",
     "media_feature_extract",  # upgraded rows-only -> exact oracle in r3
     "text_chunk_sliding",
