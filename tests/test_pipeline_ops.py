@@ -685,3 +685,29 @@ def test_segment_dedup_identity_on_dup_free_corpus(spark):
     )
     assert joined.count() == 60
     assert joined.where(~F.col("same")).count() == 0
+
+
+def test_neardup_decontam_catches_paraphrases_exact_misses(spark):
+    """The motivating property: paraphrased eval items (every 13th token
+    dropped) are near-dups that exact 8-gram decontamination largely
+    misses but MinHash-LSH + Jaccard verification catches."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.decontam import (
+        contamination_report,
+        neardup_contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    eval_set = docs.where(F.col("doc_id") < 50).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    para = eval_set.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.filter(toks, lambda t, i: (i + 1) % 13 != 0)).alias("text"),
+    )
+    near = neardup_contamination(para, eval_set, "text", "doc_id", 0.4)
+    n_near = near.where(F.col("train_id") >= 1_000_000).count()
+    assert n_near >= 35, f"LSH catch rate collapsed: {n_near}/50"
+    exact = contamination_report(para, eval_set, "text", "doc_id", n=8)
+    n_exact = exact.where("contaminated").count()
+    assert n_exact < n_near, (n_exact, n_near)

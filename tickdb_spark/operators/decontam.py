@@ -98,3 +98,157 @@ def contamination_report_sql(
            COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
     FROM ({train_sql}) t LEFT JOIN hits h ON h.id = t.{id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate decontamination (cross-table MinHash LSH)
+# ---------------------------------------------------------------------------
+
+
+def neardup_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag training docs that are NEAR duplicates of eval docs — the
+    paraphrase-contamination pass exact n-gram overlap misses (a
+    reworded benchmark item shares few 8-grams but most shingles).
+
+    Cross-table shape of ``dedup.minhash_lsh_pairs``: signatures on both
+    sides, the eval side's banded signatures BROADCAST (eval is tiny next
+    to a 100-TB corpus), candidates = band collisions, then exact Jaccard
+    verification over the candidates' shingle sets only. The corpus is
+    never self-joined and never shuffled against itself.
+
+    Returns ``(train_id, eval_id, jaccard)`` for every pair the banding
+    surfaces with exact Jaccard ≥ threshold.
+    """
+    from tickdb_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        _hashed_shingles,
+        _sigs_from_hashed,
+    )
+
+    k, bands = MINHASH_K, LSH_BANDS
+    r = k // bands
+    par = train.sparkSession.sparkContext.defaultParallelism
+    t_sh = _hashed_shingles(train.repartition(par), text_col, id_col).cache()
+    e_sh = _hashed_shingles(eval_set, text_col, id_col).cache()
+
+    def banded(sig: DataFrame) -> DataFrame:
+        cols = [
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws(
+                    "#", *[F.col(f"mh_{bi * r + j}") for j in range(r)]
+                ).alias("band_sig"),
+            )
+            for bi in range(bands)
+        ]
+        return sig.select("id", F.explode(F.array(*cols)).alias("b")).select(
+            "id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_sig").alias("band_sig"),
+        )
+
+    t_band = banded(_sigs_from_hashed(t_sh, k)).withColumnRenamed("id", "train_id")
+    e_band = banded(_sigs_from_hashed(e_sh, k)).withColumnRenamed("id", "eval_id")
+    candidates = (
+        t_band.join(F.broadcast(e_band), ["band_idx", "band_sig"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sizes_t = t_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_t"))
+    sizes_e = e_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_e"))
+    shared = (
+        candidates.join(t_sh.select(F.col("id").alias("train_id"), "shingle"), "train_id")
+        .join(
+            e_sh.select(F.col("id").alias("eval_id"), "shingle"),
+            ["eval_id", "shingle"],
+        )
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes_t.select(F.col("id").alias("train_id"), "n_t"), "train_id")
+        .join(sizes_e.select(F.col("id").alias("eval_id"), "n_e"), "eval_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_t") + F.col("n_e") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard")
+    )
+
+
+def neardup_contamination_sql(
+    train_sql: str,
+    eval_sql: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin: replays the banding (not just the verification), so
+    the emitted pair set matches the LSH exactly."""
+    from tickdb_spark.operators.dedup import (
+        LSH_BANDS,
+        MH_COEF,
+        MINHASH_K,
+        MINHASH_P,
+        word_ngrams_sql,
+    )
+
+    k, bands = MINHASH_K, LSH_BANDS
+    r = k // bands
+    grams = word_ngrams_sql(text_col)
+
+    def shingles(src: str) -> str:
+        return (
+            f"SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
+            f" AS shingle FROM (SELECT {id_col} AS id, unnest({grams}) AS shingle"
+            f" FROM ({src}))"
+        )
+
+    mh_aggs = ", ".join(
+        f"min(((shingle >> 16) * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(MH_COEF[:k])
+    )
+
+    def band_rows(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {bi} AS band_idx, "
+            + " || '#' || ".join(f"mh_{bi * r + j}" for j in range(r))
+            + f" AS band_sig FROM {sig}"
+            for bi in range(bands)
+        )
+
+    return f"""
+    WITH t_sh AS ({shingles(train_sql)}),
+    e_sh AS ({shingles(eval_sql)}),
+    t_sig AS (SELECT id, {mh_aggs} FROM t_sh GROUP BY id),
+    e_sig AS (SELECT id, {mh_aggs} FROM e_sh GROUP BY id),
+    t_band AS ({band_rows('t_sig')}),
+    e_band AS ({band_rows('e_sig')}),
+    candidates AS (
+      SELECT DISTINCT t.id AS train_id, e.id AS eval_id
+      FROM t_band t JOIN e_band e USING (band_idx, band_sig)
+    ),
+    t_sz AS (SELECT id, count(*) AS n_t FROM t_sh GROUP BY id),
+    e_sz AS (SELECT id, count(*) AS n_e FROM e_sh GROUP BY id),
+    shared AS (
+      SELECT c.train_id, c.eval_id, count(*) AS n_shared
+      FROM candidates c
+      JOIN t_sh ON t_sh.id = c.train_id
+      JOIN e_sh ON e_sh.id = c.eval_id AND e_sh.shingle = t_sh.shingle
+      GROUP BY c.train_id, c.eval_id
+    )
+    SELECT s.train_id, s.eval_id,
+           s.n_shared / (t_sz.n_t + e_sz.n_e - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN t_sz ON t_sz.id = s.train_id
+    JOIN e_sz ON e_sz.id = s.eval_id
+    WHERE s.n_shared / (t_sz.n_t + e_sz.n_e - s.n_shared) >= {threshold}
+    """

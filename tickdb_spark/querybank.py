@@ -1292,6 +1292,55 @@ REGISTRY["sample_split_assign"] = QueryDef(
 )
 
 
+def _neardup_decontam_oracle() -> str:
+    from tickdb_spark.operators.decontam import neardup_contamination_sql
+
+    train_sql = """
+      SELECT doc_id, text FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         (x, i) -> i % 13 != 0), ' ')
+      FROM documents WHERE doc_id < 50
+    """
+    eval_sql = "SELECT doc_id, text FROM documents WHERE doc_id < 50"
+    return (
+        "SELECT * FROM ("
+        + neardup_contamination_sql(train_sql, eval_sql, "text", "doc_id", 0.4)
+        + ") ORDER BY train_id, eval_id"
+    )
+
+
+@register(
+    "decontaminate_neardup_eval",
+    _neardup_decontam_oracle(),
+    "paraphrase-contamination pass: training docs that are NEAR "
+    "duplicates of eval docs via cross-table MinHash LSH (eval side's "
+    "banded signatures broadcast; the corpus never self-joins), exact "
+    "Jaccard >= 0.4 verification on band-collision candidates only. "
+    "Planted paraphrases (eval docs with every 13th token dropped) are "
+    "caught; exact 8-gram decontamination misses most of them",
+)
+def decontam_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators.decontam import neardup_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") < 50).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    para = eval_set.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.filter(toks, lambda t, i: (i + 1) % 13 != 0)
+        ).alias("text"),
+    )
+    train = (
+        docs.where(F.col("doc_id") >= 50).select("doc_id", "text").unionByName(para)
+    )
+    return neardup_contamination(train, eval_set, "text", "doc_id", 0.4).orderBy(
+        "train_id", "eval_id"
+    )
+
+
 @register(
     "source_csv_json_roundtrip",
     """
@@ -3167,6 +3216,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # round-3 registrations (newest first: never driver-seen by definition)
     "agg_salted_hotkey",
+    "decontaminate_neardup_eval",
     "source_csv_json_roundtrip",
     "dedup_segment_spans",
     "media_feature_extract",  # upgraded rows-only -> exact oracle in r3
