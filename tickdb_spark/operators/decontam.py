@@ -111,6 +111,7 @@ def neardup_contamination(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    bands: int | None = None,
 ) -> DataFrame:
     """Flag training docs that are NEAR duplicates of eval docs — the
     paraphrase-contamination pass exact n-gram overlap misses (a
@@ -124,6 +125,14 @@ def neardup_contamination(
 
     Returns ``(train_id, eval_id, jaccard)`` for every pair the banding
     surfaces with exact Jaccard ≥ threshold.
+
+    ``bands`` is the recall knob: more bands → fewer rows per band →
+    higher collision probability at a given Jaccard (at k=12, a pair at
+    s=0.44 collides with p≈0.30 under 4 bands of 3 rows but p≈0.73 under
+    6 bands of 2). Decontamination wants recall — a missed contaminated
+    doc silently poisons evals, while a surfaced candidate only costs one
+    exact-Jaccard verification — so callers should band finer than the
+    dedup default. Must divide MINHASH_K.
     """
     from tickdb_spark.operators.dedup import (
         LSH_BANDS,
@@ -132,7 +141,10 @@ def neardup_contamination(
         _sigs_from_hashed,
     )
 
-    k, bands = MINHASH_K, LSH_BANDS
+    k = MINHASH_K
+    bands = LSH_BANDS if bands is None else bands
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide MINHASH_K={k}")
     r = k // bands
     par = train.sparkSession.sparkContext.defaultParallelism
     t_sh = _hashed_shingles(train.repartition(par), text_col, id_col).cache()
@@ -190,9 +202,11 @@ def neardup_contamination_sql(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    bands: int | None = None,
 ) -> str:
     """DuckDB twin: replays the banding (not just the verification), so
-    the emitted pair set matches the LSH exactly."""
+    the emitted pair set matches the LSH exactly. ``bands`` mirrors the
+    operator's recall knob and must match the Spark call."""
     from tickdb_spark.operators.dedup import (
         LSH_BANDS,
         MH_COEF,
@@ -201,7 +215,10 @@ def neardup_contamination_sql(
         word_ngrams_sql,
     )
 
-    k, bands = MINHASH_K, LSH_BANDS
+    k = MINHASH_K
+    bands = LSH_BANDS if bands is None else bands
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide MINHASH_K={k}")
     r = k // bands
     grams = word_ngrams_sql(text_col)
 
