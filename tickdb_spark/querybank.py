@@ -63,10 +63,29 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _with_ts_ns(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to BIGINT epoch-ns — the engine's
+    native tick resolution — regardless of the parquet physical type.
+
+    The driver's testdata has shipped ``ts`` both as int64 nanoseconds
+    (reads as BIGINT under nanosAsLong) and as TIMESTAMP(µs) (reads as
+    TIMESTAMP_NTZ); the row values are identical, so ns = µs * 1000. The
+    cast goes through TimestampType under the pinned UTC session, so the
+    NTZ wall-clock is interpreted as UTC — matching the DuckDB oracle's
+    TZ-naive view of the same file."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table; its ts column is Parquet TIMESTAMP(NANOS) →
-    BIGINT epoch-ns via nanosAsLong."""
-    return _read(spark, sf_dir, "events")
+    """Read the events table with ``ts`` normalized to BIGINT epoch-ns
+    (see ``_with_ts_ns``)."""
+    return _with_ts_ns(_read(spark, sf_dir, "events"))
 
 
 def events_as_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,7 +1639,7 @@ def stream_bucket_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
     schema = _read(spark, sf_dir, "events").schema
     stream = (
-        spark.readStream.schema(schema).parquet(landing)
+        _with_ts_ns(spark.readStream.schema(schema).parquet(landing))
         .select(
             F.col("event_type").alias("series"),
             F.col("ts"),
@@ -1695,7 +1714,7 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
     schema = _read(spark, sf_dir, "events").schema
     stream = (
-        spark.readStream.schema(schema).parquet(landing)
+        _with_ts_ns(spark.readStream.schema(schema).parquet(landing))
         # sparsify so real >30-min gaps exist (same trick as the gapfill
         # gate query); sessions on the full stream would all merge
         .where(F.expr("(ts div 1000) % 7") == 0)
@@ -2642,12 +2661,12 @@ def stream_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
     schema = _read(spark, sf_dir, "events").schema
     stream = (
-        spark.readStream.schema(schema).parquet(landing)
+        _with_ts_ns(spark.readStream.schema(schema).parquet(landing))
         .select(
             F.col("event_type").alias("series"),
-            # µs timestamps: DuckDB reads parquet ns truncated to µs, so
-            # the oracle can only order/emit µs — feed the operator µs so
-            # both sides fold the EMA in the same event order
+            # µs timestamps: the DuckDB oracle sees parquet timestamps at
+            # µs resolution, so it can only order/emit µs — feed the
+            # operator µs so both sides fold the EMA in the same order
             F.expr("ts div 1000").alias("ts"),
             F.create_map(F.lit("value"), F.col("value")).alias("value"),
         )
