@@ -87,14 +87,26 @@ def kmeans_fit(
 
     for _ in range(max_iter):
         assigned = assign_cells(train, centroids.tolist(), id_col, vec_col)
-        # per-cell running sums: k·d doubles of state per task (map-side
-        # combine), one k-row shuffle
+        # per-cell running sums: k·d longs of state per task (map-side
+        # combine), one k-row shuffle. Components are quantized to 1e-10
+        # by floor(x*1e10 + 0.5) — pure IEEE double ops, so the same value
+        # quantizes identically on any engine (a DECIMAL cast here would
+        # hit engine-specific tie-rounding: Spark HALF_UP vs DuckDB
+        # HALF_EVEN, measured on this corpus) — and BIGINT sums are exact
+        # and order-independent, so the trained centroids are bit-stable
+        # across partitionings AND replayable by the DuckDB oracle
+        # (kmeans_replay_ctes).
         sums = (
             assigned.groupBy("cell")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.col(vec_col).getItem(j).cast("double")).alias(f"s{j}")
+                    F.sum(
+                        F.floor(
+                            F.col(vec_col).getItem(j).cast("double") * F.lit(1e10)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).alias(f"s{j}")
                     for j in range(centroids.shape[1])
                 ],
             )
@@ -103,7 +115,11 @@ def kmeans_fit(
         new = centroids.copy()
         for row in sums:
             c = row["cell"]
-            new[c] = np.array([row[f"s{j}"] for j in range(centroids.shape[1])]) / row["n"]
+            # (long -> double) / 1e10 / n: every step is the identical
+            # IEEE op sequence the oracle's SQL runs.
+            new[c] = np.array(
+                [float(row[f"s{j}"]) / 1e10 for j in range(centroids.shape[1])]
+            ) / row["n"]
         shift = float(np.abs(new - centroids).max())
         centroids = new
         if shift < tol:
@@ -124,7 +140,10 @@ def assign_cells(
 
     spark = emb.sparkSession
     C = np.asarray(centroids, dtype="float64")
-    c_norm2 = (C * C).sum(axis=1)
+    # left-assoc self-dot (see gen): matches the oracle's c[1]*c[1] + ...
+    c_norm2 = np.zeros(C.shape[0])
+    for i in range(C.shape[1]):
+        c_norm2 += C[:, i] * C[:, i]
     bc = spark.sparkContext.broadcast((C, c_norm2))
     cols = emb.columns
 
@@ -134,14 +153,200 @@ def assign_cells(
             if len(batch) == 0:
                 continue
             V = np.vstack(batch[vec_col].to_numpy()).astype("float64")
-            # |v-c|² up to the constant |v|²: -2 v·c + |c|²
-            scores = -2.0 * (V @ Cb.T) + n2[None, :]
+            # |v-c|² up to the constant |v|²: -2 v·c + |c|².
+            # The dot is a vectorized dim-loop, NOT a BLAS GEMM: the
+            # 0.0-seeded left fold is the exact summation order of the
+            # oracle's v[1]*c[1] + v[2]*c[2] + ... chain, so scores (and
+            # therefore argmin cells) are bit-identical cross-engine.
+            dots = np.zeros((V.shape[0], Cb.shape[0]))
+            for i in range(V.shape[1]):
+                dots += V[:, i : i + 1] * Cb[None, :, i]
+            scores = -2.0 * dots + n2[None, :]
             out = batch.copy()
             out["cell"] = scores.argmin(axis=1).astype("int32")
             yield out
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields)
     return emb.mapInPandas(gen, f"{schema}, cell int")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle replay.
+#
+# kmeans_fit is deterministic end-to-end: hash-sampled train set, hash-min
+# seeding, left-assoc fold scoring (assign_cells), IEEE-quantized BIGINT
+# centroid sums (floor(x*1e10 + 0.5)), identical-op-order division. Every
+# one of those steps has an exact SQL equivalent, so a bounded unroll of the
+# Lloyd loop (the gate trains max_iter=3, tol=0) replays the trainer
+# bit-identically in DuckDB — upgrading both k-means gate entries from
+# rows-only to hash-checked.
+# ---------------------------------------------------------------------------
+
+
+def _dot_chain_sql(a: str, b: str, dim: int) -> str:
+    """Left-associative dot of two list expressions (1-based lists)."""
+    terms = [
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _score_sql(vec: str, cent: str, dim: int) -> str:
+    """-2<v,c> + |c|^2 — assign_cells' score, same op order."""
+    return f"((-2.0 * {_dot_chain_sql(vec, cent, dim)}) + {_dot_chain_sql(cent, cent, dim)})"
+
+
+def kmeans_replay_ctes(
+    table: str,
+    k: int,
+    iters: int,
+    dim: int,
+    sample_fraction: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE chain (no leading WITH) replaying ``kmeans_fit(k, max_iter=iters,
+    tol=0, sample_fraction)``; the final centroids land in ``km_cents(cell,
+    c)``. Unrolled (not recursive): the gate trains a fixed small number of
+    iterations, and an unrolled chain keeps every step a plain
+    join+aggregate DuckDB can plan."""
+    from tickdb_spark.operators.sampling import MOD, id_hash_sql
+
+    cut = int(sample_fraction * MOD)
+    ctes = [
+        f"""km_train AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+      FROM {table} WHERE {id_hash_sql(id_col)} < {cut}
+    )""",
+        f"""km_c0 AS (
+      SELECT cell, v AS c FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {id_hash_sql('id')}, id) - 1 AS cell, v
+        FROM km_train
+      ) WHERE cell < {k}
+    )""",
+    ]
+    means = ", ".join(
+        f"CAST(SUM(CAST(floor(CAST(v[{j + 1}] AS DOUBLE) * 1e10 + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / 1e10 / COUNT(*) AS m{j}"
+        for j in range(dim)
+    )
+    rebuilt = ", ".join(f"u.m{j}" for j in range(dim))
+    for t in range(1, iters + 1):
+        prev = f"km_c{t - 1}"
+        ctes.append(
+            f"""km_a{t} AS (
+      SELECT id, v FROM (
+        SELECT t.id, t.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.id
+                 ORDER BY {_score_sql('t.v', 'c.c', dim)}, c.cell) AS rn
+        FROM km_train t CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        # km_a{t} drops cell from the outer select on purpose? No — keep it.
+        ctes[-1] = ctes[-1].replace("SELECT id, v FROM (", "SELECT id, v, cell FROM (")
+        ctes.append(
+            f"""km_u{t} AS (
+      SELECT cell, COUNT(*) AS n, {means}
+      FROM km_a{t} GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""km_c{t} AS (
+      SELECT p.cell, CASE WHEN u.n IS NULL THEN p.c ELSE [{rebuilt}] END AS c
+      FROM {prev} p LEFT JOIN km_u{t} u USING (cell)
+    )"""
+        )
+    ctes.append(f"km_cents AS (SELECT cell, c FROM km_c{iters})")
+    return ",\n    ".join(ctes)
+
+
+def kmeans_cells_sql(
+    table: str,
+    k: int,
+    iters: int,
+    dim: int,
+    sample_fraction: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for the full-corpus cell histogram (``sim_ivf_kmeans_cells``)."""
+    ctes = kmeans_replay_ctes(table, k, iters, dim, sample_fraction, id_col, vec_col)
+    return f"""
+    WITH {ctes},
+    km_all AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+    ),
+    km_fin AS (
+      SELECT id, cell FROM (
+        SELECT a.id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.id
+                 ORDER BY {_score_sql('a.v', 'c.c', dim)}, c.cell) AS rn
+        FROM km_all a CROSS JOIN km_cents c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors
+    FROM km_fin GROUP BY cell ORDER BY cell
+    """
+
+
+def ann_topk_ivf_trained_sql(
+    table: str,
+    query_ids: list[int],
+    k: int,
+    k_cells: int,
+    iters: int,
+    dim: int,
+    sample_fraction: float,
+    margin: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for ``ann_topk_ivf`` over trainer-produced centroids
+    (``sim_ann_topk_ivf_trained``): the km_cents replay feeds the same
+    scores -> cell/probes -> cosine-rank pipeline as the static-centroid
+    IVF oracle."""
+    from tickdb_spark.operators.similarity import (
+        cosine_expr,
+        ivf_cell_from_scores,
+        ivf_probes_from_scores,
+    )
+
+    ctes = kmeans_replay_ctes(table, k_cells, iters, dim, sample_fraction, id_col, vec_col)
+    ids = ", ".join(str(i) for i in query_ids)
+    cell = ivf_cell_from_scores(sql=True)
+    probes = ivf_probes_from_scores(margin, n=k_cells, sql=True)
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    return f"""
+    WITH {ctes},
+    s AS (
+      SELECT e.{id_col} AS vid, any_value(e.{vec_col}) AS vec,
+             list({_score_sql(f'e.{vec_col}', 'kc.c', dim)} ORDER BY kc.cell)
+               AS scores
+      FROM {table} e CROSS JOIN km_cents kc
+      GROUP BY e.{id_col}
+    ),
+    c AS (
+      SELECT vid AS neighbor_id, vec AS cvec, {cell} AS cell FROM s
+    ),
+    q AS (
+      SELECT vid AS query_id, vec AS qvec, unnest({probes}) AS cell
+      FROM s WHERE vid IN ({ids})
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine
+      FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
 
 
 def inertia(

@@ -526,12 +526,22 @@ def _cell_scores(
     """Distance score per centroid: |v-c|^2 - |v|^2 = -2<v,c> + |c|^2
     (the |v|^2 term is constant per vector, so argmin is unchanged)."""
     cents = CENTROIDS if centroids is None else centroids
-    norm2 = _C_NORM2 if centroids is None else [
-        round(sum(x * x for x in c), 8) for c in cents
-    ]
+    if centroids is None:
+        # fixed pseudo-centroids: short rounded literals (shared with the
+        # static SQL oracle, which embeds the same rounded constants)
+        norm2 = _C_NORM2
+        neg2 = [[round(-2.0 * x, 6) for x in c] for c in cents]
+    else:
+        # caller-supplied (trained) centroids: EXACT literals. The trained
+        # oracle re-derives centroids in SQL and scores with
+        # (-2 * dot(v,c)) + dot(c,c); scaling by -2 (a power of two)
+        # commutes with FP rounding and the Python sum here is the same
+        # 0-seeded left fold as the SQL chain, so these literal scores are
+        # bit-identical to the oracle's column-derived ones.
+        norm2 = [sum(x * x for x in c) for c in cents]
+        neg2 = [[-2.0 * x for x in c] for c in cents]
     out = []
-    for c, n2 in zip(cents, norm2):
-        neg2c = [round(-2.0 * x, 6) for x in c]
+    for neg2c, n2 in zip(neg2, norm2):
         out.append(f"({dot_literal_expr(vec, neg2c, dim, sql)} + ({n2!r}))")
     return out
 

@@ -72,12 +72,18 @@ def _with_ts_ns(df: DataFrame) -> DataFrame:
     TIMESTAMP_NTZ); the row values are identical, so ns = µs * 1000. The
     cast goes through TimestampType under the pinned UTC session, so the
     NTZ wall-clock is interpreted as UTC — matching the DuckDB oracle's
-    TZ-naive view of the same file."""
+    TZ-naive view of the same file.
+
+    The raw timestamp is preserved as ``ts_raw``: range predicates on the
+    computed ns column cannot reach the parquet scan, so query paths add a
+    redundant (equivalent) range filter on ``ts_raw`` — that one pushes
+    down, and at 100 TB pushdown is the difference between scanning a time
+    slice and scanning the corpus."""
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         return df
-    return df.withColumn(
+    return df.withColumn("ts_raw", F.col("ts")).withColumn(
         "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     )
 
@@ -88,15 +94,33 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_ts_ns(_read(spark, sf_dir, "events"))
 
 
+def _push_ts_range(df: DataFrame, frm_ns: int, to_ns: int) -> DataFrame:
+    """Redundant, conservatively-widened range filter on the raw timestamp
+    column (``ts_raw``), which — unlike the computed ns column — pushes
+    down to the parquet scan. Callers keep their exact ns predicate; this
+    just makes the scan read the time slice instead of the corpus."""
+    if "ts_raw" not in df.columns:
+        return df
+    dt = df.schema["ts_raw"].dataType
+    lo = F.timestamp_micros(F.lit(frm_ns // 1_000)).cast(dt)
+    hi = F.timestamp_micros(F.lit(-(-to_ns // 1_000))).cast(dt)
+    return df.where((F.col("ts_raw") >= lo) & (F.col("ts_raw") < hi))
+
+
 def events_as_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adapt the driver's ``events`` table to the canonical tick schema."""
+    """Adapt the driver's ``events`` table to the canonical tick schema.
+    Carries ``ts_raw`` through (when the source is timestamp-typed) so
+    ``run_tick_query`` can push its range filter to the parquet scan."""
     ev = _read_events(spark, sf_dir)
-    return ev.select(
+    cols = [
         F.col("event_type").alias("series"),
         F.col("ts").alias("ts"),
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
         F.create_map(F.lit("value"), F.col("value")).alias("value"),
-    )
+    ]
+    if "ts_raw" in ev.columns:
+        cols.append(F.col("ts_raw"))
+    return ev.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +167,9 @@ register(
     "truncates ns→µs); engine-side it's a half-open ns range, which pushes "
     "down to the parquet scan as a plain range predicate.",
 )(
-    lambda spark, sf_dir: events_as_ticks(spark, sf_dir)
+    lambda spark, sf_dir: _push_ts_range(
+        events_as_ticks(spark, sf_dir), _GET_US * 1000, (_GET_US + 1) * 1000
+    )
     .where(
         (F.col("series") == "error")
         & (F.col("ts") >= _GET_US * 1000)
@@ -2429,7 +2455,9 @@ _GAP_INNER = f"""
     "gaps; n_obs flags filled rows",
 )
 def tick_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_as_ticks(spark, sf_dir).where(
+    ev = _push_ts_range(
+        events_as_ticks(spark, sf_dir), _GAP_FROM, _GAP_FROM + 7 * 86400 * 10**9
+    ).where(
         (F.col("series") == "error")
         & (F.expr("(ts div 1000) % 5") == 0)
         & (F.col("ts") >= _GAP_FROM)
@@ -3061,7 +3089,11 @@ _TREND_ANCHOR_US = 1704067200 * 10**6  # 2024-01-01 in µs
 )
 def trend_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
-        _read_events(spark, sf_dir)
+        _push_ts_range(
+            _read_events(spark, sf_dir),
+            _TREND_ANCHOR_US * 1000,
+            (_TREND_ANCHOR_US + 31 * 86400 * 10**6) * 1000,
+        )
         .where(
             (F.col("ts") >= _TREND_ANCHOR_US * 1000)
             & (F.col("ts") < (_TREND_ANCHOR_US + 31 * 86400 * 10**6) * 1000)
@@ -3149,7 +3181,9 @@ def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concatenation deterministic)",
 )
 def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read_events(spark, sf_dir).where(
+    ev = _push_ts_range(
+        _read_events(spark, sf_dir), 1704067200 * 10**9, 1706745600 * 10**9
+    ).where(
         (F.col("ts") >= 1704067200 * 10**9) & (F.col("ts") < 1706745600 * 10**9)
     )
     return (
@@ -3171,20 +3205,30 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tickdb_spark.operators.kmeans import (  # noqa: E402
+    ann_topk_ivf_trained_sql as _km_ann_sql,
+    kmeans_cells_sql as _km_cells_sql,
+)
+
+
 @register(
     "sim_ivf_kmeans_cells",
-    None,  # iterative (Lloyd) — not SQL-expressible; rows-only check
-    "k-means-trained IVF cells: deterministic hash-min seeding, GEMM "
-    "assignment + per-cell mean aggregate per iteration; output is the "
-    "cell histogram (stable across reruns/partitionings)",
+    _km_cells_sql("embeddings", k=4, iters=3, dim=_sim.EMB_DIM, sample_fraction=0.5),
+    "k-means-trained IVF cells: deterministic hash-min seeding, "
+    "left-fold GEMM assignment + IEEE-quantized BIGINT mean per "
+    "iteration; oracle-EXACT (upgraded from rows-only): the DuckDB twin "
+    "replays Lloyd's as a bounded 3-iteration CTE unroll — every trainer "
+    "step (hash sample, hash-min seeds, fold scores, quantized means) is "
+    "bit-reproducible cross-engine",
 )
 def sim_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickdb_spark.operators import kmeans as _km
 
     emb = _read(spark, sf_dir, "embeddings")
     # 100-TB shape: Lloyd iterations over a deterministic hash-sample,
-    # one full-corpus assignment pass at the end.
-    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5)
+    # one full-corpus assignment pass at the end. tol=0 pins the
+    # iteration count so the oracle's unroll depth always matches.
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5, tol=0.0)
     return (
         _km.assign_cells(emb, cents)
         .groupBy("cell")
@@ -3195,18 +3239,28 @@ def sim_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_topk_ivf_trained",
-    None,  # trainer is iterative (Lloyd) — centroids are data-dependent,
-    # so no static SQL twin exists; rows-only. Determinism: hash-min
-    # seeding + hash-sampled training make the centroids (and therefore
-    # the result) bit-stable across reruns and repartitionings.
+    _km_ann_sql(
+        "embeddings",
+        [0, 1, 2, 3, 4],
+        k=5,
+        k_cells=4,
+        iters=3,
+        dim=_sim.EMB_DIM,
+        sample_fraction=0.5,
+        margin=_sim.IVF_MARGIN,
+    ),
     "production IVF shape end-to-end: k-means trainer (hash-sampled) -> "
-    "trained centroid cells -> margin-probed equi-join top-k",
+    "trained centroid cells -> margin-probed equi-join top-k; "
+    "oracle-EXACT (upgraded from rows-only): the oracle replays the "
+    "trainer (3-iteration Lloyd CTE unroll) and feeds the replayed "
+    "centroids through the same scores->cell/probes->cosine-rank SQL as "
+    "the static-centroid IVF oracle",
 )
 def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickdb_spark.operators import kmeans as _km
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5)
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5, tol=0.0)
     return _sim.ann_topk_ivf(emb, [0, 1, 2, 3, 4], k=5, centroids=cents)
 
 

@@ -225,11 +225,21 @@ def run_tick_query(ticks: DataFrame, query: TickQuery | dict) -> DataFrame:
 
     multi = not isinstance(query.series, str)
     cond = (F.col("ts") >= frm) & (F.col("ts") < to)
+    if "ts_raw" in ticks.columns:
+        # The ns column is computed from a timestamp-typed source, so its
+        # range predicate cannot reach the parquet scan. Add the same range
+        # on the raw column (conservatively widened to whole µs — the ns
+        # filter stays authoritative): this one pushes down, turning the
+        # scan into a time-slice read instead of a corpus read.
+        dt = ticks.schema["ts_raw"].dataType
+        lo = F.timestamp_micros(F.lit(frm // 1_000)).cast(dt)
+        hi = F.timestamp_micros(F.lit(-(-to // 1_000))).cast(dt)
+        cond = cond & (F.col("ts_raw") >= lo) & (F.col("ts_raw") < hi)
     if isinstance(query.series, str):
         cond = (F.col("series") == query.series) & cond
     elif query.series is not None:
         cond = F.col("series").isin(list(query.series)) & cond
-    df = ticks.where(cond)
+    df = ticks.where(cond).drop("ts_raw")
     bucket = bucket_start_ns(F.col("ts"), count, unit, frm).alias("bucket")
 
     aggs, ma_cols = [], []
