@@ -34,7 +34,17 @@ for drop in (7, 13):
     print(f"drop=every-{drop}th  exact-8gram catches: {n_exact}/50")
     for bands in (4, 6, 12):
         near = neardup_contamination(para, eval_set, "text", "doc_id", 0.4, bands=bands)
-        n_near = near.where(F.col("train_id") >= 1_000_000).count()
+        # one row per (train_id, eval_id) candidate PAIR — count distinct
+        # caught docs, or a paraphrase matching several eval items
+        # double-counts; true positives additionally match their source
+        n_docs = (
+            near.where(F.col("train_id") >= 1_000_000)
+            .select("train_id").distinct().count()
+        )
+        n_tp = near.where(F.col("eval_id") == F.col("train_id") - 1_000_000).count()
         n_pairs = near.count()
-        print(f"  bands={bands}: LSH catches {n_near}/50 (total pairs {n_pairs})")
+        print(
+            f"  bands={bands}: LSH catches {n_docs}/50 distinct docs "
+            f"({n_tp} true-positive pairs, {n_pairs} total pairs)"
+        )
     para.unpersist()

@@ -1345,13 +1345,13 @@ def _neardup_decontam_oracle() -> str:
       UNION ALL
       SELECT doc_id + 1000000,
              array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
-                                         (x, i) -> i % 13 != 0), ' ')
+                                         (x, i) -> i % 7 != 0), ' ')
       FROM documents WHERE doc_id < 50
     """
     eval_sql = "SELECT doc_id, text FROM documents WHERE doc_id < 50"
     return (
         "SELECT * FROM ("
-        + neardup_contamination_sql(train_sql, eval_sql, "text", "doc_id", 0.4)
+        + neardup_contamination_sql(train_sql, eval_sql, "text", "doc_id", 0.4, bands=12)
         + ") ORDER BY train_id, eval_id"
     )
 
@@ -1363,8 +1363,10 @@ def _neardup_decontam_oracle() -> str:
     "duplicates of eval docs via cross-table MinHash LSH (eval side's "
     "banded signatures broadcast; the corpus never self-joins), exact "
     "Jaccard >= 0.4 verification on band-collision candidates only. "
-    "Planted paraphrases (eval docs with every 13th token dropped) are "
-    "caught; exact 8-gram decontamination misses most of them",
+    "Planted paraphrases (eval docs with every 7th token dropped: max "
+    "intact run 6 < 8, so exact 8-gram decontamination catches 1/50 "
+    "while 3-gram shingle Jaccard ~0.44 keeps LSH at 50/50 with 12 "
+    "bands — measured at sf0.01, scripts/measure_decontam_replant.py)",
 )
 def decontam_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickdb_spark.operators.decontam import neardup_contamination
@@ -1375,15 +1377,15 @@ def decontam_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     para = eval_set.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat_ws(
-            " ", F.filter(toks, lambda t, i: (i + 1) % 13 != 0)
+            " ", F.filter(toks, lambda t, i: (i + 1) % 7 != 0)
         ).alias("text"),
     )
     train = (
         docs.where(F.col("doc_id") >= 50).select("doc_id", "text").unionByName(para)
     )
-    return neardup_contamination(train, eval_set, "text", "doc_id", 0.4).orderBy(
-        "train_id", "eval_id"
-    )
+    return neardup_contamination(
+        train, eval_set, "text", "doc_id", 0.4, bands=12
+    ).orderBy("train_id", "eval_id")
 
 
 @register(
