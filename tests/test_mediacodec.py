@@ -13,9 +13,11 @@ import pytest
 
 from tickdb_spark.operators.mediacodec import (
     decode_bmp,
+    decode_png,
     decode_wav,
     decode_y4m,
     encode_bmp,
+    encode_png,
     encode_wav,
     encode_y4m,
 )
@@ -100,6 +102,62 @@ def test_y4m_rejects_garbage():
         decode_y4m(b"MPEG4...\n")
     with pytest.raises(ValueError):
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n\x00\x00")  # truncated
+
+
+@pytest.mark.parametrize("filt", [None, 0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_roundtrip_every_filter_and_colortype(filt, ch):
+    rng = np.random.default_rng(7 * ch + (0 if filt is None else filt + 1))
+    img = rng.integers(0, 256, size=(11, 13, ch), dtype=np.uint8)
+    if ch == 1:
+        img = img.reshape(11, 13)
+    out = decode_png(encode_png(img, filters=filt))
+    ref = img[:, :, None] if img.ndim == 2 else img
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
+
+
+def test_png_idat_split_and_chunk_walk():
+    """IDAT may be split across chunks; extra ancillary chunks must be
+    skipped by length, not assumed absent."""
+    import struct as _s
+    import zlib as _z
+
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    data = encode_png(img, filters=2)
+    # split the single IDAT into two and inject a tEXt chunk between them
+    sig_end = 8
+    (ihdr_len,) = _s.unpack_from(">I", data, sig_end)
+    idat_pos = sig_end + 12 + ihdr_len
+    (idat_len,) = _s.unpack_from(">I", data, idat_pos)
+    body = data[idat_pos + 8 : idat_pos + 8 + idat_len]
+    rest = data[idat_pos + 12 + idat_len :]
+
+    def chunk(ctype, b):
+        return (
+            _s.pack(">I", len(b)) + ctype + b
+            + _s.pack(">I", _z.crc32(ctype + b) & 0xFFFFFFFF)
+        )
+
+    patched = (
+        data[:idat_pos]
+        + chunk(b"IDAT", body[:3])
+        + chunk(b"tEXt", b"Comment\x00hi")
+        + chunk(b"IDAT", body[3:])
+        + rest
+    )
+    assert np.array_equal(decode_png(patched), img)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"\x89JPG\r\n\x1a\n" + bytes(40))
+    img16 = encode_png(np.zeros((2, 2), np.uint8))
+    # corrupt IHDR bit depth to 16
+    bad = bytearray(img16)
+    bad[8 + 8 + 8] = 16  # sig + len/type + width/height -> depth byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
 
 
 def test_decode_image_audio_operators(spark):

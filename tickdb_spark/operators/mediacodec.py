@@ -80,6 +80,154 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# PNG (8-bit greyscale / RGB / RGBA, non-interlaced)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> channels
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
+    """Encode an (h, w) grey, (h, w, 3) RGB or (h, w, 4) RGBA uint8 array
+    as a non-interlaced 8-bit PNG (stdlib zlib deflate).
+
+    ``filters`` picks the per-row filter type: an int applies one type to
+    every row; ``None`` cycles 0..4 by row index so a planted asset
+    exercises every unfilter path in one image."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = img.astype(np.int16)  # room for the mod-256 differences
+    lines = []
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        f = (y % 5) if filters is None else int(filters)
+        cur = raw[y]
+        if f == 0:
+            out = cur
+        elif f == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), np.int16), cur[:-1]])
+            out = cur - left
+        elif f == 2:  # Up
+            out = cur - prev
+        elif f == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), np.int16), cur[:-1]])
+            out = cur - (left + prev) // 2
+        elif f == 4:  # Paeth
+            out = cur.copy()
+            for x in range(w):
+                for c in range(ch):
+                    a = int(cur[x - 1, c]) if x else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x else 0
+                    out[x, c] = int(cur[x, c]) - _paeth(a, b, cc)
+        else:
+            raise ValueError(f"bad filter type {f}")
+        lines.append(bytes([f]) + (out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grey / RGB / RGBA) into an
+    (h, w, channels) uint8 array.
+
+    Pure stdlib-zlib + numpy: walks the chunk list (length + type + CRC
+    framing, IDAT may be split across chunks), inflates, and reverses the
+    five per-row filter types. None/Sub/Up rows are vectorized (Sub is a
+    mod-256 prefix sum along the pixel stride); Average/Paeth carry a
+    left-pixel dependency, so those rows reconstruct pixel-at-a-time —
+    fine for Arrow-batched stats decoding, swap in libpng for bulk
+    raster work."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG stream")
+    pos, w = len(_PNG_SIG), None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+            if comp or filt or interlace:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("bad PNG scanline payload size")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].reshape(w, ch)
+        if f == 0:
+            rec = cur.copy()
+        elif f == 1:  # Sub: prefix sum along x, mod 256
+            rec = (np.cumsum(cur.astype(np.int64), axis=0) % 256).astype(np.uint8)
+        elif f == 2:  # Up
+            rec = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            rec = np.zeros_like(cur)
+            for x in range(w):
+                left = rec[x - 1].astype(np.int16) if x else np.zeros(ch, np.int16)
+                rec[x] = (
+                    cur[x].astype(np.int16) + (left + prev[x].astype(np.int16)) // 2
+                ).astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = np.zeros_like(cur)
+            for x in range(w):
+                for c in range(ch):
+                    a = int(rec[x - 1, c]) if x else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x else 0
+                    rec[x, c] = (int(cur[x, c]) + _paeth(a, b, cc)) % 256
+        else:
+            raise ValueError(f"bad filter type {f} in row {y}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF, integer PCM 16-bit)
 # --------------------------------------------------------------------------
 

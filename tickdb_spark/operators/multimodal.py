@@ -284,7 +284,7 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
     column-sorted value hash is engine-exact with no NULL-dtype coercion.
     """
     m = _codec()
-    decode_bmp, decode_wav = m.decode_bmp, m.decode_wav
+    decode_bmp, decode_wav, decode_png = m.decode_bmp, m.decode_wav, m.decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -302,6 +302,21 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
                         (mid, "image", "channels", c),
                         (mid, "image", "px_sum", int(img.sum(dtype=np.int64))),
                         (mid, "image", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
+                    ]
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(b)
+                    h, w, c = img.shape
+                    rows += [
+                        (mid, "image_png", "width", w),
+                        (mid, "image_png", "height", h),
+                        (mid, "image_png", "channels", c),
+                        (mid, "image_png", "px_sum", int(img.sum(dtype=np.int64))),
+                        (
+                            mid,
+                            "image_png",
+                            "corner_sum",
+                            int(img[0, 0].sum(dtype=np.int64)),
+                        ),
                     ]
                 elif b[:4] == b"RIFF":
                     rate, ch, samples = decode_wav(b)
@@ -362,6 +377,44 @@ def plant_media_assets(docs: DataFrame) -> DataFrame:
                     out.append(
                         (d, "audio", encode_wav(base + np.arange(n, dtype=np.int16)))
                     )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def plant_png_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL compressed PNGs from ``doc_id`` with closed-form
+    channel stats — the format a real corpus's images actually arrive in
+    (unlike the uncompressed BMPs): even ids RGB, odd ids greyscale,
+    w = 2 + d % 29, h = 2 + d % 13, pixel(y, x, c) = x + y + c (max
+    43 < 256, no wrap)
+    ⇒ px_sum = ch·w·h·(w+h−2)/2 + w·h·ch·(ch−1)/2,
+      corner_sum = ch·(ch−1)/2.
+
+    Rows are deflate-compressed with the filter type CYCLING 0..4 by row
+    (encode_png's default), so one asset exercises every PNG unfilter
+    path — None/Sub/Up/Average/Paeth — against the oracle."""
+    encode_png = _codec().encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 2 + d % 29, 2 + d % 13
+                ch = 3 if d % 2 == 0 else 1
+                img = (
+                    np.arange(w, dtype=np.uint8)[None, :, None]
+                    + np.arange(h, dtype=np.uint8)[:, None, None]
+                    + np.arange(ch, dtype=np.uint8)[None, None, :]
+                )
+                if ch == 1:
+                    img = img.reshape(h, w)
+                out.append((d, "image_png", encode_png(img)))
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
     return _repartitioned(docs.select("doc_id")).mapInPandas(

@@ -1508,6 +1508,40 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_png",
+    """
+    WITH png AS (
+      SELECT doc_id, 2 + doc_id % 29 AS w, 2 + doc_id % 13 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, media_type, stat, CAST(value AS BIGINT) AS value FROM (
+      SELECT doc_id AS media_id, 'image_png' AS media_type, 'width' AS stat,
+             w AS value FROM png
+      UNION ALL SELECT doc_id, 'image_png', 'height', h FROM png
+      UNION ALL SELECT doc_id, 'image_png', 'channels', ch FROM png
+      UNION ALL SELECT doc_id, 'image_png', 'px_sum',
+                       ch * w * h * (w + h - 2) // 2
+                       + w * h * ch * (ch - 1) // 2 FROM png
+      UNION ALL SELECT doc_id, 'image_png', 'corner_sum',
+                       ch * (ch - 1) // 2 FROM png
+    )
+    ORDER BY media_id, stat
+    """,
+    "REAL compressed-image decode, oracle-checked: every 3rd doc_id is "
+    "planted as a genuine deflate-compressed PNG (stdlib zlib inflate + "
+    "numpy row unfilter, mediacodec.py) — even ids RGB, odd greyscale — "
+    "with the five PNG filter types cycling per row, so None/Sub/Up/"
+    "Average/Paeth reconstruction all verify against closed-form pixel "
+    "sums; corner_sum pins channel order/origin.",
+)
+def media_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = _mm.plant_png_assets(docs)
+    return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
+
+
+@register(
     "media_video_frame_sample",
     """
     WITH vid AS (
@@ -3298,6 +3332,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_chunk_sliding",
     "sample_split_assign",
     "media_decode_stats",
+    "media_decode_png",  # new in r5: compressed-image decode kernel
     "media_video_frame_sample",
     "stream_dedup_ingest",
     "sim_ann_topk_lsh_multitable",
