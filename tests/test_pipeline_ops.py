@@ -602,8 +602,9 @@ def test_multitable_lsh_recall_floor(spark):
         return len(g & d) / len(g)
 
     r1, rm = recall(one), recall(multi)
-    # measured on this corpus: single 0.147, multi 0.340
-    assert rm >= 0.25, f"multi-table recall collapsed: {rm}"
+    # measured on this corpus (scripts/bench_ann_recall.py sweep): single
+    # 0.147, 6-table 0.533 — floor at 0.45 leaves noise margin only
+    assert rm >= 0.45, f"multi-table recall collapsed: {rm}"
     assert rm > r1, f"amplification bought nothing: multi {rm} <= single {r1}"
 
 

@@ -52,30 +52,39 @@ def stopword_hits(col: Column, lang: str) -> Column:
 
 def langid(col: Column) -> Column:
     """Heuristic language ID: arg-max of stopword hit counts, 'und' when no
-    list scores > 0. Ties resolve in STOPWORDS key order (deterministic)."""
-    scores = [(lang, stopword_hits(col, lang)) for lang in STOPWORDS]
-    # fold right-to-left so earlier languages win ties
-    expr = F.lit("und")
-    best_score = F.greatest(*[s for _, s in scores])
-    for lang, score in reversed(scores):
-        expr = F.when((score > 0) & (score == best_score), F.lit(lang)).otherwise(expr)
-    return expr
+    list scores > 0. Ties resolve in STOPWORDS key order (deterministic:
+    array_position returns the FIRST occurrence of the max).
+
+    One scores array + positional arg-max, not a CASE chain: the old
+    right-fold re-embedded every language's hit count in the greatest()
+    guard AND each branch (conditional contexts defeat Spark's
+    subexpression elimination), re-tokenizing the text ~3N times. Here
+    every `scores` occurrence is an unconditional subtree, so CSE
+    evaluates the N hit counts once per row (measured 1.98 s -> see
+    BASELINE.md)."""
+    scores = F.array(*[stopword_hits(col, lang).cast("int") for lang in STOPWORDS])
+    langs = F.array(*[F.lit(lang) for lang in STOPWORDS])
+    mx = F.array_max(scores)
+    return F.when(
+        mx > 0, F.element_at(langs, F.array_position(scores, mx).cast("int"))
+    ).otherwise(F.lit("und"))
 
 
 def langid_sql(text_expr: str = "text") -> str:
-    """DuckDB equivalent of :func:`langid` (same tie order)."""
+    """DuckDB equivalent of :func:`langid` (same first-max tie order)."""
     toks = f"string_split_regex(trim({text_expr}), '{TOKEN_SEP}')"
 
     def hits(lang: str) -> str:
         lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
 
-    greatest = "greatest(" + ", ".join(hits(lg) for lg in STOPWORDS) + ")"
-    expr = "'und'"
-    for lang in reversed(list(STOPWORDS)):
-        h = hits(lang)
-        expr = f"CASE WHEN {h} > 0 AND {h} = {greatest} THEN '{lang}' ELSE {expr} END"
-    return expr
+    scores = "[" + ", ".join(hits(lg) for lg in STOPWORDS) + "]"
+    langs = "[" + ", ".join(f"'{lg}'" for lg in STOPWORDS) + "]"
+    mx = f"list_aggregate({scores}, 'max')"
+    return (
+        f"CASE WHEN {mx} > 0 THEN {langs}[list_position({scores}, {mx})] "
+        f"ELSE 'und' END"
+    )
 
 
 def quality_metrics(col: Column) -> dict[str, Column]:

@@ -103,7 +103,13 @@ def bucket_expr(
 #: linear signature cost, the standard production knob random-hyperplane
 #: LSH needs at scale (a single table's miss rate is data-independent and
 #: irreducible).
-N_TABLES = 3
+#:
+#: 6 tables x 4 planes is the measured frontier pick on the gate corpus
+#: (scripts/bench_ann_recall.py sweep, table in BASELINE.md): recall@5
+#: 0.533 at 32% of corpus scored per query — it dominates 3x3 (0.447 at
+#: the same 32%) and beats the old 3x4 default (0.340 at 18%) where the
+#: extra cost buys the most recall per candidate.
+N_TABLES = 6
 TABLE_PLANES = [_hyperplanes(seed=7 + 13 * t) for t in range(N_TABLES)]
 
 
@@ -235,6 +241,7 @@ def ann_topk_lsh_multitable(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table_planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k with OR-amplified multi-table LSH: ``N_TABLES``
     independent plane sets; a corpus vector is a candidate if it shares a
@@ -250,8 +257,9 @@ def ann_topk_lsh_multitable(
     one table — never all-pairs. Recall floor vs brute force is pinned
     by tests/test_pipeline_ops.py on the same corpus the gate uses.
     """
+    tp = TABLE_PLANES if table_planes is None else table_planes
     sigs = "array(" + ", ".join(
-        bucket_expr(vec_col, planes=p) for p in TABLE_PLANES
+        bucket_expr(vec_col, planes=p) for p in tp
     ) + ")"
     bucketed = emb.select(
         F.col(id_col),
@@ -298,12 +306,14 @@ def ann_topk_lsh_multitable(
 def ann_topk_lsh_multitable_sql(
     table: str, query_ids: list[int], k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    table_planes: list[list[list[float]]] | None = None,
 ) -> str:
+    tp = TABLE_PLANES if table_planes is None else table_planes
     ids = ", ".join(str(i) for i in query_ids)
     per_table = " UNION ALL ".join(
         f"SELECT {id_col}, {t} AS table_id, "
         f"{bucket_expr(vec_col, sql=True, planes=p)} AS bucket FROM {table}"
-        for t, p in enumerate(TABLE_PLANES)
+        for t, p in enumerate(tp)
     )
     cos = cosine_expr("q.qvec", "c.cvec", sql=True)
     return f"""
