@@ -1,4 +1,4 @@
-"""Dedup-family scaling curve: wall time at 1x / 2x / 4x corpus size.
+"""Dedup-family scaling curve: wall time at 1x / 2x / 4x / 8x corpus size.
 
 The 100-TB question for candidate-confined dedup is whether wall time
 grows ~linearly with corpus size (candidate generation is equality-join
@@ -9,7 +9,7 @@ adversarial direction) and measures the three main detectors warm.
 
     python scripts/bench_dedup_scale.py
 
-Prints one JSON line per detector with [1x, 2x, 4x] seconds and the
+Prints one JSON line per detector with [1x, 2x, 4x, 8x] seconds and the
 log2 growth factors (1.0 = perfectly linear; 2.0 = quadratic).
 """
 
@@ -71,7 +71,7 @@ def main() -> None:
     out = {}
     for name, make in detectors.items():
         times = []
-        for factor in (1, 2, 4):
+        for factor in (1, 2, 4, 8):
             docs = scaled_docs(spark, factor).cache()
             docs.count()
             make(docs).write.format("noop").mode("overwrite").save()  # warm
@@ -82,9 +82,9 @@ def main() -> None:
         import math
 
         growth = [
-            round(math.log2(times[i + 1] / times[i]), 2) for i in range(2)
+            round(math.log2(times[i + 1] / times[i]), 2) for i in range(len(times) - 1)
         ]
-        out[name] = {"sec_1x_2x_4x": times, "log2_growth": growth}
+        out[name] = {"sec_1x_2x_4x_8x": times, "log2_growth": growth}
         print(json.dumps({"detector": name, **out[name]}))
 
 

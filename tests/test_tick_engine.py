@@ -267,3 +267,98 @@ def test_bucket_edges_f4(tmp_path, spark):
     assert tdb.query("edge", {
         "index": "e", "from": "2016-02-29T00:00:00Z", "to": "2016-02-29T00:00:00Z",
         "group": "day", "fields": {"v": "count"}}).count() == 0
+
+
+def test_compaction_collapses_files_and_preserves_results(tmp_path, spark):
+    """compact() must (a) shrink the per-partition file spray from
+    multi-batch appends back to one file per (series, dt), and (b) leave
+    query results bit-identical while flipping reads to the clean
+    (no-dedup-shuffle) path."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.ingest import append_batch, compact, read_ticks
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    rows = [
+        ("A", (1704067200 + i * 3600) * 10**9, None, {"v": float(i)})
+        for i in range(48)
+    ]
+    ticks = spark.createDataFrame(
+        rows, "series string, ts long, ts_utc timestamp, value map<string,double>"
+    ).withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    for k in range(4):  # interleaved appends -> 4 files per (series, dt)
+        append_batch(db, ticks.where(F.expr("(ts div 3600000000000) % 4") == k))
+    # one LWW overwrite batch
+    append_batch(db, ticks.where(F.col("ts") == rows[0][1]).withColumn(
+        "value", F.create_map(F.lit("v"), F.lit(99.0))))
+
+    def files():
+        return [p for p in glob.glob(f"{db}/ticks/series=*/dt=*/*") if p.endswith(".parquet")]
+
+    def state():
+        return sorted(
+            (r["series"], r["ts"], dict(r["value"]))
+            for r in read_ticks(spark, db).collect()
+        )
+
+    before_files, before_state = len(files()), state()
+    compact(spark, db)
+    after_files, after_state = len(files()), state()
+    assert before_files > after_files, (before_files, after_files)
+    assert after_files == 2  # 48 hourly points span 2 days -> 2 partitions
+    assert after_state == before_state
+    assert after_state[0][2] == {"v": 99.0}  # LWW overwrite materialized
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.skew import salted_join
+
+    big = spark.range(2000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("rid")
+    )
+    small = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    got = sorted(
+        (r["k"], r["rid"], r["w"]) for r in salted_join(big, small, ["k"], salts=7).collect()
+    )
+    want = sorted((r["k"], r["rid"], r["w"]) for r in big.join(small, "k").collect())
+    assert got == want
+    # left join keeps unmatched big rows exactly once
+    small2 = small.where(F.col("k") < 3)
+    got_l = sorted(
+        (r["k"], r["rid"], r["w"])
+        for r in salted_join(big, small2, ["k"], salts=4, how="left").collect()
+    )
+    want_l = sorted(
+        (r["k"], r["rid"], r["w"]) for r in big.join(small2, "k", "left").collect()
+    )
+    assert got_l == want_l
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_gapfill_interp_fills_between_anchors_only(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tickdb_spark.operators.timeseries import gapfill_interp
+
+    bucketed = spark.createDataFrame(
+        [(100, 10.0), (130, 40.0), (150, 20.0)], "bucket long, v double"
+    )
+    out = {
+        r["bucket"]: (r["v"], r["n_obs"])
+        for r in gapfill_interp(bucketed, 90, 170, 10, ["v"]).collect()
+    }
+    assert out[100] == (10.0, 1) and out[130] == (40.0, 1) and out[150] == (20.0, 1)
+    assert out[110] == (20.0, 0) and out[120] == (30.0, 0)  # linear 10->40
+    assert out[140] == (30.0, 0)  # linear 40->20
+    assert out[90] == (None, 0) and out[160] == (None, 0)  # unanchored edges

@@ -55,3 +55,38 @@ def salted_agg(
         merge_exprs.append(merge_fn(F.col(f"_s_{out}")).alias(out))
     sharded = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*shard_exprs)
     return sharded.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join with explicit salting: every ``big`` row gets a
+    salt (partition id — no hash of the hot key, which would land every
+    hot row on the same salt again); the ``small`` side is replicated
+    across all ``salts`` values; the join runs on ``on + [_salt]``. A key
+    whose rows fill one reducer under a plain shuffle join now spreads
+    over ``salts`` reducers.
+
+    Result == the plain join: each big row meets the full small row-set
+    for its key exactly once (its own salt's replica). ``how`` is limited
+    to inner/left/left_semi/left_anti — replicating the small side would
+    duplicate its unmatched rows under right/full outer.
+
+    When the small side fits in memory, ``broadcast(small)`` is strictly
+    better (no shuffle at all) — this operator is for the mid-size dim
+    that is too big to broadcast while the fact side has hot keys AQE's
+    skew thresholds miss (or when AQE is unavailable, e.g. inside
+    foreachBatch micro-batches).
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join supports inner/left variants, got {how!r}")
+    spark = big.sparkSession
+    b = big.withColumn("_salt", (F.spark_partition_id() % salts).cast("int"))
+    replicas = spark.range(salts).select(F.col("id").cast("int").alias("_salt"))
+    s = small.crossJoin(replicas)
+    out = b.join(s, on + ["_salt"], how)
+    return out.drop("_salt")

@@ -115,6 +115,100 @@ def gapfill_locf(
     )
 
 
+def gapfill_interp(
+    bucketed: DataFrame,
+    frm_ns: int,
+    to_ns: int,
+    width_ns: int,
+    value_cols: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Densify a bucketed result onto the full bucket spine and fill
+    missing buckets by LINEAR interpolation between the surrounding
+    observed buckets: v = vp + (vn − vp)·(b − p)/(n − p). Buckets before
+    the first / after the last observation stay NULL (interpolation has
+    no anchor there — LOCF is the fill for trailing edges).
+
+    The interpolation arithmetic is the same IEEE op sequence in the SQL
+    twin (bigint gaps cast to double, one division, one fused order), so
+    filled values hash identically cross-engine. The spine is
+    range/width rows — thousands, not corpus-sized — so the global
+    ordered windows are a single tiny partition by construction.
+    """
+    spark = bucketed.sparkSession
+    n = (to_ns - frm_ns) // width_ns
+    spine = spark.range(n).select(
+        (F.lit(frm_ns) + F.col("id") * width_ns).alias(bucket_col)
+    )
+    joined = spine.join(bucketed.withColumn("_present", F.lit(1)), bucket_col, "left")
+    wp = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy(bucket_col).rowsBetween(0, Window.unboundedFollowing)
+    obs_b = F.when(F.col("_present") == 1, F.col(bucket_col))
+    prev_b = F.last(obs_b, ignorenulls=True).over(wp)
+    next_b = F.first(obs_b, ignorenulls=True).over(wn)
+    out = joined
+    for c in value_cols:
+        pv = F.last(c, ignorenulls=True).over(wp)
+        nv = F.first(c, ignorenulls=True).over(wn)
+        frac = (F.col(bucket_col) - prev_b).cast("double") / (
+            next_b - prev_b
+        ).cast("double")
+        out = out.withColumn(
+            c,
+            F.when(F.col("_present") == 1, F.col(c)).otherwise(
+                F.when(
+                    prev_b.isNotNull() & next_b.isNotNull(), pv + (nv - pv) * frac
+                )
+            ),
+        )
+    return (
+        out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
+        .drop("_present")
+        .orderBy(bucket_col)
+    )
+
+
+def gapfill_interp_sql(
+    inner_sql: str, frm_ns: int, to_ns: int, width_ns: int, value_cols: list[str]
+) -> str:
+    """DuckDB twin of :func:`gapfill_interp`; ``inner_sql`` must yield
+    (bucket BIGINT, <value_cols>)."""
+    fills = ",\n           ".join(
+        f"""CASE WHEN agg.bucket IS NOT NULL THEN agg.{c}
+                WHEN last_value(agg.bucket IGNORE NULLS) OVER (ORDER BY spine.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+                 AND first_value(agg.bucket IGNORE NULLS) OVER (ORDER BY spine.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) IS NOT NULL
+                THEN last_value(agg.{c} IGNORE NULLS) OVER (ORDER BY spine.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     + (first_value(agg.{c} IGNORE NULLS) OVER (ORDER BY spine.bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        - last_value(agg.{c} IGNORE NULLS) OVER (ORDER BY spine.bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       * (CAST(spine.bucket
+                               - last_value(agg.bucket IGNORE NULLS) OVER (ORDER BY spine.bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                          / CAST(first_value(agg.bucket IGNORE NULLS) OVER (ORDER BY spine.bucket
+                                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                                 - last_value(agg.bucket IGNORE NULLS) OVER (ORDER BY spine.bucket
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+                ELSE NULL END AS {c}"""
+        for c in value_cols
+    )
+    return f"""
+    WITH agg AS ({inner_sql}),
+    spine AS (
+      SELECT {frm_ns} + (g.x * {width_ns}) AS bucket
+      FROM (SELECT unnest(range(0, {(to_ns - frm_ns) // width_ns})) AS x) g
+    )
+    SELECT spine.bucket,
+           {fills},
+           CASE WHEN agg.bucket IS NULL THEN 0 ELSE 1 END AS n_obs
+    FROM spine LEFT JOIN agg ON spine.bucket = agg.bucket
+    ORDER BY spine.bucket
+    """
+
+
 def gapfill_locf_sql(
     inner_sql: str, frm_ns: int, to_ns: int, width_ns: int, value_cols: list[str]
 ) -> str:

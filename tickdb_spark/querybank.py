@@ -1465,6 +1465,51 @@ def agg_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_hotkey",
+    f"""
+    WITH cohorts AS (
+      SELECT DISTINCT user_id % 7 AS cohort,
+             CAST(user_id % 7 AS DOUBLE) * 1.5 + 1.0 AS weight
+      FROM events
+    )
+    SELECT e.event_type, c.cohort,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value * c.weight AS {DEC})) AS DOUBLE) AS weighted_sum
+    FROM events e JOIN cohorts c ON e.user_id % 7 = c.cohort
+    GROUP BY e.event_type, c.cohort
+    ORDER BY e.event_type, c.cohort
+    """,
+    "explicitly-salted equi-join (operators/skew.salted_join): the fact "
+    "side is salted by partition id, the dim side replicated across all "
+    "salts, joined on (key, salt) — a hot join key spreads over `salts` "
+    "reducers instead of one. For dims too big to broadcast when AQE's "
+    "skew thresholds miss (or inside foreachBatch where AQE is off). "
+    "Result provably identical to the plain join: the oracle runs the "
+    "unsalted form",
+)
+def join_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators.skew import salted_join
+
+    ev = _read_events(spark, sf_dir).withColumn("cohort", F.col("user_id") % 7)
+    cohorts = (
+        ev.select("cohort")
+        .distinct()
+        .withColumn("weight", F.col("cohort").cast("double") * 1.5 + 1.0)
+    )
+    joined = salted_join(ev, cohorts, ["cohort"], salts=8)
+    return (
+        joined.groupBy("event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * F.col("weight")).cast(DEC))
+            .cast("double")
+            .alias("weighted_sum"),
+        )
+        .orderBy("event_type", "cohort")
+    )
+
+
+@register(
     "media_decode_stats",
     """
     WITH img AS (
@@ -1797,6 +1842,80 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("series", "session_start_us")
+
+
+@register(
+    "stream_stream_interval_join",
+    """
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, epoch_us(ts) AS c_us, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, c.c_us, c.click_value
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.c_us >= p.p_us AND c.c_us < p.p_us + 3600000000
+    ORDER BY p.purchase_id, c.c_us
+    """,
+    "stream-stream watermarked interval join: purchases and clicks as two "
+    "independent file streams, inner-joined on user within [p, p+1h) — "
+    "the watermark + event-time bound lets Spark expire join state, which "
+    "is what makes stream-stream joins bounded-memory on unbounded "
+    "streams. Under availableNow each single-file source is one "
+    "micro-batch, inner-join emission is match-driven (not watermark-"
+    "gated), so the sunk result equals the batch interval join — the "
+    "oracle runs exactly that",
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    _ensure_session_conf(spark)
+    base = _tempfile.mkdtemp(prefix="tickdb_ssjoin_")
+    for side in ("purchases", "clicks"):
+        _os.makedirs(f"{base}/{side}")
+        _shutil.copy(f"{sf_dir}/events.parquet", f"{base}/{side}/events.parquet")
+    schema = _read(spark, sf_dir, "events").schema
+
+    def stream(side: str, etype: str) -> DataFrame:
+        return (
+            _with_ts_ns(spark.readStream.schema(schema).parquet(f"{base}/{side}"))
+            .where(F.col("event_type") == etype)
+        )
+
+    p = stream("purchases", "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("p_t"),
+    ).withWatermark("p_t", "1 hour")
+    c = stream("clicks", "click").select(
+        F.col("user_id").alias("c_user"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("c_t"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_t", "1 hour")
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_t >= p_t AND c_t < p_t + interval 1 hour"
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("c_t").alias("c_us"),
+        "click_value",
+    )
+    name = f"ssjoin_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("purchase_id", "c_us")
 
 
 @register(
@@ -2231,6 +2350,77 @@ def tick_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WH3_CACHE: dict[str, str] = {}
+
+
+def _fragmented_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Warehouse ingested as FOUR interleaved append batches (event_id % 4)
+    plus an LWW upsert batch (error values tripled for user_id < 20), then
+    ``compact()``-ed: the maintenance pass that materializes the LWW view
+    and consolidates each (series, dt) partition's file spray back to one
+    sorted file — the no-Delta OPTIMIZE. Queries after compaction take the
+    clean path (no dedup aggregate)."""
+    if sf_dir not in _WH3_CACHE:
+        from tickdb_spark.ingest import compact as _compact
+
+        db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh3_"), "db")
+        _os.makedirs(db_path)
+        ev = _read_events(spark, sf_dir)
+        ticks = events_as_ticks(spark, sf_dir)
+        # interleaved 4-way split on the µs timestamp: batches overlap every
+        # (series, dt) partition, so each partition accumulates >= 4 files
+        for k in range(4):
+            _append_batch(db_path, ticks.where(F.expr("(ts div 1000) % 4") == k))
+        upserts = ev.where(
+            (F.col("event_type") == "error") & (F.col("user_id") < 20)
+        ).select(
+            F.col("event_type").alias("series"),
+            F.col("ts"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+            F.create_map(F.lit("value"), F.col("value") * 3).alias("value"),
+        )
+        _append_batch(db_path, upserts)
+        _compact(spark, db_path)
+        _WH3_CACHE[sf_dir] = db_path
+    return _WH3_CACHE[sf_dir]
+
+
+@register(
+    "tick_compaction_equivalence",
+    f"""
+    WITH live AS (
+      SELECT ts, CASE WHEN user_id < 20 THEN value * 3 ELSE value END AS value
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM live GROUP BY bucket ORDER BY bucket
+    """,
+    "compaction (OPTIMIZE) equivalence: four interleaved append batches + "
+    "an LWW upsert batch, then compact() — materializes last-write-wins "
+    "and rewrites each (series, dt) partition to one ts-sorted file; the "
+    "post-compaction CLEAN read path (no dedup shuffle) must equal the "
+    "oracle's declarative reconstruction. File-count collapse is asserted "
+    "in tests/test_tick_engine.py",
+)
+def tick_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.ingest import read_ticks as _read_ticks
+
+    db_path = _fragmented_warehouse(spark, sf_dir)
+    return run_tick_query(
+        _read_ticks(spark, db_path),
+        {
+            "index": "error",
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "day",
+            "fields": {"value": ["sum", "count"]},
+            "exact": True,
+        },
+    )
+
+
 @register(
     "tick_sparse_field_nulls",
     f"""
@@ -2483,14 +2673,8 @@ _GAP_INNER = f"""
       GROUP BY bucket"""
 
 
-@register(
-    "tick_gapfill_locf",
-    _ts.gapfill_locf_sql(_GAP_INNER, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"]),
-    "gap-fill onto a dense 2-hour bucket spine with last-observation-"
-    "carried-forward; sparse input (every-5th-µs filter) guarantees real "
-    "gaps; n_obs flags filled rows",
-)
-def tick_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sparse 2-hour bucket aggregate for the gap-fill entries."""
     ev = _push_ts_range(
         events_as_ticks(spark, sf_dir), _GAP_FROM, _GAP_FROM + 7 * 86400 * 10**9
     ).where(
@@ -2499,13 +2683,40 @@ def tick_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") >= _GAP_FROM)
         & (F.col("ts") < _GAP_FROM + 7 * 86400 * 10**9)
     )
-    bucketed = (
+    return (
         ev.groupBy(
             (F.col("ts") - (F.col("ts") - F.lit(_GAP_FROM)) % F.lit(_GAP_W)).alias("bucket")
         )
         .agg(F.sum(F.col("value").getItem("value").cast(DEC)).cast("double").alias("value_sum"))
     )
-    return _ts.gapfill_locf(bucketed, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"])
+
+
+@register(
+    "tick_gapfill_locf",
+    _ts.gapfill_locf_sql(_GAP_INNER, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"]),
+    "gap-fill onto a dense 2-hour bucket spine with last-observation-"
+    "carried-forward; sparse input (every-5th-µs filter) guarantees real "
+    "gaps; n_obs flags filled rows",
+)
+def tick_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.gapfill_locf(
+        _gap_bucketed(spark, sf_dir), _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"]
+    )
+
+
+@register(
+    "tick_gapfill_interp",
+    _ts.gapfill_interp_sql(_GAP_INNER, _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"]),
+    "gap-fill by LINEAR interpolation between the surrounding observed "
+    "buckets on the dense 2-hour spine (same sparse input as the LOCF "
+    "variant); unanchored leading/trailing buckets stay NULL. The "
+    "interpolation v = vp + (vn-vp)*(b-p)/(n-p) runs the identical IEEE "
+    "op sequence in both engines, so filled doubles hash-match",
+)
+def tick_gapfill_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.gapfill_interp(
+        _gap_bucketed(spark, sf_dir), _GAP_FROM, _GAP_TO, _GAP_W, ["value_sum"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3323,49 +3534,66 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # round-3 registrations (newest first: never driver-seen by definition)
-    "agg_salted_hotkey",
+    # --- r5 head. Priority: (1) entries new in r5, (2) entries whose
+    # oracle or implementation changed in r5, (3) the 20 entries the r4
+    # gate red-lined on the events ts-type change, (4) events-touching
+    # entries never yet driver-proven against the new µs testdata,
+    # (5) spare slots re-proving r4-green entries. Exactly 50.
+    # (1) new in r5
+    "media_decode_png",
+    "tick_gapfill_interp",
+    "join_salted_hotkey",
+    "stream_stream_interval_join",
+    "tick_compaction_equivalence",
+    # (2) changed in r5
     "decontaminate_neardup_eval",
-    "source_csv_json_roundtrip",
-    "dedup_segment_spans",
-    "media_feature_extract",  # upgraded rows-only -> exact oracle in r3
-    "text_chunk_sliding",
-    "sample_split_assign",
-    "media_decode_stats",
-    "media_decode_png",  # new in r5: compressed-image decode kernel
-    "media_video_frame_sample",
-    "stream_dedup_ingest",
+    "sim_ivf_kmeans_cells",
+    "sim_ann_topk_ivf_trained",
     "sim_ann_topk_lsh_multitable",
-    "tick_bucket_5min_routed",
-    # the 28 entries with no CORRECTNESS_r01/r02 row
-    "tick_bucket_2month_anchored",
-    "win_analytic_suite",
-    "agg_percentiles_by_priority",
-    "tick_multiseries_day_agg",
+    "text_langid_fingerprint",
+    # (3) r4-red on the ts-type change
+    "tick_point_get",
+    "tick_range_scan",
+    "tick_bucket_hour_sum",
+    "tick_bucket_minute_minmax",
+    "tick_bucket_day_ohlc",
+    "tick_bucket_day_count_avg",
+    "tick_bucket_5min_anchored",
+    "tick_bucket_month_sum",
+    "tick_ma3_hourly",
     "tick_bucket_week_sum",
+    "tick_bucket_2month_anchored",
+    "tick_bucket_5min_routed",
+    "tick_multiseries_day_agg",
     "tick_twa_6h",
     "tick_gapfill_locf",
     "rangejoin_click_attribution",
     "agg_stats_moments",
-    "agg_corr_covar_moments",
-    "agg_approx_sketches",
-    "stream_stateful_spike_detect",
-    "text_c4_quality_filter",
-    "text_vocab_topk",
-    "text_tfidf_topterms",
-    "text_pii_scrub",
-    "decontaminate_train_vs_eval",
-    "dedup_incremental_vs_corpus",
-    "dedup_cluster_components",
-    "sample_hash_deterministic",
-    "sample_stratified_quota",
-    "sample_weighted_mixture",
-    "trend_series_ols_slope",
-    "collection_function_battery",
     "agg_multi_distinct_stringagg",
-    "sim_ivf_kmeans_cells",
-    "sim_ann_topk_ivf_trained",
+    "trend_series_ols_slope",
+    "stream_stateful_spike_detect",
+    # (4) events-touching, not yet proven on the new µs testdata
+    "tick_rollup_day_agg",
+    "tick_upsert_delete_lifecycle",
+    "tick_sparse_field_nulls",
+    "tick_bucket_second",
+    "tick_bucket_year",
+    "stream_windowed_bucket_agg",
+    "stream_session_windows",
+    "sessionize_user_events",
+    "asof_purchase_last_click",
+    "agg_value_histogram",
+    "agg_distinct_users_daily",
+    # (5) spare: re-prove r4-green entries
+    "agg_salted_hotkey",
+    "win_analytic_suite",
+    "stream_dedup_ingest",
+    "agg_percentiles_by_priority",
+    "agg_corr_covar_moments",
     "sim_ann_topk_ivf",
+    "media_decode_stats",
+    "media_video_frame_sample",
+    "agg_approx_sketches",
 ]
 
 
