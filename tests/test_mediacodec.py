@@ -13,10 +13,12 @@ import pytest
 
 from tickdb_spark.operators.mediacodec import (
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_wav,
     decode_y4m,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_wav,
     encode_y4m,
@@ -158,6 +160,47 @@ def test_png_rejects_unsupported():
     bad[8 + 8 + 8] = 16  # sig + len/type + width/height -> depth byte
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    """With a unit quantization table, block-constant content has every
+    AC coefficient exactly 0 and an integer DC — the lossy pipeline
+    (DCT -> quant -> Huffman -> decode) is bit-exact on these images.
+    This is what makes the JPEG gate oracle closed-form."""
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        bh, bw = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        blocks = rng.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+        grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        out = decode_jpeg(encode_jpeg(grey))
+        assert out.shape == (bh * 8, bw * 8, 1)
+        assert np.array_equal(out[:, :, 0], grey)
+    # neutral-grey RGB: YCbCr forward/backward is exact when R=G=B
+    rgb = np.stack([grey] * 3, axis=2)
+    assert np.array_equal(decode_jpeg(encode_jpeg(rgb)), rgb)
+
+
+def test_jpeg_arbitrary_content_near_lossless_with_unit_qtable():
+    rng = np.random.default_rng(13)
+    grey = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(grey))[:, :, 0]
+    assert np.abs(out.astype(int) - grey.astype(int)).max() <= 2
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_jpeg_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((10, 10), np.uint8))  # not multiple-of-8
+    good = encode_jpeg(np.zeros((8, 8), np.uint8))
+    bad = bytearray(good)
+    sof = good.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
 
 
 def test_decode_image_audio_operators(spark):

@@ -228,6 +228,328 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81: SOI/DQT/SOF0/DHT/SOS entropy stream)
+# --------------------------------------------------------------------------
+
+#: Standard luminance DC/AC Huffman tables (T.81 Annex K.3) as
+#: (bits-per-length[1..16], symbol list). Used for every component — legal
+#: (tables are arbitrary per DHT) and keeps the codec compact.
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(bits, vals):
+    """(bits, vals) -> {symbol: (code, length)} per T.81 C.2 canonical order."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat():
+    import math
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put(0xFF >> (8 - pad), pad)  # 1-fill padding
+        return bytes(self.out)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    bits = v if v > 0 else v + (1 << n) - 1
+    return n, bits
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 (dims multiples of 8) as
+    a baseline JFIF JPEG: all-ones quantization table (quality-100-exact
+    for block-constant content), standard Annex-K Huffman tables, 4:4:4
+    (no chroma subsampling), interleaved MCU scan."""
+    grey = img.ndim == 2
+    h, w = img.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg requires dimensions that are multiples of 8")
+    if grey:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    D = _dct_mat()
+    dc_codes = _huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = [0] * len(planes)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round(D @ blk @ D.T).astype(np.int64)  # qtable = 1
+                zz = coef.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                n, bits = _mag_bits(diff)
+                bw.put(*dc_codes[n])
+                if n:
+                    bw.put(bits, n)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            bw.put(*ac_codes[0xF0])  # ZRL
+                            run = 0
+                        continue
+                    n, bits = _mag_bits(v)
+                    bw.put(*ac_codes[(run << 4) | n])
+                    bw.put(bits, n)
+                    run = 0
+                if last_nz < 63:
+                    bw.put(*ac_codes[0x00])  # EOB
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qt = seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )  # 1x1 sampling, qtable 0
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos_comps = b"".join(struct.pack(">BB", i + 1, 0x00) for i in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return b"\xff\xd8" + qt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:  # stuffed byte: FF 00 -> FF
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} inside scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code in scan")
+
+
+def _extend(bits: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return bits if bits >= (1 << (n - 1)) else bits - (1 << n) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG — greyscale or 4:4:4 color — into an
+    (h, w, channels) uint8 array. Pure numpy: marker walk, canonical
+    Huffman tables, zigzag/dequant, float64 IDCT, YCbCr->RGB.
+
+    Scope (raised as errors, not wrong pixels): no progressive (SOF2),
+    no chroma subsampling (sampling factors must be 1x1), no restart
+    intervals. That covers the planted-asset gate path end-to-end with
+    the real entropy decoder and transform; swap in libjpeg-turbo for
+    arbitrary wild JPEGs."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tid] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xC0:
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if depth != 8:
+                raise ValueError("only 8-bit baseline supported")
+            for c in range(ncomp):
+                cid, sampling, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if sampling != 0x11:
+                    raise ValueError("chroma subsampling unsupported (need 1x1)")
+                comps.append((cid, qid))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                huff[(cls, tid)] = {
+                    (code, length): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                i += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * c)
+                idx = next(i for i, (id_, _) in enumerate(comps) if id_ == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0xF))
+            scan_start = pos
+            break
+    if h is None or not scan_comps:
+        raise ValueError("missing SOF/SOS segment")
+    # entropy scan runs from scan_start to the EOI marker
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[scan_start : end if end > 0 else len(data)])
+    D = _dct_mat()
+    nc = len(scan_comps)
+    planes = np.zeros((nc, h, w), dtype=np.float64)
+    prev_dc = [0] * nc
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for si, (ci, dct_id, act_id) in enumerate(scan_comps):
+                dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+                zz = np.zeros(64, dtype=np.int64)
+                n = _huff_decode(br, dc_tab)
+                prev_dc[si] += _extend(br.bits(n), n) if n else 0
+                zz[0] = prev_dc[si]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0xF
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                # DQT values are stored in zigzag order (T.81 B.2.4.1), so
+                # dequantize in zigzag space, then scatter to natural order
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_ZIGZAG] = zz * qtables[comps[ci][1]]
+                blk = D.T @ (coef.reshape(8, 8).astype(np.float64)) @ D
+                py, px = by * 8, bx * 8
+                planes[si, py : py + 8, px : px + 8] = blk + 128.0
+    out = np.clip(np.round(planes), 0, 255).astype(np.uint8)
+    if nc == 1:
+        return out[0][:, :, None]
+    y, cb, cr = (out[i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF, integer PCM 16-bit)
 # --------------------------------------------------------------------------
 

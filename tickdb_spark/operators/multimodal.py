@@ -284,7 +284,8 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
     column-sorted value hash is engine-exact with no NULL-dtype coercion.
     """
     m = _codec()
-    decode_bmp, decode_wav, decode_png = m.decode_bmp, m.decode_wav, m.decode_png
+    decode_bmp, decode_wav = m.decode_bmp, m.decode_wav
+    decode_png, decode_jpeg = m.decode_png, m.decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -314,6 +315,21 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
                         (
                             mid,
                             "image_png",
+                            "corner_sum",
+                            int(img[0, 0].sum(dtype=np.int64)),
+                        ),
+                    ]
+                elif b[:2] == b"\xff\xd8":
+                    img = decode_jpeg(b)
+                    h, w, c = img.shape
+                    rows += [
+                        (mid, "image_jpeg", "width", w),
+                        (mid, "image_jpeg", "height", h),
+                        (mid, "image_jpeg", "channels", c),
+                        (mid, "image_jpeg", "px_sum", int(img.sum(dtype=np.int64))),
+                        (
+                            mid,
+                            "image_jpeg",
                             "corner_sum",
                             int(img[0, 0].sum(dtype=np.int64)),
                         ),
@@ -415,6 +431,46 @@ def plant_png_assets(docs: DataFrame) -> DataFrame:
                 if ch == 1:
                     img = img.reshape(h, w)
                 out.append((d, "image_png", encode_png(img)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def plant_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline JPEGs from ``doc_id`` — Huffman entropy
+    coding + DCT through the genuine encode path — with EXACT closed-form
+    stats: the planted image is constant per 8x8 block, so every AC
+    coefficient is exactly 0, the unit quantization table preserves the
+    DC exactly, and the decode round-trips bit-perfectly (verified in
+    tests; arbitrary content would round through the DCT).
+
+    bh = 1 + d % 5 block-rows, bw = 1 + d % 7 block-cols (h = 8*bh,
+    w = 8*bw); block(i, j) = base + 3i + 5j with base = 20 + d % 100
+    (max 181 < 256). Even ids are neutral-grey RGB (R=G=B -> the YCbCr
+    transform is exact), odd ids greyscale:
+    ⇒ px_sum = ch·64·(bh·bw·base + 3·bw·bh(bh−1)/2 + 5·bh·bw(bw−1)/2)
+      corner_sum = ch·base
+    """
+    encode_jpeg = _codec().encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bh, bw, base = 1 + d % 5, 1 + d % 7, 20 + d % 100
+                blocks = (
+                    base
+                    + 3 * np.arange(bh, dtype=np.int64)[:, None]
+                    + 5 * np.arange(bw, dtype=np.int64)[None, :]
+                ).astype(np.uint8)
+                grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                img = grey if d % 2 == 1 else np.stack([grey] * 3, axis=2)
+                out.append((d, "image_jpeg", encode_jpeg(img)))
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
     return _repartitioned(docs.select("doc_id")).mapInPandas(

@@ -1587,6 +1587,42 @@ def media_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_jpeg",
+    """
+    WITH jpg AS (
+      SELECT doc_id, 1 + doc_id % 5 AS bh, 1 + doc_id % 7 AS bw,
+             20 + doc_id % 100 AS base,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, media_type, stat, CAST(value AS BIGINT) AS value FROM (
+      SELECT doc_id AS media_id, 'image_jpeg' AS media_type, 'width' AS stat,
+             8 * bw AS value FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'height', 8 * bh FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'channels', ch FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'px_sum',
+                       ch * 64 * (bh * bw * base
+                                  + 3 * bw * (bh * (bh - 1) // 2)
+                                  + 5 * bh * (bw * (bw - 1) // 2)) FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'corner_sum', ch * base FROM jpg
+    )
+    ORDER BY media_id, stat
+    """,
+    "REAL baseline-JPEG decode, oracle-checked: planted assets run the "
+    "genuine Huffman entropy coder + DCT path (mediacodec.encode_jpeg/"
+    "decode_jpeg — marker walk, canonical Annex-K tables, byte "
+    "unstuffing, zigzag/dequant, float64 IDCT, YCbCr->RGB). Content is "
+    "constant per 8x8 block with a unit quantization table, so the "
+    "lossy pipeline is exact on these assets and channel sums have "
+    "closed forms; even ids neutral-grey RGB, odd ids greyscale.",
+)
+def media_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    media = _mm.plant_jpeg_assets(docs)
+    return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
+
+
+@register(
     "media_video_frame_sample",
     """
     WITH vid AS (
@@ -3541,6 +3577,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (5) spare slots re-proving r4-green entries. Exactly 50.
     # (1) new in r5
     "media_decode_png",
+    "media_decode_jpeg",
     "tick_gapfill_interp",
     "join_salted_hotkey",
     "stream_stream_interval_join",
@@ -3593,7 +3630,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sim_ann_topk_ivf",
     "media_decode_stats",
     "media_video_frame_sample",
-    "agg_approx_sketches",
 ]
 
 
