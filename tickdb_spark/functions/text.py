@@ -50,24 +50,41 @@ def stopword_hits(col: Column, lang: str) -> Column:
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(stoplist, t)))
 
 
-def langid(col: Column) -> Column:
-    """Heuristic language ID: arg-max of stopword hit counts, 'und' when no
-    list scores > 0. Ties resolve in STOPWORDS key order (deterministic:
-    array_position returns the FIRST occurrence of the max).
-
-    One scores array + positional arg-max, not a CASE chain: the old
-    right-fold re-embedded every language's hit count in the greatest()
-    guard AND each branch (conditional contexts defeat Spark's
-    subexpression elimination), re-tokenizing the text ~3N times. Here
-    every `scores` occurrence is an unconditional subtree, so CSE
-    evaluates the N hit counts once per row (measured 1.98 s -> see
-    BASELINE.md)."""
-    scores = F.array(*[stopword_hits(col, lang).cast("int") for lang in STOPWORDS])
+def _langid_from_scores(scores: Column) -> Column:
+    """Arg-max of a stopword-hit scores array (STOPWORDS key order):
+    first-max wins ties, 'und' when nothing scores > 0."""
     langs = F.array(*[F.lit(lang) for lang in STOPWORDS])
     mx = F.array_max(scores)
     return F.when(
         mx > 0, F.element_at(langs, F.array_position(scores, mx).cast("int"))
     ).otherwise(F.lit("und"))
+
+
+def langid_scores(col: Column) -> Column:
+    """Per-language stopword hit counts as one array (STOPWORDS order)."""
+    return F.array(*[stopword_hits(col, lang).cast("int") for lang in STOPWORDS])
+
+
+def langid(col: Column) -> Column:
+    """Heuristic language ID as a single column expression. Convenience
+    form — the argmax references the scores array three times inside ONE
+    projection, and Catalyst's subexpression elimination does not rescue
+    it there, so the N tokenize+filter passes run ~3x per row. Hot paths
+    should use :func:`with_langid`, which stages the scores array in its
+    own projection (measured 1.7x faster than even the old CASE-chain
+    form; see BASELINE.md r5)."""
+    return _langid_from_scores(langid_scores(col))
+
+
+def with_langid(df, text_col: str = "text", out_col: str = "lang"):
+    """Two-projection language ID: the scores array materializes in its
+    own projection, and because the next projection references it three
+    times, CollapseProject keeps the stages separate — the N per-language
+    tokenize+filter passes run exactly once per row."""
+    step = df.withColumn("_langid_scores", langid_scores(F.col(text_col)))
+    return step.withColumn(
+        out_col, _langid_from_scores(F.col("_langid_scores"))
+    ).drop("_langid_scores")
 
 
 def langid_sql(text_expr: str = "text") -> str:

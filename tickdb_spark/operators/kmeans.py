@@ -214,12 +214,17 @@ def kmeans_replay_ctes(
     from tickdb_spark.operators.sampling import MOD, id_hash_sql
 
     cut = int(sample_fraction * MOD)
+    # AS MATERIALIZED everywhere: DuckDB inlines single-reference CTEs, and
+    # inlining this chain re-expands every 64-term dot chain at each of the
+    # iters levels — planner memory grows geometrically (measured: OOM at
+    # 3 iterations under session memory pressure, always-OOM at 5).
+    # Materialization keeps each step a small intermediate table.
     ctes = [
-        f"""km_train AS (
+        f"""km_train AS MATERIALIZED (
       SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
       FROM {table} WHERE {id_hash_sql(id_col)} < {cut}
     )""",
-        f"""km_c0 AS (
+        f"""km_c0 AS MATERIALIZED (
       SELECT cell, v AS c FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY {id_hash_sql('id')}, id) - 1 AS cell, v
         FROM km_train

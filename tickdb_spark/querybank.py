@@ -1185,13 +1185,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        _text.langid(F.col("text")).alias("lang_pred"),
-        _text.fingerprint(F.col("text")).alias("fp"),
-        _text.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
-        _text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
-    ).orderBy("doc_id")
+    return (
+        _text.with_langid(docs, "text", "lang_pred")
+        .select(
+            "doc_id",
+            "lang_pred",
+            _text.fingerprint(F.col("text")).alias("fp"),
+            _text.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+            _text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
