@@ -723,3 +723,28 @@ def test_neardup_decontam_catches_paraphrases_exact_misses(spark):
     n_exact = exact.where("contaminated").count()
     assert n_exact <= 5, f"exact 8-gram should miss runs of 6: {n_exact}/50"
     assert n_exact < n_near, (n_exact, n_near)
+
+
+def test_bpe_train_learns_expected_merges_and_encodes(spark):
+    """Hand-checkable corpus: 'low' x4 + 'lower' x2 + 'new' x3. Pair
+    counts round 1: (l,o)=6, (o,w)=6, (w,e)=2+3=5, (e,r)=2, (n,e)=3 ->
+    tie (l,o)/(o,w) at 6 breaks to (l,o). Round 2: sequences are
+    [lo,w]x4, [lo,w,e,r]x2, [n,e,w]x3 -> (lo,w)=6 wins. Round 3:
+    [low]x4, [low,e,r]x2, [n,e,w]x3 -> (e,r)? no: (low,e)=2, (e,r)=2,
+    (n,e)=3, (e,w)=3 -> tie (e,w)/(n,e) at 3 -> (e,w) wins ('e' < 'n')."""
+    from tickdb_spark.operators.bpe import bpe_encode_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low"), (2, "lower lower"), (3, "new new new")],
+        "doc_id long, text string",
+    )
+    out, merges = bpe_train(docs, "text", n_merges=3)
+    got = [(r.step, r.merge_left, r.merge_right, r.pair_count) for r in out.collect()]
+    assert got == [(1, "l", "o", 6), (2, "lo", "w", 6), (3, "e", "w", 3)]
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_token_counts(docs, merges).collect()
+    }
+    # doc1: 'low' -> [low] = 1 sym x4; doc2: 'lower' -> [low,e,r] = 3 x2
+    # doc3: 'new' -> [n,ew] = 2 x3
+    assert enc == {1: (4, 4), 2: (2, 6), 3: (3, 6)}
