@@ -748,3 +748,19 @@ def test_bpe_train_learns_expected_merges_and_encodes(spark):
     # doc1: 'low' -> [low] = 1 sym x4; doc2: 'lower' -> [low,e,r] = 3 x2
     # doc3: 'new' -> [n,ew] = 2 x3
     assert enc == {1: (4, 4), 2: (2, 6), 3: (3, 6)}
+
+
+def test_int8_ann_recall_near_exact(spark):
+    """int8 quantization + exact re-rank of the top-4k candidates should
+    track brute force almost perfectly — the compression must not cost
+    meaningful recall (that is the whole point of re-ranking)."""
+    from tickdb_spark.operators.similarity import ann_topk_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(0, 60, 2))
+    gt = ann_topk_bruteforce(emb, qids, k=5).toPandas()
+    got = ann_topk_int8(emb, qids, k=5).toPandas()
+    g = set(map(tuple, gt[["query_id", "neighbor_id"]].values))
+    d = set(map(tuple, got[["query_id", "neighbor_id"]].values))
+    recall = len(g & d) / len(g)
+    assert recall >= 0.95, f"int8+rerank recall dropped: {recall}"

@@ -172,6 +172,164 @@ def ann_topk_bruteforce_sql(
     """
 
 
+def _int8_scale_expr(vec: str, sql: bool = False) -> str:
+    """Per-vector quantization scale: max |component| (order-free exact
+    max — no fold-order concern), floored at 1e-30 against zero vectors."""
+    if sql:
+        return (
+            f"greatest(list_reduce(list_transform({vec}, "
+            f"x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)), 1e-30)"
+        )
+    return (
+        f"greatest(aggregate({vec}, CAST(0.0 AS DOUBLE), "
+        f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-30)"
+    )
+
+
+def _int8_quant_expr(vec: str, scale: str, sql: bool = False) -> str:
+    """int8 quantization q_i = floor(v_i * 127 / s + 0.5) — pure IEEE ops
+    (multiply, divide, add, floor), so the quantized codes are identical
+    on any engine; a round()/decimal cast here would hit engine-specific
+    tie policies."""
+    if sql:
+        return (
+            f"list_transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0"
+            f" / {scale} + 0.5) AS INT))"
+        )
+    return (
+        f"transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0"
+        f" / {scale} + 0.5D) AS INT))"
+    )
+
+
+def _int8_dot_expr(a: str, b: str, sql: bool = False) -> str:
+    """Exact BIGINT dot of two int8 code arrays (order-independent)."""
+    if sql:
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS BIGINT) * {b}[i]), (x, y) -> x + y)"
+        )
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
+def ann_topk_int8(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized top-k: the corpus is int8-quantized once (4x the
+    float32 memory footprint — the standard first compression step for a
+    100 TB embedding store), candidates are ranked by the EXACT integer
+    dot of the codes (BIGINT sums — order-free, engine-exact), the top
+    ``rerank``*k candidates re-rank by exact float cosine on the original
+    vectors, and the emitted cosine comes from the shared left-fold
+    expression — so the result hashes identically cross-engine while the
+    heavy scan runs on the compressed codes.
+    """
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    # scale staged in its own projection: the quantize expression
+    # references it 64 times, and CollapseProject keeps the stages
+    # separate, so the max-abs fold runs once per row
+    coded = (
+        emb.select(
+            F.col(id_col), F.col(vec_col), F.expr(_int8_scale_expr(vec_col)).alias("s")
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.expr(_int8_quant_expr(vec_col, "s")).alias("q"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "q",
+            F.sqrt(F.expr(_int8_dot_expr("q", "q")).cast("double")).alias("qn"),
+        )
+    )
+    q = coded.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("q").alias("qq"),
+        F.col("qn").alias("qqn"),
+    )
+    c = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("q").alias("cq"),
+        F.col("qn").alias("cqn"),
+    ).repartition(par)
+    qcos = (
+        F.expr(_int8_dot_expr("qq", "cq")).cast("double") / (F.col("qqn") * F.col("cqn"))
+    ).alias("qcos")
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "neighbor_id")
+    cand = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec", qcos)
+        .withColumn("qrnk", F.row_number().over(wq))
+        .where(F.col("qrnk") <= rerank * k)
+    )
+    cos = F.expr(cosine_expr("qvec", "cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_topk_int8_sql(
+    table: str, query_ids: list[int], k: int = 5, rerank: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    scale = _int8_scale_expr(vec_col, sql=True)
+    quant = _int8_quant_expr(vec_col, "s", sql=True)
+    qdot = _int8_dot_expr("q.qq", "c.cq", sql=True)
+    qself = _int8_dot_expr("q", "q", sql=True)
+    cos = cosine_expr("qvec", "cvec", sql=True)
+    return f"""
+    WITH scaled AS MATERIALIZED (
+      SELECT {id_col}, {vec_col}, {scale} AS s FROM {table}
+    ),
+    coded AS MATERIALIZED (
+      SELECT {id_col}, {vec_col}, q,
+             sqrt(CAST({qself} AS DOUBLE)) AS qn
+      FROM (SELECT {id_col}, {vec_col}, {quant} AS q FROM scaled)
+    ),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec, q AS qq, qn AS qqn
+          FROM coded WHERE {id_col} IN ({ids})),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec, q AS cq, qn AS cqn
+          FROM coded),
+    cand AS (
+      SELECT query_id, neighbor_id, qvec, cvec,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CAST({qdot} AS DOUBLE) / (q.qqn * c.cqn) DESC, neighbor_id)
+               AS qrnk
+      FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine
+      FROM cand WHERE qrnk <= {rerank * k}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],

@@ -3629,6 +3629,21 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_topk_int8",
+    _sim.ann_topk_int8_sql("embeddings", [0, 1, 2, 3, 4], k=5),
+    "scalar-quantized (int8) top-k: per-vector max-abs scale, codes "
+    "q = floor(v*127/s + 0.5) (pure IEEE ops — engine-exact, unlike "
+    "round()/decimal tie policies), candidate ranking by the exact "
+    "BIGINT code dot, float-cosine re-rank of the top 4k on the "
+    "original vectors. The compressed-codes scan is the standard first "
+    "memory step for a 100 TB embedding store (4x vs float32)",
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_int8(emb, [0, 1, 2, 3, 4], k=5)
+
+
+@register(
     "sim_ann_topk_ivf",
     _sim.ann_topk_ivf_sql("embeddings", [0, 1, 2, 3, 4], k=5),
     "IVF-flat approximate top-5: corpus coarse-quantized to centroid "
@@ -3666,6 +3681,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "json_props_extract",
     "text_bpe_train_merges",
     "text_bpe_tokenize",
+    "sim_ann_topk_int8",
     # (2) changed in r5
     "decontaminate_neardup_eval",
     "sim_ivf_kmeans_cells",
@@ -3709,7 +3725,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_salted_hotkey",
     "win_analytic_suite",
     "stream_dedup_ingest",
-    "agg_percentiles_by_priority",
     "sim_ann_topk_ivf",
 ]
 
