@@ -1504,6 +1504,45 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_equidepth_histogram",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ntile(8) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+    "equi-depth (quantile) histogram via ntile over a total order "
+    "(value, event_id — the unique tie-break keeps bucket membership "
+    "deterministic): equal-count buckets with exact bounds, the "
+    "complement of the fixed-width histogram entry. One global sort — "
+    "at 100 TB swap ntile for approx percentile cuts + a range join; "
+    "this entry pins the exact semantics those cuts approximate",
+)
+def agg_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.ntile(8).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "json_props_extract",
     f"""
     SELECT event_type,
@@ -2770,10 +2809,12 @@ _TWA_W = 6 * 3600 * 10**9  # 6-hour buckets
 )
 def tick_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Truncate ts to whole µs for the gate: the oracle's parquet reader
-    # cannot see sub-µs, and TWA weights are Δt-sensitive.
-    ticks = events_as_ticks(spark, sf_dir).withColumn(
-        "ts", F.expr("(ts div 1000) * 1000")
-    )
+    # cannot see sub-µs, and TWA weights are Δt-sensitive. TWA uses only
+    # in-range points (step interpolation starts at the first in-range
+    # point), so the pushable range pre-filter is semantics-preserving.
+    ticks = _push_ts_range(
+        events_as_ticks(spark, sf_dir), _TWA_FROM, _TWA_TO
+    ).withColumn("ts", F.expr("(ts div 1000) * 1000"))
     return _ts.time_weighted_avg(ticks, "purchase", _TWA_FROM, _TWA_TO, _TWA_W)
 
 
@@ -3682,6 +3723,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_bpe_train_merges",
     "text_bpe_tokenize",
     "sim_ann_topk_int8",
+    "agg_equidepth_histogram",
     # (2) changed in r5
     "decontaminate_neardup_eval",
     "sim_ivf_kmeans_cells",
@@ -3725,7 +3767,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_salted_hotkey",
     "win_analytic_suite",
     "stream_dedup_ingest",
-    "sim_ann_topk_ivf",
 ]
 
 
