@@ -202,3 +202,40 @@ def test_split_assign_pure_projection(spark):
     df = split_assign(docs, "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)])
     assert count_op(df, "Exchange") == 0
     assert count_op(df, "CartesianProduct") == 0
+
+
+def test_json_props_prunes_and_stays_codegen(spark):
+    """from_json with a pinned schema is a JVM-side projection: only the
+    needed columns are read, no UDF in the plan, one agg shuffle."""
+    df = _df(spark, "json_props_extract")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    (schema,) = scan_read_schemas(df)
+    assert "props" in schema and "event_type" in schema and "value" in schema
+    assert "ts" not in schema and "user_id" not in schema  # pruned
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert count_op(df, "HashAggregate") == 2  # partial + final only
+
+
+def test_bpe_encode_projection_shape(spark):
+    """Encoding under a trained merge list must be a pure projection +
+    one aggregation — no joins against the merge table (merges are
+    literals), no cartesian products."""
+    from tickdb_spark.operators.bpe import bpe_encode_token_counts
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    merges = [("l", "o", 6), ("lo", "w", 6), ("e", "w", 3)]
+    df = bpe_encode_token_counts(docs, merges)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "HashAggregate") == 2
+
+
+def test_int8_ann_joins_are_broadcast(spark):
+    """The quantized scan must broadcast the (tiny) query side — never a
+    shuffled join or a cartesian product over the corpus."""
+    df = _df(spark, "sim_ann_topk_int8")
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "SortMergeJoin") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
