@@ -32,6 +32,10 @@ def main() -> int:
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # spill instead of OOM on the heavy replay oracles (in-memory DuckDB
+    # cannot offload without a temp dir)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='8GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"

@@ -46,6 +46,11 @@ def duck():
 def oracle_frame(con: duckdb.DuckDBPyConnection, sql: str, sf_dir: str) -> pd.DataFrame:
     """Run oracle SQL with the driver's table views registered."""
     local = duckdb.connect()
+    # In-memory DuckDB cannot offload without a temp dir: under the
+    # suite's JVM memory pressure the heavy replay oracles (k-means/BPE
+    # unrolls) would OOM instead of spilling.
+    local.execute("SET temp_directory='/tmp/duck_spill'")
+    local.execute("SET memory_limit='8GB'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
