@@ -30,16 +30,25 @@ TABLES = (
 def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    # spill instead of OOM on the heavy replay oracles (in-memory DuckDB
-    # cannot offload without a temp dir)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    con.execute("SET memory_limit='8GB'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+
+    def oracle(sql: str):
+        # fresh connection per oracle, like the driver's per-entry
+        # subprocess: a long-lived connection accumulates buffer state
+        # across 50 heavy replays and eventually fails tiny allocations
+        con = duckdb.connect()
+        try:
+            con.execute("SET TimeZone='UTC'")
+            # spill instead of OOM on the heavy replay oracles (in-memory
+            # DuckDB cannot offload without a temp dir)
+            con.execute("SET temp_directory='/tmp/duck_spill'")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            return con.execute(sql).df()
+        finally:
+            con.close()
+
     qs, osql = E.queries(), E.oracle_sql()
     args = sys.argv[1:]
     if not args:
@@ -56,7 +65,7 @@ def main() -> int:
             if n not in osql:
                 print(f"{n:42s} rows-only {len(sdf):6d}  {time.time()-t0:5.1f}s")
                 continue
-            odf = con.execute(osql[n]).df()
+            odf = oracle(osql[n])
             cols = sorted(sdf.columns)
             s = sdf[cols].sort_values(cols).reset_index(drop=True)
             o = odf[cols].sort_values(cols).reset_index(drop=True)

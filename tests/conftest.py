@@ -50,7 +50,7 @@ def oracle_frame(con: duckdb.DuckDBPyConnection, sql: str, sf_dir: str) -> pd.Da
     # suite's JVM memory pressure the heavy replay oracles (k-means/BPE
     # unrolls) would OOM instead of spilling.
     local.execute("SET temp_directory='/tmp/duck_spill'")
-    local.execute("SET memory_limit='8GB'")
+    local.execute("SET memory_limit='48GB'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
