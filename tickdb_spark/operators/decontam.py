@@ -44,7 +44,7 @@ def contamination_report(
     ``(id, n_shared_grams, contaminated)`` for every train doc."""
     # Spread the doc rows first: the gram build + md5 is the expensive
     # part, and a single-split parquet source would otherwise run it in
-    # one task (the CLAUDE.md single-split gotcha; shuffling raw docs is
+    # one task (the single-split gotcha in the working notes; shuffling raw docs is
     # cheap next to hashing every 8-gram).
     par = train.sparkSession.sparkContext.defaultParallelism
     tg = _gram_hashes(train.repartition(par), text_col, id_col, n)
