@@ -232,3 +232,28 @@ def test_decode_image_audio_operators(spark):
         assert (r.sample_rate, r.n_channels, r.n_samples) == (1000, 1, n)
         assert r.sample_sum == n * base + n * (n - 1) // 2
         assert r.duration_ms == n
+
+
+def test_jpeg_420_neutral_exact_and_smaller():
+    """4:2:0: neutral-grey RGB (chroma planes constant 128 whatever the
+    luma) survives subsampling bit-exactly, and the stream is smaller
+    than 4:4:4 of the same image."""
+    rng = np.random.default_rng(17)
+    blocks = rng.integers(0, 256, size=(2, 4), dtype=np.uint8)
+    g = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))  # 16 x 32
+    img = np.stack([g] * 3, axis=2)
+    enc420 = encode_jpeg(img, subsampling="420")
+    assert np.array_equal(decode_jpeg(enc420), img)
+    assert len(enc420) < len(encode_jpeg(img))
+    # smoothly varying color stays tight through the lossy chroma path
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack(
+        [(4 * yy) % 256, (4 * xx) % 256, (2 * yy + 2 * xx) % 256], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth, subsampling="420"))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 8
+
+
+def test_jpeg_420_requires_whole_mcus():
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420")

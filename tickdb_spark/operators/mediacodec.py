@@ -318,56 +318,84 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return n, bits
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
-    """Encode (h, w) grey or (h, w, 3) RGB uint8 (dims multiples of 8) as
-    a baseline JFIF JPEG: all-ones quantization table (quality-100-exact
-    for block-constant content), standard Annex-K Huffman tables, 4:4:4
-    (no chroma subsampling), interleaved MCU scan."""
+def _encode_block(bw, D, dc_codes, ac_codes, plane, py, px, prev_dc, ci):
+    blk = plane[py : py + 8, px : px + 8] - 128.0
+    coef = np.round(D @ blk @ D.T).astype(np.int64)  # qtable = 1
+    zz = coef.flatten()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    n, bits = _mag_bits(diff)
+    bw.put(*dc_codes[n])
+    if n:
+        bw.put(bits, n)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            if run == 16:
+                bw.put(*ac_codes[0xF0])  # ZRL
+                run = 0
+            continue
+        n, bits = _mag_bits(v)
+        bw.put(*ac_codes[(run << 4) | n])
+        bw.put(bits, n)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+
+
+def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 as a baseline JFIF JPEG:
+    all-ones quantization table (quality-100-exact for block-constant
+    content), standard Annex-K Huffman tables, interleaved MCU scan.
+
+    ``subsampling``: '444' (no chroma subsampling; dims multiples of 8)
+    or '420' (Y at 2x2, chroma quarter-size by 2x2 block mean — the
+    format real-corpus JPEGs overwhelmingly use; dims multiples of 16).
+    Constant chroma (e.g. neutral grey R=G=B) survives 4:2:0 exactly —
+    the mean of a constant is the constant."""
     grey = img.ndim == 2
     h, w = img.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg requires dimensions that are multiples of 8")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "420" and not grey
+    mcu = 16 if sub else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"encode_jpeg needs dimensions that are multiples of {mcu}")
     if grey:
         planes = [img.astype(np.float64)]
+        factors = [(1, 1)]
     else:
         r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub:
+            # 2x2 block mean, computed before the float->DCT path
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
     D = _dct_mat()
     dc_codes = _huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
     ac_codes = _huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
     bw = _BitWriter()
     prev_dc = [0] * len(planes)
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    for my in range(h // mcu):
+        for mx in range(w // mcu):
             for ci, plane in enumerate(planes):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = np.round(D @ blk @ D.T).astype(np.int64)  # qtable = 1
-                zz = coef.flatten()[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                n, bits = _mag_bits(diff)
-                bw.put(*dc_codes[n])
-                if n:
-                    bw.put(bits, n)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        if run == 16:
-                            bw.put(*ac_codes[0xF0])  # ZRL
-                            run = 0
-                        continue
-                    n, bits = _mag_bits(v)
-                    bw.put(*ac_codes[(run << 4) | n])
-                    bw.put(bits, n)
-                    run = 0
-                if last_nz < 63:
-                    bw.put(*ac_codes[0x00])  # EOB
+                fh, fv = factors[ci]
+                for byy in range(fv):
+                    for bxx in range(fh):
+                        _encode_block(
+                            bw, D, dc_codes, ac_codes, plane,
+                            my * 8 * fv + byy * 8, mx * 8 * fh + bxx * 8,
+                            prev_dc, ci,
+                        )
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -376,8 +404,9 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     qt = seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
     ncomp = len(planes)
     sof_comps = b"".join(
-        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
-    )  # 1x1 sampling, qtable 0
+        struct.pack(">BBB", i + 1, (factors[i][0] << 4) | factors[i][1], 0)
+        for i in range(ncomp)
+    )
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
         0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
@@ -432,15 +461,16 @@ def _extend(bits: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG — greyscale or 4:4:4 color — into an
-    (h, w, channels) uint8 array. Pure numpy: marker walk, canonical
-    Huffman tables, zigzag/dequant, float64 IDCT, YCbCr->RGB.
+    """Decode a baseline (SOF0) JPEG — greyscale, 4:4:4 or 4:2:0 color —
+    into an (h, w, channels) uint8 array. Pure numpy: marker walk,
+    canonical Huffman tables, interleaved-MCU entropy decode,
+    zigzag/dequant, float64 IDCT, nearest-neighbor chroma upsample,
+    YCbCr->RGB.
 
     Scope (raised as errors, not wrong pixels): no progressive (SOF2),
-    no chroma subsampling (sampling factors must be 1x1), no restart
-    intervals. That covers the planted-asset gate path end-to-end with
-    the real entropy decoder and transform; swap in libjpeg-turbo for
-    arbitrary wild JPEGs."""
+    no restart intervals, sampling limited to all-1x1 or Y 2x2 + chroma
+    1x1 (= the 4:2:0 layout real corpora use), whole MCUs only. Swap in
+    libjpeg-turbo for arbitrary wild JPEGs."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -474,9 +504,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit baseline supported")
             for c in range(ncomp):
                 cid, sampling, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if sampling != 0x11:
-                    raise ValueError("chroma subsampling unsupported (need 1x1)")
-                comps.append((cid, qid))
+                comps.append((cid, qid, sampling >> 4, sampling & 0xF))
+            fs = [(c[2], c[3]) for c in comps]
+            if not (all(f == (1, 1) for f in fs)
+                    or (len(fs) == 3 and fs == [(2, 2), (1, 1), (1, 1)])):
+                raise ValueError(f"unsupported sampling layout {fs}")
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xC4:
@@ -497,7 +529,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = body[0]
             for c in range(ns):
                 cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * c)
-                idx = next(i for i, (id_, _) in enumerate(comps) if id_ == cid)
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
                 scan_comps.append((idx, tabs >> 4, tabs & 0xF))
             scan_start = pos
             break
@@ -508,38 +540,63 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     br = _BitReader(data[scan_start : end if end > 0 else len(data)])
     D = _dct_mat()
     nc = len(scan_comps)
-    planes = np.zeros((nc, h, w), dtype=np.float64)
+    hmax = max(comps[ci][2] for ci, _, _ in scan_comps)
+    vmax = max(comps[ci][3] for ci, _, _ in scan_comps)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    if h % mcu_h or w % mcu_w:
+        raise ValueError("partial MCUs unsupported (dims must fill whole MCUs)")
+    planes = [
+        np.zeros((h * comps[ci][3] // vmax, w * comps[ci][2] // hmax))
+        for ci, _, _ in scan_comps
+    ]
     prev_dc = [0] * nc
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
+
+    def read_block(si, dct_id, act_id):
+        dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+        zz = np.zeros(64, dtype=np.int64)
+        n = _huff_decode(br, dc_tab)
+        prev_dc[si] += _extend(br.bits(n), n) if n else 0
+        zz[0] = prev_dc[si]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0xF
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        return zz
+
+    for my in range(h // mcu_h):
+        for mx in range(w // mcu_w):
             for si, (ci, dct_id, act_id) in enumerate(scan_comps):
-                dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                n = _huff_decode(br, dc_tab)
-                prev_dc[si] += _extend(br.bits(n), n) if n else 0
-                zz[0] = prev_dc[si]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    size = sym & 0xF
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                # DQT values are stored in zigzag order (T.81 B.2.4.1), so
-                # dequantize in zigzag space, then scatter to natural order
-                coef = np.zeros(64, dtype=np.int64)
-                coef[_ZIGZAG] = zz * qtables[comps[ci][1]]
-                blk = D.T @ (coef.reshape(8, 8).astype(np.float64)) @ D
-                py, px = by * 8, bx * 8
-                planes[si, py : py + 8, px : px + 8] = blk + 128.0
-    out = np.clip(np.round(planes), 0, 255).astype(np.uint8)
+                fh, fv = comps[ci][2], comps[ci][3]
+                for byy in range(fv):
+                    for bxx in range(fh):
+                        zz = read_block(si, dct_id, act_id)
+                        # DQT values are stored in zigzag order (T.81
+                        # B.2.4.1): dequantize in zigzag space, then
+                        # scatter to natural order
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[_ZIGZAG] = zz * qtables[comps[ci][1]]
+                        blk = D.T @ (coef.reshape(8, 8).astype(np.float64)) @ D
+                        py = my * 8 * fv + byy * 8
+                        px = mx * 8 * fh + bxx * 8
+                        planes[si][py : py + 8, px : px + 8] = blk + 128.0
+    # nearest-neighbor chroma upsample back to full resolution
+    for si, (ci, _, _) in enumerate(scan_comps):
+        fh, fv = comps[ci][2], comps[ci][3]
+        if (fh, fv) != (hmax, vmax):
+            planes[si] = np.repeat(
+                np.repeat(planes[si], vmax // fv, axis=0), hmax // fh, axis=1
+            )
+    out = np.clip(np.round(np.stack(planes)), 0, 255).astype(np.uint8)
     if nc == 1:
         return out[0][:, :, None]
     y, cb, cr = (out[i].astype(np.float64) for i in range(3))

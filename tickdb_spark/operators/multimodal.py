@@ -446,10 +446,13 @@ def plant_jpeg_assets(docs: DataFrame) -> DataFrame:
     DC exactly, and the decode round-trips bit-perfectly (verified in
     tests; arbitrary content would round through the DCT).
 
-    bh = 1 + d % 5 block-rows, bw = 1 + d % 7 block-cols (h = 8*bh,
-    w = 8*bw); block(i, j) = base + 3i + 5j with base = 20 + d % 100
-    (max 181 < 256). Even ids are neutral-grey RGB (R=G=B -> the YCbCr
-    transform is exact), odd ids greyscale:
+    Odd ids are greyscale 4:4:4-path: bh = 1 + d % 5, bw = 1 + d % 7
+    (h = 8·bh, w = 8·bw). Even ids are neutral-grey RGB encoded 4:2:0 —
+    the subsampled layout real corpora use — with even block grids
+    bh = 2·(1 + d % 3), bw = 2·(1 + d % 4) (dims multiples of 16). For
+    R=G=B the chroma planes are the constant 128 whatever the luma, so
+    2x2 subsampling is exact and the decode round-trips bit-perfectly.
+    block(i, j) = base + 3i + 5j with base = 20 + d % 100 (max < 256):
     ⇒ px_sum = ch·64·(bh·bw·base + 3·bw·bh(bh−1)/2 + 5·bh·bw(bw−1)/2)
       corner_sum = ch·base
     """
@@ -462,15 +465,24 @@ def plant_jpeg_assets(docs: DataFrame) -> DataFrame:
             out = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                bh, bw, base = 1 + d % 5, 1 + d % 7, 20 + d % 100
+                base = 20 + d % 100
+                if d % 2 == 1:
+                    bh, bw = 1 + d % 5, 1 + d % 7
+                else:
+                    bh, bw = 2 * (1 + d % 3), 2 * (1 + d % 4)
                 blocks = (
                     base
                     + 3 * np.arange(bh, dtype=np.int64)[:, None]
                     + 5 * np.arange(bw, dtype=np.int64)[None, :]
                 ).astype(np.uint8)
                 grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                img = grey if d % 2 == 1 else np.stack([grey] * 3, axis=2)
-                out.append((d, "image_jpeg", encode_jpeg(img)))
+                if d % 2 == 1:
+                    out.append((d, "image_jpeg", encode_jpeg(grey)))
+                else:
+                    img = np.stack([grey] * 3, axis=2)
+                    out.append(
+                        (d, "image_jpeg", encode_jpeg(img, subsampling="420"))
+                    )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
     return _repartitioned(docs.select("doc_id")).mapInPandas(

@@ -1705,10 +1705,14 @@ def media_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_decode_jpeg",
     """
     WITH jpg AS (
-      SELECT doc_id, 1 + doc_id % 5 AS bh, 1 + doc_id % 7 AS bw,
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 2 * (1 + doc_id % 3)
+                  ELSE 1 + doc_id % 5 END AS bh,
+             CASE WHEN doc_id % 2 = 0 THEN 2 * (1 + doc_id % 4)
+                  ELSE 1 + doc_id % 7 END AS bw,
              20 + doc_id % 100 AS base,
              CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
-      FROM documents WHERE doc_id % 3 = 1 AND doc_id < 1500
+      FROM documents WHERE doc_id % 3 = 1 AND doc_id < 900
     )
     SELECT media_id, media_type, stat, CAST(value AS BIGINT) AS value FROM (
       SELECT doc_id AS media_id, 'image_jpeg' AS media_type, 'width' AS stat,
@@ -1726,17 +1730,20 @@ def media_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "REAL baseline-JPEG decode, oracle-checked: planted assets run the "
     "genuine Huffman entropy coder + DCT path (mediacodec.encode_jpeg/"
     "decode_jpeg — marker walk, canonical Annex-K tables, byte "
-    "unstuffing, zigzag/dequant, float64 IDCT, YCbCr->RGB). Content is "
-    "constant per 8x8 block with a unit quantization table, so the "
-    "lossy pipeline is exact on these assets and channel sums have "
-    "closed forms; even ids neutral-grey RGB, odd ids greyscale.",
+    "unstuffing, interleaved-MCU scan, zigzag/dequant, float64 IDCT, "
+    "chroma upsample, YCbCr->RGB). Content is constant per 8x8 block "
+    "with a unit quantization table, so the lossy pipeline is exact and "
+    "channel sums have closed forms. Even ids are neutral-grey RGB "
+    "encoded 4:2:0 (the subsampled layout real corpora use; R=G=B makes "
+    "the chroma planes the constant 128, so subsampling is exact too); "
+    "odd ids greyscale 4:4:4.",
 )
 def media_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id < 1500 caps the planted-asset count: this is a correctness
     # query for the codec, and constant work keeps the bench measuring
     # the engine, not the Python encoder fixture, as SF grows
     docs = _read(spark, sf_dir, "documents").where(
-        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 1500)
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 900)
     )
     media = _mm.plant_jpeg_assets(docs)
     return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
