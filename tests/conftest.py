@@ -43,14 +43,51 @@ def duck():
     con.close()
 
 
+#: Oracles above this SQL size are the unrolled trainer replays
+#: (k-means Lloyd, BPE) — run them in a fresh interpreter like the
+#: driver's per-entry subprocess. In the long-lived suite process
+#: (Spark JVM + hundreds of tests) DuckDB intermittently fails tiny
+#: allocations on exactly these, while the same SQL runs in <2 GB in a
+#: clean process.
+_SUBPROCESS_SQL_BYTES = 20_000
+
+
+def _oracle_subprocess(sql: str, sf_dir: str) -> pd.DataFrame:
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="oracle_sub_") as tmp:
+        sql_path = os.path.join(tmp, "q.sql")
+        out_path = os.path.join(tmp, "out.parquet")
+        with open(sql_path, "w") as f:
+            f.write(sql)
+        views = [
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            for t in TABLES
+            if os.path.exists(f"{sf_dir}/{t}.parquet")
+        ]
+        code = (
+            "import duckdb, sys\n"
+            "con = duckdb.connect()\n"
+            "con.execute(\"SET temp_directory='/tmp/duck_spill'\")\n"
+            f"[con.execute(v) for v in {views!r}]\n"
+            f"df = con.execute(open({sql_path!r}).read()).df()\n"
+            f"df.to_parquet({out_path!r})\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+        return pd.read_parquet(out_path)
+
+
 def oracle_frame(con: duckdb.DuckDBPyConnection, sql: str, sf_dir: str) -> pd.DataFrame:
     """Run oracle SQL with the driver's table views registered."""
+    if len(sql) > _SUBPROCESS_SQL_BYTES:
+        return _oracle_subprocess(sql, sf_dir)
     local = duckdb.connect()
     # In-memory DuckDB cannot offload without a temp dir: under the
-    # suite's JVM memory pressure the heavy replay oracles (k-means/BPE
-    # unrolls) would OOM instead of spilling.
+    # suite's JVM memory pressure the heavy replay oracles would OOM
+    # instead of spilling.
     local.execute("SET temp_directory='/tmp/duck_spill'")
-    local.execute("SET memory_limit='48GB'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
