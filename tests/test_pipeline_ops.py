@@ -750,6 +750,33 @@ def test_bpe_train_learns_expected_merges_and_encodes(spark):
     assert enc == {1: (4, 4), 2: (2, 6), 3: (3, 6)}
 
 
+def test_bpe_quote_backslash_words_filtered_not_crashing(spark):
+    """Words containing ' or \\ would break the literal-replace SQL the
+    learned merges are interpolated into; the word filter must drop them
+    on the Spark side (the oracle drops them identically) instead of
+    letting a winning merge crash the expression parser."""
+    from tickdb_spark.operators.bpe import bpe_encode_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "don't don't don't don't don't"),
+            (2, "back\\slash back\\slash back\\slash"),
+            (3, "low low lower"),
+        ],
+        "doc_id long, text string",
+    )
+    out, merges = bpe_train(docs, "text", n_merges=2)
+    got = [(r.merge_left, r.merge_right) for r in out.collect()]
+    # only the 'low'/'lower' words survive the filter
+    assert got == [("l", "o"), ("lo", "w")]
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_token_counts(docs, merges).collect()
+    }
+    # docs 1 and 2 contribute no surviving words -> absent from output
+    assert enc == {3: (3, 2 + 3)}
+
+
 def test_int8_ann_recall_near_exact(spark):
     """int8 quantization + exact re-rank of the top-4k candidates should
     track brute force almost perfectly — the compression must not cost

@@ -30,15 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Symbol-boundary sentinels. Words must not contain them; word_filter in
-#: the trainers drops offenders (corpus text, not markup, is the target).
+#: Symbol-boundary sentinels. Words must not contain them — nor single
+#: quotes / backslashes, which would break the literal-replace SQL the
+#: learned merges are interpolated into; the word filter drops all four
+#: on BOTH engines (corpus text, not markup/quoted prose, is the target).
 L, R = "<", ">"
 
 
 def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
-    ).where((F.col("word") != "") & ~F.col("word").rlike("[<>]"))
+    ).where((F.col("word") != "") & ~F.col("word").rlike("[<>'\\\\]"))
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
@@ -122,7 +124,7 @@ def bpe_encode_token_counts(
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
-    ).where((F.col("word") != "") & ~F.col("word").rlike("[<>]"))
+    ).where((F.col("word") != "") & ~F.col("word").rlike("[<>'\\\\]"))
     per_word = words.select(
         id_col, F.size(F.split(F.expr(f"substring({seq}, 2, length({seq}) - 2)"), R + L)).alias("n_sym")
     )
@@ -147,7 +149,7 @@ def _sql_words(table: str, text_col: str) -> str:
       SELECT word, COUNT(*) AS freq FROM (
         SELECT unnest(string_split_regex(trim({text_col}), '\\s+')) AS word
         FROM {table}
-      ) WHERE word <> '' AND NOT regexp_matches(word, '[<>]')
+      ) WHERE word <> '' AND NOT regexp_matches(word, '[<>''\\\\]')
       GROUP BY word
     )"""
 
@@ -229,6 +231,6 @@ def bpe_encode_sql(
            CAST(SUM(len(string_split(substr(s, 2, length(s) - 2), '{R}{L}'))) AS BIGINT)
              AS n_bpe_tokens
     FROM (SELECT {id_col}, {seq} AS s FROM bpe_doc_words
-          WHERE word <> '' AND NOT regexp_matches(word, '[<>]'))
+          WHERE word <> '' AND NOT regexp_matches(word, '[<>''\\\\]'))
     GROUP BY {id_col} ORDER BY {id_col}
     """

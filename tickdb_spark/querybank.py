@@ -1739,7 +1739,7 @@ def media_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "odd ids greyscale 4:4:4.",
 )
 def media_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # doc_id < 1500 caps the planted-asset count: this is a correctness
+    # doc_id < 900 caps the planted-asset count: this is a correctness
     # query for the codec, and constant work keeps the bench measuring
     # the engine, not the Python encoder fixture, as SF grows
     docs = _read(spark, sf_dir, "documents").where(
@@ -1797,7 +1797,7 @@ def _events_warehouse(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _WH_CACHE:
         db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh_"), "db")
         _os.makedirs(db_path)
-        _append_batch(db_path, events_as_ticks(spark, sf_dir))
+        _append_batch(db_path, events_as_ticks(spark, sf_dir).drop("ts_raw"))
         # minute first: the cascade then derives hour from minute states
         # (cheaper than re-scanning raw), and N-minute anchored queries
         # (tick_bucket_5min_routed) become rollup-answerable
@@ -2464,7 +2464,7 @@ def _lifecycle_warehouse(spark: SparkSession, sf_dir: str) -> str:
         db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh2_"), "db")
         _os.makedirs(db_path)
         ev = _read_events(spark, sf_dir)
-        _append_batch(db_path, events_as_ticks(spark, sf_dir))
+        _append_batch(db_path, events_as_ticks(spark, sf_dir).drop("ts_raw"))
         upserts = ev.where((F.col("event_type") == "click") & (F.col("user_id") < 10)).select(
             F.col("event_type").alias("series"),
             F.col("ts"),
@@ -2529,7 +2529,7 @@ def _fragmented_warehouse(spark: SparkSession, sf_dir: str) -> str:
         db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_wh3_"), "db")
         _os.makedirs(db_path)
         ev = _read_events(spark, sf_dir)
-        ticks = events_as_ticks(spark, sf_dir)
+        ticks = events_as_ticks(spark, sf_dir).drop("ts_raw")
         # interleaved 4-way split on the µs timestamp: batches overlap every
         # (series, dt) partition, so each partition accumulates >= 4 files
         for k in range(4):
