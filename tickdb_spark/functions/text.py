@@ -76,15 +76,32 @@ def langid(col: Column) -> Column:
     return _langid_from_scores(langid_scores(col))
 
 
+def _scores_over_tokens(toks: Column) -> Column:
+    """Per-language stopword hit counts over an already-tokenized array."""
+
+    def hits(lang: str) -> Column:
+        stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(stoplist, t)))
+
+    return F.array(*[hits(lang).cast("int") for lang in STOPWORDS])
+
+
 def with_langid(df, text_col: str = "text", out_col: str = "lang"):
-    """Two-projection language ID: the scores array materializes in its
-    own projection, and because the next projection references it three
-    times, CollapseProject keeps the stages separate — the N per-language
-    tokenize+filter passes run exactly once per row."""
-    step = df.withColumn("_langid_scores", langid_scores(F.col(text_col)))
+    """Three-projection language ID: the token array materializes once
+    (one regex split instead of N), the scores array materializes in its
+    own projection (each is referenced multiple times downstream, so
+    CollapseProject keeps the stages separate), then the argmax. The N
+    per-language filter passes share the staged token array — measured
+    ~1.5x faster than the two-projection form that re-tokenized per
+    language, on top of the 1.7x the staging itself bought (BASELINE.md
+    r5/r6)."""
+    step = df.withColumn("_langid_toks", tokens(F.col(text_col)))
+    step = step.withColumn(
+        "_langid_scores", _scores_over_tokens(F.col("_langid_toks"))
+    )
     return step.withColumn(
         out_col, _langid_from_scores(F.col("_langid_scores"))
-    ).drop("_langid_scores")
+    ).drop("_langid_toks", "_langid_scores")
 
 
 def langid_sql(text_expr: str = "text") -> str:
@@ -140,12 +157,18 @@ QUALITY_SQL = {
 }
 
 
+def fingerprint_from_tokens(toks: Column, bits: int = 64) -> Column:
+    """:func:`fingerprint` over an already-tokenized array — lets a hot
+    path stage the token array once and share it across langid + both
+    fingerprints (one regex split per row instead of four)."""
+    return F.substring(F.md5(F.concat_ws(" ", toks)), 1, bits // 4)
+
+
 def fingerprint(col: Column, bits: int = 64) -> Column:
     """Deterministic document fingerprint: md5 of the token-normalized text
     (whitespace collapsed), truncated to ``bits``/4 hex chars. Identical
     across engines — both sides md5 the same normalized string."""
-    normalized = F.concat_ws(" ", tokens(col))
-    return F.substring(F.md5(normalized), 1, bits // 4)
+    return fingerprint_from_tokens(tokens(col), bits)
 
 
 def fingerprint_sql(text_expr: str = "text", bits: int = 64) -> str:
@@ -203,19 +226,23 @@ ROLL_MOD = 1_000_000_007
 ROLL_BASE = 31
 
 
-def rolling_fingerprint(col: Column) -> Column:
-    """Polynomial rolling-hash fingerprint over tokens:
-    ``fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) % M)`` with
-    ``h(t)`` = first 32 bits of md5. Order-sensitive (unlike the md5
-    set fingerprint) — permuted documents hash differently. Pure integer
-    arithmetic, identical on any engine."""
-    toks = tokens(col)
+def rolling_fingerprint_from_tokens(toks: Column) -> Column:
+    """:func:`rolling_fingerprint` over an already-tokenized array."""
     hv = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
     return F.aggregate(
         F.transform(toks, hv),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
     )
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling-hash fingerprint over tokens:
+    ``fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) % M)`` with
+    ``h(t)`` = first 32 bits of md5. Order-sensitive (unlike the md5
+    set fingerprint) — permuted documents hash differently. Pure integer
+    arithmetic, identical on any engine."""
+    return rolling_fingerprint_from_tokens(tokens(col))
 
 
 def rolling_fingerprint_sql(text_expr: str = "text") -> str:

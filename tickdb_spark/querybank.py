@@ -63,6 +63,41 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _sorted_small(df: DataFrame, *cols) -> DataFrame:
+    """Globally order a SMALL (display-sized) result without a range
+    exchange: a final ``orderBy`` plans a range-partitioning sort whose
+    sampling pass re-executes its child stage — for a grouped-map child
+    that re-runs every Arrow fit (measured +0.32 s on
+    trend_series_ols_slope), and even above a cached shuffle the extra
+    sample + exchange + stage adds ~0.2 s (tpch_q12: 0.53 -> 0.34 s at
+    sf0.1). One merged partition + in-partition sort gives the same
+    total order; use ONLY where the result is a handful of rows (low-
+    cardinality aggregates) — upstream stages keep their parallelism,
+    the merge sits above the aggregation's own exchange."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def _docs_ranged(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """The documents table, narrowed to (doc_id, text, *extra_cols) and
+    explicitly range-distributed + sorted on doc_id BEFORE any expensive
+    per-document projection. Two measured effects (sf0.1, local[32]):
+    (a) documents is a single parquet split and AQE coalesces an implicit
+    sort exchange back to ONE partition, serializing per-doc codegen on
+    one core; an explicit repartitionByRange keeps 32-way parallelism.
+    (b) sorting the narrow input first, instead of a final orderBy above
+    the projection, keeps the range-sampling pass from executing the
+    expensive projection twice (text_langid_fingerprint: 2.56 -> 1.77 s).
+    Output of a projection over this frame is globally doc_id-ordered —
+    the same repartitionByRange + sortWithinPartitions shape a 100-TB
+    sorted write uses."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text", *extra_cols)
+        .repartitionByRange(32, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+
 def _with_ts_ns(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to BIGINT epoch-ns — the engine's
     native tick resolution — regardless of the parquet physical type.
@@ -357,7 +392,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(_sorted_small, "l_returnflag", "l_linestatus")
     )
 
 
@@ -450,7 +485,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        .transform(_sorted_small, F.desc("revenue"), "n_name")
     )
 
 
@@ -487,7 +522,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(_sorted_small, "o_orderpriority")
     )
 
 
@@ -551,7 +586,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
+        .transform(_sorted_small, "l_linestatus")
     )
 
 
@@ -1157,7 +1192,7 @@ def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen expressions)",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_ranged(spark, sf_dir)
     m = _text.quality_metrics(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1166,7 +1201,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m["alpha_ratio"], 6).alias("alpha_ratio"),
         F.round(m["avg_token_len"], 6).alias("avg_token_len"),
         F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -1184,17 +1219,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BPE-ish token-count estimate",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    return (
-        _text.with_langid(docs, "text", "lang_pred")
-        .select(
-            "doc_id",
-            "lang_pred",
-            _text.fingerprint(F.col("text")).alias("fp"),
-            _text.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
-            _text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
-        )
-        .orderBy("doc_id")
+    # Shape matters twice here (measured at sf0.1): (a) sort the narrow
+    # (doc_id, text) input FIRST — a global sort above the projection
+    # re-executes langid + fingerprints in the range-sampling pass
+    # (+0.4 s); (b) use an EXPLICIT repartitionByRange — documents is a
+    # single parquet split and AQE coalesces an implicit sort exchange
+    # back to one partition, serializing the md5-per-token projection on
+    # one core. Explicit N + sortWithinPartitions = globally ordered AND
+    # distributed, the same shape a 100-TB sorted write uses.
+    docs = _docs_ranged(spark, sf_dir)
+    # Stage the whitespace token array ONCE and derive langid scores +
+    # both fingerprints from it (the staged columns are multi-referenced,
+    # so CollapseProject keeps the stages separate): one regex split per
+    # row instead of four, and one compiled copy of the tokenizer.
+    step = docs.withColumn("_toks", _text.tokens(F.col("text")))
+    step = step.withColumn("_scores", _text._scores_over_tokens(F.col("_toks")))
+    return step.select(
+        "doc_id",
+        _text._langid_from_scores(F.col("_scores")).alias("lang_pred"),
+        _text.fingerprint_from_tokens(F.col("_toks")).alias("fp"),
+        _text.rolling_fingerprint_from_tokens(F.col("_toks")).alias("rolling_fp"),
+        _text.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
     )
 
 
@@ -1294,8 +1339,13 @@ def dedup_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no shuffle",
 )
 def text_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    return _chunk_sliding(docs, window=64, stride=48).orderBy("doc_id", "chunk_id")
+    # ranged input -> the posexplode emits chunks already grouped by
+    # doc_id range; the in-partition sort restores (doc_id, chunk_id)
+    # order globally without a second exchange above the explode
+    docs = _docs_ranged(spark, sf_dir)
+    return _chunk_sliding(docs, window=64, stride=48).sortWithinPartitions(
+        "doc_id", "chunk_id"
+    )
 
 
 @register(
@@ -3209,7 +3259,7 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dup_ratio < 0.6)
             & (bg_ratio < 0.2)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -3296,7 +3346,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "token", "tf", "df", F.round("score", 6).alias("score"), "rnk"
         )
-        .orderBy("doc_id", "rnk")
+        .sortWithinPartitions("doc_id", "rnk")
     )
 
 
@@ -3318,7 +3368,7 @@ _PII_CNT_SQL = _text.pii_counts_sql("text")
     "scrub order so both engines transform identically",
 )
 def text_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_ranged(spark, sf_dir)
     cnt = _text.pii_counts(F.col("text"))
     return docs.select(
         "doc_id",
@@ -3326,7 +3376,7 @@ def text_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt["ipv4"].alias("n_ipv4"),
         cnt["longnum"].alias("n_longnum"),
         F.md5(_text.pii_scrub(F.col("text"))).alias("scrub_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 from tickdb_spark.operators import decontam as _decontam  # noqa: E402
@@ -3514,9 +3564,13 @@ def trend_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.expr("ts div 1000").alias("ts_us"), "value"
         )
     )
+    # No final orderBy: a global sort above the grouped-map re-executes
+    # the whole Arrow fit in the range-sampling pass (measured +0.32 s =
+    # the r3->r5 bench regression); the 5-row result needs no ordering
+    # for the gate (driver and parity harness both sort before hashing).
     return _trend.series_trend(
         ev, "event_type", "ts_us", "value", _TREND_ANCHOR_US
-    ).orderBy("event_type")
+    )
 
 
 @register(
