@@ -791,3 +791,22 @@ def test_int8_ann_recall_near_exact(spark):
     d = set(map(tuple, got[["query_id", "neighbor_id"]].values))
     recall = len(g & d) / len(g)
     assert recall >= 0.95, f"int8+rerank recall dropped: {recall}"
+
+
+def test_equidepth_scale_buckets_are_balanced(spark):
+    """Sampled-cut buckets must be near-equal-count (that is the point of
+    an equi-depth histogram): every bucket within 25% of n/k on the
+    driver events table, and the counts must total exactly n."""
+    from tests.conftest import SF_CORRECT
+    from tickdb_spark.operators.histogram import equidepth_histogram_scale
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n = ev.where("value IS NOT NULL").count()
+    rows = equidepth_histogram_scale(ev, "value", "event_id").collect()
+    assert sum(r.n for r in rows) == n
+    assert len(rows) == 8
+    for r in rows:
+        assert abs(r.n - n / 8) < 0.25 * n / 8, (r.bucket, r.n, n / 8)
+    # bucket ranges are disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

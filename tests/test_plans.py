@@ -239,3 +239,21 @@ def test_int8_ann_joins_are_broadcast(spark):
     assert count_op(df, "SortMergeJoin") == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_equidepth_scale_no_window_no_global_sort(spark):
+    """The scale-path equi-depth histogram must never plan the exact
+    form's single-partition window: the corpus pass is scan -> literal
+    CASE -> hash aggregate (cuts were resolved driver-side from the
+    bounded sample). The exact-ntile entry stays as the semantic pin;
+    this guards the production path against regressing into it."""
+    df = _df(spark, "agg_equidepth_scale")
+    assert count_op(df, "Window") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(value" not in plan.lower()
+    assert count_op(df, "HashAggregate") == 2  # partial + final, one shuffle
+    # only the two needed columns are read
+    from tickdb_spark.plans import scan_read_schemas
+
+    for schema in scan_read_schemas(df):
+        assert "props" not in schema and "user_id" not in schema

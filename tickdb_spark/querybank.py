@@ -1592,6 +1592,25 @@ def agg_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tickdb_spark.operators import histogram as _hist  # noqa: E402
+
+
+@register(
+    "agg_equidepth_scale",
+    _hist.equidepth_scale_sql("events", "value", "event_id"),
+    "equi-depth histogram, 100-TB form (the scale path the exact-ntile "
+    "entry above pins): deterministic hash-sampled cut values (exact "
+    "integer order-statistic positions of the sorted sample — no float "
+    "quantile interpolation, no engine sketch, so DuckDB replays it "
+    "bit-for-bit), broadcast as a literal codegen CASE chain, then one "
+    "hash aggregate. No window, no global sort — the corpus pass is "
+    "scan + CASE + k-group agg (plan-asserted window-free)",
+)
+def agg_equidepth_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _hist.equidepth_histogram_scale(ev, "value", "event_id")
+
+
 @register(
     "json_props_extract",
     f"""
