@@ -257,3 +257,16 @@ def test_equidepth_scale_no_window_no_global_sort(spark):
 
     for schema in scan_read_schemas(df):
         assert "props" not in schema and "user_id" not in schema
+
+
+def test_gapfill_multiseries_windows_are_partitioned(spark):
+    """Every window in the multi-series gap-fill must partition by the
+    series column — the single-partition-window shape of the single-
+    series helpers is exactly what this operator exists to avoid at
+    dashboard scale (10k series × spine)."""
+    df = _df(spark, "tick_gapfill_multiseries")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") >= 1
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "event_type" in line.split("], [")[1], line

@@ -168,6 +168,134 @@ def gapfill_interp(
     )
 
 
+def gapfill_multi(
+    bucketed: DataFrame,
+    series_col: str,
+    frm_ns: int,
+    to_ns: int,
+    width_ns: int,
+    locf_cols: list[str] = (),
+    interp_cols: list[str] = (),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Multi-series gap-fill: densify EVERY series onto the full bucket
+    spine in one pass — the dashboard shape (10k series, one query), vs
+    the single-series helpers above (one aggregate's spine).
+
+    Spine = (distinct series in the input) × (bucket sequence): the
+    cross join is |series| · |buckets| rows — spine-sized, never
+    corpus-sized — and every window below is ``partitionBy(series)``,
+    so no single-partition window exists at any scale (the plan test
+    pins this). ``locf_cols`` fill by last-observation-carried-forward;
+    ``interp_cols`` by linear interpolation between surrounding observed
+    buckets (same IEEE op sequence as :func:`gapfill_interp`, so filled
+    doubles hash-match the SQL twin). A series only appears if it has
+    ≥1 observed bucket in range (the spine can't invent series).
+    """
+    spark = bucketed.sparkSession
+    n = (to_ns - frm_ns) // width_ns
+    buckets = spark.range(n).select(
+        (F.lit(frm_ns) + F.col("id") * width_ns).alias(bucket_col)
+    )
+    spine = bucketed.select(series_col).distinct().crossJoin(buckets)
+    joined = spine.join(
+        bucketed.withColumn("_present", F.lit(1)), [series_col, bucket_col], "left"
+    )
+    wp = (
+        Window.partitionBy(series_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(series_col)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = joined
+    for c in locf_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(wp))
+    obs_b = F.when(F.col("_present") == 1, F.col(bucket_col))
+    prev_b = F.last(obs_b, ignorenulls=True).over(wp)
+    next_b = F.first(obs_b, ignorenulls=True).over(wn)
+    for c in interp_cols:
+        pv = F.last(c, ignorenulls=True).over(wp)
+        nv = F.first(c, ignorenulls=True).over(wn)
+        frac = (F.col(bucket_col) - prev_b).cast("double") / (
+            next_b - prev_b
+        ).cast("double")
+        out = out.withColumn(
+            c,
+            F.when(F.col("_present") == 1, F.col(c)).otherwise(
+                F.when(
+                    prev_b.isNotNull() & next_b.isNotNull(), pv + (nv - pv) * frac
+                )
+            ),
+        )
+    return (
+        out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
+        .drop("_present")
+        .orderBy(series_col, bucket_col)
+    )
+
+
+def gapfill_multi_sql(
+    inner_sql: str,
+    series_col: str,
+    frm_ns: int,
+    to_ns: int,
+    width_ns: int,
+    locf_cols: list[str] = (),
+    interp_cols: list[str] = (),
+) -> str:
+    """DuckDB twin of :func:`gapfill_multi`; ``inner_sql`` must yield
+    (``series_col``, bucket BIGINT, <value cols>)."""
+    s = series_col
+    wp = (
+        f"OVER (PARTITION BY {s} ORDER BY bucket "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    wn = (
+        f"OVER (PARTITION BY {s} ORDER BY bucket "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+    prev_b = f"last_value(CASE WHEN present THEN bucket END IGNORE NULLS) {wp}"
+    next_b = f"first_value(CASE WHEN present THEN bucket END IGNORE NULLS) {wn}"
+    fills = []
+    for c in locf_cols:
+        fills.append(f"last_value({c} IGNORE NULLS) {wp} AS {c}")
+    for c in interp_cols:
+        pv = f"last_value({c} IGNORE NULLS) {wp}"
+        nv = f"first_value({c} IGNORE NULLS) {wn}"
+        fills.append(
+            f"""CASE WHEN present THEN {c}
+                WHEN {prev_b} IS NOT NULL AND {next_b} IS NOT NULL
+                THEN {pv} + ({nv} - {pv})
+                     * (CAST(bucket - {prev_b} AS DOUBLE)
+                        / CAST({next_b} - {prev_b} AS DOUBLE))
+                ELSE NULL END AS {c}"""
+        )
+    fill_sql = ",\n           ".join(fills)
+    return f"""
+    WITH agg AS ({inner_sql}),
+    spine AS (
+      SELECT sr.{s}, {frm_ns} + (g.x * {width_ns}) AS bucket
+      FROM (SELECT DISTINCT {s} FROM agg) sr,
+           (SELECT unnest(range(0, {(to_ns - frm_ns) // width_ns})) AS x) g
+    ),
+    j AS (
+      SELECT spine.{s} AS {s}, spine.bucket AS bucket,
+             agg.bucket IS NOT NULL AS present,
+             {", ".join(f"agg.{c} AS {c}" for c in [*locf_cols, *interp_cols])}
+      FROM spine LEFT JOIN agg
+        ON spine.{s} = agg.{s} AND spine.bucket = agg.bucket
+    )
+    SELECT {s}, bucket,
+           {fill_sql},
+           CASE WHEN present THEN 1 ELSE 0 END AS n_obs
+    FROM j ORDER BY {s}, bucket
+    """
+
+
 def gapfill_interp_sql(
     inner_sql: str, frm_ns: int, to_ns: int, width_ns: int, value_cols: list[str]
 ) -> str:

@@ -2953,6 +2953,60 @@ def tick_gapfill_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_MULTI_INNER = f"""
+      SELECT event_type,
+             epoch_ns(ts) - ((epoch_ns(ts) - {_GAP_FROM}) % {_GAP_W}) AS bucket,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+             MAX(value) AS value_max
+      FROM events
+      WHERE epoch_us(ts) % 5 = 0
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY event_type, bucket"""
+
+
+@register(
+    "tick_gapfill_multiseries",
+    _ts.gapfill_multi_sql(
+        _GAP_MULTI_INNER,
+        "event_type",
+        _GAP_FROM,
+        _GAP_TO,
+        _GAP_W,
+        locf_cols=["value_max"],
+        interp_cols=["value_sum"],
+    ),
+    "multi-series gap-fill, the dashboard shape: ALL event-type series "
+    "densified onto the 2-hour week spine in ONE pass — spine = distinct "
+    "series × bucket sequence, every window partitionBy(series) (plan-"
+    "asserted: no partition-less window, unlike the single-series "
+    "helpers whose spine is one aggregate). value_max carries forward "
+    "(LOCF), value_sum linearly interpolates between surrounding "
+    "observed buckets; n_obs flags filled rows",
+)
+def tick_gapfill_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _push_ts_range(_read_events(spark, sf_dir), _GAP_FROM, _GAP_TO).where(
+        (F.expr("(ts div 1000) % 5") == 0)
+        & (F.col("ts") >= _GAP_FROM)
+        & (F.col("ts") < _GAP_TO)
+    )
+    bucketed = ev.groupBy(
+        "event_type",
+        (F.col("ts") - (F.col("ts") - F.lit(_GAP_FROM)) % F.lit(_GAP_W)).alias("bucket"),
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        F.max("value").alias("value_max"),
+    )
+    return _ts.gapfill_multi(
+        bucketed,
+        "event_type",
+        _GAP_FROM,
+        _GAP_TO,
+        _GAP_W,
+        locf_cols=["value_max"],
+        interp_cols=["value_sum"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range join + moment statistics
 # ---------------------------------------------------------------------------
