@@ -346,7 +346,9 @@ def _encode_block(bw, D, dc_codes, ac_codes, plane, py, px, prev_dc, ci):
         bw.put(*ac_codes[0x00])  # EOB
 
 
-def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    img: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """Encode (h, w) grey or (h, w, 3) RGB uint8 as a baseline JFIF JPEG:
     all-ones quantization table (quality-100-exact for block-constant
     content), standard Annex-K Huffman tables, interleaved MCU scan.
@@ -355,7 +357,12 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
     or '420' (Y at 2x2, chroma quarter-size by 2x2 block mean — the
     format real-corpus JPEGs overwhelmingly use; dims multiples of 16).
     Constant chroma (e.g. neutral grey R=G=B) survives 4:2:0 exactly —
-    the mean of a constant is the constant."""
+    the mean of a constant is the constant.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (T.81 §B.2.4.4/E.1.4: byte-aligned 1-padded boundaries, DC
+    predictors reset, marker index cycling D0-D7) — what camera/encoder
+    output uses for error resilience and what parallel decoders key on."""
     grey = img.ndim == 2
     h, w = img.shape[:2]
     if subsampling not in ("444", "420"):
@@ -383,10 +390,20 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
     D = _dct_mat()
     dc_codes = _huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
     ac_codes = _huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
-    bw = _BitWriter()
-    prev_dc = [0] * len(planes)
-    for my in range(h // mcu):
-        for mx in range(w // mcu):
+    coords = [
+        (my, mx) for my in range(h // mcu) for mx in range(w // mcu)
+    ]
+    ri = restart_interval
+    groups = (
+        [coords]
+        if not ri
+        else [coords[i : i + ri] for i in range(0, len(coords), ri)]
+    )
+    parts: list[bytes] = []
+    for gi, group in enumerate(groups):
+        bw = _BitWriter()
+        prev_dc = [0] * len(planes)  # DC predictors reset per interval
+        for my, mx in group:
             for ci, plane in enumerate(planes):
                 fh, fv = factors[ci]
                 for byy in range(fv):
@@ -396,7 +413,10 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
                             my * 8 * fv + byy * 8, mx * 8 * fh + bxx * 8,
                             prev_dc, ci,
                         )
-    scan = bw.flush()
+        parts.append(bw.flush())
+        if gi < len(groups) - 1:
+            parts.append(bytes([0xFF, 0xD0 + (gi % 8)]))
+    scan = b"".join(parts)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -413,7 +433,8 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444") -> bytes:
     )
     sos_comps = b"".join(struct.pack(">BB", i + 1, 0x00) for i in range(ncomp))
     sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + qt + sof + dht + sos + scan + b"\xff\xd9"
+    dri = seg(0xDD, struct.pack(">H", ri)) if ri else b""
+    return b"\xff\xd8" + qt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -442,6 +463,19 @@ class _BitReader:
         self.n -= k
         return v
 
+    def restart(self) -> None:
+        """Consume an RSTn boundary: discard the (<8) 1-padding bits of
+        the current byte, then the FF D0-D7 marker itself."""
+        self.acc = 0
+        self.n = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker at interval boundary")
+        self.pos += 2
+
 
 def _huff_decode(br: _BitReader, table: dict) -> int:
     code, length = 0, 0
@@ -467,15 +501,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     zigzag/dequant, float64 IDCT, nearest-neighbor chroma upsample,
     YCbCr->RGB.
 
+    Restart intervals (DRI + RSTn) are SUPPORTED: the boundary byte-
+    aligns, the marker is consumed, DC predictors reset (T.81 §E.2.4).
+
     Scope (raised as errors, not wrong pixels): no progressive (SOF2),
-    no restart intervals, sampling limited to all-1x1 or Y 2x2 + chroma
-    1x1 (= the 4:2:0 layout real corpora use), whole MCUs only. Swap in
-    libjpeg-turbo for arbitrary wild JPEGs."""
+    sampling limited to all-1x1 or Y 2x2 + chroma 1x1 (= the 4:2:0
+    layout real corpora use), whole MCUs only. Swap in libjpeg-turbo for
+    arbitrary wild JPEGs; `multimodal.decode_media_stats` converts every
+    such raise into a reason-tagged reject row instead of a task
+    failure."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
     h = w = None
     comps: list[tuple[int, int]] = []  # (component id, qtable id)
     scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
@@ -524,7 +564,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 }
                 i += 17 + nvals
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             for c in range(ns):
@@ -573,8 +613,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             k += 1
         return zz
 
+    mcu_i = 0
     for my in range(h // mcu_h):
         for mx in range(w // mcu_w):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()
+                prev_dc[:] = [0] * nc
+            mcu_i += 1
             for si, (ci, dct_id, act_id) in enumerate(scan_comps):
                 fh, fv = comps[ci][2], comps[ci][3]
                 for byy in range(fv):

@@ -282,10 +282,27 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
 
     Long format keeps every ``value`` a non-NULL BIGINT, so the gate's
     column-sorted value hash is engine-exact with no NULL-dtype coercion.
+
+    Malformed or out-of-scope items NEVER raise out of the kernel (a
+    single bad blob must not kill a 100-TB task): each item decodes in
+    its own try, and failures emit one reason-tagged reject row
+    ``(media_id, <sniffed type>, 'rejected_<reason>', n_bytes)`` with
+    reason ∈ progressive | sampling | truncated | corrupt — so rejects
+    are queryable (and countable per reason) like any other stat.
     """
     m = _codec()
     decode_bmp, decode_wav = m.decode_bmp, m.decode_wav
     decode_png, decode_jpeg = m.decode_png, m.decode_jpeg
+
+    def reject_reason(exc: Exception) -> str:
+        msg = str(exc)
+        if "SOF0" in msg:  # progressive SOF2 / extended sequential
+            return "progressive"
+        if "sampling layout" in msg:
+            return "sampling"
+        if isinstance(exc, (IndexError, EOFError)) or "struct" in type(exc).__module__:
+            return "truncated"
+        return "corrupt"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -294,58 +311,65 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content)
-                if b[:2] == b"BM":
-                    img = decode_bmp(b)
-                    h, w, c = img.shape
-                    rows += [
-                        (mid, "image", "width", w),
-                        (mid, "image", "height", h),
-                        (mid, "image", "channels", c),
-                        (mid, "image", "px_sum", int(img.sum(dtype=np.int64))),
-                        (mid, "image", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
-                    ]
-                elif b[:8] == b"\x89PNG\r\n\x1a\n":
-                    img = decode_png(b)
-                    h, w, c = img.shape
-                    rows += [
-                        (mid, "image_png", "width", w),
-                        (mid, "image_png", "height", h),
-                        (mid, "image_png", "channels", c),
-                        (mid, "image_png", "px_sum", int(img.sum(dtype=np.int64))),
-                        (
-                            mid,
-                            "image_png",
-                            "corner_sum",
-                            int(img[0, 0].sum(dtype=np.int64)),
-                        ),
-                    ]
-                elif b[:2] == b"\xff\xd8":
-                    img = decode_jpeg(b)
-                    h, w, c = img.shape
-                    rows += [
-                        (mid, "image_jpeg", "width", w),
-                        (mid, "image_jpeg", "height", h),
-                        (mid, "image_jpeg", "channels", c),
-                        (mid, "image_jpeg", "px_sum", int(img.sum(dtype=np.int64))),
-                        (
-                            mid,
-                            "image_jpeg",
-                            "corner_sum",
-                            int(img[0, 0].sum(dtype=np.int64)),
-                        ),
-                    ]
-                elif b[:4] == b"RIFF":
-                    rate, ch, samples = decode_wav(b)
-                    n = len(samples) // ch
-                    rows += [
-                        (mid, "audio", "sample_rate", rate),
-                        (mid, "audio", "n_samples", n),
-                        (mid, "audio", "sample_sum", int(samples.sum(dtype=np.int64))),
-                        (mid, "audio", "duration_ms", n * 1000 // rate),
-                    ]
-                else:
-                    rows.append((mid, "unknown", "n_bytes", len(b)))
+                try:
+                    rows += _item_stats(mid, b)
+                except Exception as exc:  # noqa: BLE001 — reject, don't kill the task
+                    mt = (
+                        "image" if b[:2] == b"BM"
+                        else "image_png" if b[:8] == b"\x89PNG\r\n\x1a\n"
+                        else "image_jpeg" if b[:2] == b"\xff\xd8"
+                        else "audio" if b[:4] == b"RIFF"
+                        else "unknown"
+                    )
+                    rows.append((mid, mt, f"rejected_{reject_reason(exc)}", len(b)))
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "stat", "value"])
+
+    def _item_stats(mid, b):
+        import numpy as np
+
+        rows = []
+        if b[:2] == b"BM":
+            img = decode_bmp(b)
+            h, w, c = img.shape
+            rows += [
+                (mid, "image", "width", w),
+                (mid, "image", "height", h),
+                (mid, "image", "channels", c),
+                (mid, "image", "px_sum", int(img.sum(dtype=np.int64))),
+                (mid, "image", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
+            ]
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(b)
+            h, w, c = img.shape
+            rows += [
+                (mid, "image_png", "width", w),
+                (mid, "image_png", "height", h),
+                (mid, "image_png", "channels", c),
+                (mid, "image_png", "px_sum", int(img.sum(dtype=np.int64))),
+                (mid, "image_png", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
+            ]
+        elif b[:2] == b"\xff\xd8":
+            img = decode_jpeg(b)
+            h, w, c = img.shape
+            rows += [
+                (mid, "image_jpeg", "width", w),
+                (mid, "image_jpeg", "height", h),
+                (mid, "image_jpeg", "channels", c),
+                (mid, "image_jpeg", "px_sum", int(img.sum(dtype=np.int64))),
+                (mid, "image_jpeg", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
+            ]
+        elif b[:4] == b"RIFF":
+            rate, ch, samples = decode_wav(b)
+            n = len(samples) // ch
+            rows += [
+                (mid, "audio", "sample_rate", rate),
+                (mid, "audio", "n_samples", n),
+                (mid, "audio", "sample_sum", int(samples.sum(dtype=np.int64))),
+                (mid, "audio", "duration_ms", n * 1000 // rate),
+            ]
+        else:
+            rows.append((mid, "unknown", "n_bytes", len(b)))
+        return rows
 
     src_df = _repartitioned(df) if repartition else df
     return src_df.mapInPandas(
@@ -483,6 +507,51 @@ def plant_jpeg_assets(docs: DataFrame) -> DataFrame:
                     out.append(
                         (d, "image_jpeg", encode_jpeg(img, subsampling="420"))
                     )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+#: Fixed malformed stubs for the robustness gate entry — byte-constant so
+#: their lengths are literals in the oracle SQL. The progressive stub is
+#: a structurally-valid SOF2 frame header (what a real progressive JPEG
+#: opens with); the corrupt stub breaks the marker walk immediately.
+# SOI + SOF2 (len 11: depth 8, 16x16, 1 component 1x1 qtable 0)
+PROGRESSIVE_STUB = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+CORRUPT_STUB = b"\xff\xd8GARBAGE-NOT-A-MARKER"
+
+
+def plant_robust_assets(docs: DataFrame) -> DataFrame:
+    """Mixed healthy/malformed JPEG corpus for the reject-path gate:
+    per doc_id (mod 3) — 0: a REAL baseline JPEG with restart interval 2
+    (DRI + RSTn markers through the genuine entropy coder; 16x16 grey,
+    2x2 constant blocks of (d+b) % 256 ⇒ exact closed-form sums);
+    1: :data:`PROGRESSIVE_STUB` (SOF2 — supported containers reject it
+    with reason 'progressive'); 2: :data:`CORRUPT_STUB` (marker-walk
+    garbage → reason 'corrupt')."""
+    encode_jpeg = _codec().encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 3
+                if v == 0:
+                    blocks = np.array(
+                        [[(d + 0) % 256, (d + 1) % 256], [(d + 2) % 256, (d + 3) % 256]],
+                        dtype=np.int64,
+                    ).astype(np.uint8)
+                    grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                    out.append((d, "image_jpeg", encode_jpeg(grey, restart_interval=2)))
+                elif v == 1:
+                    out.append((d, "image_jpeg", PROGRESSIVE_STUB))
+                else:
+                    out.append((d, "image_jpeg", CORRUPT_STUB))
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
     return _repartitioned(docs.select("doc_id")).mapInPandas(

@@ -1819,6 +1819,54 @@ def media_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_robust",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 3 AS v
+      FROM documents WHERE doc_id % 7 = 3 AND doc_id < 900
+    ),
+    good AS (
+      SELECT media_id, 'image_jpeg' AS media_type, s.stat AS stat,
+             CAST(CASE s.stat
+               WHEN 'width' THEN 16 WHEN 'height' THEN 16 WHEN 'channels' THEN 1
+               WHEN 'px_sum' THEN 64 * ((media_id % 256) + ((media_id + 1) % 256)
+                                        + ((media_id + 2) % 256) + ((media_id + 3) % 256))
+               WHEN 'corner_sum' THEN media_id % 256 END AS BIGINT) AS value
+      FROM ids, (VALUES ('width'), ('height'), ('channels'), ('px_sum'),
+                        ('corner_sum')) s(stat)
+      WHERE v = 0
+    ),
+    rej AS (
+      SELECT media_id, 'image_jpeg' AS media_type,
+             CASE WHEN v = 1 THEN 'rejected_progressive'
+                  ELSE 'rejected_corrupt' END AS stat,
+             CAST(CASE WHEN v = 1 THEN {len(_mm.PROGRESSIVE_STUB)}
+                  ELSE {len(_mm.CORRUPT_STUB)} END AS BIGINT) AS value
+      FROM ids WHERE v IN (1, 2)
+    )
+    SELECT media_id, media_type, stat, value FROM good
+    UNION ALL SELECT media_id, media_type, stat, value FROM rej
+    """,
+    "decoder robustness, oracle-checked: a mixed corpus of REAL "
+    "restart-interval JPEGs (DRI + RSTn through the genuine entropy "
+    "coder — r5 rejected these, now decoded), progressive SOF2 stubs, "
+    "and marker-walk garbage. Healthy items decode to closed-form "
+    "stats; malformed items become reason-tagged reject ROWS "
+    "(rejected_progressive / rejected_corrupt) — the kernel never "
+    "raises, because one bad blob must not kill a 100-TB task. No "
+    "final orderBy: a global sort above mapInPandas re-executes every "
+    "decode in the range-sampling pass (driver and parity both sort "
+    "before hashing)",
+)
+def media_robust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") < 900)
+    )
+    media = _mm.plant_robust_assets(docs)
+    return _mm.decode_media_stats(media, repartition=False)
+
+
+@register(
     "media_video_frame_sample",
     """
     WITH vid AS (
