@@ -810,3 +810,84 @@ def test_equidepth_scale_buckets_are_balanced(spark):
     # bucket ranges are disjoint and ordered
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_repetition_metrics_flag_boilerplate(spark):
+    from tickdb_spark.functions.repetition import repetition_metrics
+
+    spam = " ".join(["buy cheap pills now"] * 10)  # 40 tokens, one 4-gram
+    clean = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame([(1, spam), (2, clean)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    # the spam doc: only 4 distinct words in 40 -> dup_word_frac 0.9,
+    # and the repeated phrase dominates every n-gram coverage metric
+    assert out[1]["dup_word_frac"] == 0.9
+    assert out[1]["top4_char_frac"] > 0.5
+    assert out[1]["dup5_char_frac"] > 0.9
+    # the clean doc: all-distinct words, no repeated n-grams at all
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup5_char_frac"] == 0.0
+    assert out[2]["top2_char_frac"] < 0.35
+
+
+def test_bigram_familiarity_scores_oov(spark):
+    from tickdb_spark.operators.lm import bigram_familiarity
+
+    # id 998 hashes OUTSIDE the 50% train split (998*K % 2^32 >= 2^31),
+    # so its vocabulary never reaches the model -> all bigrams OOV
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((998, "xylophone quark zeppelin"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_familiarity(df, train_fraction=0.5).collect()}
+    weird = out[998]
+    assert weird["n_matched"] == 0 and weird["n_oov"] == weird["n_bigrams"] == 2
+    assert weird["familiarity"] == 0
+    # at least one common doc landed in train, so every common doc matches fully
+    common = out[0]
+    assert common["n_oov"] == 0 and common["familiarity"] > 0
+
+
+def test_dedup_retention_keeps_best_quality(spark):
+    from tickdb_spark.operators.cluster import dedup_retention
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5)], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in dedup_retention(docs, pairs, "n_chars").collect()}
+    # cluster {1,2,3}: doc 2 has the best quality -> kept; 1 and 3 dropped
+    assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
+    assert out[1]["cluster_size"] == 3
+    # singleton survives regardless of quality
+    assert out[7]["kept"] and out[7]["cluster_size"] == 1
+
+
+def test_token_budget_sample_floor_semantics(spark):
+    from tickdb_spark.operators.sampling import id_hash, token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(10)], ["doc_id", "src", "toks"]
+    )
+    out = token_budget_sample(df, "src", "doc_id", "toks", 250)
+    rows = out.collect()
+    # budget 250 over 100-token docs: 2 full docs fit, the 3rd crosses
+    # the budget and is kept (floor semantics) -> exactly 3 docs
+    assert len(rows) == 3
+    # and they are the first 3 in id-hash order
+    hashed = sorted(range(10), key=lambda i: (i * 2654435761) % (1 << 32))
+    assert {r["doc_id"] for r in rows} == set(hashed[:3])
+    # a stratum smaller than its budget is taken whole
+    assert token_budget_sample(df, "src", "doc_id", "toks", 10_000).count() == 10
+
+
+def test_rolling_zscore_flags_planted_spike_only(spark):
+    from tickdb_spark.operators.timeseries import rolling_zscore_anomalies
+
+    # two series: 'flat' never flags, 'spiky' flags exactly t=30
+    rows = [("flat", t, t, 100.0 + (t % 3) * 0.02) for t in range(40)]
+    rows += [("spiky", t, 100 + t, 500.0 if t == 30 else 100.0 + (t % 3) * 0.02)
+             for t in range(40)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    out = rolling_zscore_anomalies(df, "event_type", "ts", "event_id", "value").collect()
+    assert [(r["series"], r["ts"]) for r in out] == [("spiky", 30)]
+    assert out[0]["dev_sq"] > out[0]["thresh_sq"]

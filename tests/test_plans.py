@@ -270,3 +270,52 @@ def test_gapfill_multiseries_windows_are_partitioned(spark):
     for line in plan.splitlines():
         if "Window " in line:
             assert "event_type" in line.split("], [")[1], line
+
+
+def test_anomaly_zscore_windows_partitioned_no_global_sort(spark):
+    """The rolling z-score windows must all partition by the series
+    column (a partition-less frame would serialize the metrics stream
+    through one task at 100 TB), and the flag math must stay in
+    whole-stage codegen — no Python, no joins."""
+    df = _df(spark, "tick_anomaly_zscore")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") >= 1
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "event_type" in line.split("], [")[1], line
+    assert count_op(df, "Join") == 0
+    assert "InMemoryTableScan" not in plan and "mapInPandas" not in plan
+
+
+def test_token_budget_window_partitioned(spark):
+    """Token-budget mixing: one window, partitioned by the stratum
+    column; the scan reads only the three projected columns."""
+    df = _df(spark, "sample_token_budget")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") == 1
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "source" in line.split("], [")[1], line
+    from tickdb_spark.plans import scan_read_schemas
+
+    for schema in scan_read_schemas(df):
+        assert "text" not in schema  # never reads the payload column
+
+
+def test_repetition_metrics_no_join_two_aggregates(spark):
+    """Repetition metrics are explode + two hash aggregates — no join,
+    no window, no cartesian anywhere (the per-doc argmax is a pure
+    aggregate, not a self-join)."""
+    df = _df(spark, "text_repetition_metrics")
+    assert count_op(df, "Join") == 0
+    assert count_op(df, "Window") == 0
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_bigram_familiarity_hash_joins_only(spark):
+    """LM scoring joins doc-bigrams to the model with equi-joins only
+    (broadcast or shuffled-hash/sort-merge) — a nested-loop here would
+    be corpus x model."""
+    df = _df(spark, "text_bigram_familiarity")
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0

@@ -243,3 +243,86 @@ def dedup_clusters_sql(pairs_sql: str, table: str = "documents", id_col: str = "
            c.{id_col} = c.component AS is_canonical
     FROM comp c JOIN sizes s USING (component)
     """
+
+
+def dedup_retention(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster retention: from each duplicate cluster keep
+    the single highest-quality document (ties broken on min id), instead
+    of ``dedup_clusters``'s min-id canonical. This is the step that turns
+    a pair detector into a *corpus*: near-dup groups collapse to their
+    best exemplar, singletons pass through.
+
+    Returns ``(id, component, cluster_size, quality, kept)``. One extra
+    hash aggregate (``max_by`` per component) over the component frame —
+    the per-cluster argmax never materializes cluster contents anywhere
+    but inside the aggregate, so the plan scales with the corpus, not the
+    cluster fan-in.
+    """
+    comp = connected_components(
+        docs, pairs, id_col=id_col, src_col=src_col, dst_col=dst_col
+    ).withColumnRenamed("id", id_col)
+    labeled = comp.join(docs.select(id_col, quality_col), id_col)
+    # arg-max on (quality DESC, id ASC) via one BIGINT composite key —
+    # DuckDB's arg_max has no struct comparator, so both engines order by
+    # quality * 2^32 - id (requires integer quality < 2^30 and id < 2^32;
+    # document-length-class qualities and corpus row ids satisfy both).
+    order_key = F.col(quality_col).cast("long") * F.lit(1 << 32) - F.col(id_col)
+    best = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by(F.col(id_col), order_key).alias("_keep_id"),
+    )
+    return (
+        labeled.join(best, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            "cluster_size",
+            F.col(quality_col).alias("quality"),
+            (F.col(id_col) == F.col("_keep_id")).alias("kept"),
+        )
+    )
+
+
+def dedup_retention_sql(
+    pairs_sql: str,
+    quality_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: transitive closure (recursive CTE) + per-component
+    arg-max on (quality DESC, id ASC)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT {id_col}::BIGINT, {id_col}::BIGINT FROM {table}
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS {id_col}, min(v) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT c.{id_col}, c.component, {quality_expr} AS quality
+      FROM comp c JOIN {table} t USING ({id_col})
+    ),
+    best AS (
+      SELECT component, count(*)::BIGINT AS cluster_size,
+             arg_max({id_col}, quality::BIGINT * 4294967296 - {id_col}) AS _keep_id
+      FROM labeled GROUP BY component
+    )
+    SELECT l.{id_col}, l.component, b.cluster_size, l.quality,
+           l.{id_col} = b._keep_id AS kept
+    FROM labeled l JOIN best b USING (component)
+    """

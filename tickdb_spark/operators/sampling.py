@@ -159,3 +159,42 @@ def split_assign_sql(table: str, id_col: str, splits: list[tuple[str, float]]) -
         whens.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
     return f"SELECT *, {case} AS split FROM {table}"
+
+
+def token_budget_sample(
+    df: DataFrame, strata_col: str, id_col: str, token_col: str, budget: int
+) -> DataFrame:
+    """Token-budget mixing: from each stratum (source/domain/language),
+    take documents in id-hash order until the stratum's cumulative token
+    count reaches ``budget`` — how production mixes are actually specified
+    ("20B tokens of web, 5B of code"), since document counts don't control
+    what the model sees. The first document that *crosses* the budget is
+    kept (budgets are floors, matching quota semantics elsewhere: a
+    stratum smaller than its budget is taken whole).
+
+    One window per stratum (``partitionBy`` — scales with stratum count,
+    never a global sort) over integer token counts: the running sum is
+    exact, deterministic under repartitioning, identical on any engine.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_hash(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    prev = cum - F.col(token_col).cast("long")
+    return df.withColumn("_prev", prev).where(F.col("_prev") < budget).drop("_prev")
+
+
+def token_budget_sample_sql(
+    table: str, strata_col: str, id_col: str, token_col: str, budget: int
+) -> str:
+    return f"""
+    SELECT * EXCLUDE (_prev) FROM (
+      SELECT *, CAST(COALESCE(sum({token_col}) OVER (
+        PARTITION BY {strata_col}
+        ORDER BY {id_hash_sql(id_col)}, {id_col}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS BIGINT) AS _prev FROM {table}
+    ) WHERE _prev < {int(budget)}
+    """

@@ -358,3 +358,108 @@ def gapfill_locf_sql(
     FROM spine LEFT JOIN agg ON spine.bucket = agg.bucket
     ORDER BY spine.bucket
     """
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    lookback: int = 24,
+    k: int = 3,
+    min_n: int = 12,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-series anomaly detection: flag points more than ``k`` standard
+    deviations from the trailing ``lookback``-point baseline (the
+    monitoring primitive every TSDB grows: spike/step detection on
+    metrics streams).
+
+    Exact integer arithmetic end to end: values are quantized to
+    ``floor(v * scale + 0.5)`` (exact when the data has <= log10(scale)
+    decimals, deterministic IEEE either way), and the z-test is evaluated
+    in cleared-denominator form over BIGINT window sums::
+
+        |q - mean| > k * sigma
+        <=> (c*q - s)^2 > k^2 * (c*ss - s^2)        [population variance]
+
+    No floats, no sqrt, no division — the flag is bit-reproducible on any
+    engine and any partitioning. Windows are ``partitionBy(series)``
+    (never a global sort); the frame excludes the current row so a spike
+    can't mask itself by inflating its own baseline.
+
+    Returns only the flagged rows: ``(series, ts, id, value, baseline_n,
+    dev_sq, thresh_sq)`` with ``dev_sq > thresh_sq`` guaranteed.
+    """
+    q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    d = (
+        df.withColumn("_q", q)
+        .withColumn("_c", F.count("_q").over(w).cast("long"))
+        .withColumn("_s", F.sum("_q").over(w).cast("long"))
+        .withColumn("_ss", F.sum(F.col("_q") * F.col("_q")).over(w).cast("long"))
+    )
+    dev_sq = (F.col("_c") * F.col("_q") - F.col("_s")) * (
+        F.col("_c") * F.col("_q") - F.col("_s")
+    )
+    thresh_sq = F.lit(k * k) * (F.col("_c") * F.col("_ss") - F.col("_s") * F.col("_s"))
+    return (
+        d.withColumn("dev_sq", dev_sq)
+        .withColumn("thresh_sq", thresh_sq)
+        .where((F.col("_c") >= min_n) & (F.col("dev_sq") > F.col("thresh_sq")))
+        .select(
+            F.col(series_col).alias("series"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+            F.col("_c").alias("baseline_n"),
+            "dev_sq",
+            "thresh_sq",
+        )
+    )
+
+
+def rolling_zscore_anomalies_sql(
+    table: str,
+    series_col: str,
+    ts_expr: str,
+    id_col: str,
+    value_col: str,
+    lookback: int = 24,
+    k: int = 3,
+    min_n: int = 12,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin: identical quantization, window frame, and cleared-
+    denominator test (window sums pass through HUGEINT, cast back)."""
+    return f"""
+    SELECT {series_col} AS series, ts, id, value,
+           _c AS baseline_n, dev_sq, thresh_sq
+    FROM (
+      SELECT {series_col}, ts, id, value, _q, _c, _s, _ss,
+             (_c * _q - _s) * (_c * _q - _s) AS dev_sq,
+             {k * k} * (_c * _ss - _s * _s) AS thresh_sq
+      FROM (
+        SELECT {series_col}, {ts_expr} AS ts, {id_col} AS id,
+               {value_col} AS value,
+               CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS _q,
+               CAST(count(*) OVER w AS BIGINT) AS _c,
+               CAST(COALESCE(sum(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT))
+                    OVER w, 0) AS BIGINT) AS _s,
+               CAST(COALESCE(sum(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)
+                        * CAST(floor({value_col} * {scale} + 0.5) AS BIGINT))
+                    OVER w, 0) AS BIGINT) AS _ss
+        FROM {table}
+        WINDOW w AS (
+          PARTITION BY {series_col} ORDER BY {ts_expr}, {id_col}
+          ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING
+        )
+      )
+    )
+    WHERE _c >= {min_n} AND dev_sq > thresh_sq
+    """

@@ -3879,6 +3879,105 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 LLM-pipeline additions: repetition filters, n-gram LM scoring,
+# quality-aware cluster retention, token-budget mixing, anomaly detection.
+
+from tickdb_spark.functions import repetition as _rep  # noqa: E402
+from tickdb_spark.operators import lm as _lm  # noqa: E402
+
+
+@register(
+    "text_repetition_metrics",
+    _rep.repetition_metrics_sql("documents", "text", "doc_id") + " ORDER BY doc_id",
+    "Gopher-style intra-document repetition filters: duplicate-word "
+    "fraction, top-{2,3,4}-gram char coverage, duplicated-5-gram char "
+    "coverage — one explode + two hash aggregates, shuffle volume "
+    "bounded by tokens x 5 like the shingle dedup family",
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return _rep.repetition_metrics(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_bigram_familiarity",
+    _lm.bigram_familiarity_sql("documents", "text", "doc_id", train_fraction=0.1)
+    + " ORDER BY doc_id",
+    "n-gram LM quality scoring (the CCNet/KenLM-perplexity stand-in): "
+    "bigram counts trained on a deterministic 10% hash split, every doc "
+    "scored by integer-exact familiarity/match/OOV sums — model is a "
+    "hash aggregate, scoring one equi-join (broadcastable model)",
+)
+def text_bigram_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lm.bigram_familiarity(docs, "text", "doc_id", train_fraction=0.1).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_cluster_retention",
+    _cluster.dedup_retention_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5),
+        "n_chars",
+        table="documents",
+        id_col="doc_id",
+    )
+    + " ORDER BY doc_id",
+    "quality-aware dedup retention: connected components over ngram-"
+    "Jaccard pairs at tau=0.5, then ONE kept doc per cluster by "
+    "(n_chars DESC, id ASC) arg-max — the 'collapse near-dup groups to "
+    "their best exemplar' step of a training-corpus build",
+)
+def dedup_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _cluster.dedup_retention(docs, pairs, "n_chars", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "sample_token_budget",
+    _sampling.token_budget_sample_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)",
+        "source",
+        "doc_id",
+        "n_chars",
+        2000,
+    )
+    + " ORDER BY doc_id",
+    "token-budget mixing: per-source documents in id-hash order until "
+    "each source's cumulative char count crosses the budget — how "
+    "production mixes are specified (tokens, not doc counts); windows "
+    "partitionBy(source), integer-exact running sums",
+)
+def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return _sampling.token_budget_sample(docs, "source", "doc_id", "n_chars", 2000).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "tick_anomaly_zscore",
+    _ts.rolling_zscore_anomalies_sql(
+        "events", "event_type", "epoch_ns(ts)", "event_id", "value"
+    )
+    + " ORDER BY series, ts, id",
+    "per-series spike detection: points > 3 sigma from the trailing "
+    "24-point baseline, evaluated in cleared-denominator BIGINT form "
+    "((c*q-s)^2 > 9*(c*ss-s^2) over x100-quantized values) — exact, "
+    "engine-independent, windows partitionBy(series) only",
+)
+def tick_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.rolling_zscore_anomalies(
+        ev, "event_type", "ts", "event_id", "value"
+    ).orderBy("series", "ts", "id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The correctness gate runs the FIRST ~50 registry entries in insertion
@@ -3889,66 +3988,70 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # --- r5 head. Priority: (1) entries new in r5, (2) entries whose
-    # oracle or implementation changed in r5, (3) the 20 entries the r4
-    # gate red-lined on the events ts-type change, (4) events-touching
-    # entries never yet driver-proven against the new µs testdata,
-    # (5) spare slots re-proving r4-green entries. Exactly 50.
-    # (1) new in r5
-    "media_decode_png",
-    "media_decode_jpeg",
-    "tick_gapfill_interp",
-    "join_salted_hotkey",
-    "stream_stream_interval_join",
-    "tick_compaction_equivalence",
-    "json_props_extract",
+    # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
+    # (2) entries whose implementation or oracle changed in r6 (sort-
+    # pathology rewrite, BPE escape filter, ts_raw drop, multimodal
+    # reject-path rework), (3) the 30 entries whose last driver proof is
+    # r2 — pre-ts-change; locally replica-green but driver evidence is
+    # stale, (4) spare slots for r4-proven entries whose kernels the r6
+    # multimodal/text changes touch. Exactly 50.
+    # (1) new in r6 (never driver-proven)
+    "agg_equidepth_scale",
+    "tick_gapfill_multiseries",
+    "media_decode_robust",
+    "text_repetition_metrics",
+    "text_bigram_familiarity",
+    "dedup_cluster_retention",
+    "sample_token_budget",
+    "tick_anomaly_zscore",
+    # (2) changed in r6 (sort-shape rewrite / BPE escape / multimodal
+    # reject path). Cut for space, still parity-covered locally:
+    # tpch_q1 + chunk_sliding + c4_filter (plan-shape-only changes) and
+    # the two lifecycle entries (ts_raw hygiene drop, value-identical).
+    "text_langid_fingerprint",
+    "text_pii_scrub",
+    "trend_series_ols_slope",
     "text_bpe_train_merges",
     "text_bpe_tokenize",
-    "sim_ann_topk_int8",
-    "agg_equidepth_histogram",
-    # (2) changed in r5
-    "decontaminate_neardup_eval",
-    "sim_ivf_kmeans_cells",
-    "sim_ann_topk_ivf_trained",
-    "sim_ann_topk_lsh_multitable",
-    "text_langid_fingerprint",
-    # (3) r4-red on the ts-type change
-    "tick_point_get",
-    "tick_range_scan",
-    "tick_bucket_hour_sum",
-    "tick_bucket_minute_minmax",
-    "tick_bucket_day_ohlc",
-    "tick_bucket_day_count_avg",
-    "tick_bucket_5min_anchored",
-    "tick_bucket_month_sum",
-    "tick_ma3_hourly",
-    "tick_bucket_week_sum",
-    "tick_bucket_2month_anchored",
-    "tick_bucket_5min_routed",
-    "tick_multiseries_day_agg",
-    "tick_twa_6h",
-    "tick_gapfill_locf",
-    "rangejoin_click_attribution",
-    "agg_stats_moments",
-    "agg_multi_distinct_stringagg",
-    "trend_series_ols_slope",
-    "stream_stateful_spike_detect",
-    # (4) events-touching, not yet proven on the new µs testdata
     "tick_rollup_day_agg",
-    "tick_upsert_delete_lifecycle",
-    "tick_sparse_field_nulls",
-    "tick_bucket_second",
-    "tick_bucket_year",
-    "stream_windowed_bucket_agg",
-    "stream_session_windows",
-    "sessionize_user_events",
-    "asof_purchase_last_click",
-    "agg_value_histogram",
-    "agg_distinct_users_daily",
-    # (5) spare: re-prove r4-green entries
-    "agg_salted_hotkey",
-    "win_analytic_suite",
-    "stream_dedup_ingest",
+    "tick_bucket_5min_routed",
+    "media_decode_png",
+    "media_decode_jpeg",
+    "media_feature_extract",
+    # (3) last driver proof r2 (pre-ts-change)
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_revenue_forecast",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "scalar_function_battery",
+    "join_full_outer_nation_parties",
+    "join_semi_anti_customers",
+    "join_bucketed_colocated",
+    "win_trailing_7day_revenue",
+    "win_running_revenue",
+    "win_top3_orders_per_priority",
+    "agg_rollup_region_nation",
+    "agg_cube_flag_status",
+    "setop_all_multiset_variants",
+    "setop_nation_coverage",
+    "pivot_qty_by_status",
+    "unpivot_lineitem_metrics",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_near_pairs",
+    "sim_ann_topk_bruteforce",
+    "sim_ann_topk_lsh",
+    "sim_cosine_neardup_pairs",
+    "text_quality_metrics",
+    "media_binary_stats",
+    # (4) spare: r4-proven entries sharing the r6-reworked decode kernel
+    "media_decode_stats",
+    "media_video_frame_sample",
 ]
 
 
