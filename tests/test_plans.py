@@ -319,3 +319,35 @@ def test_bigram_familiarity_hash_joins_only(spark):
     df = _df(spark, "text_bigram_familiarity")
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_q2_no_cartesian_window_partitioned(spark):
+    """Q2's correlated-min is a part-partitioned window over the already-
+    joined candidates — no cartesian, no partition-less window, fact
+    side never broadcast."""
+    df = _df(spark, "tpch_q2_min_cost_supplier")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "CartesianProduct") == 0
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "p_partkey" in line.split("], [")[1], line
+
+
+def test_q21_single_fact_pass_no_self_join(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must collapse into per-order
+    aggregates — the textbook formulation self-joins lineitem twice
+    (3 fact passes); this plan reads lineitem ONCE."""
+    df = _df(spark, "tpch_q21_waiting_suppliers")
+    from tickdb_spark.plans import scan_read_schemas
+
+    fact_scans = [s for s in scan_read_schemas(df) if "l_orderkey" in s]
+    assert len(fact_scans) == 1
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_q16_anti_join_broadcast(spark):
+    """The NOT-IN complaint filter must plan as a broadcast anti-join
+    against the tiny negative-balance supplier set, not a shuffle."""
+    df = _df(spark, "tpch_q16_supplier_part_counts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

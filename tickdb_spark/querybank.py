@@ -4009,6 +4009,662 @@ def tick_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion (round 6): the 14 remaining queries, adapted to the
+# driver's reduced schema the same way the original eight were ("-style"):
+# no partsupp table — lineitem's (l_partkey, l_suppkey) pairs are the
+# part-supplier relation and l_extendedprice/l_quantity the unit-cost
+# proxy; no commit/receipt dates — lateness is ship-vs-order date; no
+# comment/phone columns — categorical stand-ins. With these, the full
+# 22-query battery runs oracle-hash-checked.
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ucost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p_partkey, s_suppkey, s_acctbal, s_name, n_name, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM part JOIN ucost ON p_partkey = l_partkey
+                JOIN eu ON l_suppkey = s_suppkey
+      WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+    FROM cand WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "TPC-H Q2-style: min-cost supplier per part (unit cost = min "
+    "extendedprice/quantity over the lineitem part-supplier relation, "
+    "the no-partsupp adaptation), EUROPE suppliers only, deterministic "
+    "top-100 — correlated-min via a part-partitioned window",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    ucost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(_read(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(_read(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    cand = (
+        ucost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "min_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        cand.where(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7-style: bilateral trade volume between two nations by ship "
+    "year — double nation join (supplier side + customer side), "
+    "broadcast dims, decimal-exact revenue",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+        .transform(_sorted_small, "supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_9'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS {DEC})
+                    ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  JOIN region ON n2.n_regionkey = r_regionkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    GROUP BY o_year ORDER BY o_year
+    """,
+    "TPC-H Q8-style: one nation's market share of ECONOMY-part revenue "
+    "into ASIA customers per year — conditional decimal sums, exact "
+    "numerator/denominator cast to double before the one division",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date")
+        )
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (num.cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+        )
+        .transform(_sorted_small, "o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity AS {DEC})) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9-style: profit by supplier nation and order year over "
+    "'red' parts; cost side is p_retailprice*quantity (no "
+    "ps_supplycost in the reduced schema) — decimal-exact signed sums",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .transform(_sorted_small, "nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10-style: top-20 customers by returned-item revenue in a "
+    "quarter — fact-side filters pushed, dims broadcast, tie-broken "
+    "limit",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+               AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value AS DOUBLE) > (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    "TPC-H Q11-style: parts representing a significant share of one "
+    "nation's traded value (lineitem as the part-supplier relation), "
+    "HAVING against a scalar aggregate of the SAME exact decimal sums — "
+    "the threshold compare happens on identically-derived doubles on "
+    "both engines",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    pv = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .alias("value")
+        )
+    )
+    total = pv.agg((F.sum("value").cast("double") * F.lit(0.001)).alias("_thresh"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value").cast("double") > F.col("_thresh"))
+        .select("l_partkey", F.col("value").cast("double").alias("part_value"))
+        .transform(_sorted_small, F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13-style: customer order-count distribution (urgent orders "
+    "excluded as the comment-filter stand-in) — LEFT OUTER join with a "
+    "filter in the join condition, double aggregation, pure counts",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .transform(_sorted_small, F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS {DEC})
+                 ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE) AS DOUBLE) AS promo_revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """,
+    "TPC-H Q14-style: PROMO-part revenue share for one month — "
+    "conditional decimal sums, single broadcast join",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(DEC))
+    )
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        (F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double")).alias(
+            "promo_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15-style: supplier(s) achieving the quarter's maximum "
+    "revenue — the max compare stays in exact DECIMAL (a double detour "
+    "could merge near-ties differently per engine)",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .transform(_sorted_small, "s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "TPC-H Q16-style: distinct supplier counts per part attribute "
+    "(lineitem as the part-supplier relation; negative-balance "
+    "suppliers stand in for the complaints filter) — NOT IN as a "
+    "broadcast anti-join, count-distinct aggregate",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _read(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .transform(_sorted_small, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19-style: OR-of-conjuncts over joined part+lineitem "
+    "attributes — the disjunction can't push into the join, so the "
+    "plan is one equi-join (broadcast part) + a residual filter",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(branch)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty_all,
+             CAST(SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                            AND l_shipdate < DATE '1997-01-01'
+                           THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_1996
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'SMALL'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, qty_1996, qty_all
+    FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+    WHERE 5 * qty_1996 > qty_all
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20-style: suppliers who moved >20% of their all-time SMALL-"
+    "part volume in one year (availqty stand-in) — integer-exact "
+    "cleared-fraction compare, quantities summed as exact BIGINTs",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_type") == "SMALL").select(
+        "p_partkey"
+    )
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty_all"),
+            F.sum(F.when(in_96, F.col("l_quantity")).otherwise(0.0))
+            .cast("long")
+            .alias("qty_1996"),
+        )
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(5 * F.col("qty_1996") > F.col("qty_all"))
+        .select("s_suppkey", "s_name", "qty_1996", "qty_all")
+        .transform(_sorted_small, "s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    agg AS (
+      SELECT l_orderkey, count(*) AS n_supp,
+             CAST(sum(is_late) AS BIGINT) AS n_late,
+             max(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, count(*) AS numwait
+    FROM agg JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey LIMIT 10
+    """,
+    "TPC-H Q21-style: suppliers who alone held up a multi-supplier "
+    "finished order (>60-day ship lag standing in for commit/receipt "
+    "lateness) — the EXISTS/NOT-EXISTS pair collapsed into one "
+    "per-order aggregate (late-supplier count = 1), no self-joins",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    agg = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        agg.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    f"""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS {DEC}) AS bal_sum,
+             count(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    ),
+    cand AS (
+      SELECT c_custkey, c_nationkey % 10 AS cntrycode, c_acctbal
+      FROM customer, pos
+      WHERE CAST(c_acctbal AS {DEC}) * n_pos > bal_sum
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS totacctbal
+    FROM cand GROUP BY cntrycode ORDER BY cntrycode
+    """,
+    "TPC-H Q22-style: promising inactive customers per country code "
+    "(nationkey mod 10 stands in for the phone prefix) — the "
+    "above-average test runs in cleared-denominator DECIMAL "
+    "(acctbal x count > sum, exact on both engines); 'inactive' = no "
+    "order since 1999 (every customer in this corpus has SOME order), "
+    "via an anti-join",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("bal_sum"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    ).select("o_custkey")
+    cand = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(DEC) * F.col("n_pos") > F.col("bal_sum"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        cand.groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .transform(_sorted_small, "cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The correctness gate runs the FIRST ~50 registry entries in insertion
