@@ -891,3 +891,43 @@ def test_rolling_zscore_flags_planted_spike_only(spark):
     out = rolling_zscore_anomalies(df, "event_type", "ts", "event_id", "value").collect()
     assert [(r["series"], r["ts"]) for r in out] == [("spiky", 30)]
     assert out[0]["dev_sq"] > out[0]["thresh_sq"]
+
+
+def test_audio_frame_features_square_wave(spark):
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import encode_wav
+    from tickdb_spark.operators.multimodal import audio_frame_features
+
+    # 128 samples of a +/-100 square wave with period 4: per 64-sample
+    # frame energy = 64*100^2, zcr = 15 flips (every 4th adjacent pair
+    # inside the frame), peak = 100
+    i = np.arange(128)
+    s = np.where((i // 4) % 2 == 0, 100, -100).astype(np.int16)
+    df = spark.createDataFrame([(1, "audio", bytearray(encode_wav(s)))],
+                               ["media_id", "media_type", "content"])
+    rows = {r["frame_idx"]: r for r in audio_frame_features(df).collect()}
+    assert set(rows) == {0, 1}
+    for f in (0, 1):
+        assert rows[f]["energy"] == 64 * 100 * 100
+        assert rows[f]["zcr"] == 15
+        assert rows[f]["peak"] == 100
+
+
+def test_video_scene_cuts_planted_jump_only(spark):
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import encode_y4m
+    from tickdb_spark.operators.multimodal import video_scene_cuts
+
+    flat = np.full((6, 4, 4), 50, dtype=np.uint8)
+    jump = flat.copy(); jump[3:] = 200          # cut at frame 3, diff 150
+    slow = flat.copy()                          # +5 ramp: below threshold
+    for f in range(6): slow[f] += 5 * f
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(encode_y4m(flat, 25, 1))),
+         (2, "video", bytearray(encode_y4m(jump, 25, 1))),
+         (3, "video", bytearray(encode_y4m(slow, 25, 1)))],
+        ["media_id", "media_type", "content"])
+    out = [(r["media_id"], r["frame_idx"], r["sad"]) for r in video_scene_cuts(df).collect()]
+    assert out == [(2, 3, 150 * 16)]

@@ -602,3 +602,144 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def plant_signal_wavs(docs: DataFrame) -> DataFrame:
+    """Synthesize square-wave PCM WAVs from ``doc_id`` for the framewise
+    feature extractor — unlike ``plant_media_assets``'s ramp (always
+    positive, zero crossings never fire), these alternate sign so every
+    feature path is exercised, and the waveform is SQL-replayable:
+
+        n = 192 + 64·(d % 4) samples, period p = 2 + d % 9,
+        amplitude a = 50 + d % 1000,
+        s[i] = a·(+1 if (i // p) even else −1) + (i % 7)
+    """
+    encode_wav = _codec().encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, p, a = 192 + 64 * (d % 4), 2 + d % 9, 50 + d % 1000
+                i = np.arange(n, dtype=np.int64)
+                sign = np.where((i // p) % 2 == 0, 1, -1)
+                s = (a * sign + i % 7).astype(np.int16)
+                out.append((d, "audio", encode_wav(s)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def audio_frame_features(df: DataFrame, frame: int = 64) -> DataFrame:
+    """Framewise audio features over REAL decoded PCM — the feature-
+    extraction step of an audio training pipeline (VAD, silence trim,
+    loudness bucketing all start from exactly these):
+
+    per non-overlapping ``frame``-sample window: ``energy`` = Σ s²,
+    ``zcr`` = count of adjacent sign flips (s[i-1]·s[i] < 0) INSIDE the
+    frame, ``peak`` = max |s|. All integer-exact BIGINTs (int16 squares
+    sum exactly), so the operator is oracle-hash-checkable. Trailing
+    partial frames are dropped (standard hop=frame framing).
+
+    Scale shape: one Arrow-batched pass, ~n/frame output rows per item,
+    no shuffle at all — embarrassingly parallel over blobs.
+    """
+    decode_wav = _codec().decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, ch, samples = decode_wav(bytes(content))
+                s = samples.astype(np.int64)
+                nf = len(s) // frame
+                for f in range(nf):
+                    w = s[f * frame : (f + 1) * frame]
+                    rows.append(
+                        (
+                            int(mid),
+                            f,
+                            int((w * w).sum()),
+                            int(((w[:-1] * w[1:]) < 0).sum()),
+                            int(np.abs(w).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "energy", "zcr", "peak"]
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, frame_idx long, energy long, zcr long, peak long",
+    )
+
+
+def plant_scene_videos(docs: DataFrame) -> DataFrame:
+    """Synthesize Y4M clips with a known scene structure: 12 frames,
+    w = 8 + d % 9, h = 6 + d % 5. Clips with d % 3 == 0 are constant
+    luma c0 (no cut); others jump c0 → c1 at frame ``cut``:
+
+        c0 = 40 + d % 50, c1 = c0 + 60 + d % 40, cut = 3 + d % 5
+    """
+    encode_y4m = _codec().encode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, n = 8 + d % 9, 6 + d % 5, 12
+                c0 = 40 + d % 50
+                frames = np.full((n, h, w), c0, dtype=np.uint8)
+                if d % 3 != 0:
+                    frames[3 + d % 5 :] = c0 + 60 + d % 40
+                out.append((d, "video", encode_y4m(frames, 25, 1)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def video_scene_cuts(df: DataFrame, threshold: int = 30) -> DataFrame:
+    """Scene-cut detection over REAL decoded Y4M luma — the shot-
+    segmentation step of a video training pipeline (clip sampling,
+    per-scene captioning, dedup-by-shot all depend on it).
+
+    A cut lands at frame f when the sum of absolute luma differences
+    against frame f-1 exceeds ``threshold`` per pixel, tested in
+    cleared-denominator integer form (``sad > threshold * n_px`` — no
+    float mean, engine-exact). Emits one row per detected cut:
+    ``(media_id, frame_idx, sad, n_px)``; cut-free clips emit nothing.
+
+    Same scale shape as the other decode kernels: Arrow-batched
+    mapInPandas, no shuffle, output bounded by cuts not frames.
+    """
+    decode_y4m = _codec().decode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _, _, luma = decode_y4m(bytes(content))
+                s = luma.astype(np.int64)
+                sad = np.abs(s[1:] - s[:-1]).reshape(len(s) - 1, -1).sum(axis=1)
+                n_px = w * h
+                for f in np.nonzero(sad > threshold * n_px)[0]:
+                    rows.append((int(mid), int(f) + 1, int(sad[f]), n_px))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "sad", "n_px"])
+
+    return df.mapInPandas(
+        run, schema="media_id long, frame_idx long, sad long, n_px long"
+    )

@@ -4008,6 +4008,67 @@ def tick_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.rolling_zscore_anomalies(ev, "event_type", "ts", "event_id", "value")
 
 
+@register(
+    "media_audio_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id, 192 + 64 * (doc_id % 4) AS n,
+             2 + doc_id % 9 AS p, 50 + doc_id % 1000 AS a
+      FROM documents
+    ),
+    samples AS (
+      SELECT media_id, p, a, unnest(generate_series(0, n - 1)) AS i FROM ids
+    ),
+    sig AS (
+      SELECT media_id, i, (i // 64)::BIGINT AS frame_idx,
+             (a * (CASE WHEN (i // p) % 2 = 0 THEN 1 ELSE -1 END)
+              + i % 7)::BIGINT AS s
+      FROM samples
+    ),
+    f AS (
+      SELECT media_id, frame_idx, s,
+             lag(s) OVER (PARTITION BY media_id, frame_idx ORDER BY i) AS prev
+      FROM sig
+    )
+    SELECT media_id, frame_idx,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM f GROUP BY media_id, frame_idx
+    """,
+    "framewise audio features over REAL decoded PCM (RIFF walk + int16 "
+    "frames): per-64-sample energy / zero-crossing rate / peak, all "
+    "integer-exact — the VAD/loudness primitives of an audio pipeline. "
+    "Oracle replays the planted square wave sample-by-sample in SQL",
+)
+def media_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _materialized_assets("sigwav", sf_dir, _mm.plant_signal_wavs(docs))
+    return _mm.audio_frame_features(media)
+
+
+@register(
+    "media_scene_cuts",
+    """
+    SELECT doc_id AS media_id, CAST(3 + doc_id % 5 AS BIGINT) AS frame_idx,
+           CAST((60 + doc_id % 40) * (8 + doc_id % 9) * (6 + doc_id % 5)
+                AS BIGINT) AS sad,
+           CAST((8 + doc_id % 9) * (6 + doc_id % 5) AS BIGINT) AS n_px
+    FROM documents WHERE doc_id % 3 <> 0
+    """,
+    "scene-cut detection over REAL decoded Y4M luma: sum-of-absolute-"
+    "differences between consecutive frames, cut when sad > 30·n_px "
+    "(cleared-denominator integer test, no float mean). Constant clips "
+    "(every third id) correctly emit nothing; oracle is the closed form "
+    "of the planted c0->c1 jump",
+)
+def media_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _materialized_assets("scenes", sf_dir, _mm.plant_scene_videos(docs))
+    return _mm.video_scene_cuts(media)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion (round 6): the 14 remaining queries, adapted to the
 # driver's reduced schema the same way the original eight were ("-style"):
