@@ -1,0 +1,121 @@
+"""Scaling curves for the round-6 text-pipeline operators: wall time at
+1x / 2x / 4x / 8x corpus size for repetition metrics, bigram-LM
+familiarity scoring, and rolling z-score anomalies (events axis).
+
+The 100-TB question per operator:
+- repetition_metrics: explode + two hash aggregates keyed per-doc —
+  shuffle volume is tokens x 5, so growth must be ~linear.
+- bigram_familiarity: model aggregate + one equi-join — the model's key
+  space is vocabulary-bounded (Zipf), so doubling docs grows the join
+  probe side linearly while the build side saturates.
+- rolling_zscore_anomalies: series-partitioned windows — linear in
+  points per series; the multiplied-copies axis adds SERIES (the
+  scale-out direction), so growth must stay ~linear.
+
+    python scripts/bench_text_ops_scale.py
+
+One JSON line per operator with [1x, 2x, 4x, 8x] seconds and log2
+growth factors (1.0 = linear, 2.0 = quadratic).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tickdb_spark.functions.repetition import repetition_metrics  # noqa: E402
+from tickdb_spark.operators.lm import bigram_familiarity  # noqa: E402
+from tickdb_spark.operators.timeseries import rolling_zscore_anomalies  # noqa: E402
+from tickdb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = (1, 2, 4, 8)
+
+
+def scaled_docs(spark, factor: int):
+    """factor-times corpus; copy index appended per token so copies share
+    no vocabulary (the adversarial direction for the bigram model: its
+    key space grows with the corpus instead of saturating)."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    copies = spark.range(factor).select(F.col("id").alias("k"))
+    tagged = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.trim("text"), r"\s+"),
+            lambda t: F.concat(t, F.lit("_"), F.col("k").cast("string")),
+        ),
+    )
+    return (
+        base.crossJoin(copies)
+        .select((F.col("doc_id") * factor + F.col("k")).alias("doc_id"), tagged.alias("text"))
+        .repartition(32)
+    )
+
+
+def scaled_events(spark, factor: int):
+    """factor-times events with copy-suffixed series names — adds series,
+    the scale-out axis for partitioned windows."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    copies = spark.range(factor).select(F.col("id").alias("k"))
+    return (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") * factor + F.col("k")).alias("event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.concat("event_type", F.lit("_"), F.col("k").cast("string")).alias(
+                "event_type"
+            ),
+            "value",
+        )
+        .repartition(32)
+    )
+
+
+def growth(times):
+    return [
+        round(math.log2(times[i + 1] / times[i]), 2) for i in range(len(times) - 1)
+    ]
+
+
+def main() -> None:
+    spark = get_spark(app_name="text_ops_scale", master="local[32]", shuffle_partitions=32)
+
+    def run(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # warm up input caches once
+    scaled_docs(spark, 1).count()
+    scaled_events(spark, 1).count()
+
+    out = {}
+    for name, build in (
+        ("repetition_metrics", lambda f: repetition_metrics(scaled_docs(spark, f))),
+        (
+            "bigram_familiarity",
+            lambda f: bigram_familiarity(scaled_docs(spark, f), train_fraction=0.1),
+        ),
+        (
+            "rolling_zscore_anomalies",
+            lambda f: rolling_zscore_anomalies(
+                scaled_events(spark, f), "event_type", "ts_us", "event_id", "value"
+            ),
+        ),
+    ):
+        times = [run(build(f)) for f in FACTORS]
+        out[name] = {"sec": times, "log2_growth": growth(times)}
+        print(json.dumps({"op": name, **out[name]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -931,3 +931,18 @@ def test_video_scene_cuts_planted_jump_only(spark):
         ["media_id", "media_type", "content"])
     out = [(r["media_id"], r["frame_idx"], r["sad"]) for r in video_scene_cuts(df).collect()]
     assert out == [(2, 3, 150 * 16)]
+
+
+def test_perceptron_learns_separable_task(spark):
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.perceptron import perceptron_score, perceptron_train
+
+    # short docs labeled -1, long docs +1: linearly separable on length
+    rows = [(i, "word " * (5 if i % 2 else 40)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    label = F.when(F.length("text") > 100, F.lit(1)).otherwise(F.lit(-1))
+    out = perceptron_score(df, label)
+    assert all(r["correct"] for r in out.collect())
+    # determinism: training twice yields identical integer weights
+    assert perceptron_train(df, label) == perceptron_train(df, label)

