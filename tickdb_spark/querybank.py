@@ -4010,6 +4010,112 @@ def tick_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from tickdb_spark.operators import perceptron as _perc  # noqa: E402
 
+_STREAM_ROLLUP_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_rollup_maintenance",
+    f"""
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM events
+    WHERE event_type = 'click' AND event_id % 5 = 0
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "the reference's on-insert rollup maintenance (node.go:213-226) as "
+    "Structured Streaming: a doc stream ingests through foreachBatch "
+    "with maintain_rollups=True (each micro-batch re-reduces ONLY its "
+    "dirty (series, dt) partitions), then the day query is answered "
+    "FROM the incrementally-maintained rollup — hash-identical to the "
+    "batch answer over the same rows. Exactly-once via the streaming "
+    "checkpoint; per-batch maintenance cost bounded by the batch's "
+    "partition fan-out, not the table size",
+)
+def stream_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _STREAM_ROLLUP_CACHE:
+        import shutil as _shutil
+
+        from tickdb_spark.streaming.ingest import stream_ingest
+
+        root = _tempfile.mkdtemp(prefix="tickdb_stream_rollup_")
+        db_path = _os.path.join(root, "db")
+        landing = _os.path.join(root, "landing")
+        _os.makedirs(db_path)
+        _os.makedirs(landing)
+        # two series x 14 days: enough to prove multi-series incremental
+        # maintenance while keeping the partition fan-out (= fixture
+        # job count at toy scale) bounded
+        sub = (
+            _read_events(spark, sf_dir)
+            .where(
+                (F.col("event_id") % 5 == 0)
+                & F.col("event_type").isin("click", "purchase")
+                & (F.col("ts") < 1_704_067_200 * 10**9 + 14 * 86_400 * 10**9)
+            )
+            .select(
+                "event_id",
+                F.col("event_type").alias("series"),
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+                F.create_map(F.lit("value"), F.col("value")).alias("value"),
+            )
+        )
+        # Slices are TIME ranges, not round-robin: streaming appends are
+        # append-mostly-recent in production, and that's exactly what
+        # makes incremental maintenance cheap — each micro-batch dirties
+        # only ITS days, so refresh_incremental re-reduces a bounded
+        # slice instead of degenerating into a full rebuild (round-robin
+        # slicing measured 31 s in the gate; time slicing ~halves it and
+        # is the honest shape).
+        day_ns = 86_400 * 10**9
+        t0 = 1_704_067_200 * 10**9  # 2024-01-01
+        cuts = (t0 + 7 * day_ns, t0 + 11 * day_ns)
+        # bootstrap: days 1-10 through the BATCH path + initial cascade
+        boot = sub.where(F.col("ts") < cuts[0]).drop("event_id")
+        _append_batch(db_path, boot)
+        _RollupStore(spark, db_path).refresh(("minute", "day"))
+        # later day ranges as mtime-ordered landing files (harness-side
+        # collect — the operator itself is fully distributed)
+        import time as _time
+
+        for i in (1, 2):
+            lo = cuts[i - 1]
+            hi = cuts[i] if i < 2 else t0 + 15 * day_ns
+            pdf = (
+                sub.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+                .select(
+                    F.date_format("ts_utc", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias(
+                        "time"
+                    ),
+                    F.col("series").alias("index"),
+                    "value",
+                )
+                .toPandas()
+            )
+            f = _os.path.join(landing, f"batch_{i}.json")
+            pdf.to_json(f, orient="records", lines=True)
+            _os.utime(f, (_time.time() + i, _time.time() + i))
+        q = stream_ingest(
+            spark, landing, db_path, _os.path.join(root, "ck"), maintain_rollups=True
+        )
+        q.awaitTermination(300)
+        _STREAM_ROLLUP_CACHE[sf_dir] = db_path
+    return _route(
+        spark,
+        _STREAM_ROLLUP_CACHE[sf_dir],
+        {
+            "index": "click",
+            "from": "2024-01-01T00:00:00Z",
+            "to": "2024-01-15T00:00:00Z",
+            "group": "day",
+            "fields": {"value": ["sum", "count"]},
+            "exact": True,
+        },
+    )
+
 
 @register(
     "text_quality_perceptron",

@@ -128,6 +128,13 @@ class RollupStore:
                 continue  # a coarser level merges fine from any finer one
             df = rollup_from_ticks(ticks, unit) if prev is None else rollup_merge(prev, unit)
             path = self._path(unit)
+            # repartition("series") caps the write at one task per series
+            # — measured (fresh-process A/B, 10M-point cascade, 5-series
+            # warehouse, 32 cores): series-only 9.4/9.4 s vs
+            # (series, bucket) 9.9/11.3 s. The explode+aggregate
+            # dominates, not the write, and the extra hash just fans each
+            # series across 32 writer tasks (one file per task per dir —
+            # small-files growth) for nothing. Keep series-only.
             df.repartition("series").write.mode("overwrite").partitionBy("series").parquet(path)
             prev = self.spark.read.parquet(path)
         # a full rebuild supersedes any pending incremental work
