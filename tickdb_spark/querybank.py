@@ -1178,6 +1178,28 @@ def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_semantic_dedup",
+    _cluster.dedup_clusters_sql(
+        _sim.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
+        table="embeddings",
+        id_col="vec_id",
+    )
+    + " ORDER BY vec_id",
+    "SemDeDup (Abbas et al. 2023) shape: embedding-cosine near-dup "
+    "pairs at tau=0.4 -> connected components -> one canonical vector "
+    "per semantic cluster. Composes the GEMM-tiled pair detector with "
+    "hash-min CC; the oracle composes the same two SQL builders "
+    "(brute-force pairs + recursive-CTE closure)",
+)
+def sim_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = _sim.cosine_neardup_pairs(emb, threshold=0.4)
+    return _cluster.dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id").orderBy(
+        "vec_id"
+    )
+
+
+@register(
     "text_quality_metrics",
     f"""
     SELECT doc_id,
