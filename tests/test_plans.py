@@ -351,3 +351,15 @@ def test_q16_anti_join_broadcast(spark):
     df = _df(spark, "tpch_q16_supplier_part_counts")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_rolling_median_windows_partitioned(spark):
+    """Rolling median: series-partitioned window only, no join, no
+    Python — the sorted-window element stays in codegen."""
+    df = _df(spark, "tick_rolling_median")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") >= 1
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "event_type" in line.split("], [")[1], line
+    assert count_op(df, "Join") == 0 and "mapInPandas" not in plan

@@ -463,3 +463,74 @@ def rolling_zscore_anomalies_sql(
     )
     WHERE _c >= {min_n} AND dev_sq > thresh_sq
     """
+
+
+def rolling_median(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 25,
+) -> DataFrame:
+    """Exact trailing rolling median per series — the robust smoother for
+    noisy metric streams (median filters survive outliers that wreck
+    moving averages).
+
+    ``window`` must be ODD: the median of an odd-count window is a
+    SELECTED ELEMENT, not an interpolation, so the result is an exact
+    input value — deterministic on any engine regardless of how its
+    percentile/quantile functions interpolate. Implementation: sorted
+    window array + element_at((window+1)/2); rows without a full window
+    are dropped (no partial-window edge semantics to disagree on).
+    Windows are ``partitionBy(series)`` only.
+    """
+    if window % 2 == 0:
+        raise ValueError("window must be odd (median = exact element)")
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    mid = (window + 1) // 2
+    d = df.withColumn("_n", F.count(value_col).over(w)).withColumn(
+        "_med", F.element_at(F.array_sort(F.collect_list(value_col).over(w)), mid)
+    )
+    return (
+        d.where(F.col("_n") == window)
+        .select(
+            F.col(series_col).alias("series"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+            F.col("_med").alias(f"median{window}"),
+        )
+    )
+
+
+def rolling_median_sql(
+    table: str,
+    series_col: str,
+    ts_expr: str,
+    id_col: str,
+    value_col: str,
+    window: int = 25,
+) -> str:
+    """DuckDB twin: list() window -> list_sort -> 1-based middle element."""
+    mid = (window + 1) // 2
+    return f"""
+    SELECT {series_col} AS series, ts, id, value,
+           list_sort(vals)[{mid}] AS median{window}
+    FROM (
+      SELECT {series_col}, {ts_expr} AS ts, {id_col} AS id,
+             {value_col} AS value,
+             count({value_col}) OVER w AS _n,
+             list({value_col}) OVER w AS vals
+      FROM {table}
+      WINDOW w AS (
+        PARTITION BY {series_col} ORDER BY {ts_expr}, {id_col}
+        ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+      )
+    )
+    WHERE _n = {window}
+    """

@@ -730,7 +730,7 @@ def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("o_month"),
         (F.weekday("o_orderdate") + 1).cast("long").alias("o_isodow"),
         F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
-    ).orderBy("o_orderkey")
+    ).transform(_sorted_small, "o_orderkey")
 
 
 @register(
@@ -4010,6 +4010,21 @@ def dedup_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return _sampling.token_budget_sample(docs, "source", "doc_id", "n_chars", 2000)
+
+
+@register(
+    "tick_rolling_median",
+    _ts.rolling_median_sql("events", "event_type", "epoch_ns(ts)", "event_id", "value")
+    + " ORDER BY series, ts, id",
+    "exact trailing 25-point rolling median per series — the robust "
+    "smoother for noisy metrics. Odd window => the median is a SELECTED "
+    "element (sorted-window element_at), never an interpolation, so "
+    "it's engine-exact; partial windows dropped; windows "
+    "partitionBy(series) only",
+)
+def tick_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.rolling_median(ev, "event_type", "ts", "event_id", "value")
 
 
 @register(
