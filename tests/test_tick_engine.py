@@ -362,3 +362,42 @@ def test_gapfill_interp_fills_between_anchors_only(spark):
     assert out[110] == (20.0, 0) and out[120] == (30.0, 0)  # linear 10->40
     assert out[140] == (30.0, 0)  # linear 40->20
     assert out[90] == (None, 0) and out[160] == (None, 0)  # unanchored edges
+
+
+def test_time_travel_snapshots_and_truncation(tmp_path, spark):
+    import pytest as _pytest
+
+    from tickdb_spark.api import TickDB
+    from tickdb_spark.ingest import read_ticks
+
+    tdb = TickDB(spark, str(tmp_path))
+    tdb.create_db("tt")
+    db_path = tdb.catalog._existing("tt")
+    tdb.put("tt", [
+        {"time": "2024-03-01T00:00:00Z", "index": "m", "value": {"p": 1.0}},
+        {"time": "2024-03-01T01:00:00Z", "index": "m", "value": {"p": 2.0}},
+    ])  # seq 0
+    tdb.put("tt", [
+        {"time": "2024-03-01T00:00:00Z", "index": "m", "value": {"p": 10.0}},  # upsert
+        {"time": "2024-03-01T02:00:00Z", "index": "m", "value": {"p": 3.0}},   # new
+    ])  # seq 1
+
+    def vals(df):
+        return {r["ts"]: r["value"]["p"] for r in df.collect()}
+
+    # snapshot 0: pre-upsert state
+    assert vals(read_ticks(spark, db_path, as_of_seq=0)) == {
+        1709251200000000000: 1.0, 1709254800000000000: 2.0}
+    # snapshot 1 == current
+    assert vals(read_ticks(spark, db_path, as_of_seq=1)) == vals(tdb.ticks("tt"))
+    assert vals(tdb.ticks("tt", as_of_seq=1))[1709251200000000000] == 10.0
+    # query() accepts the snapshot too
+    q = tdb.query("tt", {"index": "m", "from": "2024-03-01T00:00:00Z",
+                         "to": "2024-03-02T00:00:00Z", "group": "day",
+                         "fields": {"p": "sum"}}, as_of_seq=0).collect()
+    assert q[0]["p_sum"] == 3.0
+    # compaction truncates history: old snapshots refuse, latest still works
+    tdb.compact("tt")
+    with _pytest.raises(ValueError, match="truncated"):
+        read_ticks(spark, db_path, as_of_seq=0)
+    assert vals(read_ticks(spark, db_path, as_of_seq=1))[1709258400000000000] == 3.0

@@ -52,9 +52,13 @@ class TickDB:
         return _ingest.append_batch(path, batch)
 
     # -- reads --------------------------------------------------------
-    def ticks(self, db: str) -> DataFrame:
-        """Canonical LWW-deduped view of all series in a database."""
-        return _ingest.read_ticks(self.spark, self.catalog._existing(db))
+    def ticks(self, db: str, as_of_seq: int | None = None) -> DataFrame:
+        """Canonical LWW-deduped view of all series in a database.
+        ``as_of_seq`` reads the snapshot as of that ingest batch (time
+        travel; see :func:`tickdb_spark.ingest.read_ticks`)."""
+        return _ingest.read_ticks(
+            self.spark, self.catalog._existing(db), as_of_seq=as_of_seq
+        )
 
     def get(self, db: str, series: str, time) -> dict | None:
         """Exact point lookup, ``GET /{db}/{index}/{time}`` (Q1:
@@ -71,9 +75,12 @@ class TickDB:
         )
         return dict(rows[0][0]) if rows else None
 
-    def query(self, db: str, spec: dict | TickQuery) -> DataFrame:
-        """Aggregate query, ``POST /{db}/_query`` (``handlers.go:79-96``)."""
-        return run_tick_query(self.ticks(db), spec)
+    def query(
+        self, db: str, spec: dict | TickQuery, as_of_seq: int | None = None
+    ) -> DataFrame:
+        """Aggregate query, ``POST /{db}/_query`` (``handlers.go:79-96``).
+        ``as_of_seq`` runs the query against a historical snapshot."""
+        return run_tick_query(self.ticks(db, as_of_seq=as_of_seq), spec)
 
     # -- deletes (Q13) ------------------------------------------------
     def delete(self, db: str, series: str, frm, to) -> None:

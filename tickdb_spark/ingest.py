@@ -106,16 +106,40 @@ def append_batch(db_path: str, ticks: DataFrame) -> int:
     return seq
 
 
-def read_ticks(spark: SparkSession, db_path: str, dedup: bool | None = None) -> DataFrame:
+def read_ticks(
+    spark: SparkSession,
+    db_path: str,
+    dedup: bool | None = None,
+    as_of_seq: int | None = None,
+) -> DataFrame:
     """Canonical LWW view of a database's ticks.
 
     ``dedup=None`` consults metadata: a compacted (clean) table skips the
     dedup aggregate entirely — the hot path for query-heavy workloads.
     Dedup keeps, per ``(series, ts)``, the row from the highest ingest_seq
     (reference upsert semantics, ``storage/node.go:235-237``).
+
+    ``as_of_seq`` gives SNAPSHOT TIME TRAVEL by ingest sequence: the view
+    as of batch N is the LWW resolution over batches 0..N only — every
+    later append/upsert is invisible. This works because appends never
+    rewrite existing files and each batch carries its ``ingest_seq``, so
+    a snapshot is a pure pushdown-able filter (the Delta/Iceberg
+    version-read equivalent for this append+LWW layout). Limits, by
+    design: ``compact()`` collapses history (reading before its recorded
+    truncation point raises) and ``delete_range`` physically removes
+    rows (deletes are not versioned — the reference has no versioned
+    delete either).
     """
     path = os.path.join(db_path, TICKS_DIR)
     df = spark.read.parquet(path)
+    if as_of_seq is not None:
+        truncated_at = _read_meta(db_path).get("history_from_seq", 0)
+        if as_of_seq < truncated_at:
+            raise ValueError(
+                f"history before seq {truncated_at} was truncated by compaction"
+            )
+        df = df.where(F.col("ingest_seq") <= as_of_seq)
+        dedup = True  # snapshot must LWW-resolve within the retained batches
     if dedup is None:
         dedup = not _read_meta(db_path).get("clean", False)
     if not dedup:
@@ -154,6 +178,9 @@ def compact(spark: SparkSession, db_path: str) -> None:
     meta = _read_meta(db_path)
     meta["clean"] = True
     meta["next_seq"] = max(1, meta.get("next_seq", 1))
+    # compaction rewrites every row at seq 0: snapshots older than this
+    # point are no longer reconstructable (document, don't silently lie)
+    meta["history_from_seq"] = meta["next_seq"] - 1
     _write_meta(db_path, meta)
 
 

@@ -2679,6 +2679,45 @@ def tick_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tick_time_travel",
+    f"""
+    WITH live AS (
+      SELECT ts, value FROM events
+      WHERE event_type = 'click'
+        AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-15 00:00:00')
+    )
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count
+    FROM live GROUP BY bucket ORDER BY bucket
+    """,
+    "snapshot time travel (the Delta/Iceberg version-read equivalent "
+    "for the append+LWW layout): the SAME lifecycle warehouse queried "
+    "AS OF ingest seq 0 — the later upsert batch is invisible (values "
+    "UNdoubled vs tick_upsert_delete_lifecycle), while the physical "
+    "range delete correctly is not versioned. A snapshot is a pure "
+    "pushdown-able ingest_seq filter; compaction records its history-"
+    "truncation point and older reads raise instead of lying",
+)
+def tick_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.ingest import read_ticks as _read_ticks
+
+    db_path = _lifecycle_warehouse(spark, sf_dir)
+    return run_tick_query(
+        _read_ticks(spark, db_path, as_of_seq=0),
+        {
+            "index": "click",
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "day",
+            "fields": {"value": ["sum", "count"]},
+            "exact": True,
+        },
+    )
+
+
 _WH3_CACHE: dict[str, str] = {}
 
 
