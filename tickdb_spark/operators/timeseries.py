@@ -534,3 +534,77 @@ def rolling_median_sql(
     )
     WHERE _n = {window}
     """
+
+
+def downsample_m4(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_ns: int,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, pixel
+    bucket) keep min / max / first / last — the four points that make a
+    line chart of the bucket pixel-identical to the full-resolution
+    render, at millions-to-thousands reduction. THE query behind every
+    zoomed-out dashboard panel.
+
+    Tie rules are explicit so the result is engine-exact: ``first`` /
+    ``last`` are the MIN value among rows sharing the earliest / latest
+    timestamp; ``ts_at_min`` / ``ts_at_max`` are the EARLIEST timestamp
+    achieving the extreme value. One window + one hash aggregate, both
+    keyed (series, bucket) — no global sort, scales with series x
+    buckets.
+    """
+    bucket = (F.col(ts_col) - (F.col(ts_col) % F.lit(bucket_ns))).alias("bucket")
+    w = Window.partitionBy("series", "bucket")
+    d = (
+        df.select(F.col(series_col).alias("series"), bucket, F.col(ts_col).alias("ts"),
+                  F.col(value_col).alias("v"))
+        .withColumn("_vmin", F.min("v").over(w))
+        .withColumn("_vmax", F.max("v").over(w))
+        .withColumn("_tmin", F.min("ts").over(w))
+        .withColumn("_tmax", F.max("ts").over(w))
+    )
+    return (
+        d.groupBy("series", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.first("_vmin").alias("v_min"),
+            F.first("_vmax").alias("v_max"),
+            F.min(F.when(F.col("v") == F.col("_vmin"), F.col("ts"))).alias("ts_at_min"),
+            F.min(F.when(F.col("v") == F.col("_vmax"), F.col("ts"))).alias("ts_at_max"),
+            F.min(F.when(F.col("ts") == F.col("_tmin"), F.col("v"))).alias("v_first"),
+            F.min(F.when(F.col("ts") == F.col("_tmax"), F.col("v"))).alias("v_last"),
+        )
+    )
+
+
+def downsample_m4_sql(
+    table: str, series_col: str, ts_expr: str, value_col: str, bucket_ns: int
+) -> str:
+    """DuckDB twin: same window + aggregate with the same tie rules."""
+    return f"""
+    SELECT series, bucket,
+           count(*)::BIGINT AS n_points,
+           min(v) AS v_min, max(v) AS v_max,
+           min(CASE WHEN v = _vmin THEN ts END) AS ts_at_min,
+           min(CASE WHEN v = _vmax THEN ts END) AS ts_at_max,
+           min(CASE WHEN ts = _tmin THEN v END) AS v_first,
+           min(CASE WHEN ts = _tmax THEN v END) AS v_last
+    FROM (
+      SELECT {series_col} AS series,
+             ({ts_expr}) - (({ts_expr}) % {bucket_ns}) AS bucket,
+             {ts_expr} AS ts, {value_col} AS v,
+             min({value_col}) OVER w AS _vmin,
+             max({value_col}) OVER w AS _vmax,
+             min({ts_expr}) OVER w AS _tmin,
+             max({ts_expr}) OVER w AS _tmax
+      FROM {table}
+      WINDOW w AS (
+        PARTITION BY {series_col},
+                     ({ts_expr}) - (({ts_expr}) % {bucket_ns})
+      )
+    )
+    GROUP BY series, bucket
+    """

@@ -4052,6 +4052,26 @@ def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tick_downsample_m4",
+    _ts.downsample_m4_sql(
+        "events", "event_type", "epoch_ns(ts)", "value", 6 * 3600 * 10**9
+    )
+    + " ORDER BY series, bucket",
+    "M4 downsampling (Jugel et al. VLDB'14): per (series, 6h pixel "
+    "bucket) the min/max/first/last points that render pixel-identical "
+    "to full resolution — the query behind every zoomed-out dashboard. "
+    "Explicit tie rules (earliest ts at extremes, min value at shared "
+    "boundary ts) make it engine-exact; one (series, bucket) window + "
+    "hash aggregate, no global sort",
+)
+def tick_downsample_m4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.downsample_m4(ev, "event_type", "ts", "value", 6 * 3600 * 10**9).orderBy(
+        "series", "bucket"
+    )
+
+
+@register(
     "tick_rolling_median",
     _ts.rolling_median_sql("events", "event_type", "epoch_ns(ts)", "event_id", "value")
     + " ORDER BY series, ts, id",
@@ -4084,7 +4104,33 @@ def tick_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.rolling_zscore_anomalies(ev, "event_type", "ts", "event_id", "value")
 
 
+from tickdb_spark.functions import profile as _profile  # noqa: E402
 from tickdb_spark.operators import perceptron as _perc  # noqa: E402
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+]
+_PROFILE_NUM = {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"}
+
+
+@register(
+    "profile_lineitem_columns",
+    _profile.profile_table_sql("lineitem", _PROFILE_COLS, _PROFILE_NUM)
+    + ' ORDER BY "column"',
+    "table profiling: per-column null / exact-distinct / min-max "
+    "summary in ONE scan (single aggregate row with an Expand for the "
+    "distinct counts, then unpivoted) — the schema-drift and data-"
+    "quality check every ingestion pipeline runs before training",
+)
+def profile_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    return _profile.profile_table(li, _PROFILE_COLS).orderBy("column")
 
 _STREAM_ROLLUP_CACHE: dict[str, str] = {}
 
