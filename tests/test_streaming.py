@@ -248,3 +248,36 @@ def test_stream_dedup_incremental_across_restarts(spark, tmp_path):
     put("b2.parquet", [(6, "alpha"), (7, "delta")], 1_600_000_002)
     kept2 = stream_dedup_ingest(spark, str(landing), work).orderBy("doc_id").collect()
     assert [r.doc_id for r in kept2] == [1, 2, 5, 7]
+
+
+def test_stream_ingest_exactly_once_across_restarts(tmp_path, spark):
+    """Checkpoint resume: a restarted stream (same checkpoint dir) must
+    ingest only files it has not committed — no re-appends of earlier
+    batches (exactly-once), and late-arriving files are picked up."""
+    from tickdb_spark.ingest import read_ticks
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    db = tmp_path / "db"
+    db.mkdir()
+    ck = str(tmp_path / "ck")
+    _write_batch(landing, "b1.json", [
+        {"time": "2024-03-01T10:00:00Z", "index": "eo", "value": {"p": 1.0}}])
+    _write_batch(landing, "b2.json", [
+        {"time": "2024-03-01T11:00:00Z", "index": "eo", "value": {"p": 2.0}}])
+    q = stream_ingest(spark, str(landing), str(db), ck)
+    q.awaitTermination(120)
+    first = read_ticks(spark, str(db), dedup=False).count()
+    assert first == 2
+    # restart with NO new data: nothing may be re-ingested
+    q = stream_ingest(spark, str(landing), str(db), ck)
+    q.awaitTermination(120)
+    assert read_ticks(spark, str(db), dedup=False).count() == 2
+    # add a file, restart: exactly the new rows appear
+    _write_batch(landing, "b3.json", [
+        {"time": "2024-03-01T12:00:00Z", "index": "eo", "value": {"p": 3.0}}])
+    q = stream_ingest(spark, str(landing), str(db), ck)
+    q.awaitTermination(120)
+    rows = {r["ts"]: r["value"]["p"]
+            for r in read_ticks(spark, str(db)).collect()}
+    assert len(rows) == 3 and rows[1709294400000000000] == 3.0

@@ -14,6 +14,14 @@ partial-aggregates map-side; ``compact()`` amortizes it away; partition
 layout ``series/dt`` gives both series pruning (reference: file-per-index,
 ``database.go:49-69``) and time pruning (reference: tree descent,
 ``cursor.go:188-241``).
+
+Compression: writes honor the session's
+``spark.sql.parquet.compression.codec``. Measured on the 10M-point bench
+warehouse (random-double values — the WORST case for compression):
+zstd = 16% smaller files, ~equal reads, ~60% slower writes vs snappy
+(6.5-7.0 s vs 4.0-4.5 s). Default stays snappy for ingest throughput;
+flip the conf to zstd when storage/scan IO dominates (typical at 100 TB,
+where real values compress far better than this synthetic corpus).
 """
 
 from __future__ import annotations

@@ -465,6 +465,79 @@ def rolling_zscore_anomalies_sql(
     """
 
 
+def rolling_quantile(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 25,
+    q: float = 0.5,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact trailing rolling quantile per series as a SELECTED ELEMENT:
+    the k-th smallest of the window where k = ceil(q * window) — the
+    inverted-CDF (type-1) quantile, never an interpolation, so the
+    result is an exact input value on any engine. q=0.5 with an odd
+    window is the rolling median; q=0.9 is the p90 latency monitor.
+    Windows are ``partitionBy(series)``; partial windows dropped."""
+    import math
+
+    k = min(max(math.ceil(q * window), 1), window)
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    name = out_col or f"q{int(q * 100)}_{window}"
+    d = df.withColumn("_n", F.count(value_col).over(w)).withColumn(
+        "_qv", F.element_at(F.array_sort(F.collect_list(value_col).over(w)), k)
+    )
+    return (
+        d.where(F.col("_n") == window)
+        .select(
+            F.col(series_col).alias("series"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+            F.col("_qv").alias(name),
+        )
+    )
+
+
+def rolling_quantile_sql(
+    table: str,
+    series_col: str,
+    ts_expr: str,
+    id_col: str,
+    value_col: str,
+    window: int = 25,
+    q: float = 0.5,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`rolling_quantile`."""
+    import math
+
+    k = min(max(math.ceil(q * window), 1), window)
+    name = out_col or f"q{int(q * 100)}_{window}"
+    return f"""
+    SELECT {series_col} AS series, ts, id, value,
+           list_sort(vals)[{k}] AS {name}
+    FROM (
+      SELECT {series_col}, {ts_expr} AS ts, {id_col} AS id,
+             {value_col} AS value,
+             count({value_col}) OVER w AS _n,
+             list({value_col}) OVER w AS vals
+      FROM {table}
+      WINDOW w AS (
+        PARTITION BY {series_col} ORDER BY {ts_expr}, {id_col}
+        ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+      )
+    )
+    WHERE _n = {window}
+    """
+
+
 def rolling_median(
     df: DataFrame,
     series_col: str,

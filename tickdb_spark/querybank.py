@@ -4072,6 +4072,22 @@ def tick_downsample_m4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tick_rolling_p90",
+    _ts.rolling_quantile_sql(
+        "events", "event_type", "epoch_ns(ts)", "event_id", "value", window=40, q=0.9
+    )
+    + " ORDER BY series, ts, id",
+    "exact trailing p90 per series (the latency-monitoring staple): "
+    "k-th smallest window element with k = ceil(0.9 * 40) — the "
+    "inverted-CDF quantile is a SELECTED element, never interpolated, "
+    "so it's engine-exact like the rolling median",
+)
+def tick_rolling_p90_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.rolling_quantile(ev, "event_type", "ts", "event_id", "value", window=40, q=0.9)
+
+
+@register(
     "tick_rolling_median",
     _ts.rolling_median_sql("events", "event_type", "epoch_ns(ts)", "event_id", "value")
     + " ORDER BY series, ts, id",
