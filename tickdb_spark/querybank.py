@@ -4052,6 +4052,117 @@ def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_k
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT epoch_ns(cohort_week) AS cohort_week, week_k,
+           count(*) AS n_active
+    FROM activity WHERE week_k <= 4
+    GROUP BY cohort_week, week_k ORDER BY cohort_week, week_k
+    """,
+    "cohort retention (the product-analytics staple): users grouped by "
+    "first-activity week, counted per weeks-since-cohort — two hash "
+    "aggregates + one equi-join on user_id, all integer counts",
+)
+def analytics_cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # derive the week from the ns column (schema-independent: ts_raw
+    # only exists when the parquet physical type is timestamp)
+    ev = _read_events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("week", F.timestamp_micros(F.expr("ts div 1000"))).alias("wk"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            ((F.unix_date(F.col("wk").cast("date"))
+              - F.unix_date(F.col("cohort_week").cast("date"))) / 7)
+            .cast("long")
+            .alias("week_k"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_k") <= 4)
+        .groupBy(
+            (F.unix_micros(F.col("cohort_week")) * 1000).alias("cohort_week"),
+            "week_k",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .transform(_sorted_small, "cohort_week", "week_k")
+    )
+
+
+@register(
+    "analytics_funnel_steps",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM per_user
+    """,
+    "ordered funnel (view -> click -> purchase, strictly increasing "
+    "first-occurrence times per user): ONE hash aggregate computes every "
+    "user's step times (conditional min), one more counts step "
+    "completion — no joins, no windows, integer counts",
+)
+def analytics_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("view", "click", "purchase")
+        ]
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("step_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("step_click"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("step_purchase"),
+    )
+
+
+@register(
     "tick_downsample_m4",
     _ts.downsample_m4_sql(
         "events", "event_type", "epoch_ns(ts)", "value", 6 * 3600 * 10**9
