@@ -3,16 +3,23 @@ min/max — the data-quality summary every ingestion pipeline runs before
 training (schema drift, null explosions, and range shifts all surface
 here first).
 
-One scan: every column's statistics are computed in a single aggregate
-row (Spark plans one pass with an Expand for the distinct counts), then
-unpivoted to one row per column. Numeric extremes land in
-``min_num``/``max_num`` (DOUBLE), string extremes in ``min_str``/
-``max_str`` (binary/ASCII ordering — identical across engines for the
-ASCII data profiled here); the other pair stays NULL, which keeps every
-output column single-typed and the result oracle-hash-checkable.
+Shape (measured, sf0.1 lineitem x 7 columns): one aggregate row with
+every column's stats forces an Expand of ~(columns+1)x the input for
+the distinct counts — 11-17 s. A UNION of per-column aggregates is
+1.1-1.8 s: each branch scans ONLY its column (parquet column pruning),
+so total bytes read ≈ one wide scan while every distinct-aggregate is a
+plain two-phase hash agg with no Expand. That is also the 100-TB
+answer: narrow scans parallelize per column and nothing multiplies the
+row count. Numeric extremes land in ``min_num``/``max_num`` (DOUBLE),
+string extremes in ``min_str``/``max_str`` (binary/ASCII ordering —
+identical across engines for the ASCII data profiled here); the other
+pair stays NULL, keeping every output column single-typed and the
+result oracle-hash-checkable.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,32 +29,29 @@ _NUMERIC = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.DecimalType,
 
 
 def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in columns:
-        aggs += [
-            F.count(c).alias(f"_nn_{c}"),
-            F.countDistinct(c).alias(f"_nd_{c}"),
-            F.min(c).alias(f"_mn_{c}"),
-            F.max(c).alias(f"_mx_{c}"),
-        ]
-    row = df.agg(*aggs)
     parts = []
     for c in columns:
         numeric = isinstance(df.schema[c].dataType, _NUMERIC)
-        mn, mx = f"_mn_{c}", f"_mx_{c}"
+        one = df.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("_nn"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).alias("_mn"),
+            F.max(c).alias("_mx"),
+        )
         parts.append(
-            F.struct(
+            one.select(
                 F.lit(c).alias("column"),
-                F.col("_n").alias("n_rows"),
-                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                (F.col(mn).cast("double") if numeric else F.lit(None).cast("double")).alias("min_num"),
-                (F.col(mx).cast("double") if numeric else F.lit(None).cast("double")).alias("max_num"),
-                (F.lit(None).cast("string") if numeric else F.col(mn).cast("string")).alias("min_str"),
-                (F.lit(None).cast("string") if numeric else F.col(mx).cast("string")).alias("max_str"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
+                "n_distinct",
+                (F.col("_mn").cast("double") if numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.col("_mx").cast("double") if numeric else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if numeric else F.col("_mn").cast("string")).alias("min_str"),
+                (F.lit(None).cast("string") if numeric else F.col("_mx").cast("string")).alias("max_str"),
             )
         )
-    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def profile_table_sql(table: str, columns: list[str], numeric: set[str]) -> str:
