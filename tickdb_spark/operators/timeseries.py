@@ -681,3 +681,86 @@ def downsample_m4_sql(
     )
     GROUP BY series, bucket
     """
+
+
+def winsorize(
+    df: DataFrame,
+    series_col: str,
+    id_col: str,
+    value_col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+) -> DataFrame:
+    """Per-series winsorization: clamp values to the series' [q_lo, q_hi]
+    quantiles — the outlier-capping step of feature/metric preprocessing
+    (a handful of corrupt points otherwise dominate sums, fits, and
+    normalizations).
+
+    Quantiles are inverted-CDF SELECTED elements (k-th smallest with
+    k = ceil(q*n), clamped to [1, n]) — exact input values, engine-exact
+    like :func:`rolling_quantile`. Shape: one (series)-partitioned
+    value-ordered window computes each row's rank; the rows AT the two
+    cut ranks carry the cut values, a per-series aggregate broadcasts
+    them back (rows-per-series never materializes as an array anywhere),
+    then a codegen clamp. Scales with the corpus, not group fan-in.
+    """
+    wv = Window.partitionBy(series_col).orderBy(value_col, id_col)
+    ws = Window.partitionBy(series_col)
+    d = (
+        df.withColumn("_r", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(ws))
+    )
+    k_lo = F.greatest(F.ceil(F.lit(q_lo) * F.col("_n")), F.lit(1))
+    k_hi = F.least(F.ceil(F.lit(q_hi) * F.col("_n")), F.col("_n"))
+    cuts = (
+        d.groupBy(series_col)
+        .agg(
+            F.min(F.when(F.col("_r") == k_lo, F.col(value_col))).alias("_lo"),
+            F.min(F.when(F.col("_r") == k_hi, F.col(value_col))).alias("_hi"),
+        )
+    )
+    return (
+        d.join(cuts, series_col)
+        .select(
+            F.col(series_col).alias("series"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")).alias(
+                "value_winsorized"
+            ),
+            F.col("_lo").alias("cut_lo"),
+            F.col("_hi").alias("cut_hi"),
+        )
+    )
+
+
+def winsorize_sql(
+    table: str,
+    series_col: str,
+    id_col: str,
+    value_col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+) -> str:
+    """DuckDB twin: same rank window, same selected-element cuts."""
+    return f"""
+    WITH ranked AS (
+      SELECT {series_col} AS series, {id_col} AS id, {value_col} AS value,
+             row_number() OVER (PARTITION BY {series_col}
+                                ORDER BY {value_col}, {id_col}) AS _r,
+             count(*) OVER (PARTITION BY {series_col}) AS _n
+      FROM {table}
+    ),
+    cuts AS (
+      SELECT series,
+             min(CASE WHEN _r = greatest(ceil({q_lo} * _n), 1)
+                 THEN value END) AS _lo,
+             min(CASE WHEN _r = least(ceil({q_hi} * _n), _n)
+                 THEN value END) AS _hi
+      FROM ranked GROUP BY series
+    )
+    SELECT r.series, r.id, r.value,
+           least(greatest(r.value, c._lo), c._hi) AS value_winsorized,
+           c._lo AS cut_lo, c._hi AS cut_hi
+    FROM ranked r JOIN cuts c USING (series)
+    """

@@ -1200,6 +1200,36 @@ def sim_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_embedding_l2norm",
+    f"""
+    SELECT vec_id, i,
+           round(CAST(embedding[i] AS DOUBLE)
+                 / sqrt({_sim.dot_expr('embedding', 'embedding', sql=True)}), 6)
+             AS comp
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    WHERE vec_id % 10 = 0
+    """,
+    "L2-normalized embeddings (the preprocessing step before any cosine "
+    "index): component / sqrt(left-assoc fold of squares). sqrt is "
+    "IEEE-exactly-rounded and the fold order is shared with the oracle, "
+    "so normalized components hash-match; exploded (vec_id, dim) rows "
+    "keep the output scalar-typed",
+)
+def sim_l2norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    norm = F.sqrt(F.expr(_sim.dot_expr("embedding", "embedding")))
+    return (
+        emb.withColumn("_norm", norm)
+        .select("vec_id", "_norm", F.posexplode("embedding").alias("_pos", "_v"))
+        .select(
+            "vec_id",
+            (F.col("_pos") + 1).cast("long").alias("i"),
+            F.round(F.col("_v").cast("double") / F.col("_norm"), 6).alias("comp"),
+        )
+    )
+
+
+@register(
     "text_quality_metrics",
     f"""
     SELECT doc_id,
@@ -4160,6 +4190,21 @@ def analytics_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("step_purchase"),
     )
+
+
+@register(
+    "tick_winsorize_p99",
+    _ts.winsorize_sql("events", "event_type", "event_id", "value", 0.01, 0.99)
+    + " ORDER BY series, id",
+    "per-series winsorization: values clamped to the series' [p1, p99] "
+    "as inverted-CDF SELECTED elements (engine-exact, no interpolation) "
+    "— the outlier-capping preprocessing step. One series-partitioned "
+    "rank window + per-series cut aggregate + codegen clamp; group "
+    "contents never materialize as arrays",
+)
+def tick_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.winsorize(ev, "event_type", "event_id", "value", 0.01, 0.99)
 
 
 @register(
