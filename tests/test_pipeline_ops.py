@@ -946,3 +946,21 @@ def test_perceptron_learns_separable_task(spark):
     assert all(r["correct"] for r in out.collect())
     # determinism: training twice yields identical integer weights
     assert perceptron_train(df, label) == perceptron_train(df, label)
+
+
+def test_cusum_flags_planted_level_shift_only(spark):
+    from tickdb_spark.operators.timeseries import cusum_drift
+
+    # 60 warm-up-ish points at 100, then a +30 level shift at t=60:
+    # upward CUSUM must fire shortly after the shift; a no-shift series
+    # must stay silent
+    rows = [("shift", t, t, 100.0 + (30.0 if t >= 60 else 0.0) + (t % 3) * 0.01)
+            for t in range(120)]
+    rows += [("flat", t, t, 100.0 + (t % 3) * 0.01) for t in range(120)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    out = cusum_drift(df, "event_type", "ts", "event_id", "value",
+                      warmup=50, slack=2.0, threshold=50.0).collect()
+    assert all(r["series"] == "shift" and r["side"] == 1 for r in out)
+    first = min(r["ts"] for r in out)
+    assert 60 <= first <= 65  # fires within a few points of the shift
+    assert all(r["g_scaled"] > r["limit_scaled"] for r in out)

@@ -764,3 +764,138 @@ def winsorize_sql(
            c._lo AS cut_lo, c._hi AS cut_hi
     FROM ranked r JOIN cuts c USING (series)
     """
+
+
+def cusum_drift(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    warmup: int = 50,
+    slack: float = 2.0,
+    threshold: float = 50.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-series CUSUM changepoint detection (Page 1954): flag the
+    points where the cumulative deviation from the series' warm-up mean
+    exceeds ``threshold``, with ``slack`` absorbing ordinary noise — the
+    drift monitor behind data-quality alerts (sensor drift, metric
+    regressions, distribution shift in a feature pipeline).
+
+    Exact integer arithmetic throughout: values quantize to
+    ``floor(v*scale + 0.5)``; the reference mean over the first
+    ``warmup`` points stays a RATIONAL (sum, n) and every comparison is
+    multiplied through by n, so no division ever happens. The one-sided
+    CUSUM recursions
+
+        G_t = max(0, G_{t-1} + d_t)    d_t = n*q_t - sum_n -+ n*slack_q
+
+    are evaluated CLOSED-FORM via the reflected-walk identity
+    ``G_t = S_t - min(0, min_{j<=t} S_j)`` (S = running sum of d), so
+    the whole operator is two window functions per side — cumsum +
+    running min, both ``partitionBy(series)`` — with zero Python and no
+    sequential state anywhere. Emits flagged rows only:
+    ``(series, ts, id, value, side, g_scaled, limit_scaled)`` with
+    ``g_scaled > limit_scaled`` guaranteed (side: 1 = upward drift,
+    -1 = downward).
+    """
+    q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    slack_q = int(round(slack * scale))
+    thresh_q = int(round(threshold * scale))
+    wv = Window.partitionBy(series_col).orderBy(ts_col, id_col)
+    d = df.withColumn("_q", q).withColumn("_r", F.row_number().over(wv))
+    warm = d.groupBy(series_col).agg(
+        F.sum(F.when(F.col("_r") <= warmup, F.col("_q"))).cast("long").alias("_wsum"),
+        F.least(F.count(F.lit(1)), F.lit(warmup)).cast("long").alias("_wn"),
+    )
+    d = d.join(warm, series_col).where(F.col("_r") > warmup)
+    outs = []
+    wrun = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for side in (1, -1):
+        step = F.lit(side) * (
+            F.col("_wn") * F.col("_q") - F.col("_wsum")
+        ) - F.col("_wn") * F.lit(slack_q)
+        s = F.sum(step).over(wrun)
+        g = s - F.least(F.lit(0).cast("long"), F.min(s).over(wrun))
+        limit = F.col("_wn") * F.lit(thresh_q)
+        outs.append(
+            d.withColumn("_g", g)
+            .withColumn("_lim", limit)
+            .where(F.col("_g") > F.col("_lim"))
+            .select(
+                F.col(series_col).alias("series"),
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                F.col(value_col).alias("value"),
+                F.lit(side).cast("long").alias("side"),
+                F.col("_g").alias("g_scaled"),
+                F.col("_lim").alias("limit_scaled"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def cusum_drift_sql(
+    table: str,
+    series_col: str,
+    ts_expr: str,
+    id_col: str,
+    value_col: str,
+    warmup: int = 50,
+    slack: float = 2.0,
+    threshold: float = 50.0,
+    scale: int = 100,
+) -> str:
+    """DuckDB twin: identical quantization, warm-up rational, and
+    reflected-walk windows."""
+    slack_q = int(round(slack * scale))
+    thresh_q = int(round(threshold * scale))
+    sides = []
+    for side in (1, -1):
+        sides.append(
+            f"""
+      SELECT series, ts, id, value, CAST({side} AS BIGINT) AS side,
+             _s - least(0, min(_s) OVER (PARTITION BY series ORDER BY ts, id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS g_scaled,
+             _wn * {thresh_q} AS limit_scaled
+      FROM (
+        SELECT series, ts, id, value, _wn,
+               CAST(sum(({side}) * (_wn * _q - _wsum) - _wn * {slack_q})
+                    OVER (PARTITION BY series ORDER BY ts, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS _s
+        FROM post
+      )"""
+        )
+    union = "\n      UNION ALL\n".join(
+        f"SELECT * FROM (\n{s}\n      ) s{i} WHERE g_scaled > limit_scaled"
+        for i, s in enumerate(sides)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {series_col} AS series, {ts_expr} AS ts, {id_col} AS id,
+             {value_col} AS value,
+             CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS _q,
+             row_number() OVER (PARTITION BY {series_col}
+                                ORDER BY {ts_expr}, {id_col}) AS _r
+      FROM {table}
+    ),
+    warm AS (
+      SELECT series,
+             CAST(sum(CASE WHEN _r <= {warmup} THEN _q END) AS BIGINT) AS _wsum,
+             CAST(least(count(*), {warmup}) AS BIGINT) AS _wn
+      FROM ranked GROUP BY series
+    ),
+    post AS (
+      SELECT r.series, r.ts, r.id, r.value, r._q, w._wsum, w._wn
+      FROM ranked r JOIN warm w USING (series)
+      WHERE r._r > {warmup}
+    )
+    {union}
+    """

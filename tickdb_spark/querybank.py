@@ -4193,6 +4193,31 @@ def analytics_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tick_cusum_drift",
+    _ts.cusum_drift_sql(
+        "events", "event_type", "epoch_ns(ts)", "event_id", "value",
+        slack=20.0, threshold=500.0,
+    )
+    + " ORDER BY series, side, ts, id",
+    "per-series CUSUM changepoint detection (Page 1954): cumulative "
+    "deviation from the 50-point warm-up mean beyond a slack band, "
+    "flagged past a threshold — evaluated CLOSED-FORM via the "
+    "reflected-walk identity G = S - min(0, running-min S), so the "
+    "sequential recursion becomes two integer windows per side "
+    "(cumsum + running min, partitionBy(series)) with zero Python; "
+    "warm-up mean kept rational (x n), no division anywhere",
+)
+def tick_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # slack/threshold sized to this corpus's volatility: 30 flagged
+    # rows across 2 (series, side) drift episodes at sf0.01 (the default
+    # 2.0/50.0 flags 78% of points on these high-variance random walks)
+    ev = _read_events(spark, sf_dir)
+    return _ts.cusum_drift(
+        ev, "event_type", "ts", "event_id", "value", slack=20.0, threshold=500.0
+    )
+
+
+@register(
     "tick_winsorize_p99",
     _ts.winsorize_sql("events", "event_type", "event_id", "value", 0.01, 0.99)
     + " ORDER BY series, id",
@@ -5177,7 +5202,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: text_quality_perceptron, stream_rollup_maintenance,
 #: sim_semantic_dedup, tick_rolling_median, tick_rolling_p90,
 #: tick_time_travel, tick_downsample_m4, profile_lineitem_columns,
-#: analytics_cohort_retention, analytics_funnel_steps.
+#: analytics_cohort_retention, analytics_funnel_steps,
+#: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
