@@ -964,3 +964,18 @@ def test_cusum_flags_planted_level_shift_only(spark):
     first = min(r["ts"] for r in out)
     assert 60 <= first <= 65  # fires within a few points of the shift
     assert all(r["g_scaled"] > r["limit_scaled"] for r in out)
+
+
+def test_asof_tolerance_no_fallback(spark):
+    left = spark.createDataFrame(
+        [("k", 100, "l1"), ("k", 205, "l2")], ["key", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [("k", 95, 1.0), ("k", 140, 2.0)], ["key", "ts", "v"]
+    )
+    out = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="key", right_cols=["v"], tolerance=10).collect()}
+    # l1: nearest prior right at 95, distance 5 <= 10 -> matched
+    # l2: nearest prior right at 140, distance 65 > 10 -> NULL (must NOT
+    # fall back to the even-older row at 95)
+    assert out == {"l1": 1.0, "l2": None}

@@ -29,6 +29,7 @@ def asof_join(
     direction: str = "backward",
     tiebreak: str | None = None,
     strict: bool = False,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Return ``left`` with, for each row, the latest (backward) or earliest
     (forward) ``right`` row's ``right_cols`` per ``on`` key.
@@ -37,7 +38,12 @@ def asof_join(
     (``<`` instead of ``<=``). ``tiebreak`` names a right column ordering
     ties among equal right timestamps (highest wins for backward, lowest
     for forward) — required for deterministic output when right timestamps
-    can collide.
+    can collide. ``tolerance`` (same units as the ts columns) bounds the
+    match distance — pandas ``merge_asof(tolerance=...)`` semantics: a
+    nearest match farther than the bound yields NULLs, it does NOT fall
+    back to an older one (the nearest match IS the as-of answer; beyond
+    the staleness bound there is no answer). Implemented by carrying the
+    matched right timestamp through the same window — no extra shuffle.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -55,6 +61,10 @@ def asof_join(
     ]
     if tiebreak is not None:
         rhs_cols.append(F.col(tiebreak).alias("_tb"))
+    carry_cols = list(right_cols)
+    if tolerance is not None:
+        rhs_cols.append(F.col(right_ts).alias(marked + "__rts"))
+        carry_cols.append("__rts")
     rhs = right.select(*rhs_cols)
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
@@ -72,8 +82,19 @@ def asof_join(
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
 
     carried = unioned
-    for c in right_cols:
+    for c in carry_cols:
         carried = carried.withColumn(marked + c, F.last(marked + c, ignorenulls=True).over(w))
+    if tolerance is not None:
+        rts = F.col(marked + "__rts")
+        diff = (
+            F.col("_ts") - rts if direction == "backward" else rts - F.col("_ts")
+        )
+        ok = rts.isNotNull() & (diff <= F.lit(tolerance))
+        for c in right_cols:
+            carried = carried.withColumn(
+                marked + c, F.when(ok, F.col(marked + c))
+            )
+        carried = carried.drop(marked + "__rts")
     out = carried.where(F.col("_is_left") == 1).drop("_ts", "_is_left", "_tb")
     for c in right_cols:
         out = out.withColumnRenamed(marked + c, c if c not in left.columns else f"right_{c}")

@@ -4193,6 +4193,63 @@ def analytics_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_tolerance_attribution",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS tus, 1 AS is_left, event_id,
+             value AS purchase_value, CAST(NULL AS DOUBLE) AS click_value,
+             CAST(NULL AS BIGINT) AS tb
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 0, event_id,
+             CAST(NULL AS DOUBLE), value, event_id
+      FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT *, last_value(click_value IGNORE NULLS) OVER w AS lcv,
+             last_value(CASE WHEN is_left = 0 THEN tus END IGNORE NULLS)
+               OVER w AS lct
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_left, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, tus AS ts_us, purchase_value,
+           CASE WHEN lct IS NOT NULL AND tus - lct <= 1800000000
+                THEN lcv END AS last_click_value
+    FROM m WHERE is_left = 1 ORDER BY event_id
+    """,
+    "as-of join with a staleness bound (pandas merge_asof tolerance "
+    "semantics): purchases attribute only to a click within the last "
+    "30 min — a nearer match beyond the bound yields NULL, no fallback "
+    "to older clicks. The matched right timestamp rides the SAME "
+    "running window, so the bound costs zero extra shuffles",
+)
+def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").alias("click_value"), F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["click_value"],
+        direction="backward",
+        tiebreak="click_id",
+        tolerance=1_800_000_000,  # 30 min in µs
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us", "purchase_value",
+        F.col("click_value").alias("last_click_value"),
+    ).orderBy("event_id")
+
+
+@register(
     "tick_cusum_drift",
     _ts.cusum_drift_sql(
         "events", "event_type", "epoch_ns(ts)", "event_id", "value",
@@ -5203,7 +5260,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sim_semantic_dedup, tick_rolling_median, tick_rolling_p90,
 #: tick_time_travel, tick_downsample_m4, profile_lineitem_columns,
 #: analytics_cohort_retention, analytics_funnel_steps,
-#: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift.
+#: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift,
+#: asof_tolerance_attribution.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
