@@ -363,3 +363,12 @@ def test_rolling_median_windows_partitioned(spark):
         if "Window " in line:
             assert "event_type" in line.split("], [")[1], line
     assert count_op(df, "Join") == 0 and "mapInPandas" not in plan
+
+
+def test_interval_overlap_join_equality_confined(spark):
+    """The interval-overlap join must plan as an equi-join on
+    (key, bucket) — a theta overlap predicate alone would be a
+    nested-loop/cartesian."""
+    df = _df(spark, "rangejoin_interval_overlap")
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0

@@ -42,3 +42,53 @@ def point_in_interval_join(
         (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_ns: int,
+) -> DataFrame:
+    """Interval x interval overlap join: every (left, right) pair with
+    the same ``keys`` whose half-open spans intersect
+    (``l_start < r_end AND r_start < l_end``) — meeting overlaps,
+    concurrent-session detection, downtime attribution.
+
+    Same bucket-expansion construction as the point form, applied to
+    BOTH sides: two intervals overlap only if they share a covered
+    bucket, so the candidate set is an equi-join on (keys, bucket); a
+    distinct collapses multi-bucket duplicates BEFORE the exact
+    predicate. Expansion stays ceil(len/bucket)+1 per row — never
+    quadratic, shuffles like any hash join. Adds ``overlap_ns`` =
+    ``least(ends) - greatest(starts)`` (exact BIGINT).
+    """
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{l_start}` div {bucket_ns}"),
+                F.expr(f"(`{l_end}` - 1) div {bucket_ns}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{r_start}` div {bucket_ns}"),
+                F.expr(f"(`{r_end}` - 1) div {bucket_ns}"),
+            )
+        ),
+    )
+    cand = lb.join(rb, [*keys, "_bucket"]).drop("_bucket").distinct()
+    return cand.where(
+        (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    ).withColumn(
+        "overlap_ns",
+        F.least(F.col(l_end), F.col(r_end)) - F.greatest(F.col(l_start), F.col(r_start)),
+    )

@@ -3177,6 +3177,7 @@ def tick_gapfill_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Range join + moment statistics
 # ---------------------------------------------------------------------------
 
+from tickdb_spark.operators import rangejoin as _rangejoin  # noqa: E402
 from tickdb_spark.operators.rangejoin import point_in_interval_join  # noqa: E402
 
 _RJ_WINDOW = 3600 * 10**6  # 1 hour in µs
@@ -4190,6 +4191,60 @@ def analytics_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("step_purchase"),
     )
+
+
+@register(
+    "rangejoin_interval_overlap",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_ns(ts)) AS v_start, max(epoch_ns(ts)) + 1 AS v_end
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_ns(ts) // 86400000000000
+    ),
+    c AS (
+      SELECT user_id, min(epoch_ns(ts)) AS c_start, max(epoch_ns(ts)) + 1 AS c_end
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, epoch_ns(ts) // 86400000000000
+    )
+    SELECT v.user_id, v_start, v_end, c_start, c_end,
+           least(v_end, c_end) - greatest(v_start, c_start) AS overlap_ns
+    FROM v JOIN c ON v.user_id = c.user_id
+    WHERE v_start < c_end AND c_start < v_end
+    ORDER BY v.user_id, v_start, c_start
+    """,
+    "interval x interval overlap join (concurrent-activity detection): "
+    "each user's daily view-activity span matched with overlapping "
+    "click spans. Bucket expansion on BOTH sides -> equi-join on "
+    "(key, bucket) -> distinct -> exact predicate: candidates are "
+    "equality-confined (no theta/nested-loop join), expansion "
+    "ceil(len/bucket)+1 per row; the oracle is the brute-force theta "
+    "join",
+)
+def rangejoin_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    day = 86_400_000_000_000
+
+    def spans(etype, s, e):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", F.expr(f"ts div {day}").alias("_day"))
+            .agg(F.min("ts").alias(s), (F.max("ts") + 1).alias(e))
+            .drop("_day")
+        )
+
+    joined = _rangejoin.interval_overlap_join(
+        spans("view", "v_start", "v_end"),
+        spans("click", "c_start", "c_end"),
+        ["user_id"],
+        "v_start",
+        "v_end",
+        "c_start",
+        "c_end",
+        bucket_ns=6 * 3600 * 10**9,
+    )
+    return joined.select(
+        "user_id", "v_start", "v_end", "c_start", "c_end", "overlap_ns"
+    ).orderBy("user_id", "v_start", "c_start")
 
 
 @register(
@@ -5261,7 +5316,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tick_time_travel, tick_downsample_m4, profile_lineitem_columns,
 #: analytics_cohort_retention, analytics_funnel_steps,
 #: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift,
-#: asof_tolerance_attribution.
+#: asof_tolerance_attribution, rangejoin_interval_overlap.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
