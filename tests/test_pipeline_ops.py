@@ -979,3 +979,21 @@ def test_asof_tolerance_no_fallback(spark):
     # l2: nearest prior right at 140, distance 65 > 10 -> NULL (must NOT
     # fall back to the even-older row at 95)
     assert out == {"l1": 1.0, "l2": None}
+
+
+def test_holt_linear_matches_hand_rollforward(spark):
+    from tickdb_spark.operators.trend import holt_linear
+
+    xs = [10.0, 12.0, 11.0, 15.0]
+    df = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(xs)], ["grp", "ts", "v"]
+    )
+    out = holt_linear(df, "grp", "ts", "v").collect()[0]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b
+        l = ln
+    assert out["n_points"] == 4
+    assert out["level"] == l and out["trend"] == b
+    assert out["forecast_1"] == l + b

@@ -107,3 +107,102 @@ def series_trend_sql(
            END AS slope_per_hour
     FROM m
     """
+
+
+def holt_linear(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-series Holt linear (double) exponential smoothing — level +
+    trend state folded over the series in time order, the classic
+    short-horizon forecaster for metric streams.
+
+    A genuinely SEQUENTIAL two-variable recurrence (unlike CUSUM, it has
+    no closed form), so it runs as a grouped-map fold:
+
+        l_t = alpha*x_t + (1-alpha)*(l + b)
+        b_t = beta*(l_t - l) + (1-beta)*b          (l_1 = x_1, b_1 = 0)
+
+    Cross-engine exactness WITHOUT quantization: the recurrence is pure
+    IEEE multiply/add on doubles, and the DuckDB oracle's recursive CTE
+    evaluates the IDENTICAL expression tree in the identical order per
+    row — the same bit-exactness argument as the EMA spike detector
+    (``streaming/stateful.py``); ``alpha``/``beta`` must be exactly-
+    representable doubles (dyadics like 0.5/0.25 keep that obvious).
+    ``ts_col`` must be tie-free per group (µs event times are, at the
+    gate SFs) or the fold order is ambiguous.
+
+    Returns one row per group:
+    ``(group, n_points, level, trend, forecast_1)`` with
+    ``forecast_1 = level + trend`` (one-step-ahead).
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        xs = [float(v) for v in pdf[value_col]]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            l_new = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1.0 - beta) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_points": [len(xs)],
+                "level": [l],
+                "trend": [b],
+                "forecast_1": [l + b],
+            }
+        )
+
+    return (
+        events.select(group_col, ts_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(
+            fit,
+            f"{group_col} string, n_points long, level double, "
+            "trend double, forecast_1 double",
+        )
+    )
+
+
+def holt_linear_sql(
+    table_filter: str,
+    group_col: str,
+    ts_expr: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> str:
+    """DuckDB twin: the recurrence as a recursive CTE, one step per row
+    in the same order with the same expression tree."""
+    a, b_ = repr(alpha), repr(beta)
+    return f"""
+    WITH RECURSIVE ord AS (
+      SELECT {group_col} AS grp, {ts_expr} AS tord, {value_col} AS x,
+             ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                ORDER BY {ts_expr}) AS rn
+      FROM {table_filter}
+    ),
+    holt AS (
+      SELECT grp, rn, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.grp, o.rn, o.x,
+             {a} * o.x + (1.0 - {a}) * (h.l + h.b),
+             {b_} * (({a} * o.x + (1.0 - {a}) * (h.l + h.b)) - h.l)
+               + (1.0 - {b_}) * h.b
+      FROM holt h JOIN ord o ON o.grp = h.grp AND o.rn = h.rn + 1
+    ),
+    last AS (
+      SELECT grp, max(rn) AS n FROM ord GROUP BY grp
+    )
+    SELECT h.grp AS {group_col}, CAST(l2.n AS BIGINT) AS n_points,
+           h.l AS level, h.b AS trend, h.l + h.b AS forecast_1
+    FROM holt h JOIN last l2 ON h.grp = l2.grp AND h.rn = l2.n
+    """

@@ -4194,6 +4194,29 @@ def analytics_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trend_holt_linear_forecast",
+    _trend.holt_linear_sql(
+        "events WHERE (epoch_us(ts) % 7) = 0", "event_type", "epoch_us(ts)", "value"
+    )
+    + " ORDER BY event_type",
+    "Holt linear (double) exponential smoothing per series — a "
+    "genuinely sequential two-state recurrence (no closed form, unlike "
+    "CUSUM), folded in a grouped-map and replayed by the oracle as a "
+    "recursive CTE evaluating the IDENTICAL IEEE expression tree per "
+    "row: carried level/trend doubles are bit-exact cross-engine (the "
+    "EMA replay argument); emits one-step forecasts over a tie-free "
+    "1/7 event slice",
+)
+def trend_holt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.expr("(ts div 1000) % 7 = 0"))
+        .select("event_type", "ts", "value")
+    )
+    return _trend.holt_linear(ev, "event_type", "ts", "value").orderBy("event_type")
+
+
+@register(
     "rangejoin_interval_overlap",
     """
     WITH v AS (
@@ -5316,7 +5339,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tick_time_travel, tick_downsample_m4, profile_lineitem_columns,
 #: analytics_cohort_retention, analytics_funnel_steps,
 #: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift,
-#: asof_tolerance_attribution, rangejoin_interval_overlap.
+#: asof_tolerance_attribution, rangejoin_interval_overlap,
+#: trend_holt_linear_forecast.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
