@@ -1082,6 +1082,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_normalized",
+    """
+    WITH variants AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, '  ' || replace(text, ' ', '   ') FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS content_hash
+      FROM variants
+    ), groups AS (
+      SELECT content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+      FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.content_hash, g.keep_id, g.group_size,
+           h.doc_id = g.keep_id AS is_keeper
+    FROM hashed h JOIN groups g USING (content_hash)
+    ORDER BY h.doc_id
+    """,
+    "normalization-aware exact dedup: casefold + whitespace-collapse "
+    "BEFORE hashing, so case- and spacing-variant copies (the most "
+    "common trivial near-dups in scraped corpora) land in one group — "
+    "planted UPPER and triple-spaced variants of every doc all "
+    "collapse to group_size 3. Same one-hash-aggregate shape as "
+    "dedup_exact_groups, which these variants would all miss",
+)
+def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.upper("text").alias("text"))
+    ).unionByName(
+        docs.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat(F.lit("  "), F.regexp_replace("text", " ", "   ")).alias("text"))
+    )
+    normalized = variants.select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("text"),
+    )
+    return _dedup.exact_dedup_groups(normalized, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
     "dedup_ngram_jaccard_pairs",
     _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.8),
     "exact word-3-gram Jaccard near-dup pairs at τ=0.8 (inverted-index "
@@ -5340,7 +5386,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: analytics_cohort_retention, analytics_funnel_steps,
 #: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift,
 #: asof_tolerance_attribution, rangejoin_interval_overlap,
-#: trend_holt_linear_forecast.
+#: trend_holt_linear_forecast, dedup_exact_normalized.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
