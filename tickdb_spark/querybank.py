@@ -5375,84 +5375,51 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r7 ROTATION QUEUE — entries added after the r6 head was frozen, all
-#: parity-green locally but never driver-sampled. Hoist these to the r7
-#: head (plus anything r7 changes), rotating out the r6-reproven block:
-#: the 14 TPC-H completions (q2 q7 q8 q9 q10 q11 q13 q14 q15 q16 q19
-#: q20 q21 q22), media_audio_features, media_scene_cuts,
-#: text_quality_perceptron, stream_rollup_maintenance,
-#: sim_semantic_dedup, tick_rolling_median, tick_rolling_p90,
-#: tick_time_travel, tick_downsample_m4, profile_lineitem_columns,
-#: analytics_cohort_retention, analytics_funnel_steps,
-#: tick_winsorize_p99, sim_embedding_l2norm, tick_cusum_drift,
-#: asof_tolerance_attribution, rangejoin_interval_overlap,
-#: trend_holt_linear_forecast, dedup_exact_normalized.
+#: r7 head — the 33 entries that had NEVER received a driver-side
+#: CORRECTNESS row through r6 (verified against CORRECTNESS_r01..r06 by
+#: scripts/evidence_ledger.py): the 14 TPC-H completions + 19 late-r6
+#: operators. All were replica-green at sf0.01 in r6 and stay fully
+#: parity-covered locally. r7-NEW entries are appended at the END of the
+#: head (slots 34+) so both groups land inside the driver's ~50 sample.
+#: Rotated out: the r6-reproven block (all green in CORRECTNESS_r06).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # --- r6 head. Priority: (1) entries new in r6 (never driver-proven),
-    # (2) entries whose implementation or oracle changed in r6 (sort-
-    # pathology rewrite, BPE escape filter, ts_raw drop, multimodal
-    # reject-path rework), (3) the 30 entries whose last driver proof is
-    # r2 — pre-ts-change; locally replica-green but driver evidence is
-    # stale, (4) spare slots for r4-proven entries whose kernels the r6
-    # multimodal/text changes touch. Exactly 50.
-    # (1) new in r6 (never driver-proven)
-    "agg_equidepth_scale",
-    "tick_gapfill_multiseries",
-    "media_decode_robust",
-    "text_repetition_metrics",
-    "text_bigram_familiarity",
-    "dedup_cluster_retention",
-    "sample_token_budget",
-    "tick_anomaly_zscore",
-    # (2) changed in r6 (sort-shape rewrite / BPE escape / multimodal
-    # reject path). Cut for space, still parity-covered locally:
-    # tpch_q1 + chunk_sliding + c4_filter (plan-shape-only changes) and
-    # the two lifecycle entries (ts_raw hygiene drop, value-identical).
-    "text_langid_fingerprint",
-    "text_pii_scrub",
-    "trend_series_ols_slope",
-    "text_bpe_train_merges",
-    "text_bpe_tokenize",
-    "tick_rollup_day_agg",
-    "tick_bucket_5min_routed",
-    "media_decode_png",
-    "media_decode_jpeg",
-    "media_feature_extract",
-    # (3) last driver proof r2 (pre-ts-change)
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_revenue",
-    "tpch_q6_revenue_forecast",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "scalar_function_battery",
-    "join_full_outer_nation_parties",
-    "join_semi_anti_customers",
-    "join_bucketed_colocated",
-    "win_trailing_7day_revenue",
-    "win_running_revenue",
-    "win_top3_orders_per_priority",
-    "agg_rollup_region_nation",
-    "agg_cube_flag_status",
-    "setop_all_multiset_variants",
-    "setop_nation_coverage",
-    "pivot_qty_by_status",
-    "unpivot_lineitem_metrics",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_fingerprints",
-    "dedup_simhash_near_pairs",
-    "sim_ann_topk_bruteforce",
-    "sim_ann_topk_lsh",
-    "sim_cosine_neardup_pairs",
-    "text_quality_metrics",
-    "media_binary_stats",
-    # (4) spare: r4-proven entries sharing the r6-reworked decode kernel
-    "media_decode_stats",
-    "media_video_frame_sample",
+    # (1) never driver-sampled through r6 — TPC-H completions
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # (1b) never driver-sampled through r6 — late-r6 operators
+    "dedup_exact_normalized",
+    "sim_semantic_dedup",
+    "sim_embedding_l2norm",
+    "tick_time_travel",
+    "analytics_cohort_retention",
+    "analytics_funnel_steps",
+    "trend_holt_linear_forecast",
+    "rangejoin_interval_overlap",
+    "asof_tolerance_attribution",
+    "tick_cusum_drift",
+    "tick_winsorize_p99",
+    "tick_downsample_m4",
+    "tick_rolling_p90",
+    "tick_rolling_median",
+    "profile_lineitem_columns",
+    "stream_rollup_maintenance",
+    "text_quality_perceptron",
+    "media_audio_features",
+    "media_scene_cuts",
+    # (2) NEW or CHANGED in r7 — appended below as r7 work lands.
 ]
 
 
