@@ -401,3 +401,38 @@ def test_time_travel_snapshots_and_truncation(tmp_path, spark):
     with _pytest.raises(ValueError, match="truncated"):
         read_ticks(spark, db_path, as_of_seq=0)
     assert vals(read_ticks(spark, db_path, as_of_seq=1))[1709258400000000000] == 3.0
+
+
+def test_gapfill_chunked_carry_exact_across_boundaries(spark, monkeypatch):
+    """Shrink the chunk size so the fill crosses many chunk boundaries and
+    whole chunks are empty; LOCF and interp must still equal the
+    single-window semantics (two-phase carry is exact for any contiguous
+    chunking)."""
+    from tickdb_spark.operators import timeseries as ts
+
+    monkeypatch.setattr(ts, "_CHUNK_BUCKETS", 4)
+    # spine 0..40 step 10 => 24 buckets across 6 chunks; observations in
+    # chunks 0 and 4 only (chunks 1-3 fully empty => carry must hop them).
+    bucketed = spark.createDataFrame(
+        [(10, 1.0), (180, 18.0), (230, 23.0)], "bucket long, v double"
+    )
+    locf = {
+        r["bucket"]: (r["v"], r["n_obs"])
+        for r in ts.gapfill_locf(bucketed, 0, 240, 10, ["v"]).collect()
+    }
+    assert locf[0] == (None, 0)
+    assert locf[10] == (1.0, 1)
+    for b in range(20, 180, 10):  # carried across empty chunks
+        assert locf[b] == (1.0, 0), b
+    assert locf[180] == (18.0, 1)
+    assert locf[190] == (18.0, 0) and locf[230] == (23.0, 1)
+
+    interp = {
+        r["bucket"]: (r["v"], r["n_obs"])
+        for r in ts.gapfill_interp(bucketed, 0, 240, 10, ["v"]).collect()
+    }
+    assert interp[0] == (None, 0)
+    for b in range(20, 180, 10):  # linear 1.0@10 -> 18.0@180
+        exp = 1.0 + (18.0 - 1.0) * (b - 10) / (180 - 10)
+        assert abs(interp[b][0] - exp) < 1e-12 and interp[b][1] == 0, b
+    assert interp[200] == (18.0 + (23.0 - 18.0) * 20 / 50, 0)

@@ -85,6 +85,32 @@ def time_weighted_avg_sql(
     """
 
 
+#: Buckets per fill chunk. The spine is processed in contiguous chunks so
+#: every spine-sized window is partitioned by chunk id; only the chunk
+#: DIRECTORY (|spine| / _CHUNK_BUCKETS rows — 481 rows for a year of 1 s
+#: buckets) sees a global ordered window. Two-phase carry is exact for any
+#: contiguous chunking, so the chunk size never affects values.
+_CHUNK_BUCKETS = 65536
+
+
+def _chunk_id(bucket_col: str, frm_ns: int, width_ns: int):
+    # Integer `div` keeps the chunk id exact for ns-scale spines (a double
+    # quotient is merely monotone, which would be correct but needlessly
+    # imprecise).
+    span = width_ns * _CHUNK_BUCKETS
+    return F.expr(f"(({bucket_col} - {frm_ns}L) div {span}L)")
+
+
+def _on_spine(bucketed: DataFrame, frm_ns: int, to_ns: int, width_ns: int, bucket_col: str) -> DataFrame:
+    """Restrict observations to buckets the spine join would keep (aligned,
+    in ``[frm, to)``) so the chunk-directory carry can't see rows the
+    global-window formulation never saw."""
+    b = F.col(bucket_col)
+    return bucketed.where(
+        (b >= frm_ns) & (b < to_ns) & ((b - frm_ns) % width_ns == 0)
+    )
+
+
 def gapfill_locf(
     bucketed: DataFrame,
     frm_ns: int,
@@ -99,18 +125,64 @@ def gapfill_locf(
 
     ``n_obs`` marks real vs filled rows (count of source rows per bucket
     would be the caller's agg; here 1/0 presence flag).
+
+    Scale: two-phase chunked carry. Phase 1 windows partition by chunk id
+    (``_CHUNK_BUCKETS`` buckets each); phase 2 carries the per-chunk last
+    observation across the chunk directory (a |spine|/65536-row frame —
+    the only global window, bounded regardless of spine length). Values
+    are identical to a single global LOCF window for any contiguous
+    chunking.
     """
     spark = bucketed.sparkSession
     n = (to_ns - frm_ns) // width_ns
+    n_chunks = (n + _CHUNK_BUCKETS - 1) // _CHUNK_BUCKETS
     spine = spark.range(n).select((F.lit(frm_ns) + F.col("id") * width_ns).alias(bucket_col))
     joined = spine.join(bucketed.withColumn("_present", F.lit(1)), bucket_col, "left")
-    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
-    out = joined
+    out = joined.withColumn("_chunk", _chunk_id(bucket_col, frm_ns, width_ns))
+
+    # Phase 1: within-chunk LOCF (partitioned window, spine-sized frame).
+    wp = (
+        Window.partitionBy("_chunk")
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        out = out.withColumn(f"__in_{c}", F.last(c, ignorenulls=True).over(wp))
+
+    # Phase 2: per-chunk last observation, carried across the (tiny,
+    # dense) chunk directory. Built from `bucketed` directly — observed
+    # rows are the only non-null sources — so the spine isn't scanned
+    # twice.
+    chunk_dir = spark.range(n_chunks).select(F.col("id").alias("_chunk"))
+    summary = (
+        _on_spine(bucketed, frm_ns, to_ns, width_ns, bucket_col)
+        .withColumn("_chunk", _chunk_id(bucket_col, frm_ns, width_ns))
+        .groupBy("_chunk")
+        .agg(
+            *[
+                F.max_by(
+                    F.col(c), F.when(F.col(c).isNotNull(), F.col(bucket_col))
+                ).alias(f"__cl_{c}")
+                for c in value_cols
+            ]
+        )
+    )
+    wc = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = chunk_dir.join(summary, "_chunk", "left")
+    for c in value_cols:
+        carry = carry.withColumn(
+            f"__carry_{c}", F.last(f"__cl_{c}", ignorenulls=True).over(wc)
+        )
+    carry = carry.select("_chunk", *[f"__carry_{c}" for c in value_cols])
+
+    out = out.join(F.broadcast(carry), "_chunk", "left")
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}"))
+        ).drop(f"__in_{c}", f"__carry_{c}")
     return (
         out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
-        .drop("_present")
+        .drop("_present", "_chunk")
         .orderBy(bucket_col)
     )
 
@@ -131,25 +203,93 @@ def gapfill_interp(
 
     The interpolation arithmetic is the same IEEE op sequence in the SQL
     twin (bigint gaps cast to double, one division, one fused order), so
-    filled values hash identically cross-engine. The spine is
-    range/width rows — thousands, not corpus-sized — so the global
-    ordered windows are a single tiny partition by construction.
+    filled values hash identically cross-engine.
+
+    Scale: same two-phase chunked shape as :func:`gapfill_locf` — spine
+    windows partition by chunk id; prev/next anchors that cross a chunk
+    boundary come from the chunk directory (|spine|/65536 rows, the only
+    global window). Anchor VALUES and anchor BUCKETS are carried by the
+    same per-chunk aggregates, so results are bit-identical to the single
+    global-window formulation for any contiguous chunking.
     """
     spark = bucketed.sparkSession
     n = (to_ns - frm_ns) // width_ns
+    n_chunks = (n + _CHUNK_BUCKETS - 1) // _CHUNK_BUCKETS
     spine = spark.range(n).select(
         (F.lit(frm_ns) + F.col("id") * width_ns).alias(bucket_col)
     )
     joined = spine.join(bucketed.withColumn("_present", F.lit(1)), bucket_col, "left")
-    wp = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy(bucket_col).rowsBetween(0, Window.unboundedFollowing)
+    out = joined.withColumn("_chunk", _chunk_id(bucket_col, frm_ns, width_ns))
+
+    # Phase 1: within-chunk anchors (partitioned windows).
+    wp = (
+        Window.partitionBy("_chunk")
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("_chunk")
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     obs_b = F.when(F.col("_present") == 1, F.col(bucket_col))
-    prev_b = F.last(obs_b, ignorenulls=True).over(wp)
-    next_b = F.first(obs_b, ignorenulls=True).over(wn)
-    out = joined
+    out = out.withColumn("__pb_in", F.last(obs_b, ignorenulls=True).over(wp))
+    out = out.withColumn("__nb_in", F.first(obs_b, ignorenulls=True).over(wn))
     for c in value_cols:
-        pv = F.last(c, ignorenulls=True).over(wp)
-        nv = F.first(c, ignorenulls=True).over(wn)
+        out = out.withColumn(f"__pv_in_{c}", F.last(c, ignorenulls=True).over(wp))
+        out = out.withColumn(f"__nv_in_{c}", F.first(c, ignorenulls=True).over(wn))
+
+    # Phase 2: per-chunk boundary anchors carried across the chunk
+    # directory (every bucketed row is _present, so min/max(bucket) are
+    # the chunk's first/last observed anchors).
+    chunk_dir = spark.range(n_chunks).select(F.col("id").alias("_chunk"))
+    summary = (
+        _on_spine(bucketed, frm_ns, to_ns, width_ns, bucket_col)
+        .withColumn("_chunk", _chunk_id(bucket_col, frm_ns, width_ns))
+        .groupBy("_chunk")
+        .agg(
+            F.max(bucket_col).alias("__lob"),
+            F.min(bucket_col).alias("__fob"),
+            *[
+                F.max_by(
+                    F.col(c), F.when(F.col(c).isNotNull(), F.col(bucket_col))
+                ).alias(f"__lv_{c}")
+                for c in value_cols
+            ],
+            *[
+                F.min_by(
+                    F.col(c), F.when(F.col(c).isNotNull(), F.col(bucket_col))
+                ).alias(f"__fv_{c}")
+                for c in value_cols
+            ],
+        )
+    )
+    wcp = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    wcn = Window.orderBy("_chunk").rowsBetween(1, Window.unboundedFollowing)
+    carry = chunk_dir.join(summary, "_chunk", "left")
+    carry = carry.withColumn("__pb_c", F.last("__lob", ignorenulls=True).over(wcp))
+    carry = carry.withColumn("__nb_c", F.first("__fob", ignorenulls=True).over(wcn))
+    for c in value_cols:
+        carry = carry.withColumn(
+            f"__pv_c_{c}", F.last(f"__lv_{c}", ignorenulls=True).over(wcp)
+        )
+        carry = carry.withColumn(
+            f"__nv_c_{c}", F.first(f"__fv_{c}", ignorenulls=True).over(wcn)
+        )
+    carry = carry.select(
+        "_chunk",
+        "__pb_c",
+        "__nb_c",
+        *[f"__pv_c_{c}" for c in value_cols],
+        *[f"__nv_c_{c}" for c in value_cols],
+    )
+
+    out = out.join(F.broadcast(carry), "_chunk", "left")
+    prev_b = F.coalesce(F.col("__pb_in"), F.col("__pb_c"))
+    next_b = F.coalesce(F.col("__nb_in"), F.col("__nb_c"))
+    for c in value_cols:
+        pv = F.coalesce(F.col(f"__pv_in_{c}"), F.col(f"__pv_c_{c}"))
+        nv = F.coalesce(F.col(f"__nv_in_{c}"), F.col(f"__nv_c_{c}"))
         frac = (F.col(bucket_col) - prev_b).cast("double") / (
             next_b - prev_b
         ).cast("double")
@@ -160,10 +300,10 @@ def gapfill_interp(
                     prev_b.isNotNull() & next_b.isNotNull(), pv + (nv - pv) * frac
                 )
             ),
-        )
+        ).drop(f"__pv_in_{c}", f"__nv_in_{c}", f"__pv_c_{c}", f"__nv_c_{c}")
     return (
         out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
-        .drop("_present")
+        .drop("_present", "_chunk", "__pb_in", "__nb_in", "__pb_c", "__nb_c")
         .orderBy(bucket_col)
     )
 
