@@ -981,6 +981,23 @@ def test_asof_tolerance_no_fallback(spark):
     assert out == {"l1": 1.0, "l2": None}
 
 
+def test_asof_tolerance_null_right_col_row_consistent(spark):
+    """ADVICE r6: the matched row must travel as a unit. A NULL in a
+    right column may NOT be backfilled from an older right row — and the
+    staleness gate must judge the row the values actually came from."""
+    left = spark.createDataFrame([("k", 100, "l1")], ["key", "ts", "tag"])
+    right = spark.createDataFrame(
+        [("k", 10, 7.0, "old"), ("k", 95, None, "new")],
+        "key string, ts long, v double, src string",
+    )
+    (row,) = asof_join(
+        left, right, on="key", right_cols=["v", "src"], tolerance=10
+    ).collect()
+    # nearest prior right row is ts=95 (within tolerance): its v is NULL
+    # and must STAY NULL — not borrow 7.0 from the stale ts=10 row.
+    assert row["src"] == "new" and row["v"] is None
+
+
 def test_holt_linear_matches_hand_rollforward(spark):
     from tickdb_spark.operators.trend import holt_linear
 

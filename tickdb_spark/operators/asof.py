@@ -53,18 +53,23 @@ def asof_join(
     marked = "_v_"
 
     lhs = left.withColumn("_ts", F.col(left_ts)).withColumn("_is_left", F.lit(1))
+    # The matched row travels as ONE struct (its ts + every right col):
+    # carrying columns independently would let a NULL right col pull its
+    # value from an OLDER row than the matched timestamp — the staleness
+    # gate would then validate a stale value against a newer row's ts
+    # (ADVICE r6). A struct is non-null for every right row even when its
+    # fields are null, so last(ignorenulls) always picks whole rows.
     rhs_cols = [
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(marked + c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias(marked),
     ]
     if tiebreak is not None:
         rhs_cols.append(F.col(tiebreak).alias("_tb"))
-    carry_cols = list(right_cols)
-    if tolerance is not None:
-        rhs_cols.append(F.col(right_ts).alias(marked + "__rts"))
-        carry_cols.append("__rts")
     rhs = right.select(*rhs_cols)
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
@@ -81,21 +86,17 @@ def asof_join(
         order.append(F.col("_tb").asc() if direction == "backward" else F.col("_tb").desc())
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
 
-    carried = unioned
-    for c in carry_cols:
-        carried = carried.withColumn(marked + c, F.last(marked + c, ignorenulls=True).over(w))
+    carried = unioned.withColumn(marked, F.last(marked, ignorenulls=True).over(w))
+    match = F.col(marked)
     if tolerance is not None:
-        rts = F.col(marked + "__rts")
+        rts = match.getField("__rts")
         diff = (
             F.col("_ts") - rts if direction == "backward" else rts - F.col("_ts")
         )
-        ok = rts.isNotNull() & (diff <= F.lit(tolerance))
-        for c in right_cols:
-            carried = carried.withColumn(
-                marked + c, F.when(ok, F.col(marked + c))
-            )
-        carried = carried.drop(marked + "__rts")
-    out = carried.where(F.col("_is_left") == 1).drop("_ts", "_is_left", "_tb")
+        match = F.when(rts.isNotNull() & (diff <= F.lit(tolerance)), match)
+    out = carried.where(F.col("_is_left") == 1)
     for c in right_cols:
-        out = out.withColumnRenamed(marked + c, c if c not in left.columns else f"right_{c}")
-    return out
+        out = out.withColumn(
+            c if c not in left.columns else f"right_{c}", match.getField(c)
+        )
+    return out.drop(marked, "_ts", "_is_left", "_tb")

@@ -33,9 +33,30 @@ from pyspark.sql import functions as F
 from tickdb_spark.operators.sampling import id_hash
 
 
+#: Hard ceiling for :func:`_corpus_matrix` — a driver-side collect exists
+#: ONLY for test/monitoring use (inertia of a small evaluation set). A
+#: pipeline must never route corpus-sized data through here.
+_CORPUS_MATRIX_MAX_ROWS = 2_000_000
+
+
 def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """TEST/MONITORING ONLY — collects the full frame to the driver.
+
+    Used solely by :func:`inertia` to score a (sampled) evaluation set;
+    never call it from a pipeline path. Guarded by a row-count ceiling so
+    a misuse fails loudly instead of OOM-ing the driver at scale — the
+    production assignment path is the distributed GEMM in
+    :func:`kmeans_assign`.
+    """
     import numpy as np
 
+    n = emb.count()
+    if n > _CORPUS_MATRIX_MAX_ROWS:
+        raise ValueError(
+            f"_corpus_matrix is test-only (driver-side collect): got {n} rows "
+            f"> ceiling {_CORPUS_MATRIX_MAX_ROWS}; use kmeans_assign for "
+            "corpus-scale scoring"
+        )
     pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     ids = pdf["id"].to_numpy()
     mat = np.vstack(pdf["v"].to_numpy()).astype("float64")

@@ -61,11 +61,16 @@ def interval_overlap_join(
 
     Same bucket-expansion construction as the point form, applied to
     BOTH sides: two intervals overlap only if they share a covered
-    bucket, so the candidate set is an equi-join on (keys, bucket); a
-    distinct collapses multi-bucket duplicates BEFORE the exact
-    predicate. Expansion stays ceil(len/bucket)+1 per row — never
-    quadratic, shuffles like any hash join. Adds ``overlap_ns`` =
-    ``least(ends) - greatest(starts)`` (exact BIGINT).
+    bucket, so the candidate set is an equi-join on (keys, bucket).
+    Multi-bucket duplicates are collapsed WITHOUT a distinct: a pair is
+    kept only in the bucket containing ``greatest(l_start, r_start)`` —
+    for an overlapping pair that instant lies inside both spans, so
+    exactly one shared bucket survives, and genuinely duplicate input
+    rows still produce their duplicate pairs (a full-row distinct would
+    silently merge them — ADVICE r6). Expansion stays
+    ceil(len/bucket)+1 per row — never quadratic, shuffles like any
+    hash join. Adds ``overlap_ns`` = ``least(ends) - greatest(starts)``
+    (exact BIGINT).
     """
     lb = left.withColumn(
         "_bucket",
@@ -85,7 +90,14 @@ def interval_overlap_join(
             )
         ),
     )
-    cand = lb.join(rb, [*keys, "_bucket"]).drop("_bucket").distinct()
+    cand = (
+        lb.join(rb, [*keys, "_bucket"])
+        .where(
+            F.col("_bucket")
+            == F.expr(f"greatest(`{l_start}`, `{r_start}`) div {bucket_ns}")
+        )
+        .drop("_bucket")
+    )
     return cand.where(
         (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
     ).withColumn(

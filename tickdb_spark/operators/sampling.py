@@ -181,8 +181,13 @@ def token_budget_sample(
         .orderBy(id_hash(F.col(id_col)), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col).cast("long")).over(w)
-    prev = cum - F.col(token_col).cast("long")
+    # NULL token counts contribute 0 on BOTH engines (ADVICE r6: a bare
+    # `cum - token` is NULL for a NULL-token row — the row would be
+    # silently dropped here while the SQL twin's 1-PRECEDING frame keeps
+    # it).
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    cum = F.sum(tok).over(w)
+    prev = cum - tok
     return df.withColumn("_prev", prev).where(F.col("_prev") < budget).drop("_prev")
 
 

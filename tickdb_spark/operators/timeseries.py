@@ -531,8 +531,32 @@ def rolling_zscore_anomalies(
 
     Returns only the flagged rows: ``(series, ts, id, value, baseline_n,
     dev_sq, thresh_sq)`` with ``dev_sq > thresh_sq`` guaranteed.
+
+    Magnitude bound (ADVICE r6): the cleared-denominator test squares
+    BIGINT sums, and Spark longs WRAP on overflow while DuckDB raises —
+    silent divergence. Every quantized value must satisfy
+    ``|q| <= sqrt(2^63-1) / (lookback * max(2, k))`` (conservative worst
+    case for both ``dev_sq`` and ``thresh_sq``); a checked
+    ``assert_true`` makes a violation an ERROR on the Spark side too,
+    never a wrapped wrong answer. Defaults allow |value| up to ~4.2e5
+    at scale=100.
     """
+    qbound = int((2**63 - 1) ** 0.5) // (lookback * max(2, k))
     q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    q = F.when(
+        F.assert_true(
+            F.abs(q) <= qbound,
+            F.concat(
+                F.lit(
+                    f"rolling_zscore_anomalies: |value*{scale}| exceeds the "
+                    f"overflow-safe bound {qbound} (Spark longs would wrap "
+                    "silently); raise `scale` down or shrink lookback/k: "
+                ),
+                F.col(value_col).cast("string"),
+            ),
+        ).isNull(),
+        q,
+    )
     w = (
         Window.partitionBy(series_col)
         .orderBy(ts_col, id_col)
