@@ -102,7 +102,7 @@ def test_jpeg_restart_interval_roundtrip(bw, bh, ri, grey, seed):
 
 @settings(max_examples=30, deadline=None)
 @given(
-    kind=st.sampled_from(["jpeg", "png", "bmp", "wav"]),
+    kind=st.sampled_from(["jpeg", "jpeg_prog", "png", "bmp", "wav"]),
     cut=st.floats(0.05, 0.95),
     flip_at=st.floats(0.1, 0.9),
     mode=st.sampled_from(["truncate", "flip", "garbage_tail"]),
@@ -123,6 +123,8 @@ def test_malformed_bytes_never_raise_from_stats_kernel(kind, cut, flip_at, mode,
     ).astype(np.uint8)
     if kind == "jpeg":
         good = mc.encode_jpeg(img, restart_interval=2)
+    elif kind == "jpeg_prog":
+        good = mc.encode_jpeg_progressive(img)
     elif kind == "png":
         good = mc.encode_png(img)
     elif kind == "bmp":

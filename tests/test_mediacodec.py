@@ -257,3 +257,46 @@ def test_jpeg_420_neutral_exact_and_smaller():
 def test_jpeg_420_requires_whole_mcus():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="420")
+
+
+def test_jpeg_progressive_roundtrip_and_baseline_equivalence():
+    from tickdb_spark.operators.mediacodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    # block-constant grey: exact
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.int64).astype(np.uint8)
+    grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = decode_jpeg(encode_jpeg_progressive(grey))
+    assert np.array_equal(out[:, :, 0], grey)
+    # arbitrary content: progressive decode must be BIT-IDENTICAL to the
+    # baseline decode (same quantizer, successive approximation is exact)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img)), decode_jpeg(encode_jpeg(img))
+    )
+    img420 = rng.integers(0, 256, (32, 16, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img420, subsampling="420")),
+        decode_jpeg(encode_jpeg(img420, subsampling="420")),
+    )
+
+
+def test_jpeg_progressive_rejects_malformed_scans():
+    from tickdb_spark.operators.mediacodec import encode_jpeg_progressive
+
+    # a baseline scan smuggled under a rewritten SOF2 marker must raise
+    # (its SOS says Ss=0, Se=63 — an illegal progressive DC scan)
+    good = encode_jpeg(np.zeros((8, 8), np.uint8))
+    bad = bytearray(good)
+    bad[good.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # header-only SOF2 (the old PROGRESSIVE_STUB shape) must still raise
+    from tickdb_spark.operators.multimodal import PROGRESSIVE_STUB
+
+    with pytest.raises(ValueError):
+        decode_jpeg(PROGRESSIVE_STUB)
+    # truncating a real progressive stream mid-scan must raise, not loop
+    full = encode_jpeg_progressive(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises(Exception):
+        decode_jpeg(full[: int(len(full) * 0.6)])

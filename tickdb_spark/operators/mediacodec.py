@@ -549,7 +549,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not (all(f == (1, 1) for f in fs)
                     or (len(fs) == 3 and fs == [(2, 2), (1, 1), (1, 1)])):
                 raise ValueError(f"unsupported sampling layout {fs}")
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker == 0xC2:
+            # progressive stream: hand the whole file to the multi-scan
+            # decoder (r7 — previously reason-rejected)
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC1, 0xC3):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xC4:
             i = 0
@@ -643,6 +647,484 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
     out = np.clip(np.round(np.stack(planes)), 0, 255).astype(np.uint8)
     if nc == 1:
+        return out[0][:, :, None]
+    y, cb, cr = (out[i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# JPEG progressive (SOF2, ITU-T T.81 Annex G: spectral selection +
+# successive approximation). The dominant encoding of web-scraped JPEGs —
+# r6 reason-rejected these; r7 decodes them (VERDICT r6 ask #2).
+# --------------------------------------------------------------------------
+
+
+def _coef_blocks(plane: np.ndarray, D: np.ndarray) -> np.ndarray:
+    """Forward-DCT a (h, w) float plane into (h/8, w/8, 64) zigzag-order
+    int64 coefficient blocks (unit quantization — same quantizer as the
+    baseline encoder, so baseline and progressive encodings of one image
+    decode to IDENTICAL pixels)."""
+    ph, pw = plane.shape
+    out = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            c = np.round(D @ blk @ D.T).astype(np.int64)
+            out[by, bx] = c.flatten()[_ZIGZAG]
+    return out
+
+
+def _enc_ac_first(bw: _BitWriter, ac, blkzz: np.ndarray, Ss: int, Se: int, Al: int) -> None:
+    """First AC scan of a band (T.81 G.1.2.2): code the point-transformed
+    band (|v| >> Al, sign kept — truncation toward zero). EOB runs are
+    flushed as per-block EOB0 symbols: legal (a run of n EOBs == n EOB0s)
+    and the Annex-K AC table lacks the EOBn (0x10..0xE0) symbols."""
+    band = blkzz[Ss : Se + 1]
+    pts = np.sign(band) * (np.abs(band) >> Al)
+    nz = np.nonzero(pts)[0]
+    if len(nz) == 0:
+        bw.put(*ac[0x00])
+        return
+    last = int(nz[-1])
+    run = 0
+    for i in range(last + 1):
+        v = int(pts[i])
+        if v == 0:
+            run += 1
+            if run == 16:
+                bw.put(*ac[0xF0])
+                run = 0
+            continue
+        n, bits = _mag_bits(v)
+        bw.put(*ac[(run << 4) | n])
+        bw.put(bits, n)
+        run = 0
+    if last < Se - Ss:
+        bw.put(*ac[0x00])
+
+
+def _enc_ac_refine(bw: _BitWriter, ac, blkzz: np.ndarray, Ss: int, Se: int, Al: int) -> None:
+    """Refinement AC scan (T.81 G.1.2.3): newly-significant coefficients
+    (|v| >> Al == 1) get a (run, 1) symbol + sign bit; already-significant
+    ones (|v| >> Al > 1) get buffered correction bits appended after the
+    next emitted symbol — the exact interleave the decoder's walk
+    consumes. ZRL flushes happen BEFORE buffering the current
+    coefficient's bit (order matters: the decoder reads correction bits
+    only up to the 16th skipped zero)."""
+    band = blkzz[Ss : Se + 1]
+    absv = np.abs(band) >> Al
+    newly = np.nonzero(absv == 1)[0]
+    eob = int(newly[-1]) if len(newly) else -1
+    r = 0
+    pending: list[int] = []
+    for i in range(Se - Ss + 1):
+        t = int(absv[i])
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            bw.put(*ac[0xF0])
+            r -= 16
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        bw.put(*ac[(r << 4) | 1])
+        bw.put(1 if int(band[i]) > 0 else 0, 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        bw.put(*ac[0x00])
+        for b in pending:
+            bw.put(b, 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 as a PROGRESSIVE (SOF2)
+    JFIF JPEG: unit quantization, standard Annex-K Huffman tables, and a
+    libjpeg-style scan script — interleaved first DC scan at Al=1, Y AC
+    split into a 1-5 band and a 6-63 band at Al=2, full-band chroma AC at
+    Al=1, then successive-approximation refinement scans down to Al=0.
+    Identical quantizer to :func:`encode_jpeg`, so the progressive and
+    baseline encodings of one image decode to identical pixels."""
+    grey = img.ndim == 2
+    h, w = img.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "420" and not grey
+    mcu = 16 if sub else 8
+    if h % mcu or w % mcu:
+        raise ValueError(
+            f"encode_jpeg_progressive needs dimensions that are multiples of {mcu}"
+        )
+    if grey:
+        planes = [img.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r_, g_, b_ = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        if sub:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    D = _dct_mat()
+    coef = [_coef_blocks(p, D) for p in planes]
+    dc_codes = _huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if ncomp == 1:
+        scans = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        scans = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    encoded = []
+    for cs, Ss, Se, Ah, Al in scans:
+        bw = _BitWriter()
+        if Ss == 0:
+            prev = [0] * len(cs)
+            for my in range(h // (8 * vmax)):
+                for mx in range(w // (8 * hmax)):
+                    for si, c in enumerate(cs):
+                        fh, fv = factors[c]
+                        for byy in range(fv):
+                            for bxx in range(fh):
+                                z0 = int(coef[c][my * fv + byy, mx * fh + bxx, 0])
+                                if Ah == 0:
+                                    v = z0 >> Al
+                                    diff = v - prev[si]
+                                    prev[si] = v
+                                    n, bits = _mag_bits(diff)
+                                    bw.put(*dc_codes[n])
+                                    if n:
+                                        bw.put(bits, n)
+                                else:
+                                    bw.put((z0 >> Al) & 1, 1)
+        else:
+            c = cs[0]
+            nby, nbx, _ = coef[c].shape
+            for by in range(nby):
+                for bx in range(nbx):
+                    if Ah == 0:
+                        _enc_ac_first(bw, ac_codes, coef[c][by, bx], Ss, Se, Al)
+                    else:
+                        _enc_ac_refine(bw, ac_codes, coef[c][by, bx], Ss, Se, Al)
+        encoded.append((cs, Ss, Se, Ah, Al, bw.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof_comps = b"".join(
+        struct.pack(">BBB", i + 1, (factors[i][0] << 4) | factors[i][1], 0)
+        for i in range(ncomp)
+    )
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    out = bytearray(b"\xff\xd8" + qt + sof + dht)
+    for cs, Ss, Se, Ah, Al, sb in encoded:
+        sos_comps = b"".join(struct.pack(">BB", c + 1, 0x00) for c in cs)
+        out += seg(
+            0xDA, bytes([len(cs)]) + sos_comps + bytes([Ss, Se, (Ah << 4) | Al])
+        )
+        out += sb
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the first FF followed by a real
+    marker (not a stuffed 00, not RST0-7)."""
+    i = start
+    while True:
+        i = data.find(b"\xff", i)
+        if i < 0 or i + 1 >= len(data):
+            return len(data)
+        nxt = data[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+
+
+def _prog_ac_first(br, ac_tab, blk, Ss, Se, Al, eobrun):
+    """T.81 G.2 / libjpeg decode_mcu_AC_first. Returns updated eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _huff_decode(br, ac_tab)
+        r, s = sym >> 4, sym & 15
+        if s:
+            k += r
+            if k > Se:
+                raise ValueError("AC coefficient index out of range")
+            blk[k] = _extend(br.bits(s), s) << Al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16
+    return eobrun
+
+
+def _prog_ac_refine(br, ac_tab, blk, Ss, Se, Al, eobrun):
+    """T.81 G.2 / libjpeg decode_mcu_AC_refine: refine already-significant
+    coefficients with correction bits, insert newly-significant ones at
+    +-2^Al. Returns updated eobrun."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _huff_decode(br, ac_tab)
+            r, s = sym >> 4, sym & 15
+            if s:
+                if s != 1:
+                    raise ValueError("invalid newly-significant size in AC refinement")
+                s = p1 if br.bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break
+            # advance over r zero-history coefs, refining nonzero-history
+            while k <= Se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.bits(1) and not (v & p1):
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                blk[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            v = int(blk[k])
+            if v != 0:
+                if br.bits(1) and not (v & p1):
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG — greyscale, 4:4:4 or 4:2:0 —
+    into (h, w, channels) uint8. Multi-scan marker walk accumulating
+    zigzag coefficient arrays per component: DC first/refine scans
+    (interleaved or single-component), AC first scans with EOB-run
+    decoding, AC refinement scans with correction bits (T.81 Annex G);
+    restart markers reset DC predictors and the EOB run. One
+    dequant + IDCT + upsample + YCbCr->RGB pass at EOI, identical to the
+    baseline reconstruction."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, fh, fv)
+    coefs: list[np.ndarray] = []
+    hmax = vmax = 1
+    nscans = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tid] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xC2:
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if depth != 8:
+                raise ValueError("only 8-bit precision supported")
+            for c in range(ncomp):
+                cid, sampling, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, qid, sampling >> 4, sampling & 0xF))
+            fs = [(c[2], c[3]) for c in comps]
+            if not (all(f == (1, 1) for f in fs)
+                    or (len(fs) == 3 and fs == [(2, 2), (1, 1), (1, 1)])):
+                raise ValueError(f"unsupported sampling layout {fs}")
+            hmax = max(f[0] for f in fs)
+            vmax = max(f[1] for f in fs)
+            if h % (8 * vmax) or w % (8 * hmax):
+                raise ValueError("partial MCUs unsupported (dims must fill whole MCUs)")
+            coefs = [
+                np.zeros((h * fv // (8 * vmax), w * fh // (8 * hmax), 64), np.int64)
+                for _, _, fh, fv in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("mixed SOF in progressive stream")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                huff[(cls, tid)] = {
+                    (code, length): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                i += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if not coefs:
+                raise ValueError("SOS before SOF in progressive stream")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * c)
+                idx = next(i for i, cc in enumerate(comps) if cc[0] == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0xF))
+            Ss, Se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            # T.81 G.1 scan-header validity: DC scans cover exactly the DC
+            # coefficient; AC bands are within 1..63; a refinement scan
+            # lowers the point transform by exactly one bit. A baseline
+            # scan smuggled under an SOF2 marker fails here loudly instead
+            # of decoding DC-only garbage.
+            if Ss == 0 and Se != 0:
+                raise ValueError("invalid progressive DC scan (Se != 0)")
+            if Ss > 0 and not (Ss <= Se <= 63):
+                raise ValueError("invalid progressive AC band")
+            if Ah != 0 and Ah != Al + 1:
+                raise ValueError("invalid successive-approximation step")
+            end = _entropy_end(data, pos)
+            br = _BitReader(data[pos:end])
+            pos = end
+            nscans += 1
+            eobrun = 0
+            if Ss == 0:
+                # DC scan — interleaved MCU order for ns>1, raster for ns==1
+                prev = [0] * len(scan_comps)
+                if len(scan_comps) > 1:
+                    units = [
+                        (si, my * fv + byy, mx * fh + bxx)
+                        for my in range(h // (8 * vmax))
+                        for mx in range(w // (8 * hmax))
+                        for si, (ci, _, _) in enumerate(scan_comps)
+                        for fh, fv in (comps[ci][2:],)
+                        for byy in range(fv)
+                        for bxx in range(fh)
+                    ]
+                    mcu_sz = sum(
+                        comps[ci][2] * comps[ci][3] for ci, _, _ in scan_comps
+                    )
+                else:
+                    ci = scan_comps[0][0]
+                    nby, nbx = coefs[ci].shape[:2]
+                    units = [
+                        (0, b // nbx, b % nbx) for b in range(nby * nbx)
+                    ]
+                    mcu_sz = 1
+                for ui, (si, by, bx) in enumerate(units):
+                    if (
+                        restart_interval
+                        and ui
+                        and ui % (restart_interval * mcu_sz) == 0
+                    ):
+                        br.restart()
+                        prev = [0] * len(scan_comps)
+                    ci, dct_id, _ = scan_comps[si]
+                    blk = coefs[ci][by, bx]
+                    if Ah == 0:
+                        n = _huff_decode(br, huff[(0, dct_id)])
+                        prev[si] += _extend(br.bits(n), n) if n else 0
+                        blk[0] = prev[si] << Al
+                    else:
+                        if br.bits(1):
+                            blk[0] = int(blk[0]) | (1 << Al)
+            else:
+                if len(scan_comps) != 1:
+                    raise ValueError("progressive AC scans must be single-component")
+                ci, _, act_id = scan_comps[0]
+                ac_tab = huff[(1, act_id)]
+                nby, nbx = coefs[ci].shape[:2]
+                for b in range(nby * nbx):
+                    if restart_interval and b and b % restart_interval == 0:
+                        br.restart()
+                        eobrun = 0
+                    blk = coefs[ci][b // nbx, b % nbx]
+                    if Ah == 0:
+                        eobrun = _prog_ac_first(br, ac_tab, blk, Ss, Se, Al, eobrun)
+                    else:
+                        eobrun = _prog_ac_refine(br, ac_tab, blk, Ss, Se, Al, eobrun)
+    if h is None or not coefs or nscans == 0:
+        raise ValueError("missing SOF/SOS segment")
+    D = _dct_mat()
+    planes = []
+    for ci, (cid, qid, fh, fv) in enumerate(comps):
+        arr = coefs[ci]
+        if qid not in qtables:
+            raise ValueError("missing quantization table")
+        q = qtables[qid]
+        nby, nbx = arr.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_ZIGZAG] = arr[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    D.T @ coef.reshape(8, 8).astype(np.float64) @ D + 128.0
+                )
+        if (fh, fv) != (hmax, vmax):
+            plane = np.repeat(np.repeat(plane, vmax // fv, axis=0), hmax // fh, axis=1)
+        planes.append(plane)
+    out = np.clip(np.round(np.stack(planes)), 0, 255).astype(np.uint8)
+    if len(comps) == 1:
         return out[0][:, :, None]
     y, cb, cr = (out[i].astype(np.float64) for i in range(3))
     r = y + 1.402 * (cr - 128.0)

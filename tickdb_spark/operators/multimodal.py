@@ -296,8 +296,8 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
 
     def reject_reason(exc: Exception) -> str:
         msg = str(exc)
-        if "SOF0" in msg:  # progressive SOF2 / extended sequential
-            return "progressive"
+        if "SOF0" in msg:  # SOF1/SOF3 extended-sequential / lossless
+            return "unsupported_sof"  # progressive SOF2 decodes since r7
         if "sampling layout" in msg:
             return "sampling"
         if isinstance(exc, (IndexError, EOFError)) or "struct" in type(exc).__module__:
@@ -528,10 +528,15 @@ def plant_robust_assets(docs: DataFrame) -> DataFrame:
     per doc_id (mod 3) — 0: a REAL baseline JPEG with restart interval 2
     (DRI + RSTn markers through the genuine entropy coder; 16x16 grey,
     2x2 constant blocks of (d+b) % 256 ⇒ exact closed-form sums);
-    1: :data:`PROGRESSIVE_STUB` (SOF2 — supported containers reject it
-    with reason 'progressive'); 2: :data:`CORRUPT_STUB` (marker-walk
-    garbage → reason 'corrupt')."""
-    encode_jpeg = _codec().encode_jpeg
+    1: a REAL progressive (SOF2) JPEG of the SAME image — r6 rejected
+    these with reason 'progressive', r7 decodes them to identical stats
+    (the dominant web encoding is no longer a reject class);
+    2: :data:`CORRUPT_STUB` (marker-walk garbage → reason 'corrupt').
+    Truncated-progressive robustness (header-only SOF2 = the old
+    :data:`PROGRESSIVE_STUB`) is pinned by the property tests."""
+    codec = _codec()
+    encode_jpeg = codec.encode_jpeg
+    encode_prog = codec.encode_jpeg_progressive
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -541,17 +546,64 @@ def plant_robust_assets(docs: DataFrame) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 v = d % 3
-                if v == 0:
-                    blocks = np.array(
-                        [[(d + 0) % 256, (d + 1) % 256], [(d + 2) % 256, (d + 3) % 256]],
-                        dtype=np.int64,
-                    ).astype(np.uint8)
-                    grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                    out.append((d, "image_jpeg", encode_jpeg(grey, restart_interval=2)))
-                elif v == 1:
-                    out.append((d, "image_jpeg", PROGRESSIVE_STUB))
-                else:
+                if v == 2:
                     out.append((d, "image_jpeg", CORRUPT_STUB))
+                    continue
+                blocks = np.array(
+                    [[(d + 0) % 256, (d + 1) % 256], [(d + 2) % 256, (d + 3) % 256]],
+                    dtype=np.int64,
+                ).astype(np.uint8)
+                grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                if v == 0:
+                    out.append((d, "image_jpeg", encode_jpeg(grey, restart_interval=2)))
+                else:
+                    out.append((d, "image_jpeg", encode_prog(grey)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def plant_progressive_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL progressive (SOF2) JPEGs from ``doc_id`` through
+    the genuine multi-scan path (spectral selection + successive
+    approximation, ``mediacodec.encode_jpeg_progressive``) with the same
+    closed-form stats as :func:`plant_jpeg_assets`: constant 8x8 blocks +
+    unit quantization make every coefficient exact, so the successive-
+    approximation refinement chain reconstructs bit-perfectly. Odd ids
+    greyscale 4:4:4 (bh = 1 + d % 5, bw = 1 + d % 7); even ids
+    neutral-grey RGB 4:2:0 (bh = 2·(1 + d % 3), bw = 2·(1 + d % 4)).
+    block(i, j) = base + 3i + 5j, base = 20 + d % 100
+    ⇒ px_sum = ch·64·(bh·bw·base + 3·bw·bh(bh−1)/2 + 5·bh·bw(bw−1)/2),
+      corner_sum = ch·base."""
+    encode_prog = _codec().encode_jpeg_progressive
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = 20 + d % 100
+                if d % 2 == 1:
+                    bh, bw = 1 + d % 5, 1 + d % 7
+                else:
+                    bh, bw = 2 * (1 + d % 3), 2 * (1 + d % 4)
+                blocks = (
+                    base
+                    + 3 * np.arange(bh, dtype=np.int64)[:, None]
+                    + 5 * np.arange(bw, dtype=np.int64)[None, :]
+                ).astype(np.uint8)
+                grey = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                if d % 2 == 1:
+                    out.append((d, "image_jpeg", encode_prog(grey)))
+                else:
+                    img = np.stack([grey] * 3, axis=2)
+                    out.append(
+                        (d, "image_jpeg", encode_prog(img, subsampling="420"))
+                    )
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
     return _repartitioned(docs.select("doc_id")).mapInPandas(

@@ -1959,29 +1959,27 @@ def media_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 'corner_sum' THEN media_id % 256 END AS BIGINT) AS value
       FROM ids, (VALUES ('width'), ('height'), ('channels'), ('px_sum'),
                         ('corner_sum')) s(stat)
-      WHERE v = 0
+      WHERE v IN (0, 1)
     ),
     rej AS (
       SELECT media_id, 'image_jpeg' AS media_type,
-             CASE WHEN v = 1 THEN 'rejected_progressive'
-                  ELSE 'rejected_corrupt' END AS stat,
-             CAST(CASE WHEN v = 1 THEN {len(_mm.PROGRESSIVE_STUB)}
-                  ELSE {len(_mm.CORRUPT_STUB)} END AS BIGINT) AS value
-      FROM ids WHERE v IN (1, 2)
+             'rejected_corrupt' AS stat,
+             CAST({len(_mm.CORRUPT_STUB)} AS BIGINT) AS value
+      FROM ids WHERE v = 2
     )
     SELECT media_id, media_type, stat, value FROM good
     UNION ALL SELECT media_id, media_type, stat, value FROM rej
     """,
     "decoder robustness, oracle-checked: a mixed corpus of REAL "
     "restart-interval JPEGs (DRI + RSTn through the genuine entropy "
-    "coder — r5 rejected these, now decoded), progressive SOF2 stubs, "
-    "and marker-walk garbage. Healthy items decode to closed-form "
-    "stats; malformed items become reason-tagged reject ROWS "
-    "(rejected_progressive / rejected_corrupt) — the kernel never "
-    "raises, because one bad blob must not kill a 100-TB task. No "
-    "final orderBy: a global sort above mapInPandas re-executes every "
-    "decode in the range-sampling pass (driver and parity both sort "
-    "before hashing)",
+    "coder — r5 rejected these, now decoded), REAL progressive SOF2 "
+    "encodings of the same images (r6 rejected these, r7 decodes them "
+    "to IDENTICAL closed-form stats), and marker-walk garbage. Healthy "
+    "items decode; malformed items become reason-tagged reject ROWS "
+    "(rejected_corrupt) — the kernel never raises, because one bad "
+    "blob must not kill a 100-TB task. No final orderBy: a global sort "
+    "above mapInPandas re-executes every decode in the range-sampling "
+    "pass (driver and parity both sort before hashing)",
 )
 def media_robust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").where(
@@ -1989,6 +1987,54 @@ def media_robust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = _materialized_assets("robust", sf_dir, _mm.plant_robust_assets(docs))
     return _mm.decode_media_stats(media, repartition=False)
+
+
+@register(
+    "media_decode_progressive",
+    """
+    WITH jpg AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 2 * (1 + doc_id % 3)
+                  ELSE 1 + doc_id % 5 END AS bh,
+             CASE WHEN doc_id % 2 = 0 THEN 2 * (1 + doc_id % 4)
+                  ELSE 1 + doc_id % 7 END AS bw,
+             20 + doc_id % 100 AS base,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id < 900
+    )
+    SELECT media_id, media_type, stat, CAST(value AS BIGINT) AS value FROM (
+      SELECT doc_id AS media_id, 'image_jpeg' AS media_type, 'width' AS stat,
+             8 * bw AS value FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'height', 8 * bh FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'channels', ch FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'px_sum',
+                       ch * 64 * (bh * bw * base
+                                  + 3 * bw * (bh * (bh - 1) // 2)
+                                  + 5 * bh * (bw * (bw - 1) // 2)) FROM jpg
+      UNION ALL SELECT doc_id, 'image_jpeg', 'corner_sum', ch * base FROM jpg
+    )
+    ORDER BY media_id, stat
+    """,
+    "REAL progressive-JPEG (SOF2) decode, oracle-checked — the dominant "
+    "web encoding, reason-rejected through r6, decoded in r7: planted "
+    "assets run the genuine multi-scan path (mediacodec."
+    "encode_jpeg_progressive / _decode_jpeg_progressive — spectral "
+    "selection, successive approximation with DC/AC refinement scans, "
+    "EOB-run decoding, per-scan entropy segmentation; T.81 Annex G). "
+    "Constant 8x8 blocks + unit quantization make every coefficient "
+    "exact, so the refinement chain reconstructs bit-perfectly and "
+    "channel sums have closed forms. Even ids neutral-grey RGB 4:2:0, "
+    "odd ids greyscale 4:4:4 — same geometry as media_decode_jpeg on a "
+    "disjoint doc_id subset (% 3 = 2).",
+)
+def media_progressive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 900)
+    )
+    media = _materialized_assets(
+        "progressive", sf_dir, _mm.plant_progressive_assets(docs)
+    )
+    return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
 
 
 @register(
@@ -5420,6 +5466,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_audio_features",
     "media_scene_cuts",
     # (2) NEW or CHANGED in r7 — appended below as r7 work lands.
+    "media_decode_progressive",
+    "media_decode_robust",
 ]
 
 
