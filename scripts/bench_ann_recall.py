@@ -39,8 +39,8 @@ def main() -> None:
           f"{n_corpus - 1} candidates/query, recall 1.000)")
     print(f"{'tables':>6} {'planes':>6} {'recall@5':>9} {'cand/query':>11} "
           f"{'% corpus':>9}")
-    for planes in (2, 3, 4, 5):
-        for tables in (1, 2, 3, 4, 6):
+    for planes in (3, 4, 5, 6):
+        for tables in (1, 4, 6, 8, 12, 16, 24, 32):
             tp = [_hyperplanes(n=planes, seed=7 + 13 * t) for t in range(tables)]
             got = ann_topk_lsh_multitable(
                 emb, QIDS, k=K, table_planes=tp

@@ -603,8 +603,10 @@ def test_multitable_lsh_recall_floor(spark):
 
     r1, rm = recall(one), recall(multi)
     # measured on this corpus (scripts/bench_ann_recall.py sweep): single
-    # 0.147, 6-table 0.533 — floor at 0.45 leaves noise margin only
-    assert rm >= 0.45, f"multi-table recall collapsed: {rm}"
+    # 0.147, r7 default 24x6 0.767 at 32.5% candidates — floor at 0.70
+    # pins the VERDICT r6 ask (>=0.7 recall under 60% candidate volume)
+    # with noise margin only
+    assert rm >= 0.70, f"multi-table recall collapsed: {rm}"
     assert rm > r1, f"amplification bought nothing: multi {rm} <= single {r1}"
 
 

@@ -104,13 +104,21 @@ def bucket_expr(
 #: LSH needs at scale (a single table's miss rate is data-independent and
 #: irreducible).
 #:
-#: 6 tables x 4 planes is the measured frontier pick on the gate corpus
+#: 24 tables x 6 planes is the r7 frontier pick on the gate corpus
 #: (scripts/bench_ann_recall.py sweep, table in BASELINE.md): recall@5
-#: 0.533 at 32% of corpus scored per query — it dominates 3x3 (0.447 at
-#: the same 32%) and beats the old 3x4 default (0.340 at 18%) where the
-#: extra cost buys the most recall per candidate.
-N_TABLES = 6
-TABLE_PLANES = [_hyperplanes(seed=7 + 13 * t) for t in range(N_TABLES)]
+#: 0.767 at 32.5% of corpus scored per query — the SAME candidate volume
+#: as the old 6x4 default (0.533 at 32.2%) with +0.23 recall, and it
+#: dominates every swept config under 40% candidates (16x5: 0.753 at
+#: 40.3%; 12x5: 0.627 at 32.6%). Finer buckets (6 planes = 64 buckets)
+#: plus more tables shift cost from SCORING (the per-candidate axis that
+#: dominates at corpus scale) to SIGNATURES (one linear scan, 144 plane
+#: dots/row, still cheap in codegen). VERDICT r6 ask #4: >=0.7 recall
+#: under 60% candidate volume.
+N_TABLES = 24
+N_TABLE_PLANES = 6
+TABLE_PLANES = [
+    _hyperplanes(n=N_TABLE_PLANES, seed=7 + 13 * t) for t in range(N_TABLES)
+]
 
 
 def ann_topk_bruteforce(
@@ -416,10 +424,34 @@ def ann_topk_lsh_multitable(
     by tests/test_pipeline_ops.py on the same corpus the gate uses.
     """
     tp = TABLE_PLANES if table_planes is None else table_planes
+    np_ = len(tp[0])
+    # ONE nested-array literal + a transform fold computes all
+    # tables*planes dots per row; per-table buckets then read the dots
+    # array. The per-plane fold order is identical to dot_literal_expr
+    # (zip_with + aggregate foldLeft), so the signs — hence buckets —
+    # match the oracle's literal expansions bitwise. The naive form (one
+    # independent fold expression per plane) was 144 copies of a
+    # 64-element literal at the 24x6 default and spent seconds in
+    # analysis/codegen per query (measured 3.8 s warm -> sub-second).
+    flat = [p for table in tp for p in table]
+    planes_lit = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in p) + ")" for p in flat
+    ) + ")"
+    dots = (
+        f"transform({planes_lit}, p -> aggregate(zip_with({vec_col}, p, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+        f"(acc, t) -> acc + t))"
+    )
     sigs = "array(" + ", ".join(
-        bucket_expr(vec_col, planes=p) for p in tp
+        "(" + " + ".join(
+            f"(CASE WHEN _dots[{t * np_ + i}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(np_)
+        ) + ")"
+        for t in range(len(tp))
     ) + ")"
     bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(dots).alias("_dots")
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(F.expr(sigs)).alias("table_id", "bucket"),

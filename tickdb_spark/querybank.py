@@ -5468,6 +5468,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (2) NEW or CHANGED in r7 — appended below as r7 work lands.
     "media_decode_progressive",
     "media_decode_robust",
+    "sim_ann_topk_lsh_multitable",
 ]
 
 
