@@ -281,3 +281,100 @@ def test_stream_ingest_exactly_once_across_restarts(tmp_path, spark):
     rows = {r["ts"]: r["value"]["p"]
             for r in read_ticks(spark, str(db)).collect()}
     assert len(rows) == 3 and rows[1709294400000000000] == 3.0
+
+
+def test_stream_ingest_from_rate_source(tmp_path, spark):
+    """VERDICT r6 ask #6: the foreachBatch ingest topology must not be
+    load-bearing on the file-landing source. Drive the SAME sink from a
+    rate-micro-batch source (deterministic synthetic timestamped rows —
+    the in-process stand-in for a message bus) and assert the warehouse
+    ends up with the identical layout/visibility invariants: every row
+    visible exactly once through the LWW view, point reads and bucket
+    queries served. Row identity comes from the monotone rate value
+    (ts = start + value seconds): micro-batch BOUNDARIES under a slow
+    sink are nondeterministic (the source batches catch-up rows
+    together), so correctness is asserted per-row, not per-batch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.schema import ns_to_ts
+    from tickdb_spark.streaming.ingest import stream_ingest_source
+
+    start_ns = 1709287200000000000  # 2024-03-01T10:00:00Z
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 4)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 1709287200000)
+        .load()
+    )
+    ticks = (
+        rate.select(
+            F.concat(F.lit("rt"), (F.col("value") % 4).cast("string")).alias(
+                "series"
+            ),
+            (F.lit(start_ns) + F.col("value") * F.lit(1_000_000_000)).alias("ts"),
+            F.create_map(F.lit("p"), F.col("value").cast("double")).alias("value"),
+        )
+        .withColumn("ts_utc", ns_to_ts(F.col("ts")))
+    )
+    tdb = TickDB(spark, str(tmp_path / "wh"))
+    tdb.create_db("r")
+    db_path = tdb.catalog._existing("r")
+    q = stream_ingest_source(
+        ticks,
+        db_path,
+        str(tmp_path / "ckpt"),
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            # two COMMITTED batches (numInputRows over-reports on the
+            # catch-up batch; batchId in recentProgress is the real unit)
+            if any(p["batchId"] >= 1 for p in q.recentProgress):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("rate stream committed <2 batches in 120 s")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    ticks_v = tdb.ticks("r")
+    by_series = {
+        s: [
+            r["value"]["p"]
+            for r in ticks_v.where(F.col("series") == f"rt{s}")
+            .orderBy("ts")
+            .collect()
+        ]
+        for s in range(4)
+    }
+    # rate value v lands in series rt(v%4) at start + v seconds: through
+    # the LWW view each series must show the exact arithmetic sequence —
+    # no loss, no duplication, whatever the micro-batch boundaries were
+    n_total = sum(len(v) for v in by_series.values())
+    assert n_total >= 8
+    for s, vals in by_series.items():
+        assert vals == [float(s + 4 * i) for i in range(len(vals))], (s, vals)
+    # LWW point read through the same path as batch/HTTP ingest
+    assert tdb.get("r", "rt1", "2024-03-01T10:00:01Z") == {"p": 1.0}
+    # bucket aggregation served from the streamed warehouse: the first
+    # minute holds values 0..min(60, n)-1 for each series
+    agg = tdb.query(
+        "r",
+        {
+            "index": "rt0",
+            "from": "2024-03-01T10:00:00Z",
+            "to": "2024-03-01T10:01:00Z",
+            "group": "minute",
+            "fields": {"p": ["min", "count"]},
+        },
+    ).collect()
+    assert [(r["p_min"], r["p_count"]) for r in agg] == [
+        (0.0, float(len([v for v in by_series[0] if v < 60])))
+    ] or [(r["p_min"], int(r["p_count"])) for r in agg] == [
+        (0.0, len([v for v in by_series[0] if v < 60]))
+    ]

@@ -68,23 +68,32 @@ def normalize_stream(docs: DataFrame) -> DataFrame:
     ).withColumn("ts_utc", ns_to_ts(F.col("ts")))
 
 
-def stream_ingest(
-    spark: SparkSession,
-    landing_dir: str,
+def stream_ingest_source(
+    ticks: DataFrame,
     db_path: str,
     checkpoint_dir: str,
     maintain_rollups: bool = False,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
-    """Continuous ingest into a database directory. Each micro-batch goes
-    through the batch append path, so visibility, LWW ordering and the
-    partition layout are identical to HTTP-style batch ingest.
+    """Source-agnostic continuous ingest: ANY streaming frame with the
+    canonical tick columns (series, ts, value, ts_utc) — a file landing
+    dir, a ``rate``/``rate-micro-batch`` source, a Kafka topic — drives
+    the same foreachBatch sink. Each micro-batch goes through the batch
+    append path, so visibility, LWW ordering and the partition layout are
+    identical to HTTP-style batch ingest regardless of the source
+    (proven on a non-file source by
+    ``tests/test_streaming.py::test_stream_ingest_from_rate_source``).
 
     ``maintain_rollups=True`` runs an incremental rollup refresh after
     each micro-batch — the streaming form of the reference's on-insert
     rollup maintenance (``node.go:213-226``): only the (series, dt)
     partitions the batch touched are re-reduced, so coarse queries stay
-    rollup-served with bounded per-batch maintenance cost."""
-    ticks = normalize_stream(read_doc_stream(spark, landing_dir))
+    rollup-served with bounded per-batch maintenance cost.
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain-and-stop);
+    unbounded sources pass e.g. ``{"processingTime": "1 second"}``."""
+    spark = ticks.sparkSession
+    db_path = str(db_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -100,8 +109,23 @@ def stream_ingest(
     return (
         ticks.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
+    )
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    db_path: str,
+    checkpoint_dir: str,
+    maintain_rollups: bool = False,
+) -> StreamingQuery:
+    """File-landing wrapper over :func:`stream_ingest_source` (the
+    test/local stand-in for a message bus — swap the source only)."""
+    ticks = normalize_stream(read_doc_stream(spark, landing_dir))
+    return stream_ingest_source(
+        ticks, db_path, checkpoint_dir, maintain_rollups=maintain_rollups
     )
 
 
