@@ -399,3 +399,17 @@ def test_single_series_gapfill_spine_windows_chunk_partitioned(spark, name):
             for tag in ("__carry_", "__pb_c", "__pv_c_", "__nb_c", "__nv_c_")
         ), f"partition-less non-carry window in {name}: {line}"
     assert saw_chunked, plan
+
+
+def test_ivf_pairs_single_equijoin_no_cartesian(spark):
+    """IVF pair mining must be ONE hash equi-join on cell — never a
+    cartesian/nested-loop over the corpus, and no distinct stage (the
+    min-common-probe filter collapses multi-probe duplicates)."""
+    from tickdb_spark.operators.similarity import cosine_neardup_pairs_ivf
+
+    emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
+    df = cosine_neardup_pairs_ivf(emb, 0.4)
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan, "unexpected aggregate (distinct?) stage"

@@ -222,8 +222,8 @@ def dedup_clusters_sql(pairs_sql: str, table: str = "documents", id_col: str = "
     node. Exponential pair blowup is bounded by dedup-cluster size (tiny);
     the UNION (not UNION ALL) dedups reach rows per step."""
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
@@ -299,8 +299,8 @@ def dedup_retention_sql(
     """DuckDB twin: transitive closure (recursive CTE) + per-component
     arg-max on (quality DESC, id ASC)."""
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs

@@ -890,3 +890,112 @@ def ann_topk_ivf_sql(
     SELECT query_id, neighbor_id, cosine, rnk FROM ranked
     WHERE rnk <= {k} ORDER BY query_id, rnk
     """
+
+
+def cosine_neardup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float,
+    margin: float = IVF_MARGIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cell-confined cosine pair mining — the SemDeDup (Abbas et al.
+    2023) corpus-scale shape: coarse-quantize every vector into IVF
+    centroid cells, generate candidate pairs only WITHIN a shared cell,
+    exact-score survivors. The exact GEMM detector
+    (``cosine_neardup_pairs``) is O(n²·d) flops by construction; this
+    path's flop count is Σ_cells |cell|²·d — with cells sized to the
+    corpus (k ∝ n, bounded cell occupancy) candidate volume stays
+    ~linear in n. Recall < 1 by design: cross-cell pairs are missed
+    unless the ``margin`` multi-probe covers them (recall vs the exact
+    detector is pinned in tests on the gate corpus; SemDeDup itself
+    accepts exactly this approximation).
+
+    Deterministic and oracle-checkable: cell scores, probe sets, and the
+    final cosine all use the shared left-associative fold expressions,
+    so both engines derive identical candidates and bit-identical
+    emitted values.
+
+    Multi-probe duplicates are collapsed WITHOUT a distinct (ADVICE-r6
+    precedent): both sides carry their probe arrays and a pair is kept
+    only in the MINIMUM shared probed cell — exactly one surviving copy
+    per candidate pair, single equi-join shuffle, no join-back stage.
+    """
+    n_cells = N_CENTROIDS if centroids is None else len(centroids)
+    # staged projections: scores array once per row, then probes once per
+    # row (Catalyst keeps non-cheap reused expressions in their own
+    # projection — the inlined form re-evaluates every centroid dot)
+    p = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(ivf_scores_expr(vec_col, centroids=centroids)).alias("scores"),
+    ).select(
+        "id",
+        "v",
+        F.expr(ivf_probes_from_scores(margin, n=n_cells)).alias("_probes"),
+    )
+    probed = p.select("id", "v", "_probes", F.explode("_probes").alias("cell"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = probed.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("_probes").alias("_pa"),
+        "cell",
+    ).repartition(par, "cell")
+    b = probed.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("_probes").alias("_pb"),
+        "cell",
+    )
+    cos = F.expr(cosine_expr("va", "vb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.col("cell")
+            == F.array_min(F.array_intersect(F.col("_pa"), F.col("_pb")))
+        )
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_neardup_pairs_ivf_sql(
+    table: str,
+    threshold: float,
+    margin: float = IVF_MARGIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    # Per-row norm precomputed ONCE (sqrt(selfdot) per vector), so each
+    # candidate pair pays a single 64-term dot instead of three —
+    # dot/(sqrt(A)*sqrt(B)) evaluates the identical FP ops in the
+    # identical order as the inline cosine_expr, so emitted values stay
+    # bit-identical to the engine. cand is MATERIALIZED: _cos is
+    # referenced by both the outer filter and projection, and DuckDB
+    # would otherwise inline (recompute) it per reference.
+    scores = ivf_scores_expr(vec_col, sql=True)
+    probes = ivf_probes_from_scores(margin, sql=True)
+    dot = dot_expr("a.va", "b.vb", sql=True)
+    selfdot = dot_expr("v", "v", sql=True)
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS id, {vec_col} AS v, {scores} AS scores FROM {table}
+    ),
+    p AS MATERIALIZED (
+      SELECT id, v, sqrt({selfdot}) AS nrm, {probes} AS pr FROM s
+    ),
+    a AS (SELECT id AS id_a, v AS va, nrm AS na, pr AS pa, unnest(pr) AS cell FROM p),
+    b AS (SELECT id AS id_b, v AS vb, nrm AS nb, pr AS pb, unnest(pr) AS cell FROM p),
+    cand AS MATERIALIZED (
+      SELECT id_a, id_b, ({dot} / (a.na * b.nb)) AS _cos
+      FROM a JOIN b USING (cell)
+      WHERE id_a < id_b
+        AND cell = list_aggregate(list_intersect(pa, pb), 'min')
+    )
+    SELECT id_a, id_b, round(_cos, 6) AS cosine
+    FROM cand WHERE _cos >= {threshold}
+    """

@@ -1246,6 +1246,31 @@ def sim_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_semantic_dedup_ivf",
+    _cluster.dedup_clusters_sql(
+        _sim.cosine_neardup_pairs_ivf_sql("embeddings", threshold=0.4),
+        table="embeddings",
+        id_col="vec_id",
+    )
+    + " ORDER BY vec_id",
+    "SemDeDup at corpus scale: IVF cell-confined cosine pairs (coarse "
+    "quantize -> within-cell candidates only -> exact left-assoc "
+    "rescore) -> connected components -> canonical per cluster. The "
+    "flop count is sum(|cell|^2 d), ~linear in n with cells sized to "
+    "the corpus, vs the exact GEMM detector's n^2 d; recall vs exact "
+    "pinned in tests (0.88 on the gate corpus at margin 0.5). Both "
+    "engines derive identical cells/probes/cosines from the shared "
+    "fold expressions, so the approximation itself is hash-checked",
+)
+def sim_semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = _sim.cosine_neardup_pairs_ivf(emb, threshold=0.4)
+    return _cluster.dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id").orderBy(
+        "vec_id"
+    )
+
+
+@register(
     "sim_embedding_l2norm",
     f"""
     SELECT vec_id, i,
@@ -5469,6 +5494,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_decode_progressive",
     "media_decode_robust",
     "sim_ann_topk_lsh_multitable",
+    "sim_semantic_dedup_ivf",
+    # oracle text touched in r7 (AS MATERIALIZED in the CC closure —
+    # values unchanged, re-proof cheap): keep in the sampled head
+    "dedup_cluster_components",
+    "dedup_cluster_retention",
 ]
 
 
