@@ -1042,3 +1042,56 @@ def test_ivf_pairs_subset_exact_values_recall_floor(spark):
         assert v == exact[k], f"value drift on {k}: {v} != {exact[k]}"
     assert exact, "empty ground truth defeats the test"
     assert len(ivf) / len(exact) >= 0.80, f"recall collapsed: {len(ivf)}/{len(exact)}"
+
+
+def test_heavy_hitters_equals_naive_and_mg_superset(spark):
+    """Two-phase heavy hitters must equal the naive global aggregate
+    exactly (counts included), even with a DELIBERATELY tiny MG capacity
+    and adversarial partitioning (each heavy key's occurrences smeared
+    across partitions, drowned in a unique-singleton tail)."""
+    from tickdb_spark.operators.heavyhitters import heavy_hitters_exact
+
+    # 3 heavy keys (600, 400, 300 of 11300) + 10k singleton tail
+    rows = (
+        [("alpha",)] * 600 + [("beta",)] * 400 + [("gamma",)] * 300
+        + [(f"tail{i}",) for i in range(10_000)]
+    )
+    items = spark.createDataFrame(rows, ["k"]).repartition(8)  # smear keys
+    phi = 0.02  # threshold ceil(0.02 * 11300) = 226
+    got = {r.k: r.cnt for r in heavy_hitters_exact(items, "k", phi, capacity=120).collect()}
+    naive = {
+        r.k: r.cnt
+        for r in items.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 226)
+        .collect()
+    }
+    assert got == naive == {"alpha": 600, "beta": 400, "gamma": 300}
+
+
+def test_bloom_decontam_equals_exact_with_tiny_bitmap(spark):
+    """The Bloom prefilter must be output-identical to the exact
+    contamination report even with a DELIBERATELY tiny bitmap (high FPR:
+    more survivors reach the exact join, never fewer — no false
+    negatives by construction)."""
+    from tickdb_spark.operators.decontam import (
+        contamination_report,
+        contamination_report_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    exact = contamination_report(train, ev, "text", "doc_id", n=6).toPandas()
+    # 2^12 bits with k=2 → heavy false-positive load on the verify join
+    bloom = contamination_report_bloom(
+        train, ev, "text", "doc_id", n=6, m_bits=1 << 12, k_hashes=2
+    ).toPandas()
+    cols = ["id", "n_shared_grams", "contaminated"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        exact[cols].sort_values("id").reset_index(drop=True),
+        bloom[cols].sort_values("id").reset_index(drop=True),
+    )
+    assert exact.contaminated.any(), "no contamination planted defeats the test"

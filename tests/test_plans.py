@@ -401,10 +401,12 @@ def test_single_series_gapfill_spine_windows_chunk_partitioned(spark, name):
     assert saw_chunked, plan
 
 
-def test_ivf_pairs_single_equijoin_no_cartesian(spark):
-    """IVF pair mining must be ONE hash equi-join on cell — never a
-    cartesian/nested-loop over the corpus, and no distinct stage (the
-    min-common-probe filter collapses multi-probe duplicates)."""
+def test_ivf_pairs_cell_confined_no_cartesian(spark):
+    """IVF pair mining must be ONE grouped GEMM per cell (a single
+    cell-keyed exchange into FlatMapGroupsInPandas) — never a
+    cartesian/nested-loop or self-join over the corpus, and no distinct
+    stage (the min-common-probe anchor collapses multi-probe duplicates
+    inside the tile)."""
     from tickdb_spark.operators.similarity import cosine_neardup_pairs_ivf
 
     emb = spark.read.parquet(SF_CORRECT + "/embeddings.parquet")
@@ -412,4 +414,6 @@ def test_ivf_pairs_single_equijoin_no_cartesian(spark):
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
     assert "HashAggregate" not in plan, "unexpected aggregate (distinct?) stage"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -100,6 +100,115 @@ def contamination_report_sql(
     """
 
 
+def contamination_report_bloom(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """``contamination_report`` with a Bloom-filter prefilter — IDENTICAL
+    output (a Bloom filter has no false negatives; false positives are
+    removed by the exact join), different 100-TB cost model.
+
+    The exact path broadcasts the eval set's distinct gram hashes: fine
+    for thousands of eval docs, but a large eval/benchmark suite
+    (tens of millions of grams) is a multi-GB broadcast. Here the
+    broadcast is a fixed ``m_bits``-bit bitmap (1 Mbit = 128 KB
+    regardless of eval size): corpus grams probe the bitmap in a
+    vectorized Arrow batch (numpy uint64 mixing, k bit tests), and only
+    the surviving ~FPR·corpus + true-hit grams reach the exact
+    (shuffled, partitioned — NOT broadcast) join against the eval gram
+    table. At FPR ≈ 1% the corpus-side shuffle shrinks 100×; the
+    answer cannot change, only the plan does.
+
+    The bitmap is built distributed: each partition ORs its grams into a
+    local bitmap, the driver ORs the per-partition bitmaps (bounded by
+    partitions × m/8 bytes, data-independent). Probe hashing is
+    splitmix64-style numpy uint64 arithmetic — engine-independent, so
+    the oracle stays the exact-path SQL."""
+    import numpy as np
+    import pandas as pd
+
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tg = _gram_hashes(train.repartition(par), text_col, id_col, n)
+    eg = _gram_hashes(eval_set, text_col, id_col, n).select("gram").distinct()
+
+    words = m_bits // 64
+    mask = np.uint64(m_bits - 1)
+
+    def _positions(grams: "np.ndarray") -> list["np.ndarray"]:
+        g = grams.astype("uint64")
+        out = []
+        with np.errstate(over="ignore"):
+            for i in range(k_hashes):
+                x = g + np.uint64(
+                    (0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+                )
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                x = x ^ (x >> np.uint64(31))
+                out.append(x & mask)
+        return out
+
+    def _build(batches):
+        bits = np.zeros(words, dtype="uint64")
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            for pos in _positions(pdf["gram"].to_numpy()):
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(6)).astype("int64"),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        if seen:
+            yield pd.DataFrame({"w": bits.view("int64")})
+
+    # bounded collect: per-partition bitmaps OR-ed on the driver —
+    # m_bits/8 bytes each, independent of eval-set size
+    parts = eg.mapInPandas(_build, "w long").toPandas()
+    bitmap = np.zeros(words, dtype="uint64")
+    for s in range(0, len(parts), words):
+        bitmap |= parts["w"].to_numpy()[s : s + words].view("uint64")
+    bc = train.sparkSession.sparkContext.broadcast(bitmap)
+
+    # no type hints: pandas_udf resolves hints via module globals, and
+    # pd/np are function-local imports here (legacy SCALAR inference)
+    @F.pandas_udf("boolean")
+    def probe(grams):
+        b = bc.value
+        g = grams.to_numpy()
+        ok = np.ones(len(g), dtype=bool)
+        for pos in _positions(g):
+            ok &= (
+                b[(pos >> np.uint64(6)).astype("int64")]
+                >> (pos & np.uint64(63)) & np.uint64(1)
+            ).astype(bool)
+        return pd.Series(ok)
+
+    cand = tg.where(probe(F.col("gram")))
+    # exact verification: shuffled hash join (eval side partitioned, not
+    # broadcast — the point of the bloom path), then the same per-doc count
+    hits = (
+        cand.join(eg.hint("shuffle_hash"), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate decontamination (cross-table MinHash LSH)
 # ---------------------------------------------------------------------------

@@ -918,11 +918,22 @@ def cosine_neardup_pairs_ivf(
     emitted values.
 
     Multi-probe duplicates are collapsed WITHOUT a distinct (ADVICE-r6
-    precedent): both sides carry their probe arrays and a pair is kept
-    only in the MINIMUM shared probed cell — exactly one surviving copy
-    per candidate pair, single equi-join shuffle, no join-back stage.
+    precedent): a pair is kept only in the MINIMUM shared probed cell —
+    exactly one surviving copy per candidate pair.
+
+    Scoring runs as ONE ``applyInPandas`` GEMM per cell (the same
+    select-at-τ−ε / exact-left-assoc-rescore construction as the tiled
+    block-pair detector above — emitted values bit-identical to the
+    expression path): the per-pair higher-order-function cosine fell to
+    interpreted lambda evaluation and ran minutes at 10⁶-pair candidate
+    volumes, while the cell GEMM is BLAS.
     """
+    import numpy as np
+    import pandas as pd
+
     n_cells = N_CENTROIDS if centroids is None else len(centroids)
+    cut = threshold - 1e-4
+
     # staged projections: scores array once per row, then probes once per
     # row (Catalyst keeps non-cheap reused expressions in their own
     # projection — the inlined form re-evaluates every centroid dot)
@@ -935,32 +946,63 @@ def cosine_neardup_pairs_ivf(
         "v",
         F.expr(ivf_probes_from_scores(margin, n=n_cells)).alias("_probes"),
     )
-    probed = p.select("id", "v", "_probes", F.explode("_probes").alias("cell"))
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    a = probed.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("_probes").alias("_pa"),
-        "cell",
-    ).repartition(par, "cell")
-    b = probed.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("_probes").alias("_pb"),
-        "cell",
-    )
-    cos = F.expr(cosine_expr("va", "vb"))
-    return (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.col("cell")
-            == F.array_min(F.array_intersect(F.col("_pa"), F.col("_pb")))
+    rep = p.select("id", "v", "_probes", F.explode("_probes").alias("cell"))
+
+    def _exact_cos(A: "np.ndarray", Bm: "np.ndarray") -> "np.ndarray":
+        # identical 0.0-seeded left fold as the shared dot/norm exprs
+        m = A.shape[0]
+        dot = np.zeros(m)
+        na = np.zeros(m)
+        nb = np.zeros(m)
+        for i in range(A.shape[1]):
+            dot += A[:, i] * Bm[:, i]
+            na += A[:, i] * A[:, i]
+            nb += Bm[:, i] * Bm[:, i]
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
+    def cell_tile(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        if len(pdf) < 2:
+            return empty
+        cell = key[0]
+        ids = pdf["id"].to_numpy()
+        raw = np.vstack(pdf["v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(raw, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        mat = raw / norms[:, None]
+        sims = mat @ mat.T
+        ii, jj = np.where(sims >= cut)
+        keep = ids[ii] < ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return empty
+        # min-common-probe anchor, applied inside the tile: this cell
+        # must be the smallest cell probed by BOTH rows
+        probes = [set(x) for x in pdf["_probes"]]
+        anchor = np.fromiter(
+            (min(probes[a] & probes[b]) == cell for a, b in zip(ii, jj)),
+            dtype=bool,
+            count=len(ii),
+        )
+        ii, jj = ii[anchor], jj[anchor]
+        if len(ii) == 0:
+            return empty
+        cos_exact = _exact_cos(raw[ii], raw[jj])
+        keep = cos_exact >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cosine": cos_exact[keep]}
+        )
+
+    cand = rep.groupBy("cell").applyInPandas(
+        cell_tile, "id_a long, id_b long, cosine double"
     )
+    return cand.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def cosine_neardup_pairs_ivf_sql(
