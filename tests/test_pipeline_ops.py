@@ -1095,3 +1095,32 @@ def test_bloom_decontam_equals_exact_with_tiny_bitmap(spark):
         bloom[cols].sort_values("id").reset_index(drop=True),
     )
     assert exact.contaminated.any(), "no contamination planted defeats the test"
+
+
+def test_exif_roundtrip_both_endians_and_reject_paths():
+    """EXIF APP1 build/parse round-trips both TIFF byte orders; absent,
+    truncated, and byte-order-corrupt blocks raise (callers convert to
+    reject rows) instead of returning wrong values."""
+    import pytest as _pytest
+
+    from tickdb_spark.operators.mediacodec import encode_jpeg, exif_app1, parse_exif
+    import numpy as np
+
+    base = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8))
+    for be in (True, False):
+        seg = exif_app1(
+            make="Cam1", model="MX2", orientation=5,
+            datetime="2024:01:02 03:04:05", big_endian=be,
+        )
+        got = parse_exif(base[:2] + seg + base[2:])
+        assert got == {
+            "make": "Cam1", "model": "MX2", "orientation": 5,
+            "datetime": "2024:01:02 03:04:05",
+        }
+    with _pytest.raises(ValueError):
+        parse_exif(base)  # no APP1 at all
+    seg = exif_app1(make="CamX", orientation=1)
+    bad = bytearray(base[:2] + seg + base[2:])
+    bad[12:14] = b"ZZ"  # corrupt the TIFF byte-order mark (after Exif\0\0)
+    with _pytest.raises(ValueError):
+        parse_exif(bytes(bad))

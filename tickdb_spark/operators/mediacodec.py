@@ -1235,3 +1235,122 @@ def decode_y4m(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
         frames.append(np.frombuffer(data[pos:end], dtype=np.uint8).reshape(h, w))
         pos = end + chroma_len
     return w, h, fps_num, fps_den, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (APP1/TIFF) metadata — build + parse
+# ---------------------------------------------------------------------------
+
+#: IFD0 tags this codec round-trips (TIFF 6.0 / EXIF 2.3 baseline set)
+EXIF_TAG_MAKE = 0x010F
+EXIF_TAG_MODEL = 0x0110
+EXIF_TAG_ORIENTATION = 0x0112
+EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAGS = {
+    EXIF_TAG_MAKE: "make",
+    EXIF_TAG_MODEL: "model",
+    EXIF_TAG_ORIENTATION: "orientation",
+    EXIF_TAG_DATETIME: "datetime",
+}
+
+
+def exif_app1(
+    make: str | None = None,
+    model: str | None = None,
+    orientation: int | None = None,
+    datetime: str | None = None,
+    big_endian: bool = True,
+) -> bytes:
+    """Build a JPEG APP1 segment carrying a minimal valid EXIF/TIFF
+    block: ``Exif\\0\\0`` + TIFF header + one IFD0 with the requested
+    tags (ASCII values > 4 bytes spill to the post-IFD value area, per
+    TIFF 6.0 §2). Both byte orders supported — real corpora contain
+    both (``II`` from most cameras, ``MM`` from older/Motorola-derived
+    firmware)."""
+    bo = ">" if big_endian else "<"
+    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, raw)
+    for tag, typ, val in (
+        (EXIF_TAG_MAKE, 2, make),
+        (EXIF_TAG_MODEL, 2, model),
+        (EXIF_TAG_ORIENTATION, 3, orientation),
+        (EXIF_TAG_DATETIME, 2, datetime),
+    ):
+        if val is None:
+            continue
+        if typ == 2:
+            raw = val.encode("ascii") + b"\x00"
+            entries.append((tag, 2, len(raw), raw))
+        else:
+            entries.append((tag, 3, 1, struct.pack(bo + "H", val) + b"\x00\x00"))
+    entries.sort()  # TIFF requires ascending tag order
+    n = len(entries)
+    ifd_start = 8
+    value_area = ifd_start + 2 + 12 * n + 4
+    body = bytearray()
+    body += (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
+    body += struct.pack(bo + "I", ifd_start)
+    body += struct.pack(bo + "H", n)
+    spill = bytearray()
+    for tag, typ, count, raw in entries:
+        body += struct.pack(bo + "HHI", tag, typ, count)
+        size = count * (1 if typ == 2 else 2)
+        if size <= 4:
+            body += raw[:4].ljust(4, b"\x00")
+        else:
+            body += struct.pack(bo + "I", value_area + len(spill))
+            spill += raw
+    body += struct.pack(bo + "I", 0)  # no next IFD
+    body += spill
+    payload = b"Exif\x00\x00" + bytes(body)
+    return struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+
+
+def parse_exif(data: bytes) -> dict:
+    """Extract the baseline IFD0 tags from a JPEG's APP1/EXIF segment:
+    ``{make, model, orientation, datetime}`` (absent tags → None).
+    Raises ValueError on streams with no well-formed EXIF block —
+    callers in `multimodal` convert raises to reject rows."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EXIF must precede the scan
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker != 0xE1 or not body.startswith(b"Exif\x00\x00"):
+            continue
+        tiff = body[6:]
+        if tiff[:2] == b"MM":
+            bo = ">"
+        elif tiff[:2] == b"II":
+            bo = "<"
+        else:
+            raise ValueError("EXIF TIFF header has unknown byte order")
+        if struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+            raise ValueError("EXIF TIFF magic mismatch")
+        (ifd,) = struct.unpack_from(bo + "I", tiff, 4)
+        (n,) = struct.unpack_from(bo + "H", tiff, ifd)
+        out: dict = {v: None for v in _EXIF_TAGS.values()}
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            tag, typ, count = struct.unpack_from(bo + "HHI", tiff, off)
+            if tag not in _EXIF_TAGS:
+                continue
+            if typ == 2:  # ASCII
+                if count <= 4:
+                    raw = tiff[off + 8 : off + 8 + count]
+                else:
+                    (voff,) = struct.unpack_from(bo + "I", tiff, off + 8)
+                    raw = tiff[voff : voff + count]
+                out[_EXIF_TAGS[tag]] = raw.rstrip(b"\x00").decode(
+                    "ascii", errors="replace"
+                )
+            elif typ == 3:  # SHORT
+                out[_EXIF_TAGS[tag]] = struct.unpack_from(bo + "H", tiff, off + 8)[0]
+        return out
+    raise ValueError("no EXIF APP1 segment before the scan")

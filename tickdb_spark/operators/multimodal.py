@@ -795,3 +795,92 @@ def video_scene_cuts(df: DataFrame, threshold: int = 30) -> DataFrame:
     return df.mapInPandas(
         run, schema="media_id long, frame_idx long, sad long, n_px long"
     )
+
+
+def plant_exif_assets(docs: DataFrame) -> DataFrame:
+    """Tiny real JPEGs (one 8x8 grey block) with EXIF APP1 metadata
+    derived closed-form from ``doc_id``:
+
+      orientation = 1 + d % 8, make = 'Cam' || d % 5, model = 'MX' || d % 7,
+      datetime = '2024:01:<01+d%28> <d%24>:<d%60 padded>:<(d*7)%60 padded>',
+      byte order alternates by parity (even → big-endian 'MM', odd →
+      little-endian 'II' — real corpora contain both).
+
+    Every 10th doc (d % 10 == 0) carries NO EXIF segment — the
+    metadata-absent case extract_exif must surface as NULLs, not errors.
+    """
+    m = _codec()
+    encode_jpeg, exif_app1 = m.encode_jpeg, m.exif_app1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = np.full((8, 8), 20 + d % 100, dtype=np.uint8)
+                jpg = encode_jpeg(img)
+                if d % 10 != 0:
+                    seg = exif_app1(
+                        make=f"Cam{d % 5}",
+                        model=f"MX{d % 7}",
+                        orientation=1 + d % 8,
+                        datetime=(
+                            f"2024:01:{1 + d % 28:02d} "
+                            f"{d % 24:02d}:{d % 60:02d}:{(d * 7) % 60:02d}"
+                        ),
+                        big_endian=(d % 2 == 0),
+                    )
+                    jpg = jpg[:2] + seg + jpg[2:]
+                out.append((d, "image_jpeg", jpg))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def extract_exif(df: DataFrame, repartition: bool = True) -> DataFrame:
+    """EXIF metadata extraction over a binary media column:
+    ``(media_id, has_exif, orientation, make, model, taken_at)``.
+    Items without a well-formed EXIF block yield has_exif=false + NULLs
+    (reject-to-row, never a task failure). Arrow-batched mapInPandas —
+    the same executor-kernel shape as decode_media_stats."""
+    m = _codec()
+    parse_exif = m.parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    meta = parse_exif(bytes(content))
+                    rows.append(
+                        (
+                            int(mid),
+                            True,
+                            meta["orientation"],
+                            meta["make"],
+                            meta["model"],
+                            meta["datetime"],
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — absent/malformed EXIF
+                    rows.append((int(mid), False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "has_exif", "orientation", "make", "model",
+                    "taken_at",
+                ],
+            )
+
+    src = _repartitioned(df) if repartition else df
+    return src.select("media_id", "content").mapInPandas(
+        run,
+        schema=(
+            "media_id long, has_exif boolean, orientation int, "
+            "make string, model string, taken_at string"
+        ),
+    )

@@ -892,6 +892,40 @@ def ann_topk_ivf_sql(
     """
 
 
+def ivf_probe_assign(
+    emb: DataFrame,
+    margin: float = IVF_MARGIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cell-assignment phase of IVF pair mining: one corpus scan scoring
+    every vector against the centroid set, exploded to its probed cells —
+    ``(id, v, _probes, cell)``, one row per (vector, probed cell).
+
+    This is the O(n·k·d) pass. At 100 TB it is an INGEST-TIME precompute
+    (store ``cell``/``_probes`` as columns next to the embedding, exactly
+    like the LSH signature note above): the mining phase then reads the
+    assignment for free, and re-clustering is the only event that forces
+    a re-scan. Kept separate so the scaling harness can measure
+    assignment (one scan, amortized) and mining (the recurring cost)
+    independently."""
+    n_cells = N_CENTROIDS if centroids is None else len(centroids)
+    # staged projections: scores array once per row, then probes once per
+    # row (Catalyst keeps non-cheap reused expressions in their own
+    # projection — the inlined form re-evaluates every centroid dot)
+    p = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(ivf_scores_expr(vec_col, centroids=centroids)).alias("scores"),
+    ).select(
+        "id",
+        "v",
+        F.expr(ivf_probes_from_scores(margin, n=n_cells)).alias("_probes"),
+    )
+    return p.select("id", "v", "_probes", F.explode("_probes").alias("cell"))
+
+
 def cosine_neardup_pairs_ivf(
     emb: DataFrame,
     threshold: float,
@@ -899,6 +933,7 @@ def cosine_neardup_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-confined cosine pair mining — the SemDeDup (Abbas et al.
     2023) corpus-scale shape: coarse-quantize every vector into IVF
@@ -931,22 +966,14 @@ def cosine_neardup_pairs_ivf(
     import numpy as np
     import pandas as pd
 
-    n_cells = N_CENTROIDS if centroids is None else len(centroids)
     cut = threshold - 1e-4
-
-    # staged projections: scores array once per row, then probes once per
-    # row (Catalyst keeps non-cheap reused expressions in their own
-    # projection — the inlined form re-evaluates every centroid dot)
-    p = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(ivf_scores_expr(vec_col, centroids=centroids)).alias("scores"),
-    ).select(
-        "id",
-        "v",
-        F.expr(ivf_probes_from_scores(margin, n=n_cells)).alias("_probes"),
+    rep = (
+        assignment
+        if assignment is not None
+        else ivf_probe_assign(
+            emb, margin=margin, id_col=id_col, vec_col=vec_col, centroids=centroids
+        )
     )
-    rep = p.select("id", "v", "_probes", F.explode("_probes").alias("cell"))
 
     def _exact_cos(A: "np.ndarray", Bm: "np.ndarray") -> "np.ndarray":
         # identical 0.0-seeded left fold as the shared dot/norm exprs

@@ -2105,6 +2105,37 @@ def media_progressive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_exif_metadata",
+    """
+    SELECT doc_id AS media_id,
+           doc_id % 10 <> 0 AS has_exif,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(1 + doc_id % 8 AS INT) END
+             AS orientation,
+           CASE WHEN doc_id % 10 <> 0 THEN 'Cam' || (doc_id % 5) END AS make,
+           CASE WHEN doc_id % 10 <> 0 THEN 'MX' || (doc_id % 7) END AS model,
+           CASE WHEN doc_id % 10 <> 0 THEN
+             '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+           END AS taken_at
+    FROM documents ORDER BY media_id
+    """,
+    "EXIF metadata extraction from binary media columns: planted real "
+    "JPEGs carry APP1/TIFF blocks (both byte orders — 'II' and 'MM' "
+    "both occur in the wild) built and parsed by mediacodec.exif_app1/"
+    "parse_exif (TIFF 6.0 IFD walk, ASCII spill area, SHORT inline); "
+    "every 10th asset has no EXIF and surfaces has_exif=false + NULLs "
+    "(reject-to-row). The oracle recomputes the planted tags closed-"
+    "form from doc_id",
+)
+def media_exif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _materialized_assets("exif", sf_dir, _mm.plant_exif_assets(docs))
+    return _mm.extract_exif(media, repartition=False).orderBy("media_id")
+
+
+@register(
     "media_video_frame_sample",
     """
     WITH vid AS (
@@ -5681,6 +5712,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_stream_leftouter_join",
     "source_schema_evolution",
     "decontaminate_bloom_prefilter",
+    "media_exif_metadata",
     # oracle text touched in r7 (AS MATERIALIZED in the CC closure —
     # values unchanged, re-proof cheap): keep in the sampled head
     "dedup_cluster_components",
