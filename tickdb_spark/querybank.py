@@ -3610,9 +3610,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "agg_approx_sketches",
     None,  # approximations are engine-specific — rows-only by design
-    "approximate aggregates (HLL distinct, quantile sketch) — the 100 TB "
-    "substitutes for exact distinct/percentile; exact counterparts are "
-    "gate-checked in agg_distinct_users_daily / agg_percentiles_by_priority",
+    "approximate aggregates (HLL distinct, quantile sketch, approx top-k "
+    "heavy hitters) — the 100 TB substitutes for exact distinct/"
+    "percentile/top-k; exact counterparts are gate-checked in "
+    "agg_distinct_users_daily / agg_percentiles_by_priority / "
+    "text_heavy_hitters",
 )(
     lambda spark, sf_dir: _read_events(spark, sf_dir)
     .groupBy("event_type")
@@ -3620,6 +3622,7 @@ register(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_p50"),
         F.percentile_approx("value", 0.99).alias("approx_p99"),
+        F.expr("approx_top_k(user_id, 3)").alias("approx_top_users"),
     )
     .orderBy("event_type")
 )
