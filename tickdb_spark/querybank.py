@@ -2700,6 +2700,107 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(tus) AS session_start_us, max(tus) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    "batch sessionization (30-min inactivity gap): lag-over-user marks "
+    "session starts, running sum numbers them, one hash aggregate per "
+    "session — the classic gap-and-island construction; all windows "
+    "user-partitioned (the scale-out axis), sums through DECIMAL",
+)
+def analytics_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tus"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = 1_800_000_000  # 30 min in µs
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > gap),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("tus").alias("session_start_us"),
+            F.max("tus").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "udtf_token_freqs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, token HAVING count(*) >= 2
+    ORDER BY doc_id, token
+    """,
+    "Python UDTF surface (the one UDF form the registry didn't yet "
+    "exercise): a table function emitting one row per repeated token "
+    "(tf >= 2) per document, consumed via LATERAL join — arbitrary "
+    "Python row-generation per input row, the escape hatch for logic "
+    "no builtin explode expresses; oracle is the equivalent "
+    "explode + HAVING aggregate",
+)
+def udtf_token_freqs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, tf long")
+    class TokenFreqs:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for tok, n in Counter((text or "").lower().split()).items():
+                if n >= 2:
+                    yield tok, n
+
+    name = f"token_freqs_{abs(hash(sf_dir)) % 10**8}"
+    spark.udtf.register(name, TokenFreqs)
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    docs.select("doc_id", "text").createOrReplaceTempView(f"docs_{name}")
+    return spark.sql(
+        f"SELECT d.doc_id, t.token, t.tf "
+        f"FROM docs_{name} d, LATERAL {name}(d.text) t "
+        f"ORDER BY d.doc_id, t.token"
+    )
+
+
+@register(
     "pivot_qty_by_status",
     f"""
     SELECT l_returnflag,
@@ -5716,6 +5817,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "source_schema_evolution",
     "decontaminate_bloom_prefilter",
     "media_exif_metadata",
+    "analytics_sessionize",
+    "udtf_token_freqs",
     # oracle text touched in r7 (AS MATERIALIZED in the CC closure —
     # values unchanged, re-proof cheap): keep in the sampled head
     "dedup_cluster_components",
