@@ -2801,6 +2801,51 @@ def udtf_token_freqs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(tf * (tf - 1)) AS BIGINT) AS simpson_num,
+           CAST(sum(tf) * (sum(tf) - 1) AS BIGINT) AS simpson_den
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+    "lexical diversity, integer-exact: type count + Simpson repeat "
+    "index as a RATIONAL (Σtf(tf−1), n(n−1)) — the repeated-token "
+    "quality signal without the float-log entropy ulp hazard; two hash "
+    "aggregates, no joins/windows",
+)
+def text_lexdiv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("tf") * (F.col("tf") - 1)).alias("simpson_num"),
+            (F.sum("tf") * (F.sum("tf") - 1)).alias("simpson_den"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "pivot_qty_by_status",
     f"""
     SELECT l_returnflag,
@@ -5819,6 +5864,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_exif_metadata",
     "analytics_sessionize",
     "udtf_token_freqs",
+    "text_lexical_diversity",
     # oracle text touched in r7 (AS MATERIALIZED in the CC closure —
     # values unchanged, re-proof cheap): keep in the sampled head
     "dedup_cluster_components",
