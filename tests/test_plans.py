@@ -417,3 +417,15 @@ def test_ivf_pairs_cell_confined_no_cartesian(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "HashAggregate" not in plan, "unexpected aggregate (distinct?) stage"
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_sessionize_windows_user_partitioned(spark):
+    """Both sessionization windows (lag mark + running session number)
+    must partition by user_id — a partition-less window would serialize
+    the whole event stream through one task."""
+    df = _df(spark, "analytics_sessionize")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "user_id" in line.split("], [")[1], line
+    assert count_op(df, "CartesianProduct") == 0
