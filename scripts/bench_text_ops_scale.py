@@ -98,6 +98,22 @@ def main() -> None:
     scaled_docs(spark, 1).count()
     scaled_events(spark, 1).count()
 
+    from tickdb_spark.operators.heavyhitters import heavy_hitters_exact
+
+    def hh(f):
+        # vocabulary grows ∝ corpus (copies share no tokens) — the
+        # adversarial direction for heavy hitters: the naive aggregate's
+        # shuffle grows with the vocab, the MG candidate set stays
+        # ≤ partitions × capacity no matter how wide the tail gets
+        tok = scaled_docs(spark, f).select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        # φ scales 1/f: disjoint-vocab copies dilute every token's global
+        # share by f, so a fixed φ would empty the output instead of
+        # holding the operating point (same per-copy threshold, output
+        # and MG capacity grow linearly — the honest direction)
+        return heavy_hitters_exact(tok, "token", phi=0.002 / f)
+
     out = {}
     for name, build in (
         ("repetition_metrics", lambda f: repetition_metrics(scaled_docs(spark, f))),
@@ -111,6 +127,7 @@ def main() -> None:
                 scaled_events(spark, f), "event_type", "ts_us", "event_id", "value"
             ),
         ),
+        ("heavy_hitters", hh),
     ):
         times = [run(build(f)) for f in FACTORS]
         out[name] = {"sec": times, "log2_growth": growth(times)}
