@@ -1124,3 +1124,41 @@ def test_exif_roundtrip_both_endians_and_reject_paths():
     bad[12:14] = b"ZZ"  # corrupt the TIFF byte-order mark (after Exif\0\0)
     with _pytest.raises(ValueError):
         parse_exif(bytes(bad))
+
+
+def test_heavy_hitters_property_random_corpora(spark):
+    """Property: for RANDOM Zipf-ish corpora, any φ, any capacity ≥ 2/φ,
+    and any partitioning, the two-phase result equals the naive global
+    aggregate exactly. (Deterministic seed sweep rather than hypothesis:
+    each case costs a Spark job, so we enumerate a fixed adversarial
+    grid instead of minutes of shrinking.)"""
+    import random
+
+    from tickdb_spark.operators.heavyhitters import heavy_hitters_exact
+
+    for seed, phi, parts in ((0, 0.01, 3), (1, 0.05, 8), (2, 0.002, 16)):
+        rng = random.Random(seed)
+        # Zipf-ish head + uniform tail, shuffled
+        rows = []
+        for rank in range(1, 30):
+            rows += [(f"w{rank}",)] * max(1, 3000 // rank**2)
+        rows += [(f"t{i}",) for i in range(2000)]
+        rng.shuffle(rows)
+        items = spark.createDataFrame(rows, ["k"]).repartition(parts)
+        n = len(rows)
+        import math
+
+        thr = math.ceil(phi * n)
+        got = dict(
+            (r.k, r.cnt)
+            for r in heavy_hitters_exact(items, "k", phi).collect()
+        )
+        naive = dict(
+            (r.k, r.cnt)
+            for r in items.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= thr)
+            .collect()
+        )
+        assert got == naive, (seed, phi, parts)
+        assert naive, "degenerate grid point (no heavy keys) defeats the test"
