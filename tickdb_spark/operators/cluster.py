@@ -326,3 +326,66 @@ def dedup_retention_sql(
            l.{id_col} = b._keep_id AS kept
     FROM labeled l JOIN best b USING (component)
     """
+
+
+def triangle_counts(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list (stored
+    once as src < dst) — the dedup-graph density signal: a near-dup pair
+    inside many triangles sits in a dense clique (template/boilerplate
+    families), a triangle-free pair is an isolated accident.
+
+    The classic distributed construction (node-iterator on the
+    degree-ordered DAG): edges are already oriented low→high id, so
+    every triangle a<b<c is counted exactly once as the wedge
+    (a→b, a→c... here (a→b)+(b→c) closed by (a→c)). Two hash
+    equi-joins — wedge build on the shared middle vertex, closure
+    semi-join on the (low, high) edge key — never an all-pairs product;
+    shuffle is wedge volume, Σ deg(v)² in the worst case, which
+    degree-ordering keeps near Σ deg(v)^1.5 on skewed graphs.
+
+    Returns ``(id, n_triangles)`` for every vertex in ≥1 triangle.
+    """
+    e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    wedge = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(
+            e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            "b",
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    verts = tri.select(F.col("a").alias("id")).unionAll(
+        tri.select(F.col("b").alias("id"))
+    ).unionAll(tri.select(F.col("c").alias("id")))
+    return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_counts_sql(
+    pairs_sql: str, src_col: str = "id_a", dst_col: str = "id_b"
+) -> str:
+    """DuckDB twin of ``triangle_counts``."""
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    e AS (SELECT {src_col} AS u, {dst_col} AS v FROM pairs),
+    wedge AS (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM e x JOIN e y ON x.v = y.u
+    ),
+    tri AS (
+      SELECT a, b, c FROM wedge
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.u = wedge.a AND e.v = wedge.c)
+    ),
+    verts AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY id
+    """

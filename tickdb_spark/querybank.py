@@ -2801,6 +2801,68 @@ def udtf_token_freqs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_user_click_view_corr",
+    """
+    WITH h AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, hour
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(count(*) * sum(c * v) - sum(c) * sum(v) AS BIGINT) AS corr_num,
+           CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT) AS corr_den_x,
+           CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS corr_den_y
+    FROM h GROUP BY user_id HAVING count(*) >= 2
+    ORDER BY user_id
+    """,
+    "per-user Pearson correlation of hourly click vs view activity, as "
+    "EXACT INTEGER components (n·Σxy−ΣxΣy over the cleared-denominator "
+    "pair) — the pairwise-series quant primitive without sqrt/float "
+    "hazards; two hash aggregates keyed per user (the scale-out axis), "
+    "no windows, no joins",
+)
+def analytics_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    h = (
+        ev.select(
+            "user_id",
+            F.expr("(ts div 1000) div 3600000000").alias("hour"),
+            "event_type",
+        )
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        )
+    )
+    return (
+        h.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("c") * F.col("v"))
+                - F.sum("c") * F.sum("v")
+            ).alias("corr_num"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
+                - F.sum("c") * F.sum("c")
+            ).alias("corr_den_x"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("v") * F.col("v"))
+                - F.sum("v") * F.sum("v")
+            ).alias("corr_den_y"),
+        )
+        .where(F.col("n_hours") >= 2)
+        .orderBy("user_id")
+    )
+
+
+@register(
     "text_lexical_diversity",
     """
     WITH tok AS (
@@ -4096,6 +4158,25 @@ def decontam_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontam.contamination_report_bloom(
         train, eval_set, "text", "doc_id", n=8
     ).orderBy("id")
+
+
+@register(
+    "graph_triangle_counts",
+    _cluster.triangle_counts_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5)
+    )
+    + " ORDER BY id",
+    "per-vertex triangle counts over the near-dup pair graph — the "
+    "dedup-graph density signal (dense cliques = template/boilerplate "
+    "families). Degree-ordered node-iterator: edges oriented low->high "
+    "count each triangle once at its middle vertex; wedge build + "
+    "closure semi-join are two hash equi-joins, shuffle = wedge volume, "
+    "never all-pairs",
+)
+def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _cluster.triangle_counts(pairs).orderBy("id")
 
 
 @register(
@@ -5865,6 +5946,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_sessionize",
     "udtf_token_freqs",
     "text_lexical_diversity",
+    "graph_triangle_counts",
+    "analytics_user_click_view_corr",
     # oracle text touched in r7 (AS MATERIALIZED in the CC closure —
     # values unchanged, re-proof cheap): keep in the sampled head
     "dedup_cluster_components",
