@@ -390,3 +390,56 @@ def inertia(
           - 2.0 * (mat @ C.T)
           + (C * C).sum(axis=1)[None, :])
     return float(d2.min(axis=1).sum())
+
+
+def cosine_pairs_ivf_trained_sql(
+    table: str,
+    threshold: float,
+    k_cells: int,
+    iters: int,
+    dim: int,
+    sample_fraction: float,
+    margin: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for ``similarity.cosine_neardup_pairs_ivf`` over
+    trainer-produced centroids — the TRAINED SemDeDup operating point:
+    the km_cents replay feeds the same scores → probes → min-common-
+    probe-anchored pair mine → exact cosine as the static-centroid
+    pairs oracle. Same norm-precompute + MATERIALIZED-candidate cost
+    shape as ``cosine_neardup_pairs_ivf_sql``."""
+    from tickdb_spark.operators.similarity import (
+        dot_expr,
+        ivf_probes_from_scores,
+    )
+
+    ctes = kmeans_replay_ctes(
+        table, k_cells, iters, dim, sample_fraction, id_col, vec_col
+    )
+    probes = ivf_probes_from_scores(margin, n=k_cells, sql=True)
+    dot = dot_expr("a.va", "b.vb", dim, sql=True)
+    selfdot = dot_expr("v", "v", dim, sql=True)
+    return f"""
+    WITH {ctes},
+    s AS (
+      SELECT e.{id_col} AS id, any_value(e.{vec_col}) AS v,
+             list({_score_sql(f'e.{vec_col}', 'kc.c', dim)} ORDER BY kc.cell)
+               AS scores
+      FROM {table} e CROSS JOIN km_cents kc
+      GROUP BY e.{id_col}
+    ),
+    p AS MATERIALIZED (
+      SELECT id, v, sqrt({selfdot}) AS nrm, {probes} AS pr FROM s
+    ),
+    a AS (SELECT id AS id_a, v AS va, nrm AS na, pr AS pa, unnest(pr) AS cell FROM p),
+    b AS (SELECT id AS id_b, v AS vb, nrm AS nb, pr AS pb, unnest(pr) AS cell FROM p),
+    cand AS MATERIALIZED (
+      SELECT id_a, id_b, ({dot} / (a.na * b.nb)) AS _cos
+      FROM a JOIN b USING (cell)
+      WHERE id_a < id_b
+        AND cell = list_aggregate(list_intersect(pa, pb), 'min')
+    )
+    SELECT id_a, id_b, round(_cos, 6) AS cosine
+    FROM cand WHERE _cos >= {threshold}
+    """

@@ -4504,6 +4504,47 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_topk_ivf(emb, [0, 1, 2, 3, 4], k=5, centroids=cents)
 
 
+from tickdb_spark.operators.kmeans import (  # noqa: E402
+    cosine_pairs_ivf_trained_sql as _km_pairs_sql,
+)
+
+
+@register(
+    "sim_semantic_dedup_trained",
+    _cluster.dedup_clusters_sql(
+        _km_pairs_sql(
+            "embeddings",
+            threshold=0.4,
+            k_cells=4,
+            iters=3,
+            dim=_sim.EMB_DIM,
+            sample_fraction=0.5,
+            margin=_sim.IVF_MARGIN,
+        ),
+        table="embeddings",
+        id_col="vec_id",
+    )
+    + " ORDER BY vec_id",
+    "TRAINED SemDeDup end-to-end: k-means trainer (hash-sampled, 4 "
+    "cells, 3 Lloyd iterations) -> learned centroid cells -> IVF "
+    "cell-confined cosine pairs (min-common-probe anchor, exact "
+    "left-assoc rescore) -> connected components -> canonical per "
+    "cluster. The oracle replays the trainer as a MATERIALIZED CTE "
+    "chain (bit-exact centroids, the kmeans.py pattern) and feeds the "
+    "replayed cells through the same pairs + recursive-closure SQL — "
+    "the full learned pipeline is hash-checked",
+)
+def sim_semantic_dedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators import kmeans as _km
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5, tol=0.0)
+    pairs = _sim.cosine_neardup_pairs_ivf(emb, threshold=0.4, centroids=cents)
+    return _cluster.dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id").orderBy(
+        "vec_id"
+    )
+
+
 @register(
     "sim_ann_topk_int8",
     _sim.ann_topk_int8_sql("embeddings", [0, 1, 2, 3, 4], k=5),
@@ -5948,6 +5989,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_lexical_diversity",
     "graph_triangle_counts",
     "analytics_user_click_view_corr",
+    "sim_semantic_dedup_trained",
     # oracle text touched in r7 (AS MATERIALIZED in the CC closure —
     # values unchanged, re-proof cheap): keep in the sampled head
     "dedup_cluster_components",
