@@ -429,3 +429,25 @@ def test_sessionize_windows_user_partitioned(spark):
         if "Window " in line:
             assert "user_id" in line.split("], [")[1], line
     assert count_op(df, "CartesianProduct") == 0
+
+
+def test_bloom_decontam_shuffled_verify_join(spark):
+    """The Bloom path's POINT is the cost model: the bitmap probe is an
+    Arrow-batched pandas filter and the exact verification joins the
+    PARTITIONED eval grams (shuffled hash join) — never a broadcast of
+    the gram set, never a cartesian."""
+    df = _df(spark, "decontaminate_bloom_prefilter")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # vectorized bitmap probe
+    assert "ShuffledHashJoin" in plan  # the verify join, eval side partitioned
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_triangle_counts_two_equijoins_no_cartesian(spark):
+    """Triangle counting must stay wedge-equi-join + closure semi-join:
+    no cartesian/nested-loop anywhere in the plan."""
+    df = _df(spark, "graph_triangle_counts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the closure check
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
