@@ -34,6 +34,14 @@ def main() -> None:
     # Warm-up: touch every input file once (OS page cache + parquet footer
     # reads), run one tiny query end to end (JIT/codegen paths).
     REGISTRY["tick_point_get"].fn(spark, sf_dir).collect()
+    # Fork one Python/Arrow worker per core before timing starts: daemon
+    # workers are reused across queries (spark.python.worker.reuse), so
+    # without this the first Pandas-UDF query is charged the entire
+    # interpreter+Arrow startup — a per-process one-time cost that a warm
+    # cluster never pays per-query.
+    spark.range(int(cpus), numPartitions=int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -1162,3 +1162,105 @@ def test_heavy_hitters_property_random_corpora(spark):
         )
         assert got == naive, (seed, phi, parts)
         assert naive, "degenerate grid point (no heavy keys) defeats the test"
+
+
+def test_pack_greedy_matches_reference_and_invariants(spark):
+    """Greedy packing must equal the sequential per-bucket reference
+    exactly (oversized docs included) regardless of input partitioning,
+    and no multi-doc pack may exceed the cap."""
+    import random
+
+    from tickdb_spark.operators.packing import pack_greedy
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 1500)) for i in range(400)]
+    rows += [(1000 + i, 5000) for i in range(5)]  # singletons above cap
+    cap, nb = 2048, 8
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"]).repartition(7)
+    got = {
+        r.id: (r.bucket, r.pack_id, r.pack_pos)
+        for r in pack_greedy(df, "doc_id", "n_chars", cap=cap, n_buckets=nb).collect()
+    }
+
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        by_bucket.setdefault(i % nb, []).append((i, t))
+    expect = {}
+    tok_of = dict(rows)
+    for b, docs in by_bucket.items():
+        docs.sort()
+        acc = pid = pos = 0
+        for j, (i, t) in enumerate(docs):
+            if j > 0 and acc + t > cap:
+                pid += 1
+                acc = 0
+                pos = 0
+            acc += t
+            pos += 1
+            expect[i] = (b, pid, pos)
+    assert got == expect
+
+    packs: dict[tuple[int, int], list[int]] = {}
+    for i, (b, pid, _) in got.items():
+        packs.setdefault((b, pid), []).append(tok_of[i])
+    for toks in packs.values():
+        assert len(toks) == 1 or sum(toks) <= cap, f"overfull pack: {toks}"
+
+
+def test_pagerank_integer_exact_vs_reference(spark):
+    """Distributed PageRank must be BIT-identical to a sequential
+    integer replay (same floored divisions), independent of partitioning,
+    and lose only truncation dust from the total mass."""
+    import random
+
+    from tickdb_spark.operators.cluster import pagerank
+
+    rng = random.Random(11)
+    edges = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(60)})
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(5)
+    scale, iters, d = 10**12, 4, 85
+    got = {r.id: r.rank for r in pagerank(pairs, iterations=iters).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    rank = {v: scale // n for v in adj}
+    for _ in range(iters):
+        contrib = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += c
+        rank = {
+            v: ((100 - d) * scale) // 100 // n + (d * contrib[v]) // 100
+            for v in adj
+        }
+    assert got == rank
+    total = sum(got.values())
+    assert scale * 0.95 <= total <= scale, f"mass off: {total}"
+
+
+def test_reservoir_per_key_deterministic_and_uniform_size(spark):
+    """k-per-key reservoir: exactly min(k, n) rows per key, and the
+    SELECTED SET is a pure function of the ids — identical under any
+    repartitioning."""
+    from tickdb_spark.operators.sampling import reservoir_per_key
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = reservoir_per_key(df.repartition(3), "lang", "doc_id", k=10).collect()
+    b = reservoir_per_key(df.repartition(11), "lang", "doc_id", k=10).collect()
+    sel_a = {(r.doc_id, r.lang, r.sample_rank) for r in a}
+    sel_b = {(r.doc_id, r.lang, r.sample_rank) for r in b}
+    assert sel_a == sel_b
+    sizes = {}
+    for _, lang, _rk in sel_a:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    assert sizes == {"big": 10, "small": 5}
+
+    # matches the hash order computed off-engine
+    KNUTH, MOD = 2654435761, 1 << 32
+    big_sorted = sorted(range(50), key=lambda i: ((i * KNUTH) % MOD, i))[:10]
+    assert {i for i, lang, _ in sel_a if lang == "big"} == set(big_sorted)

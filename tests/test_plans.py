@@ -451,3 +451,35 @@ def test_triangle_counts_two_equijoins_no_cartesian(spark):
     assert "LeftSemi" in plan  # the closure check
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_pagerank_equijoins_only(spark):
+    """Every PageRank iteration must be a hash equi-join (ranks x
+    degree-annotated edges) + a partial-aggregable sum — a nested loop
+    or cartesian would be edges x nodes per iteration."""
+    df = _df(spark, "graph_pagerank_neardup")
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_pack_sequences_one_shuffle_no_window(spark):
+    """Greedy packing is one hash repartition on the bucket key into a
+    per-bucket Arrow scan: no window over the global corpus, no join,
+    no sort exchange (rangepartitioning) anywhere."""
+    df = _df(spark, "pack_sequences_greedy")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") == 0
+    assert count_op(df, "Join") == 0
+    assert "rangepartitioning" not in plan.lower()
+    assert count_op(df, "Exchange") <= 2  # repartition + groupBy co-planned
+
+
+def test_reservoir_per_key_window_key_partitioned(spark):
+    """The per-key reservoir's only shuffle is the key-partitioned
+    window — no global sort, no join."""
+    df = _df(spark, "sample_reservoir_per_key")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Join") == 0
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "lang" in line.split("], [")[1], line

@@ -389,3 +389,128 @@ def triangle_counts_sql(
     SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
     FROM verts GROUP BY id
     """
+
+
+def pagerank(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected edge list (stored once
+    as src < dst) — centrality on the near-dup graph ranks the canonical
+    members of template/boilerplate families (high-rank = the hub the
+    rest are variants of), a quality-weighting signal the retention
+    policy can consume alongside [[dedup_clusters]]'s exemplar choice.
+
+    All arithmetic is BIGINT so the result is bit-identical on any
+    engine/partition order: ranks live in units of ``1/scale`` and every
+    division is integer (``div``). Per iteration
+    ``rank'(v) = ((100-d)*scale) div 100 div N
+               + (d * Σ_{u~v} (rank(u) div deg(u))) div 100``
+    — the float recurrence with each intermediate floored. Truncation
+    leaks ≤ deg(u) units per node per round: invisible at scale=1e12,
+    and identically on both engines.
+
+    Scale shape (the whole point vs a graph library): each iteration is
+    ONE hash equi-join of the rank table against the degree-annotated
+    edge list plus ONE map-side-combinable sum keyed on the destination —
+    shuffle volume is the edge list, never the node set squared. The
+    edge frame is computed once and reused; rank frames are
+    ``localCheckpoint``ed per round so the plan stays O(1) deep (on a
+    real cluster: ``checkpoint`` to HDFS).
+
+    Node set = vertices with ≥1 edge (an undirected graph has no
+    dangling nodes: every vertex both emits and receives), so no
+    teleport-mass redistribution step is needed.
+    """
+    rest = 100 - damping_pct
+    # The pair detector feeding this is typically the expensive part
+    # (an LSH/prefix-filter join); it is referenced once per direction
+    # plus once per derived frame below — checkpoint it so it runs once.
+    pairs = pairs.select(src_col, dst_col).localCheckpoint(eager=False)
+    e0 = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).unionAll(
+        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    )
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    edges = e0.join(deg, "u").localCheckpoint(eager=False)
+    n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("u").alias("id"),
+            F.expr(f"CAST({scale} div n_nodes AS BIGINT)").alias("rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["u"] == ranks["id"])
+            .groupBy("v")
+            .agg(F.sum(F.expr("rank div deg")).alias("c"))
+        )
+        ranks = (
+            contrib.crossJoin(F.broadcast(n))
+            .select(
+                F.col("v").alias("id"),
+                F.expr(
+                    f"CAST((({rest} * {scale}) div 100) div n_nodes"
+                    f" + ({damping_pct} * c) div 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of ``pagerank``: the iteration unrolled as a chain of
+    AS MATERIALIZED CTEs (un-materialized CTEs inline and the plan grows
+    geometrically), every step in BIGINT with ``//`` integer division —
+    bit-identical to the Spark loop."""
+    rest = 100 - damping_pct
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cur = f"r{i}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+      SELECT e.v AS id,
+             CAST((({rest} * {scale}) // 100) // (SELECT n_nodes FROM n)
+                  + ({damping_pct} * SUM(r.rank // e.deg)) // 100
+                  AS BIGINT) AS rank
+      FROM e JOIN {prev} r ON r.id = e.u
+      GROUP BY e.v
+    )"""
+        )
+        prev = cur
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    e0 AS (
+      SELECT {src_col} AS u, {dst_col} AS v FROM pairs
+      UNION ALL SELECT {dst_col}, {src_col} FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY u
+    ),
+    e AS MATERIALIZED (
+      SELECT e0.u, e0.v, d.deg FROM e0 JOIN deg d ON d.u = e0.u
+    ),
+    n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT u AS id, CAST({scale} // (SELECT n_nodes FROM n) AS BIGINT) AS rank
+      FROM deg
+    ),
+    {chain}
+    SELECT id, rank FROM {prev}
+    """

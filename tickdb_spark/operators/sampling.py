@@ -203,3 +203,38 @@ def token_budget_sample_sql(
       ), 0) AS BIGINT) AS _prev FROM {table}
     ) WHERE _prev < {int(budget)}
     """
+
+
+def reservoir_per_key(
+    df: DataFrame, key_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic uniform-k-per-key sample ("reservoir" semantics
+    without the sequential reservoir): the k rows whose id-hash ranks
+    lowest within each key. The multiplicative hash is a uniform random
+    order that is a pure function of the id, so the selected set is the
+    same on any engine, partitioning, or arrival order — the property a
+    true streaming reservoir can't give you — while staying one
+    key-partitioned window over the data, no global state.
+
+    Ties on the 32-bit hash break on the id itself, so the output is a
+    deterministic set even under hash collisions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        id_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def reservoir_per_key_sql(table: str, key_col: str, id_col: str, k: int) -> str:
+    return f"""
+    SELECT * FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY {key_col}
+        ORDER BY {id_hash_sql(id_col)}, {id_col}
+      ) AS BIGINT) AS sample_rank FROM {table}
+    ) WHERE sample_rank <= {int(k)}
+    """

@@ -5920,6 +5920,67 @@ def text_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hh.heavy_hitters_exact(tok, "token", phi=0.002)
 
 
+from tickdb_spark.operators import packing as _packing  # noqa: E402
+
+
+@register(
+    "graph_pagerank_neardup",
+    _cluster.pagerank_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5)
+    )
+    + " ORDER BY id",
+    "integer-exact PageRank (5 iterations, d=0.85, BIGINT ranks in 1e-12 "
+    "units, every division integer) over the near-dup pair graph — "
+    "centrality ranks the hub of each template/boilerplate family. Per "
+    "iteration: one hash equi-join of ranks against the degree-annotated "
+    "edge list + one map-side-combinable sum; shuffle = edge volume. "
+    "Oracle replays the iteration as an unrolled AS MATERIALIZED CTE "
+    "chain, bit-identical by construction",
+)
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _cluster.pagerank(pairs).transform(_sorted_small, "id")
+
+
+@register(
+    "pack_sequences_greedy",
+    _packing.pack_greedy_sql(
+        "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars", cap=4096
+    ),
+    "sequence packing for training batches: greedy "
+    "first-overflow-opens-a-new-pack over 32 independent bucket streams "
+    "(id-sharded, id-ordered — the production per-output-shard shape); "
+    "one hash shuffle + per-bucket O(rows) applyInPandas scan, no global "
+    "window, no collect. Oracle replays the greedy scan as a recursive "
+    "CTE advancing every bucket one document per level (depth = "
+    "max docs/bucket, not corpus size)",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _packing.pack_greedy(docs, "doc_id", "n_chars", cap=4096)
+
+
+@register(
+    "sample_reservoir_per_key",
+    _sampling.reservoir_per_key_sql(
+        "(SELECT doc_id, lang, source, n_chars FROM documents)",
+        "lang",
+        "doc_id",
+        k=20,
+    ),
+    "deterministic uniform k-per-key sample (reservoir semantics without "
+    "sequential state): the k=20 docs whose multiplicative id-hash ranks "
+    "lowest per language — engine/partitioning/arrival-order independent "
+    "by construction, one key-partitioned window, no global state",
+)
+def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return _sampling.reservoir_per_key(docs, "lang", "doc_id", k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -5937,6 +5998,11 @@ def text_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: parity-covered locally. r7-NEW entries are appended at the END of the
 #: head (slots 34+) so both groups land inside the driver's ~50 sample.
 #: Rotated out: the r6-reproven block (all green in CORRECTNESS_r06).
+#:
+#: r8 rotation queue (the head is exactly full at 50 — every slot holds a
+#: never-sampled or materially-changed entry): `graph_pagerank_neardup`,
+#: `pack_sequences_greedy`, `sample_reservoir_per_key` (late-r7 additions,
+#: replica + parity green locally; hoist them in r8).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) never driver-sampled through r6 — TPC-H completions
