@@ -5981,6 +5981,57 @@ def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.reservoir_per_key(docs, "lang", "doc_id", k=20)
 
 
+@register(
+    "asof_forward_next_view",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS tus, 1 AS is_left, event_id,
+             value AS purchase_value, CAST(NULL AS DOUBLE) AS view_value,
+             CAST(NULL AS BIGINT) AS tb
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 0, event_id,
+             CAST(NULL AS DOUBLE), value, event_id
+      FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT *, last_value(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus DESC, is_left, tb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_view_value
+      FROM u)
+    SELECT event_id, user_id, tus AS ts_us, purchase_value, next_view_value
+    FROM m WHERE is_left = 1 ORDER BY event_id
+    """,
+    "as-of join (FORWARD): each purchase matched with the user's next "
+    "view at-or-after the purchase — the direction the backward entries "
+    "never exercise. Same one-shuffle union+running-last shape scanned "
+    "in ts-DESC order; lowest event_id wins equal-timestamp ties",
+)
+def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").alias("view_value"), F.col("event_id").alias("view_id"),
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["view_value"],
+        direction="forward",
+        tiebreak="view_id",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts_us", "purchase_value",
+        F.col("view_value").alias("next_view_value"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -6001,8 +6052,9 @@ def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: r8 rotation queue (the head is exactly full at 50 — every slot holds a
 #: never-sampled or materially-changed entry): `graph_pagerank_neardup`,
-#: `pack_sequences_greedy`, `sample_reservoir_per_key` (late-r7 additions,
-#: replica + parity green locally; hoist them in r8).
+#: `pack_sequences_greedy`, `sample_reservoir_per_key`,
+#: `asof_forward_next_view` (late-r7 additions, replica + parity green
+#: locally; hoist them in r8).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) never driver-sampled through r6 — TPC-H completions
