@@ -1264,3 +1264,37 @@ def test_reservoir_per_key_deterministic_and_uniform_size(spark):
     KNUTH, MOD = 2654435761, 1 << 32
     big_sorted = sorted(range(50), key=lambda i: ((i * KNUTH) % MOD, i))[:10]
     assert {i for i, lang, _ in sel_a if lang == "big"} == set(big_sorted)
+
+
+def test_substring_dedup_arbitrary_boundary_vs_segment_blindspot(spark):
+    """A duplicated passage that starts MID-BLOCK must be caught by the
+    stride-1 substring dedup (segment_dedup's aligned blocks are blind to
+    it), the first occurrence must survive verbatim, and interval
+    coalescing must merge overlapping marks."""
+    from tickdb_spark.operators.dedup import substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(12))  # 12-token passage
+    doc_a = "a0 a1 a2 " + passage + " a3 a4"  # passage at offset 3
+    doc_b = "b0 " + passage + " b1 b2 b3"     # same passage at offset 1
+    doc_c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"   # unique
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in substring_dedup(df, "text", "doc_id", window=8).collect()
+    }
+    # first occurrence (doc 1) intact
+    assert out[1] == (doc_a, 17)
+    # doc 2: every full 8-window inside the 12-token repeat is a repeat
+    # of doc 1's -> marked spans [2..9],[3..10],...,[6..13] coalesce to
+    # [2..13] = exactly the passage; b-tokens survive
+    assert out[2] == ("b0 b1 b2 b3", 4)
+    assert out[3] == (doc_c, 10)
+
+    # a fully-duplicated doc emits no row
+    df2 = spark.createDataFrame(
+        [(1, doc_c), (2, doc_c)], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id for r in substring_dedup(df2, "text", "doc_id", window=8).collect()}
+    assert out2 == {1}

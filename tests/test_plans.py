@@ -483,3 +483,16 @@ def test_reservoir_per_key_window_key_partitioned(spark):
     for line in plan.splitlines():
         if "Window " in line:
             assert "lang" in line.split("], [")[1], line
+
+
+def test_substring_dedup_hash_only_shuffle_no_cartesian(spark):
+    """The stride-1 window stream must shed the window TEXT before the
+    rank shuffle (only the md5 + coordinates may cross the wire), and
+    the islands join must stay an equi-join."""
+    df = _df(spark, "dedup_substring_rolling")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "chunk_text" not in line, line

@@ -647,3 +647,155 @@ def segment_dedup_sql(
            CAST(COUNT(*) AS BIGINT) AS n_kept
     FROM r WHERE rn = 1 GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup at ARBITRARY boundaries (rolling windows)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Remove every token span that repeats a ``window``-token sequence
+    seen earlier ANYWHERE in the corpus, at arbitrary boundaries — the
+    suffix-array substring dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (2022), re-expressed as dataflow:
+    :func:`segment_dedup`'s aligned blocks miss a duplicated passage that
+    starts mid-block; stride-1 rolling windows catch every alignment.
+
+    Semantics (deterministic): among all full ``window``-token rolling
+    windows in the corpus, the first occurrence of each distinct window
+    (ordered by (doc id, position)) survives; every later occurrence
+    marks its token range ``[start, start+window)`` for removal. Marked
+    ranges are coalesced per document (gaps-and-islands) and the
+    uncovered tokens reassemble in order. A document whose every token is
+    covered emits no row.
+
+    Scale shape: the stride-1 window stream is corpus-tokens × 1 rows —
+    the window TEXT never shuffles (it collapses to its md5 before the
+    rank shuffle, Catalyst prunes the rest), so stage one moves
+    (hash, doc, pos) triples; interval coalescing is a doc-partitioned
+    window; reassembly is one aggregate. Nothing is all-pairs and no
+    suffix array is materialized.
+    """
+    from tickdb_spark.functions.text import chunk_sliding
+
+    wins = (
+        chunk_sliding(docs, text_col=text_col, id_col=id_col,
+                      window=window, stride=1)
+        .where(F.col("n_tokens") == window)
+        .select(id_col, "chunk_id", F.md5("chunk_text").alias("_h"))
+    )
+    rnw = Window.partitionBy("_h").orderBy(id_col, "chunk_id")
+    marked = (
+        wins.withColumn("_rn", F.row_number().over(rnw))
+        .where(F.col("_rn") > 1)
+        # chunk_id is the 0-based start; token positions are 1-based
+        .select(
+            id_col,
+            (F.col("chunk_id") + 1).alias("s"),
+            (F.col("chunk_id") + window).alias("e"),
+        )
+    )
+    wd = Window.partitionBy(id_col).orderBy("s")
+    prevmax = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        marked.withColumn(
+            "_brk", (F.col("s") > F.coalesce(prevmax, F.lit(-1))).cast("int")
+        )
+        .withColumn(
+            "_gid",
+            F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_gid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("ms", "me")).alias("_ivs"))
+    )
+    tok = docs.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "_p0", "_tok"
+        ),
+    ).select(id_col, (F.col("_p0") + 1).alias("p"), "_tok")
+    covered = F.exists(
+        F.col("_ivs"),
+        lambda i: (F.col("p") >= i.getField("ms"))
+        & (F.col("p") <= i.getField("me")),
+    )
+    kept = (
+        tok.join(islands, id_col, "left")
+        .where(F.col("_ivs").isNull() | ~covered)
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("p", "_tok")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s.getField("_tok")), " "
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+
+def substring_dedup_sql(
+    src: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> str:
+    """DuckDB twin of :func:`substring_dedup`; ``src`` is a CTE/table
+    name holding ``(doc_id, text)``."""
+    from tickdb_spark.functions.text import chunk_sliding_sql
+
+    chunks = chunk_sliding_sql(src, text_col, id_col, window=window, stride=1)
+    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    return f"""
+    WITH wins AS MATERIALIZED (
+      SELECT * FROM ({chunks}) WHERE n_tokens = {window}
+    ),
+    r AS (
+      SELECT {id_col}, chunk_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY {id_col}, chunk_id) AS rn
+      FROM wins
+    ),
+    marked AS (
+      SELECT {id_col}, chunk_id + 1 AS s, chunk_id + {window} AS e
+      FROM r WHERE rn > 1
+    ),
+    pm AS (
+      SELECT *, MAX(e) OVER (PARTITION BY {id_col} ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM marked
+    ),
+    isl AS (
+      SELECT *, CASE WHEN s > COALESCE(prevmax, -1) THEN 1 ELSE 0 END AS brk
+      FROM pm
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY {id_col} ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM isl
+    ),
+    merged AS MATERIALIZED (
+      SELECT {id_col}, MIN(s) AS ms, MAX(e) AS me FROM g
+      GROUP BY {id_col}, gid
+    ),
+    d AS (SELECT {id_col}, {toks} AS toks FROM {src}),
+    tok AS (
+      SELECT {id_col}, toks[p] AS token, p
+      FROM d, UNNEST(range(1, len(toks) + 1)) AS t(p)
+    ),
+    kept AS (
+      SELECT t.{id_col}, t.p, t.token FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.{id_col} = t.{id_col}
+                          AND t.p BETWEEN m.ms AND m.me)
+    )
+    SELECT {id_col}, string_agg(token, ' ' ORDER BY p) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY {id_col}
+    """

@@ -5982,6 +5982,25 @@ def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_rolling",
+    _dedup.substring_dedup_sql("documents", "text", "doc_id", window=8)
+    + " ORDER BY doc_id",
+    "substring-level dedup at ARBITRARY boundaries (Lee et al. 2022 "
+    "suffix-array semantics as dataflow): stride-1 rolling 8-token "
+    "windows, first corpus occurrence survives, later occurrences mark "
+    "their token span, spans coalesce per doc (gaps-and-islands) and "
+    "uncovered tokens reassemble. Window text collapses to md5 before "
+    "the rank shuffle — only (hash, doc, pos) moves; no suffix array, "
+    "nothing all-pairs",
+)
+def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.substring_dedup(docs, "text", "doc_id", window=8).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "asof_forward_next_view",
     """
     WITH u AS (
@@ -6053,8 +6072,8 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r8 rotation queue (the head is exactly full at 50 — every slot holds a
 #: never-sampled or materially-changed entry): `graph_pagerank_neardup`,
 #: `pack_sequences_greedy`, `sample_reservoir_per_key`,
-#: `asof_forward_next_view` (late-r7 additions, replica + parity green
-#: locally; hoist them in r8).
+#: `asof_forward_next_view`, `dedup_substring_rolling` (late-r7
+#: additions, replica + parity green locally; hoist them in r8).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) never driver-sampled through r6 — TPC-H completions
