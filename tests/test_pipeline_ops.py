@@ -1298,3 +1298,61 @@ def test_substring_dedup_arbitrary_boundary_vs_segment_blindspot(spark):
     )
     out2 = {r.doc_id for r in substring_dedup(df2, "text", "doc_id", window=8).collect()}
     assert out2 == {1}
+
+
+def test_substring_dedup_random_corpora_vs_bruteforce(spark):
+    """Randomized property check: on random corpora with planted repeats
+    at random offsets, the distributed substring dedup must equal a
+    sequential brute-force replay of the spec (first window occurrence
+    survives; later spans coalesce; uncovered tokens reassemble)."""
+    import random
+
+    from tickdb_spark.operators.dedup import substring_dedup
+
+    L = 5
+    for seed in (3, 17, 42):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for d in range(12):
+            docs.append((d, [rng.choice(vocab) for _ in range(rng.randint(1, 40))]))
+        # plant cross-doc repeats: splice a slice of one doc into another
+        for _ in range(6):
+            (sd, stoks), (td, _) = rng.sample(docs, 2)
+            if len(stoks) >= L + 2:
+                a = rng.randrange(0, len(stoks) - L)
+                b = a + L + rng.randint(0, 2)
+                tgt = dict(docs)[td]
+                pos = rng.randrange(0, len(tgt) + 1)
+                docs = [
+                    (i, tgt[:pos] + stoks[a:b] + tgt[pos:]) if i == td else (i, t)
+                    for i, t in docs
+                ]
+
+        # brute-force spec replay
+        first: dict[tuple, tuple] = {}
+        spans: dict[int, list[tuple[int, int]]] = {}
+        for d, toks in docs:
+            for s in range(0, len(toks) - L + 1):
+                key = tuple(toks[s : s + L])
+                if key in first:
+                    spans.setdefault(d, []).append((s + 1, s + L))
+                else:
+                    first[key] = (d, s)
+        expect = {}
+        for d, toks in docs:
+            cov = set()
+            for s, e in spans.get(d, []):
+                cov.update(range(s, e + 1))
+            kept = [t for i, t in enumerate(toks, 1) if i not in cov]
+            if kept:
+                expect[d] = (" ".join(kept), len(kept))
+
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs], ["doc_id", "text"]
+        ).repartition(4)
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept)
+            for r in substring_dedup(df, "text", "doc_id", window=L).collect()
+        }
+        assert got == expect, f"seed {seed}"

@@ -5981,6 +5981,64 @@ def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.reservoir_per_key(docs, "lang", "doc_id", k=20)
 
 
+_CURATED_SQL = """
+SELECT doc_id, length(text)::BIGINT AS n_chars FROM (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY substr(md5(array_to_string(
+             string_split_regex(trim(text), '\\s+'), ' ')), 1, 16)
+           ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+  )
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 15
+    AND 100 * len(list_filter(string_split_regex(trim(text), '\\s+'),
+          t -> list_contains(['the','a','of','and','to','is','in','that'], t)))
+        >= len(string_split_regex(trim(text), '\\s+'))
+) WHERE rn = 1
+"""
+
+
+@register(
+    "pipeline_curation_end2end",
+    _packing.pack_greedy_sql(_CURATED_SQL, "doc_id", "n_chars", cap=4096),
+    "the whole curation pipeline as ONE composed dataflow: corpus (+50 "
+    "planted resubmissions) -> integer-exact quality gate (>=15 tokens, "
+    "stopword ratio >= 1%) -> exact dedup keep-first on the normalized "
+    "fingerprint -> greedy sequence packing. Every stage is the library "
+    "operator and every stage's SQL twin composes into one oracle query "
+    "- the point: the operators are closed under composition, so a real "
+    "pipeline needs no glue code on either engine",
+)
+def pipeline_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.functions.text import (
+        fingerprint,
+        stopword_hits,
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    ntok = token_count(F.col("text"))
+    filtered = corpus.where(
+        (ntok >= 15) & (stopword_hits(F.col("text"), "en") * 100 >= ntok)
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    curated = (
+        filtered.withColumn("_fp", fingerprint(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+    return _packing.pack_greedy(curated, "doc_id", "n_chars", cap=4096)
+
+
 @register(
     "dedup_substring_rolling",
     _dedup.substring_dedup_sql("documents", "text", "doc_id", window=8)
@@ -6072,7 +6130,8 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r8 rotation queue (the head is exactly full at 50 — every slot holds a
 #: never-sampled or materially-changed entry): `graph_pagerank_neardup`,
 #: `pack_sequences_greedy`, `sample_reservoir_per_key`,
-#: `asof_forward_next_view`, `dedup_substring_rolling` (late-r7
+#: `asof_forward_next_view`, `dedup_substring_rolling`,
+#: `pipeline_curation_end2end` (late-r7
 #: additions, replica + parity green locally; hoist them in r8).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
