@@ -11,6 +11,11 @@ The 100-TB question per operator:
 - rolling_zscore_anomalies: series-partitioned windows — linear in
   points per series; the multiplied-copies axis adds SERIES (the
   scale-out direction), so growth must stay ~linear.
+- substring_dedup: stride-1 rolling windows, (hash, doc, pos) rank
+  shuffle + doc-partitioned interval windows — tokens ∝ corpus, so
+  growth must stay ~linear.
+- pagerank: per-iteration shuffle is the edge list (disjoint graph
+  copies, edges ∝ factor) — growth must stay ~linear.
 
     python scripts/bench_text_ops_scale.py
 
@@ -31,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tickdb_spark.functions.repetition import repetition_metrics  # noqa: E402
+from tickdb_spark.operators.cluster import pagerank  # noqa: E402
+from tickdb_spark.operators.dedup import substring_dedup  # noqa: E402
 from tickdb_spark.operators.lm import bigram_familiarity  # noqa: E402
 from tickdb_spark.operators.timeseries import rolling_zscore_anomalies  # noqa: E402
 from tickdb_spark.session import get_spark  # noqa: E402
@@ -75,6 +82,33 @@ def scaled_events(spark, factor: int):
                 "event_type"
             ),
             "value",
+        )
+        .repartition(32)
+    )
+
+
+def scaled_edges(spark, factor: int, n_nodes: int = 20_000, n_edges: int = 60_000):
+    """factor-times pair graph: disjoint copies of one pseudo-random base
+    graph with node ids offset per copy — edges grow ∝ factor while every
+    component stays base-sized, the shape a sharded dedup graph has."""
+    base = (
+        spark.range(n_edges)
+        .select(
+            F.pmod(F.hash((F.col("id") * 2 + 1).cast("string")), F.lit(n_nodes)).alias("a"),
+            F.pmod(F.hash((F.col("id") * 2 + 2).cast("string")), F.lit(n_nodes)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b")
+        )
+        .distinct()
+    )
+    copies = spark.range(factor).select((F.col("id") * n_nodes).alias("off"))
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("id_a") + F.col("off")).alias("id_a"),
+            (F.col("id_b") + F.col("off")).alias("id_b"),
         )
         .repartition(32)
     )
@@ -128,6 +162,20 @@ def main() -> None:
             ),
         ),
         ("heavy_hitters", hh),
+        # stride-1 rolling windows: window stream = tokens x 1 rows, rank
+        # shuffle carries (hash, doc, pos) — disjoint-vocab copies keep
+        # dup volume ∝ corpus, so growth must stay ~linear
+        (
+            "substring_dedup",
+            lambda f: substring_dedup(scaled_docs(spark, f), "text", "doc_id", window=8),
+        ),
+        # 5 iterations x (one equi-join + one partial-aggregable sum):
+        # edges ∝ factor, components stay base-sized — per-iteration
+        # shuffle is the edge list, so growth must stay ~linear
+        (
+            "pagerank",
+            lambda f: pagerank(scaled_edges(spark, f)),
+        ),
     ):
         times = [run(build(f)) for f in FACTORS]
         out[name] = {"sec": times, "log2_growth": growth(times)}

@@ -347,6 +347,10 @@ def triangle_counts(
 
     Returns ``(id, n_triangles)`` for every vertex in ≥1 triangle.
     """
+    # The edge list is referenced three times (both wedge sides + the
+    # closure probe); without a checkpoint the pair DETECTOR feeding it
+    # re-executes per reference (measured 3x the jaccard join at sf0.1).
+    pairs = pairs.select(src_col, dst_col).localCheckpoint(eager=False)
     e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     wedge = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))

@@ -4176,7 +4176,7 @@ def decontam_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
     pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
-    return _cluster.triangle_counts(pairs).orderBy("id")
+    return _cluster.triangle_counts(pairs).transform(_sorted_small, "id")
 
 
 @register(
@@ -6053,8 +6053,8 @@ def pipeline_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return _dedup.substring_dedup(docs, "text", "doc_id", window=8).orderBy(
-        "doc_id"
+    return _dedup.substring_dedup(docs, "text", "doc_id", window=8).transform(
+        _sorted_small, "doc_id"
     )
 
 
