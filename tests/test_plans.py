@@ -496,3 +496,26 @@ def test_substring_dedup_hash_only_shuffle_no_cartesian(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "chunk_text" not in line, line
+
+
+def test_global_shuffle_index_no_data_global_window(spark):
+    """Contiguous global numbering must come from the bucket
+    decomposition: the window over the DATA partitions by the hash
+    bucket; the only unpartitioned window sits above the n_buckets-row
+    directory aggregate (its child contains the count aggregate, never
+    a scan)."""
+    df = _df(spark, "order_global_shuffle_index")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    data_windows = dir_windows = 0
+    for line in plan.splitlines():
+        if "Window " in line:
+            groups = line.split("], [")
+            # partitioned windows print [fns], [partition], [order];
+            # unpartitioned ones omit the partition group
+            if len(groups) >= 3 and "_bkt#" in groups[1]:
+                data_windows += 1
+            else:
+                dir_windows += 1
+    assert data_windows == 1 and dir_windows == 1, plan
+    assert count_op(df, "CartesianProduct") == 0
+    assert "BroadcastHashJoin" in plan  # directory offsets broadcast back

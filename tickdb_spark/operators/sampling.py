@@ -238,3 +238,52 @@ def reservoir_per_key_sql(table: str, key_col: str, id_col: str, k: int) -> str:
       ) AS BIGINT) AS sample_rank FROM {table}
     ) WHERE sample_rank <= {int(k)}
     """
+
+
+def global_shuffle_index(
+    df: DataFrame, id_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous 1-based ``global_idx`` in multiplicative-hash order of its
+    id — the "shuffle the corpus before training" step, reproducible on
+    any engine/partitioning because the permutation is a pure function
+    of the ids.
+
+    The scale pattern is the point: a global ``row_number`` would be one
+    partition-less window over the corpus. Instead the hash space is cut
+    into ``n_buckets`` RANGES (so global order = (bucket, within-bucket
+    order)), and the index is assembled from (1) per-bucket counts — a
+    tiny directory, (2) a prefix-sum window over that directory (bounded
+    by ``n_buckets``, never by data), broadcast back, and (3) a
+    bucket-partitioned ``row_number`` plus the bucket's offset. Shuffle
+    volume: the data once on bucket, plus ``n_buckets`` directory rows.
+    """
+    bucket_width = MOD // n_buckets
+    h = id_hash(F.col(id_col))
+    src = df.withColumn("_h", h).withColumn(
+        "_bkt",
+        F.least(F.expr(f"_h div {bucket_width}"), F.lit(n_buckets - 1)).cast("long"),
+    )
+    counts = src.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    dir_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(dir_w), F.lit(0)).alias("_off")
+    )
+    data_w = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    return (
+        src.withColumn("_rn", F.row_number().over(data_w).cast("long"))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn("global_idx", F.col("_off") + F.col("_rn"))
+        .drop("_h", "_bkt", "_rn", "_off")
+    )
+
+
+def global_shuffle_index_sql(table: str, id_col: str) -> str:
+    """DuckDB twin of :func:`global_shuffle_index` — the permutation is
+    hash order, so the twin is simply a global ROW_NUMBER over it (the
+    bucket decomposition is an execution detail, not a semantic)."""
+    return f"""
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      ORDER BY {id_hash_sql(id_col)}, {id_col}
+    ) AS BIGINT) AS global_idx FROM {table}
+    """

@@ -5981,6 +5981,63 @@ def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.reservoir_per_key(docs, "lang", "doc_id", k=20)
 
 
+@register(
+    "order_global_shuffle_index",
+    _sampling.global_shuffle_index_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents)", "doc_id"
+    ),
+    "deterministic global training-order shuffle: contiguous 1-based "
+    "global_idx in multiplicative-hash order WITHOUT a partition-less "
+    "window over the data — hash RANGES bucket the corpus, per-bucket "
+    "counts form a tiny directory whose prefix-sum (bounded by bucket "
+    "count, never data) broadcasts back onto bucket-local row_numbers. "
+    "The oracle is the plain global ROW_NUMBER the pattern replaces",
+)
+def order_global_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return _sampling.global_shuffle_index(docs, "doc_id")
+
+
+@register(
+    "filter_quality_percentile",
+    """
+    SELECT doc_id, lang, n_chars, alpha_k FROM (
+      SELECT doc_id, lang, n_chars,
+             1000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               // length(text) AS alpha_k,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY 1000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        // length(text) DESC, doc_id) AS BIGINT) AS rnk
+      FROM documents
+    ) WHERE 4 * rnk <= n_lang
+    """,
+    "per-language quality-percentile gate: keep each language's top "
+    "quartile by alpha ratio — the ratio quantized to an INTEGER "
+    "(1e6·alpha div chars) so ranking ties are engine-independent, "
+    "rank tie-broken on doc_id, threshold as integer cross-multiply "
+    "(4·rank <= n). One key-partitioned window, no percent_rank floats",
+)
+def filter_quality_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # length() is INT in Spark — the 1e6 product overflows int32 on long
+    # docs, so widen BEFORE multiplying (DuckDB lengths are BIGINT)
+    alpha_k = F.expr(
+        "1000000 * CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)"
+        " div length(text)"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("alpha_k").desc(), "doc_id")
+    cw = Window.partitionBy("lang")
+    return (
+        docs.withColumn("alpha_k", alpha_k)
+        .withColumn("n_lang", F.count(F.lit(1)).over(cw).cast("long"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(4 * F.col("rnk") <= F.col("n_lang"))
+        .select("doc_id", "lang", "n_chars", "alpha_k")
+    )
+
+
 _CURATED_SQL = """
 SELECT doc_id, length(text)::BIGINT AS n_chars FROM (
   SELECT doc_id, text,
@@ -6131,7 +6188,8 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: never-sampled or materially-changed entry): `graph_pagerank_neardup`,
 #: `pack_sequences_greedy`, `sample_reservoir_per_key`,
 #: `asof_forward_next_view`, `dedup_substring_rolling`,
-#: `pipeline_curation_end2end` (late-r7
+#: `pipeline_curation_end2end`, `order_global_shuffle_index`,
+#: `filter_quality_percentile` (late-r7
 #: additions, replica + parity green locally; hoist them in r8).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
