@@ -1356,3 +1356,74 @@ def test_substring_dedup_random_corpora_vs_bruteforce(spark):
             for r in substring_dedup(df, "text", "doc_id", window=L).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_pq_encode_and_adc_match_numpy_replay(spark):
+    """PQ encode + ADC must equal a sequential numpy replay of the spec
+    (same left-assoc score order, same quantization) on a random
+    corpus — codes, distances, and the final ranking."""
+    import math
+    import random
+
+    import numpy as np
+
+    from tickdb_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    rng = random.Random(5)
+    dim, m_sub, k = 16, 4, 8
+    d_sub = dim // m_sub
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).repartition(5)
+    books = pq_train(df, dim=dim, m_sub=m_sub, k=k, iters=2, sample_fraction=1.0)
+    assert len(books) == m_sub and all(len(b) == k for b in books)
+
+    # replay encode
+    def enc(v):
+        out = []
+        for m in range(m_sub):
+            vm = v[m * d_sub : (m + 1) * d_sub]
+            best = None
+            for code, c in enumerate(books[m]):
+                dot = 0.0
+                cc = 0.0
+                for j in range(d_sub):
+                    dot += vm[j] * c[j]
+                    cc += c[j] * c[j]
+                s = -2.0 * dot + cc
+                if best is None or s < best[0] or (s == best[0] and code < best[1]):
+                    best = (s, code)
+            out.append(best[1])
+        return out
+
+    expect_codes = {i: enc(v) for i, v in vecs}
+    got_codes = {}
+    for r in pq_encode(df, books).collect():
+        got_codes.setdefault(r.vec_id, {})[r.m] = r.code
+    assert {i: [c[m] for m in range(m_sub)] for i, c in got_codes.items()} == expect_codes
+
+    # replay ADC for one query
+    q = 7
+    qv = dict(vecs)[q]
+    lut = {}
+    for m in range(m_sub):
+        qm = qv[m * d_sub : (m + 1) * d_sub]
+        for code, c in enumerate(books[m]):
+            dot = 0.0
+            cc = 0.0
+            for j in range(d_sub):
+                dot += qm[j] * c[j]
+                cc += c[j] * c[j]
+            lut[(m, code)] = int(math.floor((-2.0 * dot + cc) * 1e10 + 0.5))
+    scores = {
+        i: sum(lut[(m, code)] for m, code in enumerate(expect_codes[i]))
+        for i, _ in vecs
+        if i != q
+    }
+    expect_top = sorted(scores.items(), key=lambda x: (x[1], x[0]))[:5]
+    got = [
+        (r.vec_id, r.adc_q)
+        for r in pq_adc_topk(df, books, [q], k_top=5).orderBy("rank").collect()
+    ]
+    assert got == expect_top

@@ -226,13 +226,17 @@ def kmeans_replay_ctes(
     sample_fraction: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix: str = "",
 ) -> str:
     """CTE chain (no leading WITH) replaying ``kmeans_fit(k, max_iter=iters,
-    tol=0, sample_fraction)``; the final centroids land in ``km_cents(cell,
+    tol=0, sample_fraction)``; the final centroids land in ``{P}cents(cell,
     c)``. Unrolled (not recursive): the gate trains a fixed small number of
     iterations, and an unrolled chain keeps every step a plain
-    join+aggregate DuckDB can plan."""
+    join+aggregate DuckDB can plan. ``prefix`` namespaces every CTE so
+    several chains (e.g. one per PQ subspace) coexist in one query."""
     from tickdb_spark.operators.sampling import MOD, id_hash_sql
+
+    P = prefix + "km_"
 
     cut = int(sample_fraction * MOD)
     # AS MATERIALIZED everywhere: DuckDB inlines single-reference CTEs, and
@@ -241,14 +245,14 @@ def kmeans_replay_ctes(
     # 3 iterations under session memory pressure, always-OOM at 5).
     # Materialization keeps each step a small intermediate table.
     ctes = [
-        f"""km_train AS MATERIALIZED (
+        f"""{P}train AS MATERIALIZED (
       SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
       FROM {table} WHERE {id_hash_sql(id_col)} < {cut}
     )""",
-        f"""km_c0 AS MATERIALIZED (
+        f"""{P}c0 AS MATERIALIZED (
       SELECT cell, v AS c FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY {id_hash_sql('id')}, id) - 1 AS cell, v
-        FROM km_train
+        FROM {P}train
       ) WHERE cell < {k}
     )""",
     ]
@@ -259,33 +263,33 @@ def kmeans_replay_ctes(
     )
     rebuilt = ", ".join(f"u.m{j}" for j in range(dim))
     for t in range(1, iters + 1):
-        prev = f"km_c{t - 1}"
+        prev = f"{P}c{t - 1}"
         ctes.append(
-            f"""km_a{t} AS (
+            f"""{P}a{t} AS (
       SELECT id, v FROM (
         SELECT t.id, t.v, c.cell,
                ROW_NUMBER() OVER (
                  PARTITION BY t.id
                  ORDER BY {_score_sql('t.v', 'c.c', dim)}, c.cell) AS rn
-        FROM km_train t CROSS JOIN {prev} c
+        FROM {P}train t CROSS JOIN {prev} c
       ) WHERE rn = 1
     )"""
         )
-        # km_a{t} drops cell from the outer select on purpose? No — keep it.
+        # {P}a{t} drops cell from the outer select on purpose? No — keep it.
         ctes[-1] = ctes[-1].replace("SELECT id, v FROM (", "SELECT id, v, cell FROM (")
         ctes.append(
-            f"""km_u{t} AS (
+            f"""{P}u{t} AS (
       SELECT cell, COUNT(*) AS n, {means}
-      FROM km_a{t} GROUP BY cell
+      FROM {P}a{t} GROUP BY cell
     )"""
         )
         ctes.append(
-            f"""km_c{t} AS (
+            f"""{P}c{t} AS (
       SELECT p.cell, CASE WHEN u.n IS NULL THEN p.c ELSE [{rebuilt}] END AS c
-      FROM {prev} p LEFT JOIN km_u{t} u USING (cell)
+      FROM {prev} p LEFT JOIN {P}u{t} u USING (cell)
     )"""
         )
-    ctes.append(f"km_cents AS (SELECT cell, c FROM km_c{iters})")
+    ctes.append(f"{P}cents AS (SELECT cell, c FROM {P}c{iters})")
     return ",\n    ".join(ctes)
 
 
