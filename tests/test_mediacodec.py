@@ -300,3 +300,50 @@ def test_jpeg_progressive_rejects_malformed_scans():
     full = encode_jpeg_progressive(np.arange(64, dtype=np.uint8).reshape(8, 8))
     with pytest.raises(Exception):
         decode_jpeg(full[: int(len(full) * 0.6)])
+
+
+def test_gif_roundtrip_interlace_multiframe_and_palettes():
+    """GIF LZW round-trip across the planted parameter grid, interlaced
+    and sequential row orders, multi-frame, and random palettes/sizes
+    big enough to cross every code width and force dictionary resets."""
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import decode_gif, encode_gif
+
+    idx16 = np.arange(16)
+    pal = np.stack([7 * idx16 + 1, 5 * idx16 + 2, 3 * idx16 + 3], axis=1).astype(
+        np.uint8
+    )
+    for d in (2, 6, 10, 46, 58, 186, 326, 338):  # incl. former flush-boundary bugs
+        w, h, nf = 2 + d % 7, 2 + d % 5, 1 + d % 3
+        base = np.add.outer(np.arange(h), np.arange(w))
+        frames = [(base + f).astype(np.uint8) for f in range(nf)]
+        inter = [(d + f) % 2 == 0 for f in range(nf)]
+        out = decode_gif(encode_gif(frames, pal, interlace=inter))
+        assert len(out) == nf
+        for f in range(nf):
+            assert (out[f] == pal[frames[f]]).all(), (d, f)
+
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        p = 1 << int(rng.integers(2, 9))
+        palr = rng.integers(0, 256, size=(p, 3)).astype(np.uint8)
+        img = rng.integers(0, p, size=(90, 130)).astype(np.uint8)
+        out = decode_gif(encode_gif([img], palr, interlace=[bool(trial % 2)]))[0]
+        assert (out == palr[img]).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from tickdb_spark.operators.mediacodec import decode_gif, encode_gif
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    good = encode_gif([np.zeros((3, 3), dtype=np.uint8)], pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + good[6:])
+    with pytest.raises((EOFError, IndexError)):
+        decode_gif(good[: len(good) // 2])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        encode_gif([np.zeros((2, 2), dtype=np.uint8)], np.zeros((5, 3), np.uint8))

@@ -1354,3 +1354,226 @@ def parse_exif(data: bytes) -> dict:
                 out[_EXIF_TAGS[tag]] = struct.unpack_from(bo + "H", tiff, off + 8)[0]
         return out
     raise ValueError("no EXIF APP1 segment before the scan")
+
+
+# --------------------------------------------------------------------------
+# GIF87a/89a — LZW-compressed palette images, optional interlace, multi-
+# frame animations (public spec: CompuServe "GRAPHICS INTERCHANGE FORMAT
+# Version 89a", 1990). Pure numpy/stdlib like every codec here.
+# --------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF LZW: variable-width codes LSB-first, CLEAR/EOI, 12-bit cap
+    with an explicit dictionary reset (CLEAR) when the table fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        # giflib convention: the width check runs after each emit against
+        # the PRE-insert next code — the decoder mirrors it by counting
+        # codes read (see _lzw_decompress), which stays aligned even
+        # across the final flush emit that inserts nothing.
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+        else:  # table full — reset, like every mainstream encoder
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    pos = 0
+    buf = 0
+    nbits = 0
+    table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+    nxt = eoi + 1
+    # Width tracks the ENCODER's table size, which runs one entry ahead
+    # of ours (it adds on every emit, we add from the second code on) —
+    # so count codes READ, giflib-style, not entries added.
+    counter = eoi + 1
+    prev: tuple | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise EOFError("LZW stream ended before EOI")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            nxt = eoi + 1
+            counter = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+        counter += 1
+        if counter > (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    interlace: list[bool] | None = None,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode index frames (each (h, w) uint8, values < len(palette))
+    against one global color table. Palette length must be a power of
+    two ≥ 4. Multi-frame output carries a Graphic Control Extension per
+    frame (GIF89a animation shape)."""
+    import struct
+
+    p = int(palette.shape[0])
+    bits = max(2, (p - 1).bit_length())
+    if p != 1 << bits:
+        raise ValueError("palette length must be a power of two >= 4")
+    h, w = frames[0].shape
+    interlace = interlace or [False] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    for fi, frame in enumerate(frames):
+        out += bytes((0x21, 0xF9, 4, 0)) + struct.pack("<H", delay_cs) + bytes((0, 0))
+        flags = 0x40 if interlace[fi] else 0
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        rows = frame
+        if interlace[fi]:
+            rows = frame[_gif_interlace_order(h), :]
+        mcs = max(2, bits)
+        out.append(mcs)
+        lzw = _lzw_compress(rows.reshape(-1), mcs)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """Decode every frame to (h, w, 3) uint8 RGB (global or local color
+    table, optional interlace, extensions skipped). Frames are returned
+    undisposed (each frame as stored; disposal composition is a viewer
+    concern, not a decode concern)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    while True:
+        if pos >= len(data):
+            raise EOFError("GIF ended without trailer")
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return frames
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decompress(bytes(lzw), mcs)
+        if len(idx) < fw * fh:
+            raise EOFError("LZW output short of frame size")
+        grid = np.array(idx[: fw * fh], dtype=np.int64).reshape(fh, fw)
+        if iflags & 0x40:
+            out = np.empty_like(grid)
+            out[_gif_interlace_order(fh), :] = grid
+            grid = out
+        if int(grid.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        frames.append(pal[grid])

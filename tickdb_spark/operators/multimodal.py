@@ -293,6 +293,7 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
     m = _codec()
     decode_bmp, decode_wav = m.decode_bmp, m.decode_wav
     decode_png, decode_jpeg = m.decode_png, m.decode_jpeg
+    decode_gif = m.decode_gif
 
     def reject_reason(exc: Exception) -> str:
         msg = str(exc)
@@ -318,6 +319,7 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
                         "image" if b[:2] == b"BM"
                         else "image_png" if b[:8] == b"\x89PNG\r\n\x1a\n"
                         else "image_jpeg" if b[:2] == b"\xff\xd8"
+                        else "image_gif" if b[:6] in (b"GIF87a", b"GIF89a")
                         else "audio" if b[:4] == b"RIFF"
                         else "unknown"
                     )
@@ -357,6 +359,21 @@ def decode_media_stats(df: DataFrame, repartition: bool = True) -> DataFrame:
                 (mid, "image_jpeg", "channels", c),
                 (mid, "image_jpeg", "px_sum", int(img.sum(dtype=np.int64))),
                 (mid, "image_jpeg", "corner_sum", int(img[0, 0].sum(dtype=np.int64))),
+            ]
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            frames = decode_gif(b)
+            h, w, _ = frames[0].shape
+            rows += [
+                (mid, "image_gif", "width", w),
+                (mid, "image_gif", "height", h),
+                (mid, "image_gif", "n_frames", len(frames)),
+                (
+                    mid,
+                    "image_gif",
+                    "px_sum",
+                    int(sum(f.sum(dtype=np.int64) for f in frames)),
+                ),
+                (mid, "image_gif", "corner_sum", int(frames[0][0, 0].sum(dtype=np.int64))),
             ]
         elif b[:4] == b"RIFF":
             rate, ch, samples = decode_wav(b)
@@ -455,6 +472,43 @@ def plant_png_assets(docs: DataFrame) -> DataFrame:
                 if ch == 1:
                     img = img.reshape(h, w)
                 out.append((d, "image_png", encode_png(img)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(docs.select("doc_id")).mapInPandas(
+        run, schema="media_id long, media_type string, content binary"
+    )
+
+
+def plant_gif_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL LZW-compressed GIF89a animations from ``doc_id``
+    with closed-form stats: F = 1 + d % 3 frames of w = 2 + d % 7,
+    h = 2 + d % 5, a 16-color global palette with palette[i] =
+    (7i+1, 5i+2, 3i+3) (per-index RGB sum 15i + 6), and
+    index(y, x, f) = x + y + f (max 14 < 16, no wrap). Frame f is
+    stored INTERLACED iff (d + f) is even, so both row orders decode
+    against the same closed form.
+
+    ⇒ px_sum  = 15·(F·h·w(w−1)/2 + F·w·h(h−1)/2 + w·h·F(F−1)/2)
+               + 6·w·h·F
+      corner_sum = 6 (frame 0, index 0 — pins the palette origin)."""
+    encode_gif = _codec().encode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx16 = np.arange(16)
+        pal = np.stack([7 * idx16 + 1, 5 * idx16 + 2, 3 * idx16 + 3], axis=1).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 2 + d % 7, 2 + d % 5, 1 + d % 3
+                base = np.add.outer(np.arange(h), np.arange(w))
+                frames = [(base + f).astype(np.uint8) for f in range(nf)]
+                inter = [(d + f) % 2 == 0 for f in range(nf)]
+                out.append((d, "image_gif", encode_gif(frames, pal, interlace=inter)))
             yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
 
     return _repartitioned(docs.select("doc_id")).mapInPandas(

@@ -5981,6 +5981,41 @@ def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.reservoir_per_key(docs, "lang", "doc_id", k=20)
 
 
+@register(
+    "media_decode_gif",
+    """
+    WITH gif AS (
+      SELECT doc_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h,
+             1 + doc_id % 3 AS f
+      FROM documents WHERE doc_id % 4 = 2
+    )
+    SELECT media_id, media_type, stat, CAST(value AS BIGINT) AS value FROM (
+      SELECT doc_id AS media_id, 'image_gif' AS media_type, 'width' AS stat,
+             w AS value FROM gif
+      UNION ALL SELECT doc_id, 'image_gif', 'height', h FROM gif
+      UNION ALL SELECT doc_id, 'image_gif', 'n_frames', f FROM gif
+      UNION ALL SELECT doc_id, 'image_gif', 'px_sum',
+                       15 * (f * h * (w * (w - 1) // 2)
+                             + f * w * (h * (h - 1) // 2)
+                             + w * h * (f * (f - 1) // 2))
+                       + 6 * w * h * f FROM gif
+      UNION ALL SELECT doc_id, 'image_gif', 'corner_sum', 6 FROM gif
+    )
+    ORDER BY media_id, stat
+    """,
+    "REAL GIF89a decode, oracle-checked: every doc_id % 4 = 2 is "
+    "planted as a genuine LZW-compressed multi-frame GIF (variable-width "
+    "codes, CLEAR/EOI, 12-bit dictionary, interlaced and sequential row "
+    "orders both exercised) and decoded by the pure-numpy/stdlib LZW "
+    "walker in mediacodec.py against closed-form pixel sums; corner_sum "
+    "pins the palette origin",
+)
+def media_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+    media = _materialized_assets("gif", sf_dir, _mm.plant_gif_assets(docs))
+    return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
+
+
 from tickdb_spark.operators import pq as _pq  # noqa: E402
 
 _PQ_QUERIES = [0, 101, 202, 303, 404]
@@ -6238,7 +6273,8 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: `pack_sequences_greedy`, `sample_reservoir_per_key`,
 #: `asof_forward_next_view`, `dedup_substring_rolling`,
 #: `pipeline_curation_end2end`, `order_global_shuffle_index`,
-#: `filter_quality_percentile`, `sim_ann_pq_adc`, `sim_ann_pq_rerank` (late-r7
+#: `filter_quality_percentile`, `sim_ann_pq_adc`, `sim_ann_pq_rerank`,
+#: `media_decode_gif` (late-r7
 #: additions, replica + parity green locally; hoist them in r8).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
