@@ -265,7 +265,7 @@ def kmeans_replay_ctes(
     for t in range(1, iters + 1):
         prev = f"{P}c{t - 1}"
         ctes.append(
-            f"""{P}a{t} AS (
+            f"""{P}a{t} AS MATERIALIZED (
       SELECT id, v FROM (
         SELECT t.id, t.v, c.cell,
                ROW_NUMBER() OVER (
@@ -278,13 +278,13 @@ def kmeans_replay_ctes(
         # {P}a{t} drops cell from the outer select on purpose? No — keep it.
         ctes[-1] = ctes[-1].replace("SELECT id, v FROM (", "SELECT id, v, cell FROM (")
         ctes.append(
-            f"""{P}u{t} AS (
+            f"""{P}u{t} AS MATERIALIZED (
       SELECT cell, COUNT(*) AS n, {means}
       FROM {P}a{t} GROUP BY cell
     )"""
         )
         ctes.append(
-            f"""{P}c{t} AS (
+            f"""{P}c{t} AS MATERIALIZED (
       SELECT p.cell, CASE WHEN u.n IS NULL THEN p.c ELSE [{rebuilt}] END AS c
       FROM {prev} p LEFT JOIN {P}u{t} u USING (cell)
     )"""

@@ -325,3 +325,243 @@ def pq_adc_rerank_topk_sql(
       FROM cand
     ) WHERE rank <= {k_top}
     """
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_ids: list[int],
+    n_probe: int = 2,
+    shortlist: int = 30,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-shape index (IVFADC, Jégou et al. §IV): a coarse
+    quantizer prunes the corpus to the query's ``n_probe`` nearest cells,
+    ADC over the PQ codes ranks ONLY those cells' members, and the
+    shortlist is exactly re-scored. Three cost tiers at 100 TB: the cell
+    assignment is an ingest-time precompute (a stored column), the ADC
+    tier scans codes of ~n_probe/k_cells of the corpus, and the exact
+    tier touches ``queries × shortlist`` raw vectors.
+
+    Returns ``(q_id, rank, vec_id, exact_q)``. Same determinism
+    contract as the rest of the module: every ranking key is either an
+    integer or a shared left-assoc-fold double."""
+    cells = assign_cells(
+        emb.select(id_col, vec_col), coarse_cents, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("cell").cast("long").alias("cell"))
+
+    # per-query probe set: rank the coarse cells by the same score chain,
+    # driver-side (k_cells × n_queries scalars)
+    qrows = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        scored = []
+        for ci, cent in enumerate(coarse_cents):
+            dot = 0.0
+            cc = 0.0
+            for j in range(len(cent)):
+                dot += qv[j] * cent[j]
+                cc += cent[j] * cent[j]
+            scored.append((-2.0 * dot + cc, ci))
+        scored.sort()
+        probe_rows += [(r["q_id"], ci) for _, ci in scored[:n_probe]]
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell long")
+
+    cand = cells.join(F.broadcast(probes), "cell").select("q_id", id_col)
+
+    # ADC over the candidates only: codes ⋈ candidate set ⋈ broadcast LUT
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        for m in range(m_sub):
+            qm = qv[m * d_sub : (m + 1) * d_sub]
+            for code, cent in enumerate(codebooks[m]):
+                dot = 0.0
+                cc = 0.0
+                for j in range(d_sub):
+                    dot += qm[j] * cent[j]
+                    cc += cent[j] * cent[j]
+                lut_rows.append(
+                    (r["q_id"], m, code, int(math.floor((-2.0 * dot + cc) * 1e10 + 0.5)))
+                )
+    lut = spark.createDataFrame(lut_rows, "q_id long, m long, code long, dq long")
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    adc = (
+        codes.join(cand, id_col)
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .where(F.col(id_col) != F.col("q_id"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("dq").alias("adc_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_q", id_col)
+    short = (
+        adc.withColumn("srank", F.row_number().over(w))
+        .where(F.col("srank") <= shortlist)
+        .select("q_id", F.col(id_col).alias("vec_id"))
+    )
+
+    from tickdb_spark.operators.similarity import dot_expr
+
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    qvecs = emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    exact = F.expr(
+        f"CAST(floor(((-2.0 * {dot_expr('qv', 'v')}) + {dot_expr('v', 'v')})"
+        " * 1e10 + 0.5) AS BIGINT)"
+    )
+    reranked = (
+        short.join(vecs, "vec_id")
+        .join(F.broadcast(qvecs), "q_id")
+        .withColumn("exact_q", exact)
+    )
+    w2 = Window.partitionBy("q_id").orderBy("exact_q", "vec_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k_top)
+        .select("q_id", "rank", "vec_id", "exact_q")
+    )
+
+
+def ivfadc_topk_sql(
+    table: str,
+    dim: int = 64,
+    k_cells: int = 4,
+    coarse_iters: int = 3,
+    m_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    sample_fraction: float = 0.5,
+    query_ids: list[int] | None = None,
+    n_probe: int = 2,
+    shortlist: int = 30,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivfadc_topk``: the coarse trainer replays under
+    the ``coarse_`` prefix, the m_sub PQ trainers under ``s{m}_``, and
+    the probe / candidate / ADC / rerank stages mirror the engine
+    stage-for-stage."""
+    d_sub = dim // m_sub
+    qids = ", ".join(str(int(q)) for q in (query_ids or []))
+    coarse = kmeans_replay_ctes(
+        table, k_cells, coarse_iters, dim, sample_fraction,
+        id_col=id_col, vec_col=vec_col, prefix="coarse_",
+    )
+    pq_chains = []
+    cb_parts = []
+    code_parts = []
+    lut_parts = []
+    for m in range(m_sub):
+        pre = f"s{m}_"
+        sub_table = (
+            f"(SELECT {id_col}, list_slice(CAST({vec_col} AS DOUBLE[]), "
+            f"{m * d_sub + 1}, {(m + 1) * d_sub}) AS sub FROM {table})"
+        )
+        pq_chains.append(
+            kmeans_replay_ctes(
+                sub_table, k, iters, d_sub, sample_fraction,
+                id_col=id_col, vec_col="sub", prefix=pre,
+            )
+        )
+        cb_parts.append(f"SELECT {m} AS m, cell AS code, c FROM {pre}km_cents")
+        code_parts.append(
+            f"""SELECT {id_col}, {m} AS m, code FROM (
+      SELECT e.{id_col}, cb.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.{id_col}
+               ORDER BY {_score_sql('e.sub', 'cb.c', d_sub)}, cb.code) AS rn
+      FROM {sub_table} e CROSS JOIN (SELECT code, c FROM pq_cb WHERE m = {m}) cb
+    ) WHERE rn = 1"""
+        )
+        lut_parts.append(
+            f"""SELECT q.{id_col} AS q_id, {m} AS m, cb.code,
+           CAST(floor({_score_sql('q.sub', 'cb.c', d_sub)} * 1e10 + 0.5) AS BIGINT) AS dq
+    FROM {sub_table} q CROSS JOIN (SELECT code, c FROM pq_cb WHERE m = {m}) cb
+    WHERE q.{id_col} IN ({qids})"""
+        )
+    from tickdb_spark.operators.similarity import dot_expr
+
+    exact_chain = (
+        f"((-2.0 * {dot_expr('q.qv', 'e.v', dim, sql=True)})"
+        f" + {dot_expr('e.v', 'e.v', dim, sql=True)})"
+    )
+    pq_all = ",\n    ".join(pq_chains)
+    cb_all = " UNION ALL ".join(cb_parts)
+    codes_all = " UNION ALL ".join(code_parts)
+    lut_all = " UNION ALL ".join(lut_parts)
+    return f"""
+    WITH {coarse},
+    {pq_all},
+    ivf_all AS MATERIALIZED (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+    ),
+    ivf_cells AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT a.id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.id
+                 ORDER BY {_score_sql('a.v', 'c.c', dim)}, c.cell) AS rn
+        FROM ivf_all a CROSS JOIN coarse_km_cents c
+      ) WHERE rn = 1
+    ),
+    ivf_probe AS MATERIALIZED (
+      SELECT q_id, cell FROM (
+        SELECT q.id AS q_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.id
+                 ORDER BY {_score_sql('q.v', 'c.c', dim)}, c.cell) AS rn
+        FROM ivf_all q CROSS JOIN coarse_km_cents c
+        WHERE q.id IN ({qids})
+      ) WHERE rn <= {n_probe}
+    ),
+    ivf_cand AS MATERIALIZED (
+      SELECT p.q_id, m.id FROM ivf_probe p JOIN ivf_cells m ON m.cell = p.cell
+    ),
+    pq_cb AS MATERIALIZED ({cb_all}),
+    pq_codes AS MATERIALIZED ({codes_all}),
+    pq_lut AS MATERIALIZED ({lut_all}),
+    ivf_adc AS (
+      SELECT l.q_id, c.{id_col} AS id,
+             CAST(SUM(l.dq) AS BIGINT) AS adc_q
+      FROM pq_codes c
+      JOIN ivf_cand d ON d.id = c.{id_col}
+      JOIN pq_lut l ON l.q_id = d.q_id AND l.m = c.m AND l.code = c.code
+      WHERE c.{id_col} <> l.q_id
+      GROUP BY l.q_id, c.{id_col}
+    ),
+    ivf_short AS MATERIALIZED (
+      SELECT q_id, id FROM (
+        SELECT q_id, id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY adc_q, id) AS srank
+        FROM ivf_adc
+      ) WHERE srank <= {shortlist}
+    ),
+    ivf_rr AS (
+      SELECT s.q_id, s.id AS vec_id,
+             CAST(floor({exact_chain} * 1e10 + 0.5) AS BIGINT) AS exact_q
+      FROM ivf_short s
+      JOIN ivf_all e ON e.id = s.id
+      JOIN (SELECT id AS qid2, v AS qv FROM ivf_all WHERE id IN ({qids})) q
+        ON q.qid2 = s.q_id
+    )
+    SELECT q_id, rank, vec_id, exact_q FROM (
+      SELECT q_id, vec_id, exact_q,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY exact_q, vec_id) AS BIGINT) AS rank
+      FROM ivf_rr
+    ) WHERE rank <= {k_top}
+    """

@@ -6066,6 +6066,35 @@ def sim_ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivfadc",
+    _pq.ivfadc_topk_sql(
+        "embeddings", dim=64, k_cells=4, coarse_iters=3, m_sub=8, k=16,
+        iters=2, sample_fraction=0.5, query_ids=_PQ_QUERIES,
+        n_probe=2, shortlist=30, k_top=5,
+    ),
+    "the full FAISS-shape index (IVFADC): a TRAINED coarse quantizer "
+    "prunes each query to its 2 nearest cells (~half the corpus), ADC "
+    "over the PQ codes ranks only those cells' members, and the 30-row "
+    "shortlist is exactly re-scored. Three cost tiers at scale: cell "
+    "assignment is an ingest-time stored column, the ADC tier scans "
+    "codes of the probed fraction, the exact tier touches queries x 30 "
+    "vectors. BOTH trainers (coarse + 8 PQ subspaces) replay "
+    "bit-identically in the oracle",
+)
+def sim_ann_ivfadc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators.kmeans import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse = kmeans_fit(emb, k=4, max_iter=3, tol=0.0, sample_fraction=0.5)
+    books = _pq.pq_train(
+        emb, dim=64, m_sub=8, k=16, iters=2, sample_fraction=0.5
+    )
+    return _pq.ivfadc_topk(
+        emb, coarse, books, _PQ_QUERIES, n_probe=2, shortlist=30, k_top=5
+    )
+
+
+@register(
     "order_global_shuffle_index",
     _sampling.global_shuffle_index_sql(
         "(SELECT doc_id, lang, n_chars FROM documents)", "doc_id"
@@ -6274,8 +6303,11 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: `asof_forward_next_view`, `dedup_substring_rolling`,
 #: `pipeline_curation_end2end`, `order_global_shuffle_index`,
 #: `filter_quality_percentile`, `sim_ann_pq_adc`, `sim_ann_pq_rerank`,
-#: `media_decode_gif` (late-r7
-#: additions, replica + parity green locally; hoist them in r8).
+#: `media_decode_gif`, `sim_ann_ivfadc` (late-r7
+#: additions, replica + parity green locally; hoist them in r8). Also
+#: r8-queue: `sim_ivf_kmeans_cells`, `sim_ann_topk_ivf_trained` (oracle
+#: text gained AS MATERIALIZED iteration steps late in r7 — values
+#: unchanged, locally re-proven; their r5 driver rows predate the text).
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) never driver-sampled through r6 — TPC-H completions
