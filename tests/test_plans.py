@@ -519,3 +519,13 @@ def test_global_shuffle_index_no_data_global_window(spark):
     assert data_windows == 1 and dir_windows == 1, plan
     assert count_op(df, "CartesianProduct") == 0
     assert "BroadcastHashJoin" in plan  # directory offsets broadcast back
+
+
+def test_pq_adc_join_shape(spark):
+    """PQ ADC must be codes ⋈ broadcast LUT + one partial-aggregable
+    BIGINT sum — no cartesian, no nested loop, LUT broadcast."""
+    df = _df(spark, "sim_ann_pq_adc")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert "BroadcastHashJoin" in plan  # the LUT
