@@ -6095,6 +6095,55 @@ def sim_ann_ivfadc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_purchase_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT s.user_id, s.first_signup_us, p.first_purchase_us,
+           (p.first_purchase_us - s.first_signup_us) // 3600000000
+             AS hours_to_convert
+    FROM s JOIN p USING (user_id)
+    WHERE p.first_purchase_us >= s.first_signup_us
+    ORDER BY s.user_id
+    """,
+    "conversion latency: per user, first signup -> first purchase at or "
+    "after it, in whole hours (integer division, no float durations). "
+    "Two filtered min-aggregates + one equi-join — the funnel entry "
+    "counts who converts, this one measures how fast",
+)
+def analytics_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("ts div 1000")).alias("first_signup_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("ts div 1000")).alias("first_purchase_us"))
+    )
+    return (
+        s.join(p, "user_id")
+        .where(F.col("first_purchase_us") >= F.col("first_signup_us"))
+        .select(
+            "user_id",
+            "first_signup_us",
+            "first_purchase_us",
+            F.expr(
+                "(first_purchase_us - first_signup_us) div 3600000000"
+            ).alias("hours_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "order_global_shuffle_index",
     _sampling.global_shuffle_index_sql(
         "(SELECT doc_id, lang, n_chars FROM documents)", "doc_id"
@@ -6303,7 +6352,8 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: `asof_forward_next_view`, `dedup_substring_rolling`,
 #: `pipeline_curation_end2end`, `order_global_shuffle_index`,
 #: `filter_quality_percentile`, `sim_ann_pq_adc`, `sim_ann_pq_rerank`,
-#: `media_decode_gif`, `sim_ann_ivfadc` (late-r7
+#: `media_decode_gif`, `sim_ann_ivfadc`, `analytics_time_to_convert`
+#: (late-r7
 #: additions, replica + parity green locally; hoist them in r8). Also
 #: r8-queue: `sim_ivf_kmeans_cells`, `sim_ann_topk_ivf_trained` (oracle
 #: text gained AS MATERIALIZED iteration steps late in r7 — values
