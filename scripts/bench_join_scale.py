@@ -50,6 +50,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from tickdb_spark.operators import rangejoin as _rj  # noqa: E402
 from tickdb_spark.operators import similarity as _sim  # noqa: E402
+from tickdb_spark.operators import pq as _pq  # noqa: E402
+
+#: lazily trained once on the base corpus (list for closure mutability)
+_PQ_BOOKS: list = [None]
 from tickdb_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,6 +146,11 @@ def main() -> None:
         ]
         return {"sec_1x_2x_4x_8x": times, "out_rows": rows, "log2_growth": growth}
 
+    _PQ_BOOKS[0] = _pq.pq_train(
+        scaled_embeddings(spark, 1),
+        dim=64, m_sub=8, k=16, iters=2, sample_fraction=0.5,
+    )
+
     results = {
         "interval_overlap": measure(
             lambda f: scaled_spans(spark, f),
@@ -174,6 +183,15 @@ def main() -> None:
             lambda f, a: _sim.cosine_neardup_pairs_ivf(
                 None, threshold=0.4, assignment=a
             ),
+        ),
+        "pq_encode": measure(
+            # the PQ STORAGE build: per-subspace nearest-code assignment
+            # over the corpus (one Arrow GEMM per subspace batch) — the
+            # ingest-time cost of the 32x-compressed tier; must be
+            # ~linear in the corpus (codebooks fixed: train once on the
+            # base corpus, encode every copy)
+            lambda f: (scaled_embeddings(spark, f),),
+            lambda f, e: _pq.pq_encode(e, _PQ_BOOKS[0]),
         ),
     }
     for name, r in results.items():
