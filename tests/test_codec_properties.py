@@ -102,7 +102,7 @@ def test_jpeg_restart_interval_roundtrip(bw, bh, ri, grey, seed):
 
 @settings(max_examples=30, deadline=None)
 @given(
-    kind=st.sampled_from(["jpeg", "jpeg_prog", "png", "bmp", "wav"]),
+    kind=st.sampled_from(["jpeg", "jpeg_prog", "png", "bmp", "wav", "gif"]),
     cut=st.floats(0.05, 0.95),
     flip_at=st.floats(0.1, 0.9),
     mode=st.sampled_from(["truncate", "flip", "garbage_tail"]),
@@ -129,6 +129,9 @@ def test_malformed_bytes_never_raise_from_stats_kernel(kind, cut, flip_at, mode,
         good = mc.encode_png(img)
     elif kind == "bmp":
         good = mc.encode_bmp(np.stack([img] * 3, axis=2))
+    elif kind == "gif":
+        pal = np.stack([np.arange(16)] * 3, axis=1).astype(np.uint8)
+        good = mc.encode_gif([img % 16], pal, interlace=[bool(seed % 2)])
     else:
         good = mc.encode_wav(rng.integers(-100, 100, size=64).astype(np.int16))
     b = bytearray(good)

@@ -1425,7 +1425,14 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+def _lzw_decompress(
+    data: bytes, min_code_size: int, limit: int | None = None
+) -> list[int]:
+    # a corrupted code-size byte can be up to 255: 1 << 255 table slots
+    # is an unbounded hang, not an error (found by the fuzz harness).
+    # The GIF spec bounds it by the 256-color palette.
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"LZW min code size out of range: {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
@@ -1458,6 +1465,11 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
             prev = None
             continue
         if code == eoi:
+            return out
+        if limit is not None and len(out) >= limit:
+            # enough pixels for the frame: stop before a hostile stream
+            # can grow the output quadratically (entry length rises with
+            # every code, so unguarded output is O(n_codes^2))
             return out
         if prev is None:
             entry = table[code]
@@ -1566,7 +1578,7 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _lzw_decompress(bytes(lzw), mcs)
+        idx = _lzw_decompress(bytes(lzw), mcs, limit=fw * fh)
         if len(idx) < fw * fh:
             raise EOFError("LZW output short of frame size")
         grid = np.array(idx[: fw * fh], dtype=np.int64).reshape(fh, fw)
