@@ -347,3 +347,57 @@ def test_gif_rejects_malformed():
         decode_gif(good[: len(good) // 2])  # truncated mid-stream
     with pytest.raises(ValueError):
         encode_gif([np.zeros((2, 2), dtype=np.uint8)], np.zeros((5, 3), np.uint8))
+
+
+def test_gif_truncation_and_flip_raise_codec_family_only():
+    """EVERY prefix of a valid GIF and random byte flips must raise the
+    codec's ValueError/EOFError family — never IndexError / KeyError /
+    struct.error — so direct callers can classify rejects uniformly
+    (decode_media_stats's broad except masked this before r8)."""
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    f = rng.integers(0, 16, size=(12, 17)).astype(np.uint8)
+    blob = encode_gif([f, (f + 1) % 16], pal)
+    for cut in range(1, len(blob)):
+        try:
+            decode_gif(blob[:cut])
+        except (ValueError, EOFError):
+            pass  # the only acceptable family
+    for _ in range(800):
+        b = bytearray(blob)
+        b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        try:
+            decode_gif(bytes(b))
+        except (ValueError, EOFError):
+            pass
+
+
+def test_gif_lzw_mcs2_flush_boundary_roundtrip():
+    """min_code_size=2 (4-color palettes) round-trip: the encoder's
+    final flush emit must widen the code width exactly like mid-stream
+    emits, or EOI is written one bit narrower than the decoder reads it
+    (fuzz-found r8: ~7% of random 4-color frames failed before the fix)."""
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(281)
+    for trial in range(400):
+        n = int(rng.integers(1, 400))
+        vals = rng.integers(0, 4, size=n).astype(np.uint8)
+        assert _lzw_decompress(_lzw_compress(vals, 2), 2) == list(vals), (trial, n)
+    pal4 = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    for trial in range(60):
+        h, w = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+        fr = rng.integers(0, 4, size=(h, w)).astype(np.uint8)
+        out = decode_gif(encode_gif([fr], pal4))[0]
+        assert (out == pal4[fr]).all(), (trial, h, w)

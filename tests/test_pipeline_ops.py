@@ -1069,6 +1069,43 @@ def test_heavy_hitters_equals_naive_and_mg_superset(spark):
     assert got == naive == {"alpha": 600, "beta": 400, "gamma": 300}
 
 
+def test_heavy_hitters_exact_boundary_when_n_multiple_of_denominator(spark):
+    """n an exact multiple of 1/φ: a key with count EXACTLY φ·n must be
+    kept. double(0.002)·n > n/500 for such n, so the old float-ceil
+    threshold was one higher on the Spark side only — the integer
+    cross-multiply (cnt·den ≥ n·num) keeps both engines identical
+    (ADVICE r7, heavyhitters.py threshold mismatch)."""
+    from tickdb_spark.operators.heavyhitters import heavy_hitters_exact
+
+    # n = 1000 = 2 * 500; phi = 0.002 → threshold exactly 2
+    rows = [("edge",)] * 2 + [("big",)] * 500 + [(f"t{i}",) for i in range(498)]
+    assert len(rows) == 1000
+    items = spark.createDataFrame(rows, ["k"]).repartition(4)
+    got = {r.k: r.cnt for r in heavy_hitters_exact(items, "k", 0.002).collect()}
+    assert got == {"edge": 2, "big": 500}, got
+
+
+def test_heavy_hitters_sql_twin_uses_same_integer_threshold(spark):
+    """The DuckDB oracle text must carry the identical cross-multiply
+    (no float ceil anywhere) so gate hashes cannot drift with corpus
+    size."""
+    import duckdb
+
+    from tickdb_spark.operators.heavyhitters import heavy_hitters_sql
+
+    sql = heavy_hitters_sql("SELECT * FROM corpus", "k", 0.002)
+    assert "* 500 >=" in sql and "ceil" not in sql.lower()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE corpus AS "
+        "SELECT 'edge' AS k FROM range(2) "
+        "UNION ALL SELECT 'big' FROM range(500) "
+        "UNION ALL SELECT 't' || range::VARCHAR FROM range(498)"
+    )
+    out = dict(con.execute(sql).fetchall())
+    assert out == {"edge": 2, "big": 500}, out
+
+
 def test_bloom_decontam_equals_exact_with_tiny_bitmap(spark):
     """The Bloom prefilter must be output-identical to the exact
     contamination report even with a DELIBERATELY tiny bitmap (high FPR:
@@ -1146,9 +1183,10 @@ def test_heavy_hitters_property_random_corpora(spark):
         rng.shuffle(rows)
         items = spark.createDataFrame(rows, ["k"]).repartition(parts)
         n = len(rows)
-        import math
+        from tickdb_spark.operators.heavyhitters import _phi_rational
 
-        thr = math.ceil(phi * n)
+        num, den = _phi_rational(phi)
+        thr = -(-num * n // den)  # exact integer ceil(num*n/den)
         got = dict(
             (r.k, r.cnt)
             for r in heavy_hitters_exact(items, "k", phi).collect()

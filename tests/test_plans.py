@@ -529,3 +529,24 @@ def test_pq_adc_join_shape(spark):
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
     assert "BroadcastHashJoin" in plan  # the LUT
+
+
+def test_lsh_multitable_probe_reads_stored_signatures(spark):
+    """The multi-table LSH probe must read the MATERIALIZED signature
+    table (ingest-time stored column), not re-derive buckets from raw
+    vectors: the candidate side scans a gate_media_lsh_sigs parquet with
+    only (vec_id, table_id, bucket), and the corpus-wide transform/
+    posexplode signature kernel is absent from the probe plan."""
+    df = _df(spark, "sim_ann_topk_lsh_multitable")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "gate_media_lsh_sigs" in plan, "probe does not scan the stored signatures"
+    # the signature derivation (nested-array literal fold + posexplode)
+    # must not run inside the probe
+    assert "posexplode" not in plan.lower(), plan[:2000]
+    schemas = scan_read_schemas(df)
+    sig_scans = [s for s in schemas if "table_id" in s and "bucket" in s]
+    assert sig_scans, schemas
+    assert all("embedding" not in s for s in sig_scans), (
+        "signature scan drags raw vectors"
+    )
+    assert count_op(df, "CartesianProduct") == 0

@@ -1,0 +1,65 @@
+"""Mechanical enforcement of the driver-sample rotation rule.
+
+The driver's correctness gate runs only the FIRST ~50 registry entries
+each round, so driver-side proof accumulates across rounds ONLY if newly
+added (never-sampled) entries are rotated into the head. VERDICT r6 and
+r7 both flagged the rotation being deferred; this test makes deferral a
+suite failure instead of a judge finding (VERDICT r7 ask #1: "make the
+ledger enforce it").
+
+No Spark session needed — pure registry + CORRECTNESS_r*.json reads.
+"""
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: The driver samples the first ~50 entries (observed exactly 50 in
+#: CORRECTNESS_r01..r07).
+DRIVER_SAMPLE = 50
+
+
+def _sampled_names() -> set[str]:
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        try:
+            seen.update(json.load(open(path)))
+        except Exception:
+            continue
+    return seen
+
+
+def test_never_driver_sampled_entries_lead_the_head():
+    from tickdb_spark import querybank
+
+    names = list(querybank.REGISTRY)
+    head = set(names[:DRIVER_SAMPLE])
+    never = [n for n in names if n not in _sampled_names()]
+    strays = [n for n in never if n not in head]
+    assert not strays, (
+        f"{len(strays)} never-driver-sampled entries are outside the "
+        f"first {DRIVER_SAMPLE} registry slots and will get no driver "
+        f"CORRECTNESS row this round — rotate querybank."
+        f"_DRIVER_SAMPLE_FIRST: {strays}"
+    )
+
+
+def test_head_list_is_exact_and_valid():
+    """Every head name must exist in the registry (a typo would silently
+    shrink the sampled set) and the head must fill the driver sample."""
+    from tickdb_spark import querybank
+
+    head = querybank._DRIVER_SAMPLE_FIRST
+    unknown = [n for n in head if n not in querybank.REGISTRY]
+    assert not unknown, f"head names not in registry: {unknown}"
+    assert len(head) == len(set(head)), "duplicate names in head"
+    assert len(head) == DRIVER_SAMPLE, (
+        f"head holds {len(head)} entries; the driver samples "
+        f"{DRIVER_SAMPLE} — keep it exactly full so rotation is explicit"
+    )
+    assert list(querybank.REGISTRY)[: len(head)] == head, (
+        "registry insertion order does not start with _DRIVER_SAMPLE_FIRST "
+        "— _reorder_registry() regressed"
+    )

@@ -63,19 +63,36 @@ def _mg_partition(capacity: int, key: str):
     return summarize
 
 
+def _phi_rational(phi: float) -> tuple[int, int]:
+    """φ as an exact small rational (num, den). The threshold test must
+    be the INTEGER cross-multiply ``cnt·den ≥ n·num`` on both engines:
+    ceil(double(φ)·n) disagrees with ceil(decimal(φ)·n) whenever n·φ
+    lands exactly on an integer (double(0.002) > 1/500, so at n=500k
+    Spark's ceil is one higher than DuckDB's and boundary keys drop on
+    one side only)."""
+    from fractions import Fraction
+
+    fr = Fraction(phi).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
+
+
 def heavy_hitters_exact(
     items: DataFrame,
     key_col: str,
     phi: float,
     capacity: int | None = None,
 ) -> DataFrame:
-    """All keys with exact count ≥ ceil(φ·n) over ``items`` (one row per
+    """All keys with exact count ≥ φ·n over ``items`` (one row per
     occurrence), as ``(key_col, cnt)``. Identical to the global
     aggregate; the MG pass only confines the shuffle to candidates.
+    φ is applied as an exact rational via integer cross-multiply
+    (``cnt·den ≥ n·num``) so the result is corpus-size-independent and
+    engine-independent — no float-ceil boundary drift.
 
     ``capacity`` defaults to ceil(2/φ) — the 2× margin keeps the
     superset guarantee comfortably clear of batch-decrement rounding.
     """
+    num, den = _phi_rational(phi)
     c = capacity if capacity is not None else math.ceil(2.0 / phi)
     cands = (
         items.select(key_col)
@@ -88,18 +105,20 @@ def heavy_hitters_exact(
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(F.broadcast(total))
-        .where(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("_n")))
+        .where(F.col("cnt") * F.lit(den) >= F.col("_n") * F.lit(num))
         .select(key_col, "cnt")
     )
 
 
 def heavy_hitters_sql(items_sql: str, key_col: str, phi: float) -> str:
-    """DuckDB twin: the naive exact aggregate the two-phase plan equals."""
+    """DuckDB twin: the naive exact aggregate the two-phase plan equals
+    (same integer cross-multiply threshold as the Spark side)."""
+    num, den = _phi_rational(phi)
     return f"""
     WITH items AS ({items_sql}),
     n AS (SELECT count(*) AS _n FROM items)
     SELECT {key_col}, count(*) AS cnt
     FROM items, n
     GROUP BY {key_col}, _n
-    HAVING count(*) >= ceil({phi!r} * _n)
+    HAVING count(*) * {den} >= _n * {num}
     """

@@ -1419,6 +1419,13 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
         w = (k,)
     if w:
         emit(table[w])
+        # The decoder's codes-read counter still advances on this flush
+        # emit even though nothing is inserted, so the width must widen
+        # here too or EOI is written narrower than it will be read
+        # (fuzz-found: ~7% of min_code_size=2 streams whose flush lands
+        # on a width boundary failed round-trip).
+        if nxt >= (1 << width) and width < 12:
+            width += 1
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)
@@ -1472,6 +1479,8 @@ def _lzw_decompress(
             # every code, so unguarded output is O(n_codes^2))
             return out
         if prev is None:
+            if code not in table:
+                raise ValueError(f"LZW first code {code} out of range")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -1538,6 +1547,8 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise EOFError("GIF truncated in header")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
@@ -1555,12 +1566,18 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             return frames
         if b == 0x21:  # extension: label + sub-blocks, skip
             pos += 1
-            while data[pos] != 0:
+            while True:
+                if pos >= len(data):
+                    raise EOFError("GIF truncated in extension sub-blocks")
+                if data[pos] == 0:
+                    break
                 pos += 1 + data[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 9 > len(data):
+            raise EOFError("GIF truncated in image descriptor")
         left, top, fw, fh, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
         pal = gct
@@ -1570,11 +1587,17 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             pos += 3 * n
         if pal is None:
             raise ValueError("GIF frame without any color table")
+        if pos >= len(data):
+            raise EOFError("GIF truncated before LZW code size")
         mcs = data[pos]
         pos += 1
         lzw = bytearray()
-        while data[pos] != 0:
+        while True:
+            if pos >= len(data):
+                raise EOFError("GIF truncated in image sub-blocks")
             ln = data[pos]
+            if ln == 0:
+                break
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1

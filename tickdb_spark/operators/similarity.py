@@ -401,38 +401,29 @@ def ann_topk_lsh_sql(
     """
 
 
-def ann_topk_lsh_multitable(
+def lsh_signature_table(
     emb: DataFrame,
-    query_ids: list[int],
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     table_planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k with OR-amplified multi-table LSH: ``N_TABLES``
-    independent plane sets; a corpus vector is a candidate if it shares a
-    bucket with the query in ANY table. Candidates are distinct-ed on
-    (query, neighbor) before scoring, so a pair colliding in several
-    tables is scored once and ranking matches the single-table shape.
+    """The ingest-time stored-column shape of multi-table LSH: one row
+    per (vector, table) with its bucket — ``(id_col, table_id, bucket)``.
+    At 100 TB this is a column you write ONCE when the corpus lands
+    (corpus × n_tables small ints, zero vectors duplicated) and every
+    probe reads; re-hashing the corpus per query would rescan raw
+    vectors for work that never changes.
 
-    Scale: all ``N_TABLES`` signatures come from ONE corpus scan — a
-    single posexploded array projection (the fold-based dot expressions
-    keep it far under janino's 64 KB method limit; the literal expansion
-    of the same array did not and fell to interpreted mode). The join
-    key (table_id, bucket) keeps each probe confined to one bucket of
-    one table — never all-pairs. Recall floor vs brute force is pinned
-    by tests/test_pipeline_ops.py on the same corpus the gate uses.
+    All ``n_tables`` signatures come from ONE corpus scan — a single
+    posexploded array projection (the fold-based dot expressions keep it
+    far under janino's 64 KB method limit; the literal expansion of the
+    same array did not and fell to interpreted mode). The per-plane fold
+    order is identical to ``dot_literal_expr`` (zip_with + aggregate
+    foldLeft), so the signs — hence buckets — match the oracle's literal
+    expansions bitwise.
     """
     tp = TABLE_PLANES if table_planes is None else table_planes
     np_ = len(tp[0])
-    # ONE nested-array literal + a transform fold computes all
-    # tables*planes dots per row; per-table buckets then read the dots
-    # array. The per-plane fold order is identical to dot_literal_expr
-    # (zip_with + aggregate foldLeft), so the signs — hence buckets —
-    # match the oracle's literal expansions bitwise. The naive form (one
-    # independent fold expression per plane) was 144 copies of a
-    # 64-element literal at the 24x6 default and spent seconds in
-    # analysis/codegen per query (measured 3.8 s warm -> sub-second).
     flat = [p for table in tp for p in table]
     planes_lit = "array(" + ", ".join(
         "array(" + ", ".join(repr(float(x)) for x in p) + ")" for p in flat
@@ -449,31 +440,56 @@ def ann_topk_lsh_multitable(
         ) + ")"
         for t in range(len(tp))
     ) + ")"
-    bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), F.expr(dots).alias("_dots")
+    return emb.select(
+        F.col(id_col), F.expr(dots).alias("_dots")
     ).select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(F.expr(sigs)).alias("table_id", "bucket"),
     )
-    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        "table_id",
-        "bucket",
+
+
+def ann_topk_lsh_multitable(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table_planes: list[list[list[float]]] | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k with OR-amplified multi-table LSH: ``N_TABLES``
+    independent plane sets; a corpus vector is a candidate if it shares a
+    bucket with the query in ANY table. Candidates are distinct-ed on
+    (query, neighbor) before scoring, so a pair colliding in several
+    tables is scored once and ranking matches the single-table shape.
+
+    ``signatures`` takes the stored ``(id_col, table_id, bucket)`` table
+    from :func:`lsh_signature_table` (the production shape: signatures
+    are an ingest-time column, not per-query work); omitted, it is
+    derived inline from ``emb``. Either way the probe joins on
+    (table_id, bucket) — each query confined to one bucket per table,
+    never all-pairs. Recall floor vs brute force is pinned by
+    tests/test_pipeline_ops.py on the same corpus the gate uses.
+    """
+    sig = (
+        signatures
+        if signatures is not None
+        else lsh_signature_table(emb, id_col, vec_col, table_planes)
     )
-    c = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), "table_id", "bucket"
+    q_sig = sig.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
     )
     cand = (
-        c.join(F.broadcast(q.select("query_id", "table_id", "bucket")),
-               ["table_id", "bucket"])
+        sig.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
+        .join(F.broadcast(q_sig), ["table_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     par = emb.sparkSession.sparkContext.defaultParallelism
-    qvecs = q.select("query_id", "qvec").distinct()
+    qvecs = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
     cvecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     cos = F.expr(cosine_expr("qvec", "cvec"))
     scored = (
