@@ -66,6 +66,49 @@ def scaled_docs(spark, factor: int):
     )
 
 
+def scaled_plain_docs(spark, factor: int):
+    """factor-times corpus with a one-token copy marker PREFIXED to the
+    text (not per-token tagging): fingerprints differ per copy, so exact
+    dedup keeps ∝factor docs, while stopword/length distributions stay
+    realistic — the honest direction for the curation pipeline and for
+    packing (bin count grows with the corpus)."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    copies = spark.range(factor).select(F.col("id").alias("k"))
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * factor + F.col("k")).alias("doc_id"),
+            F.concat(
+                F.lit("copymark"), F.col("k").cast("string"), F.lit(" "), F.col("text")
+            ).alias("text"),
+        )
+        .repartition(32)
+    )
+
+
+def curation_pipeline(docs):
+    """pipeline_curation_end2end's exact dataflow over any (doc_id, text)
+    frame: integer-exact quality gate -> fingerprint keep-first dedup ->
+    greedy packing (every stage the library operator)."""
+    from pyspark.sql import Window
+
+    from tickdb_spark.functions.text import fingerprint, stopword_hits, token_count
+    from tickdb_spark.operators.packing import pack_greedy
+
+    ntok = token_count(F.col("text"))
+    filtered = docs.where(
+        (ntok >= 15) & (stopword_hits(F.col("text"), "en") * 100 >= ntok)
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    curated = (
+        filtered.withColumn("_fp", fingerprint(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+    return pack_greedy(curated, "doc_id", "n_chars", cap=4096)
+
+
 def scaled_events(spark, factor: int):
     """factor-times events with copy-suffixed series names — adds series,
     the scale-out axis for partitioned windows."""
@@ -175,6 +218,28 @@ def main() -> None:
         (
             "pagerank",
             lambda f: pagerank(scaled_edges(spark, f)),
+        ),
+        # one hash shuffle on n_chars-bucketed keys + per-bucket greedy
+        # fold: rows ∝ corpus, bins ∝ corpus — growth must stay ~linear
+        (
+            "pack_sequences",
+            lambda f: __import__(
+                "tickdb_spark.operators.packing", fromlist=["pack_greedy"]
+            ).pack_greedy(
+                scaled_plain_docs(spark, f).select(
+                    "doc_id", F.length("text").cast("long").alias("n_chars")
+                ),
+                "doc_id",
+                "n_chars",
+                cap=4096,
+            ),
+        ),
+        # the full composed pipeline (filter -> fp dedup -> pack): every
+        # stage keyed/hash-shuffled, no stage all-pairs — growth must
+        # stay ~linear with survivors ∝ corpus (copy-marker scaling)
+        (
+            "curation_end2end",
+            lambda f: curation_pipeline(scaled_plain_docs(spark, f)),
         ),
     ):
         times = [run(build(f)) for f in FACTORS]

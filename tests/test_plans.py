@@ -375,17 +375,54 @@ def test_interval_overlap_join_equality_confined(spark):
 
 
 @pytest.mark.parametrize("name", ["tick_gapfill_locf", "tick_gapfill_interp"])
-def test_single_series_gapfill_spine_windows_chunk_partitioned(spark, name):
-    """The r7 chunked rewrite: every window over the SPINE must partition
-    by the chunk id; the only partition-less windows allowed are the
-    cross-chunk carries over the chunk directory (|spine|/65536 rows,
-    identifiable by their __carry_/__pb_c/__pv_c_/__nb_c/__nv_c_
-    aliases). A partition-less window over the spine itself is the
-    single-partition shape VERDICT r6 flagged."""
+def test_single_series_gapfill_gate_takes_single_chunk_fast_path(spark, name):
+    """The gate spines fit one chunk (≤65536 buckets), so the r8 fast
+    path must apply: every window chunk-partitioned, and the cross-chunk
+    directory machinery (carry windows, second scan of the bucketed
+    frame, broadcast of the carry) entirely absent."""
     df = _df(spark, name)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert count_op(df, "Window") >= 2
     saw_chunked = False
+    for line in plan.splitlines():
+        if "Window " not in line:
+            continue
+        parts = line.split("], [")
+        assert len(parts) >= 3 and "_chunk" in parts[1], (
+            f"partition-less window in single-chunk {name}: {line}"
+        )
+        saw_chunked = True
+    assert saw_chunked, plan
+    for tag in ("__carry_", "__pb_c", "__pv_c_", "__nb_c", "__nv_c_"):
+        assert tag not in plan, f"directory carry survived the fast path: {tag}"
+
+
+def _big_spine_gapfill(spark, fill_fn):
+    """A >1-chunk spine built directly against the operator (the gate
+    SFs never exceed one chunk): 3·65536 one-ns buckets, sparse obs."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators import timeseries as ts
+
+    n = 3 * ts._CHUNK_BUCKETS
+    obs = spark.range(0, n, 7919).select(
+        F.col("id").alias("bucket"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    return fill_fn(obs, 0, n, 1, ["v"])
+
+
+@pytest.mark.parametrize("fn_name", ["gapfill_locf", "gapfill_interp"])
+def test_large_spine_gapfill_keeps_chunked_carry_shape(spark, fn_name):
+    """For spines larger than one chunk the two-phase shape must remain:
+    spine windows chunk-partitioned; the only partition-less windows are
+    the cross-chunk carries over the chunk directory (|spine|/65536
+    rows). A partition-less window over the spine itself is the
+    single-partition shape VERDICT r6 flagged."""
+    from tickdb_spark.operators import timeseries as ts
+
+    df = _big_spine_gapfill(spark, getattr(ts, fn_name))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") >= 2
+    saw_chunked = saw_carry = False
     for line in plan.splitlines():
         if "Window " not in line:
             continue
@@ -393,12 +430,36 @@ def test_single_series_gapfill_spine_windows_chunk_partitioned(spark, name):
         if len(parts) >= 3 and "_chunk" in parts[1]:
             saw_chunked = True  # spine window, chunk-partitioned
             continue
-        # otherwise it must be a chunk-directory carry window
         assert any(
             tag in line
             for tag in ("__carry_", "__pb_c", "__pv_c_", "__nb_c", "__nv_c_")
-        ), f"partition-less non-carry window in {name}: {line}"
-    assert saw_chunked, plan
+        ), f"partition-less non-carry window in {fn_name}: {line}"
+        saw_carry = True
+    assert saw_chunked and saw_carry, plan
+
+
+@pytest.mark.parametrize("fn_name", ["gapfill_locf", "gapfill_interp"])
+def test_gapfill_fast_path_values_equal_chunked_path(spark, fn_name):
+    """The single-chunk fast path and the forced-chunked path must emit
+    identical rows (the carry is vacuous for one chunk, NULL-extending
+    for many): run the same spine both ways by flipping _CHUNK_BUCKETS."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators import timeseries as ts
+
+    n = 400
+    obs = spark.range(0, n, 37).select(
+        F.col("id").alias("bucket"), (F.col("id") % 90).cast("double").alias("v")
+    )
+    fill = getattr(ts, fn_name)
+    fast = fill(obs, 0, n, 1, ["v"]).collect()  # n << 65536: fast path
+    orig = ts._CHUNK_BUCKETS
+    try:
+        ts._CHUNK_BUCKETS = 64  # force 7 chunks through the carry path
+        chunked = fill(obs, 0, n, 1, ["v"]).collect()
+    finally:
+        ts._CHUNK_BUCKETS = orig
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, chunked))
 
 
 def test_ivf_pairs_cell_confined_no_cartesian(spark):

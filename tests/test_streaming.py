@@ -378,3 +378,73 @@ def test_stream_ingest_from_rate_source(tmp_path, spark):
     ] or [(r["p_min"], int(r["p_count"])) for r in agg] == [
         (0.0, len([v for v in by_series[0] if v < 60]))
     ]
+
+
+def test_docs_from_bus_parses_kafka_shaped_payloads(spark):
+    """The message-bus adapter: binary JSON payloads (Kafka's `value`
+    column shape) parse to the same doc frame the file landing dir
+    yields; malformed/poison payloads drop instead of failing the query."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.streaming.ingest import docs_from_bus, normalize_stream
+
+    good = [
+        '{"time": "2024-03-01T10:00:00Z", "index": "A", "value": {"p": 1.5}}',
+        '{"time": "2024-03-01T10:00:01Z", "index": "B", "value": {"p": 2.5, "q": 3.0}}',
+    ]
+    poison = ["not json at all", '{"index": "C"}', ""]
+    raw = spark.createDataFrame(
+        [(s.encode("utf-8"),) for s in good + poison], ["value"]
+    )
+    docs = docs_from_bus(raw)
+    rows = normalize_stream(docs).orderBy("ts").collect()
+    assert [(r["series"], r["value"]) for r in rows] == [
+        ("A", {"p": 1.5}),
+        ("B", {"p": 2.5, "q": 3.0}),
+    ]
+    assert rows[0]["ts"] == 1709287200000000000
+
+
+def test_docs_from_bus_streaming_end_to_end(tmp_path, spark):
+    """Kafka-shaped STREAMING ingest: a rate source synthesizing one
+    binary JSON doc per record (exactly what a Kafka `value` column
+    carries) drives docs_from_bus -> normalize_stream ->
+    stream_ingest_source; the warehouse must serve LWW point reads like
+    the file-landing path."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.streaming.ingest import (
+        docs_from_bus,
+        normalize_stream,
+        stream_ingest_source,
+    )
+
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 4)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 1709287200000)
+        .load()
+    )
+    payload = F.to_json(
+        F.struct(
+            F.date_format(
+                F.timestamp_seconds(F.lit(1709287200) + F.col("value")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("time"),
+            F.concat(F.lit("bus"), (F.col("value") % 2).cast("string")).alias(
+                "index"
+            ),
+            F.create_map(F.lit("p"), F.col("value").cast("double")).alias("value"),
+        )
+    ).cast("binary")
+    ticks = normalize_stream(docs_from_bus(rate.select(payload.alias("value"))))
+    tdb = TickDB(spark, str(tmp_path / "wh"))
+    tdb.create_db("k")
+    db_path = tdb.catalog._existing("k")
+    q = stream_ingest_source(
+        ticks, db_path, str(tmp_path / "ck"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    assert tdb.get("k", "bus1", "2024-03-01T10:00:01Z") == {"p": 1.0}
+    assert tdb.get("k", "bus0", "2024-03-01T10:00:02Z") == {"p": 2.0}

@@ -149,6 +149,22 @@ def gapfill_locf(
     for c in value_cols:
         out = out.withColumn(f"__in_{c}", F.last(c, ignorenulls=True).over(wp))
 
+    if n_chunks == 1:
+        # Single-chunk fast path: no preceding chunk exists, so the
+        # cross-chunk carry is vacuously NULL — phase 1 IS the answer.
+        # Skipping the directory join removes a scan of `bucketed`, an
+        # aggregate, a window and a broadcast join from the plan
+        # (measured 2x at sf0.1 where the gate spine is one chunk); the
+        # chunked shape below is unchanged for large spines
+        # (tests/test_plans.py pins both shapes).
+        for c in value_cols:
+            out = out.withColumn(c, F.col(f"__in_{c}")).drop(f"__in_{c}")
+        return (
+            out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
+            .drop("_present", "_chunk")
+            .orderBy(bucket_col)
+        )
+
     # Phase 2: per-chunk last observation, carried across the (tiny,
     # dense) chunk directory. Built from `bucketed` directly — observed
     # rows are the only non-null sources — so the spine isn't scanned
@@ -238,6 +254,32 @@ def gapfill_interp(
     for c in value_cols:
         out = out.withColumn(f"__pv_in_{c}", F.last(c, ignorenulls=True).over(wp))
         out = out.withColumn(f"__nv_in_{c}", F.first(c, ignorenulls=True).over(wn))
+
+    if n_chunks == 1:
+        # Single-chunk fast path (see gapfill_locf): cross-chunk anchors
+        # cannot exist, so the in-chunk anchors are the only anchors.
+        prev_b = F.col("__pb_in")
+        next_b = F.col("__nb_in")
+        for c in value_cols:
+            pv = F.col(f"__pv_in_{c}")
+            nv = F.col(f"__nv_in_{c}")
+            frac = (F.col(bucket_col) - prev_b).cast("double") / (
+                next_b - prev_b
+            ).cast("double")
+            out = out.withColumn(
+                c,
+                F.when(F.col("_present") == 1, F.col(c)).otherwise(
+                    F.when(
+                        prev_b.isNotNull() & next_b.isNotNull(),
+                        pv + (nv - pv) * frac,
+                    )
+                ),
+            ).drop(f"__pv_in_{c}", f"__nv_in_{c}")
+        return (
+            out.withColumn("n_obs", F.coalesce(F.col("_present"), F.lit(0)))
+            .drop("_present", "_chunk", "__pb_in", "__nb_in")
+            .orderBy(bucket_col)
+        )
 
     # Phase 2: per-chunk boundary anchors carried across the chunk
     # directory (every bucketed row is _present, so min/max(bucket) are

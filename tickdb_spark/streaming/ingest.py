@@ -57,6 +57,56 @@ def read_doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+def docs_from_bus(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Message-bus payload → doc frame: each record's payload column is
+    ONE JSON ingest doc (the exact body one reference HTTP POST row
+    carries, ``handlers.go:57-77``). Works on any frame with a binary or
+    string payload column — Kafka (``value`` binary), Kinesis (``data``),
+    Pulsar — batch or streaming; pure column expressions, so it runs
+    incrementally. Malformed payloads parse to NULL fields and are
+    dropped (a poison message must not kill the ingest query).
+
+    Landing-dir → Kafka mapping: one landing FILE is one micro-batch
+    (``maxFilesPerTrigger=1``) and one ingest_seq; on Kafka the
+    micro-batch is the trigger interval's offset range, and ingest_seq
+    is the foreachBatch epoch — LWW ordering across epochs is identical.
+    Within-batch duplicate (series, ts) resolve arbitrarily in BOTH
+    shapes (same caveat as a single landing file)."""
+    parsed = F.from_json(F.col(value_col).cast("string"), STREAM_DOC_SCHEMA)
+    return (
+        raw.select(parsed.alias("_doc"))
+        .where(F.col("_doc").isNotNull() & F.col("_doc.time").isNotNull())
+        .select("_doc.time", "_doc.index", "_doc.value")
+    )
+
+
+def read_doc_stream_bus(
+    spark: SparkSession,
+    fmt: str,
+    options: dict,
+    value_col: str = "value",
+) -> DataFrame:
+    """Generic ``readStream`` adapter: any source format whose records
+    carry one JSON doc per payload drives the same ingest pipeline as
+    the file landing dir. Kafka shape::
+
+        read_doc_stream_bus(spark, "kafka", {
+            "kafka.bootstrap.servers": "...:9092",
+            "subscribe": "ticks",
+            "startingOffsets": "earliest",
+        })
+
+    then ``normalize_stream`` → :func:`stream_ingest_source` exactly as
+    the file path does. (No Kafka broker in this sandbox: the payload
+    parse is proven batch+streaming by
+    ``tests/test_streaming.py::test_docs_from_bus_*``, and the
+    source-agnostic sink by ``test_stream_ingest_from_rate_source``.)"""
+    reader = spark.readStream.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return docs_from_bus(reader.load(), value_col)
+
+
 def normalize_stream(docs: DataFrame) -> DataFrame:
     """Doc stream → canonical tick columns (parse time to ns, derive
     ts_utc). Pure column expressions — runs incrementally."""
