@@ -63,3 +63,39 @@ def test_head_list_is_exact_and_valid():
         "registry insertion order does not start with _DRIVER_SAMPLE_FIRST "
         "— _reorder_registry() regressed"
     )
+
+
+def test_pq_gate_entries_fit_replica_budget(spark):
+    """VERDICT r7 ask #2: the three trainer-replay entries must stay
+    within a per-entry replica budget — the r7 shapes cost 16-39 s each
+    (nine unrolled Lloyd CTE chains re-trained per entry) and would blow
+    the driver's gate tail. Bounds are deliberately loose (this box
+    shows multi-second scheduler stalls): they catch a return to
+    per-subspace training (24 Spark actions, >25 s) or an oracle replay
+    regression (>15 s), not millisecond drift. Measured r8: spark
+    5-12 s (first entry trains, rest hit the memo), oracle 1.9-4.7 s."""
+    import time
+
+    import duckdb
+
+    from tests.conftest import SF_CORRECT
+    from tickdb_spark.querybank import REGISTRY
+
+    for name in ("sim_ann_pq_adc", "sim_ann_pq_rerank", "sim_ann_ivfadc"):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF_CORRECT).collect()
+        spark_sec = time.perf_counter() - t0
+        con = duckdb.connect()
+        try:
+            con.execute("SET TimeZone='UTC'")
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF_CORRECT}/embeddings.parquet')"
+            )
+            t0 = time.perf_counter()
+            con.execute(REGISTRY[name].oracle).df()
+            oracle_sec = time.perf_counter() - t0
+        finally:
+            con.close()
+        assert spark_sec < 30, f"{name} spark side {spark_sec:.1f}s (budget 30)"
+        assert oracle_sec < 15, f"{name} oracle replay {oracle_sec:.1f}s (budget 15)"
