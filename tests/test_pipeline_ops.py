@@ -1465,3 +1465,119 @@ def test_pq_encode_and_adc_match_numpy_replay(spark):
         for r in pq_adc_topk(df, books, [q], k_top=5).orderBy("rank").collect()
     ]
     assert got == expect_top
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """DSIR sanity on a constructed corpus: two disjoint vocabularies
+    ('languages'); with an A-vocabulary target, every selected doc under
+    k=|A-pool| must be an A doc, ranked above all B docs."""
+    from tickdb_spark.operators.dsir import dsir_select
+
+    a_docs = [(i, "alpha beta gamma delta " * 5) for i in range(40)]
+    b_docs = [(100 + i, "uno dos tres quatro " * 5) for i in range(40)]
+    pool = spark.createDataFrame(a_docs + b_docs, ["doc_id", "text"]).repartition(8)
+    target = spark.createDataFrame(a_docs[:10], ["doc_id", "text"])
+    got = dsir_select(pool, target, k=40).collect()
+    assert len(got) == 40
+    assert all(r.doc_id < 100 for r in got), [r.doc_id for r in got if r.doc_id >= 100]
+
+
+def test_dsir_partitioning_independent(spark):
+    """Scores are exact BIGINT sums of quantized ratios — identical under
+    any partitioning of the pool and target."""
+    from tickdb_spark.operators.dsir import dsir_select
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('tok', CAST(id % 17 AS STRING), ' word', CAST(id % 5 AS STRING), "
+        "' filler common the of and') AS text",
+    )
+    target = docs.where("doc_id % 3 = 0")
+    a = {(r.doc_id, r.dsir_score) for r in dsir_select(docs, target, k=50).collect()}
+    b = {
+        (r.doc_id, r.dsir_score)
+        for r in dsir_select(docs.repartition(13), target.repartition(7), k=50).collect()
+    }
+    assert a == b
+
+
+def test_lttb_matches_bruteforce_reference(spark):
+    """The distributed LTTB must equal a straightforward single-process
+    reference implementation (same quantization and bucket convention)
+    on random multi-series data."""
+    import numpy as np
+
+    from tickdb_spark.operators.timeseries import _LTTB_QUANT, lttb_downsample
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for s in ("a", "b", "c"):
+        n = int(rng.integers(50, 400))
+        ts = np.cumsum(rng.integers(1, 1000, size=n)) + 1_700_000_000_000_000
+        vals = rng.normal(scale=100, size=n)
+        rows += [(s, int(t), float(v)) for t, v in zip(ts, vals)]
+    df = spark.createDataFrame(rows, ["series", "ts", "value"]).repartition(8)
+    n_out = 20
+    got = {
+        s: sorted((r.ts, r.value) for r in g)
+        for s, g in __import__("itertools").groupby(
+            sorted(lttb_downsample(df, "series", "ts", "value", n_out).collect(),
+                   key=lambda r: r.series),
+            key=lambda r: r.series,
+        )
+    }
+
+    def ref_lttb(pts, n_out):
+        pts = sorted(pts)
+        n = len(pts)
+        if n <= n_out:
+            return pts
+        ts = np.array([p[0] for p in pts], dtype=np.int64)
+        vals = [p[1] for p in pts]
+        yq = np.array(
+            [int(np.floor(v * _LTTB_QUANT + 0.5)) for v in vals], dtype=np.int64
+        )
+        tr = ts - ts[0]
+        m, k = n_out - 2, n - 2
+        bound = lambda b: (b * k + m - 1) // m + 1  # noqa: E731
+        sel = [0]
+        for i in range(m):
+            lo, hi = bound(i), bound(i + 1)
+            if i < m - 1:
+                nlo, nhi = hi, bound(i + 2)
+                sx, sy, nb = int(tr[nlo:nhi].sum()), int(yq[nlo:nhi].sum()), nhi - nlo
+            else:
+                sx, sy, nb = int(tr[n - 1]), int(yq[n - 1]), 1
+            cx, cy = float(sx) / float(nb), float(sy) / float(nb)
+            ax, ay = float(tr[sel[-1]]), float(yq[sel[-1]])
+            bx = tr[lo:hi].astype("float64")
+            by = yq[lo:hi].astype("float64")
+            area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+            sel.append(lo + int(np.argmax(area)))
+        sel.append(n - 1)
+        return [pts[i] for i in sel]
+
+    by_series: dict = {}
+    for s, t, v in rows:
+        by_series.setdefault(s, []).append((t, v))
+    for s, pts in by_series.items():
+        expect = sorted(ref_lttb(pts, n_out))
+        assert got[s] == expect, s
+
+
+def test_lttb_passthrough_and_shape(spark):
+    """Series with <= n_out points pass through untouched; larger series
+    downsample to exactly n_out with first/last preserved."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.timeseries import lttb_downsample
+
+    small = [("s", 10 * i, float(i)) for i in range(5)]
+    big = [("g", 7 * i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(small + big, ["series", "ts", "value"])
+    out = lttb_downsample(df, "series", "ts", "value", n_out=12).collect()
+    s_rows = sorted((r.ts, r.value) for r in out if r.series == "s")
+    g_rows = sorted((r.ts, r.value) for r in out if r.series == "g")
+    assert s_rows == [(t, v) for _, t, v in small]
+    assert len(g_rows) == 12
+    assert g_rows[0] == (0, 0.0) and g_rows[-1] == (7 * 499, float((499 * 37) % 101))

@@ -1105,3 +1105,186 @@ def cusum_drift_sql(
     )
     {union}
     """
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (Steinarsson 2013, "Downsampling Time Series for
+# Visual Representation") — the standard perceptual downsampler: keep
+# first and last points; split the interior into n_out−2 equal index
+# buckets; in each bucket keep the point forming the LARGEST TRIANGLE
+# with the previously selected point and the NEXT bucket's centroid.
+# Complements M4 (which preserves min/max/first/last envelopes; LTTB
+# preserves visual shape). The reference has no downsampler at all —
+# its bucket reducers are the closest surface (/root/reference/
+# query.go:12-18, reduce.go).
+#
+# Determinism contract (cross-engine bit-exactness): values quantize
+# once to BIGINT (floor(v·1e6+0.5)); timestamps rebase per series to
+# BIGINT offsets; bucket centroids are EXACT BIGINT sums cast to double
+# with ONE IEEE division each; the triangle area is the pinned op
+# sequence |(ax−cx)·(by−ay) − (ax−bx)·(cy−ay)| on those doubles —
+# identical in the numpy kernel and the DuckDB replay, so the per-bucket
+# argmax (ties → lowest ts) picks the same point on both engines.
+#
+# Scale shape: selection is inherently sequential in the PREVIOUS
+# selected point, so the parallelism axis is the series (exactly how a
+# dashboard downsamples: one pass per series). One hash shuffle on the
+# series key, then a bounded per-series applyInPandas scan — no global
+# window, no driver collect. The DuckDB twin replays the walk as a
+# recursive CTE advancing every series one bucket per level (depth =
+# n_out, not points).
+# ---------------------------------------------------------------------------
+
+#: value quantum for LTTB (1e-6 value units — far below any plotting
+#: resolution; exact BIGINT both engines)
+_LTTB_QUANT = 1e6
+
+
+def lttb_downsample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    val_col: str,
+    n_out: int = 40,
+) -> DataFrame:
+    """Largest-triangle-three-buckets downsample to ``n_out`` points per
+    series (series with ≤ n_out points pass through). Input must be
+    unique on (series, ts) — pre-aggregate duplicates with an
+    order-independent reducer (min/max) first. Returns
+    ``(series, ts, value)``."""
+    import numpy as np
+    import pandas as pd
+
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    src = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(val_col).cast("double").alias("value"),
+        F.floor(F.col(val_col).cast("double") * F.lit(_LTTB_QUANT) + F.lit(0.5))
+        .cast("long")
+        .alias("_yq"),
+    )
+
+    def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[["series", "ts", "value"]]
+        ts = pdf["ts"].to_numpy()
+        yq = pdf["_yq"].to_numpy()
+        tr = ts - ts[0]  # per-series rebase keeps BIGINT sums in int64
+        m = n_out - 2
+        k = n - 2
+        # bucket of interior idx (1-based interior rank r = idx):
+        # b = ((idx-1)*m) // k — the same closed form the SQL twin
+        # assigns per row; bucket b covers idx in [lo_b, hi_b) with
+        # lo_b = ceil(b*k/m)+1 (nonempty whenever k >= m, which the
+        # n > n_out early-out guarantees)
+        bound = lambda b: (b * k + m - 1) // m + 1  # noqa: E731
+        sel = [0]
+        for i in range(m):
+            lo, hi = bound(i), bound(i + 1)
+            if i < m - 1:
+                nlo, nhi = hi, bound(i + 2)
+                sx = int(tr[nlo:nhi].sum())
+                sy = int(yq[nlo:nhi].sum())
+                nb = nhi - nlo
+            else:  # last interior bucket: "next" is the final point
+                sx, sy, nb = int(tr[n - 1]), int(yq[n - 1]), 1
+            # exact ints -> double, ONE division each: the oracle's
+            # CAST(sx AS DOUBLE)/CAST(nb AS DOUBLE) op-for-op
+            cx = float(sx) / float(nb)
+            cy = float(sy) / float(nb)
+            ax = float(tr[sel[-1]])
+            ay = float(yq[sel[-1]])
+            bx = tr[lo:hi].astype("float64")
+            by = yq[lo:hi].astype("float64")
+            area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+            # np.argmax takes the FIRST max = lowest ts (ts-sorted), the
+            # oracle's ORDER BY area DESC, ts ASC
+            sel.append(lo + int(np.argmax(area)))
+        sel.append(n - 1)
+        return pdf.iloc[sel][["series", "ts", "value"]]
+
+    out_schema = "series string, ts long, value double"
+    return (
+        src.repartition("series")
+        .groupBy("series")
+        .applyInPandas(_lttb, out_schema)
+    )
+
+
+def lttb_downsample_sql(
+    table_sql: str,
+    series_col: str,
+    ts_expr: str,
+    val_col: str,
+    n_out: int = 40,
+) -> str:
+    """DuckDB twin: the same walk as a recursive CTE, one bucket per
+    level, per-level argmax via a window in the recursive term (ties →
+    lowest ts). Every arithmetic step mirrors the kernel op-for-op."""
+    m = n_out - 2
+    q = f"{_LTTB_QUANT!r}"
+    return f"""
+    WITH RECURSIVE src AS MATERIALIZED (
+      SELECT {series_col} AS series, {ts_expr} AS ts, {val_col} AS value,
+             CAST(floor(CAST({val_col} AS DOUBLE) * {q} + 0.5) AS BIGINT) AS yq
+      FROM ({table_sql})
+    ),
+    stats AS MATERIALIZED (
+      SELECT series, count(*) AS n, min(ts) AS t0 FROM src GROUP BY series
+    ),
+    pts AS MATERIALIZED (
+      SELECT s.series, s.ts, s.value, s.yq, s.ts - st.t0 AS tr, st.n,
+             ROW_NUMBER() OVER (PARTITION BY s.series ORDER BY s.ts) - 1 AS idx
+      FROM src s JOIN stats st USING (series)
+    ),
+    cand AS MATERIALIZED (
+      SELECT series, ts, value, yq, tr, n,
+             ((idx - 1) * {m}) // (n - 2) AS b
+      FROM pts WHERE n > {n_out} AND idx >= 1 AND idx <= n - 2
+    ),
+    bstats AS MATERIALIZED (
+      SELECT series, b, CAST(SUM(tr) AS BIGINT) AS sx,
+             CAST(SUM(yq) AS BIGINT) AS sy, COUNT(*) AS nb
+      FROM cand GROUP BY series, b
+    ),
+    lastpt AS MATERIALIZED (
+      SELECT series, ts, value, tr, yq FROM pts WHERE idx = n - 1 AND n > {n_out}
+    ),
+    nstats AS MATERIALIZED (
+      SELECT series, b - 1 AS b, sx, sy, nb FROM bstats WHERE b >= 1
+      UNION ALL
+      SELECT series, {m} - 1, tr, yq, 1 FROM lastpt
+    ),
+    walk(series, lvl, ts, value, tr, yq) AS (
+      SELECT series, -1, ts, value, tr, yq FROM pts
+      WHERE idx = 0 AND n > {n_out}
+      UNION ALL
+      SELECT series, lvl, ts, value, tr, yq FROM (
+        SELECT w.series, w.lvl + 1 AS lvl, c.ts, c.value, c.tr, c.yq,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w.series
+                 ORDER BY abs(
+                   (CAST(w.tr AS DOUBLE)
+                      - CAST(ns.sx AS DOUBLE) / CAST(ns.nb AS DOUBLE))
+                   * (CAST(c.yq AS DOUBLE) - CAST(w.yq AS DOUBLE))
+                   - (CAST(w.tr AS DOUBLE) - CAST(c.tr AS DOUBLE))
+                   * (CAST(ns.sy AS DOUBLE) / CAST(ns.nb AS DOUBLE)
+                      - CAST(w.yq AS DOUBLE))
+                 ) DESC, c.ts ASC
+               ) AS rk
+        FROM walk w
+        JOIN cand c ON c.series = w.series AND c.b = w.lvl + 1
+        JOIN nstats ns ON ns.series = w.series AND ns.b = w.lvl + 1
+        WHERE w.lvl + 1 <= {m} - 1
+      ) WHERE rk = 1
+    )
+    SELECT series, ts, value FROM walk
+    UNION ALL
+    SELECT series, ts, value FROM lastpt
+    UNION ALL
+    SELECT series, ts, value FROM pts WHERE n <= {n_out}
+    """

@@ -6360,6 +6360,59 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "tick_downsample_lttb",
+    _ts.lttb_downsample_sql(
+        "SELECT event_type, epoch_us(ts) AS ts_us, max(value) AS v "
+        "FROM events GROUP BY event_type, epoch_us(ts)",
+        "event_type",
+        "ts_us",
+        "v",
+        n_out=40,
+    ),
+    "LTTB perceptual downsampling (Steinarsson 2013) to 40 points per "
+    "series: first/last kept, per interior bucket the point maximizing "
+    "the triangle with the previous SELECTED point and the next "
+    "bucket's centroid. Complements M4 (envelope) with shape "
+    "preservation. Bit-exact cross-engine: quantized BIGINT values, "
+    "rebased BIGINT time offsets, exact-sum centroids with one IEEE "
+    "division, pinned area op order; the oracle replays the sequential "
+    "walk as a recursive CTE (one bucket per level). Input uniquified "
+    "on (series, ts) via order-independent max",
+)
+def tick_lttb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).agg(F.max("value").alias("v"))
+    return _ts.lttb_downsample(pts, "event_type", "ts_us", "v", n_out=40)
+
+
+from tickdb_spark.operators import dsir as _dsir  # noqa: E402
+
+_DSIR_POOL = "SELECT doc_id, text FROM documents"
+_DSIR_TARGET = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+
+
+@register(
+    "select_dsir_importance",
+    _dsir.dsir_select_sql(_DSIR_POOL, _DSIR_TARGET, k=120),
+    "DSIR-shaped importance selection (Xie et al. 2023): hashed "
+    "unigram+bigram bucket histograms for target (lang='en') vs pool "
+    "(whole corpus), per-doc score = exact BIGINT sum of quantized "
+    "smoothed count ratios (one IEEE division per bucket - bit-identical "
+    "cross-engine; float log-sums are not), deterministic top-120. The "
+    "feature stream is (id, bucket int) - no text shuffles; weights "
+    "broadcast (256 rows); score is one hash aggregate",
+)
+def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pool = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return _dsir.dsir_select(pool, target, k=120)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -6398,6 +6451,9 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "pipeline_curation_end2end",
     "dedup_substring_rolling",
     "asof_forward_next_view",
+    # (1b) NEW in r8 — never sampled by construction
+    "select_dsir_importance",
+    "tick_downsample_lttb",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6435,8 +6491,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "rangejoin_click_attribution",
     "agg_stats_moments",
     "stream_stateful_spike_detect",
-    "agg_multi_distinct_stringagg",
-    "tick_sparse_field_nulls",
 ]
 
 
