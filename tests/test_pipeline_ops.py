@@ -1581,3 +1581,81 @@ def test_lttb_passthrough_and_shape(spark):
     assert s_rows == [(t, v) for _, t, v in small]
     assert len(g_rows) == 12
     assert g_rows[0] == (0, 0.0) and g_rows[-1] == (7 * 499, float((499 * 37) % 101))
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Morton interleave must equal a bit-twiddling reference for random
+    quantized inputs."""
+    import random
+
+    from tickdb_spark.operators.layout import zorder_key
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    got = {
+        (r.q1, r.q2): r.z
+        for r in df.select("q1", "q2", zorder_key(F.col("q1"), F.col("q2")).alias("z")).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for j in range(16):
+            z |= ((a >> j) & 1) << (2 * j + 1)
+            z |= ((b >> j) & 1) << (2 * j)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b)
+
+
+def test_zorder_layout_prunes_2d_box_better_than_ts_sort(spark):
+    """The point of z-ordering: for a 2-D box predicate (user range x
+    time range), per-file min/max envelopes under the z-order layout
+    must prune MORE of the 64 files than a ts-sorted layout (which
+    cannot prune on user_id at all beyond full-range luck)."""
+    from pyspark.sql import Window
+
+    from tickdb_spark.operators.layout import zorder_range_stats
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select(
+            F.col("user_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    zstats = zorder_range_stats(ev, F.col("user_id"), F.col("ts_us")).collect()
+    # ts-sorted layout: 64 equal-count ts-rank files
+    w = Window.orderBy("ts_us", "user_id")
+    tstats = (
+        ev.withColumn("_rk", F.row_number().over(w) - 1)
+        .crossJoin(F.broadcast(ev.agg(F.count(F.lit(1)).alias("_n"))))
+        .withColumn("_file", (F.col("_rk") * 64 / F.col("_n")).cast("long"))
+        .groupBy("_file")
+        .agg(
+            F.min("user_id").alias("min_c1"), F.max("user_id").alias("max_c1"),
+            F.min("ts_us").alias("min_c2"), F.max("ts_us").alias("max_c2"),
+        )
+        .collect()
+    )
+    lo1, hi1, lo2, hi2 = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_us"), F.max("ts_us")
+    ).first()
+    # box: middle 1/8 of the user range x middle 1/8 of the time range
+    u_a = lo1 + (hi1 - lo1) * 7 // 16
+    u_b = lo1 + (hi1 - lo1) * 9 // 16
+    t_a = lo2 + (hi2 - lo2) * 7 // 16
+    t_b = lo2 + (hi2 - lo2) * 9 // 16
+
+    def survivors(stats):
+        return sum(
+            1
+            for r in stats
+            if not (r.max_c1 < u_a or r.min_c1 > u_b or r.max_c2 < t_a or r.min_c2 > t_b)
+        )
+
+    z_surv, t_surv = survivors(zstats), survivors(tstats)
+    # ts-sorted: every file spanning the time slice survives (user
+    # envelope is full-width); z-order confines the box to a few cells
+    assert z_surv * 2 <= t_surv, (z_surv, t_surv)

@@ -6360,6 +6360,38 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+from tickdb_spark.operators import layout as _layout  # noqa: E402
+
+
+@register(
+    "layout_zorder_stats",
+    _layout.zorder_range_stats_sql(
+        "SELECT user_id, epoch_us(ts) AS ts_us FROM events",
+        "user_id",
+        "ts_us",
+    )
+    + " ORDER BY zrange",
+    "z-order (Morton) clustering layout: quantize (user_id, ts) onto a "
+    "2^16 grid with exact integer arithmetic, interleave the bits, split "
+    "the keyspace into 64 contiguous z-ranges (the files of a clustered "
+    "write) and emit each range's min/max envelope on BOTH columns - the "
+    "metadata a min/max pruner reads. The primitive behind Delta/Iceberg "
+    "OPTIMIZE ZORDER; all integer shifts/mods, bit-identical on any "
+    "engine. Locality measured in tests: a 1/8 x 1/8 box query keeps "
+    "4/64 z-ranges vs 8/64 ts-sorted files (2x at 64 files; the gap "
+    "grows with file count - ts-sort can never prune on the second "
+    "column)",
+)
+def layout_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return _layout.zorder_range_stats(
+        ev, F.col("user_id"), F.col("ts_us")
+    ).orderBy("zrange")
+
+
 @register(
     "tick_downsample_lttb",
     _ts.lttb_downsample_sql(
@@ -6454,6 +6486,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1b) NEW in r8 — never sampled by construction
     "select_dsir_importance",
     "tick_downsample_lttb",
+    "layout_zorder_stats",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6490,7 +6523,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_twa_6h",
     "rangejoin_click_attribution",
     "agg_stats_moments",
-    "stream_stateful_spike_detect",
 ]
 
 
