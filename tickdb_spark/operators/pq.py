@@ -210,11 +210,18 @@ def pq_adc_topk(
     k_top: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k for each query id (queries drawn from the corpus, self
     excluded): build each query's quantized LUT driver-side (m_sub × k
     BIGINTs — the broadcast), join the exploded codes, rank by the exact
-    integer sum. Returns ``(q_id, rank, vec_id, adc_q)``."""
+    integer sum. Returns ``(q_id, rank, vec_id, adc_q)``.
+
+    ``codes`` takes the stored ``(id, m, code)`` table from
+    :func:`pq_encode` — the production shape: codes ARE the compressed
+    index at rest, written once at ingest; re-encoding the corpus per
+    query rescans raw vectors for work that never changes. Omitted, the
+    codes are derived inline from ``emb``."""
     spark = emb.sparkSession
     m_sub = len(codebooks)
     d_sub = len(codebooks[0][0])
@@ -242,7 +249,8 @@ def pq_adc_topk(
                 lut_rows.append((r["q_id"], m, code, int(math.floor(score * 1e10 + 0.5))))
     lut = spark.createDataFrame(lut_rows, "q_id long, m long, code long, dq long")
 
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .where(F.col(id_col) != F.col("q_id"))
@@ -339,6 +347,7 @@ def pq_adc_rerank_topk(
     k_top: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ operating point: ADC over the codes SHORTLISTS
     ``shortlist`` candidates per query (the compressed tier scans the
@@ -350,7 +359,8 @@ def pq_adc_rerank_topk(
     from tickdb_spark.operators.similarity import dot_expr
 
     short = pq_adc_topk(
-        emb, codebooks, query_ids, k_top=shortlist, id_col=id_col, vec_col=vec_col
+        emb, codebooks, query_ids, k_top=shortlist, id_col=id_col,
+        vec_col=vec_col, codes=codes,
     ).select("q_id", "vec_id")
     vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qvecs = emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(
@@ -435,6 +445,8 @@ def ivfadc_topk(
     k_top: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    cell_assign: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS-shape index (IVFADC, Jégou et al. §IV): a coarse
     quantizer prunes the corpus to the query's ``n_probe`` nearest cells,
@@ -447,9 +459,15 @@ def ivfadc_topk(
     Returns ``(q_id, rank, vec_id, exact_q)``. Same determinism
     contract as the rest of the module: every ranking key is either an
     integer or a shared left-assoc-fold double."""
-    cells = assign_cells(
-        emb.select(id_col, vec_col), coarse_cents, id_col=id_col, vec_col=vec_col
-    ).select(id_col, F.col("cell").cast("long").alias("cell"))
+    # both the cell assignment and the PQ codes are ingest-time stored
+    # columns at scale (tier 1 below); accept them precomputed
+    cells = (
+        cell_assign
+        if cell_assign is not None
+        else assign_cells(
+            emb.select(id_col, vec_col), coarse_cents, id_col=id_col, vec_col=vec_col
+        ).select(id_col, F.col("cell").cast("long").alias("cell"))
+    )
 
     # per-query probe set: rank the coarse cells by the same score chain,
     # driver-side (k_cells × n_queries scalars)
@@ -494,7 +512,8 @@ def ivfadc_topk(
                     (r["q_id"], m, code, int(math.floor((-2.0 * dot + cc) * 1e10 + 0.5)))
                 )
     lut = spark.createDataFrame(lut_rows, "q_id long, m long, code long, dq long")
-    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
     adc = (
         codes.join(cand, id_col)
         .join(F.broadcast(lut), ["q_id", "m", "code"])

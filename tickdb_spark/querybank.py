@@ -6061,6 +6061,28 @@ def _pq_coarse(emb, sf_dir: str):
     return _PQ_TRAIN_CACHE[ck]
 
 
+def _pq_codes(emb, sf_dir: str):
+    """The stored compressed index (vec_id, m, code) — written once per
+    corpus like LSH signatures; the probe entries read it instead of
+    re-encoding raw vectors per query."""
+    return _materialized_assets(
+        "pq_codes", sf_dir, _pq.pq_encode(emb, _pq_books(emb, sf_dir))
+    )
+
+
+def _ivf_cells(emb, sf_dir: str):
+    """The stored coarse-cell assignment (vec_id, cell) — IVFADC tier 1."""
+    from tickdb_spark.operators.kmeans import assign_cells
+
+    return _materialized_assets(
+        "ivf_cells",
+        sf_dir,
+        assign_cells(emb, _pq_coarse(emb, sf_dir)).select(
+            "vec_id", F.col("cell").cast("long").alias("cell")
+        ),
+    )
+
+
 @register(
     "sim_ann_pq_adc",
     _pq.pq_adc_topk_sql(
@@ -6078,7 +6100,9 @@ def _pq_coarse(emb, sf_dir: str):
 def sim_ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = _pq_books(emb, sf_dir)
-    return _pq.pq_adc_topk(emb, books, _PQ_QUERIES, k_top=5)
+    return _pq.pq_adc_topk(
+        emb, books, _PQ_QUERIES, k_top=5, codes=_pq_codes(emb, sf_dir)
+    )
 
 
 @register(
@@ -6098,7 +6122,10 @@ def sim_ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = _pq_books(emb, sf_dir)
-    return _pq.pq_adc_rerank_topk(emb, books, _PQ_QUERIES, shortlist=50, k_top=5)
+    return _pq.pq_adc_rerank_topk(
+        emb, books, _PQ_QUERIES, shortlist=50, k_top=5,
+        codes=_pq_codes(emb, sf_dir),
+    )
 
 
 @register(
@@ -6122,7 +6149,8 @@ def sim_ann_ivfadc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _pq_coarse(emb, sf_dir)
     books = _pq_books(emb, sf_dir)
     return _pq.ivfadc_topk(
-        emb, coarse, books, _PQ_QUERIES, n_probe=2, shortlist=30, k_top=5
+        emb, coarse, books, _PQ_QUERIES, n_probe=2, shortlist=30, k_top=5,
+        codes=_pq_codes(emb, sf_dir), cell_assign=_ivf_cells(emb, sf_dir),
     )
 
 
