@@ -6467,7 +6467,11 @@ _DSIR_TARGET = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
     "broadcast (256 rows); score is one hash aggregate",
 )
 def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    # repartition before hashing: the single-split testdata parquet
+    # otherwise serializes the md5 feature stream onto one task (the
+    # heavy-hitters disease; measured 10.4 -> 2.6 s at sf0.1). Scores
+    # are exact integer sums — partitioning cannot move them.
+    docs = _read(spark, sf_dir, "documents").repartition(32, "doc_id")
     pool = docs.select("doc_id", "text")
     target = docs.where(F.col("lang") == "en").select("doc_id", "text")
     return _dsir.dsir_select(pool, target, k=120)
