@@ -1659,3 +1659,38 @@ def test_zorder_layout_prunes_2d_box_better_than_ts_sort(spark):
     # ts-sorted: every file spanning the time slice survives (user
     # envelope is full-width); z-order confines the box to a few cells
     assert z_surv * 2 <= t_surv, (z_surv, t_surv)
+
+
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    """The deterministic HLL: (a) raw estimate within the m=128
+    error envelope on a known-cardinality corpus; (b) registers are
+    mergeable — max-combining two halves' registers equals the whole
+    corpus's registers (the property that makes the sketch a sketch)."""
+    from tickdb_spark.operators.sketch import hll_estimate, hll_registers
+
+    n = 5000
+    df = spark.range(n).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    est = hll_estimate(df, ["g"], "v", p=7).first()
+    assert abs(est.hll_estimate - n) / n < 0.25, est.hll_estimate
+    whole = {
+        (r.bucket): r.register for r in hll_registers(df, ["g"], "v", p=7).collect()
+    }
+    h1 = hll_registers(df.where("id % 2 = 0"), ["g"], "v", p=7).collect()
+    h2 = hll_registers(df.where("id % 2 = 1"), ["g"], "v", p=7).collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        merged[r.bucket] = max(merged.get(r.bucket, 0), r.register)
+    assert merged == whole
+
+
+def test_hll_registers_partitioning_independent(spark):
+    """Registers are max-aggregates of a deterministic hash — identical
+    under any partitioning (the 100-TB determinism contract)."""
+    from tickdb_spark.operators.sketch import hll_estimate
+
+    df = spark.range(3000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id AS STRING) AS v"
+    )
+    a = {tuple(r) for r in hll_estimate(df, ["g"], "v", p=6).collect()}
+    b = {tuple(r) for r in hll_estimate(df.repartition(17), ["g"], "v", p=6).collect()}
+    assert a == b

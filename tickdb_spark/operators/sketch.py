@@ -1,0 +1,153 @@
+"""HyperLogLog distinct-count sketch with a DETERMINISTIC, oracle-
+checkable estimate (Flajolet et al. 2007 — public algorithm).
+
+Spark's ``approx_count_distinct`` is a black-box HLL++: correct, but its
+registers and estimate are engine-internal, so the gate can only check
+it rows-only. This module builds the sketch from PORTABLE primitives —
+the md5-prefix integer hash the dedup family already shares with DuckDB
+— so the registers AND the estimate replay bit-identically:
+
+* h = 60-bit md5-prefix int (``conv(substr(md5(x),1,15),16,10)``);
+  bucket = top ``p`` bits, w = low ``60-p`` bits;
+* ρ(w) = leading-zero count + 1, computed EXACTLY via the binary-string
+  length both engines agree on (``length(bin(w))`` — no log2 anywhere);
+* the harmonic denominator Σ 2^{-ρ_j} is kept EXACT by scaling: each
+  term 2^{W-ρ} is a BIGINT (W = 60-p bits, ρ ≤ W+1, m ≤ 2^14 ⇒ the sum
+  fits int64 with headroom), summed order-independently;
+* the estimate α_m·m²/Σ2^{-ρ} becomes ``α_m · m² · 2^W / S`` — ONE IEEE
+  division of exactly-representable values, bit-identical cross-engine.
+
+This is the RAW HLL estimator (no small/large-range corrections: the
+linear-counting branch needs ``ln``, which differs in the last ulp
+between libms — the one part that cannot be hash-checked; callers
+needing corrected estimates apply them to the returned registers).
+Typical raw-HLL relative error ~1.04/√m (±3.2% at m=1024) — asserted
+against the exact count in tests.
+
+Scale shape: ONE hash aggregate to (group, bucket) registers (max is
+map-side combinable and mergeable — the registers ARE the mergeable
+sketch state), one m-row-per-group aggregate for the estimate. The
+register table is ``groups × m`` small ints regardless of cardinality —
+the whole point at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: md5-prefix hash width (the dedup family's shared 60-bit portable hash)
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group HLL registers: ``(group_cols..., bucket, register)``,
+    dense over [0, 2^p) with 0 for never-hit buckets. The register table
+    is the mergeable sketch state (max-combine on bucket)."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = F.shiftright(h, w_bits)
+    w = h % F.lit(1 << w_bits)
+    # rho = leading zeros of the w-bit word + 1
+    #     = w_bits - len(bin(w)) + 1 for w >= 1; w == 0 -> w_bits + 1.
+    # bin() gives minimal binary digits on both engines — integer-exact.
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    hit = (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+    groups = df.select(*group_cols).distinct()
+    grid = groups.crossJoin(
+        df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    )
+    return grid.join(hit, [*group_cols, "bucket"], "left").select(
+        *group_cols,
+        "bucket",
+        F.coalesce(F.col("register"), F.lit(0)).cast("long").alias("register"),
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group raw HLL estimate from :func:`hll_registers`. Returns
+    ``(group_cols..., hll_sum_scaled, hll_estimate)`` where
+    ``hll_sum_scaled = Σ 2^{W-ρ_j}`` (the exact BIGINT sketch
+    denominator) and ``hll_estimate = α_m·m²·2^W / hll_sum_scaled``."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    regs = hll_registers(df, group_cols, value_col, p)
+    # python-API shiftleft only takes an int literal; the SQL form
+    # accepts an expression on both engines
+    s = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits} - register)")).alias(
+        "hll_sum_scaled"
+    )
+    num = float(_alpha(m)) * float(m) * float(m) * float(2**w_bits)
+    return regs.groupBy(*group_cols).agg(
+        s,
+        (F.lit(num) / F.col("hll_sum_scaled").cast("double")).alias("hll_estimate"),
+    )
+
+
+def hll_estimate_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> str:
+    """DuckDB twin: identical hash, identical bin-length ρ, identical
+    scaled BIGINT sum and single-division estimate."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    gc = ", ".join(group_cols)
+    num = repr(float(_alpha(m)) * float(m) * float(m) * float(2**w_bits))
+    return f"""
+    WITH hashed AS (
+      SELECT {gc},
+             CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM ({table_sql})
+    ),
+    parts AS (
+      SELECT {gc}, h >> {w_bits} AS bucket, h % {1 << w_bits} AS w FROM hashed
+    ),
+    hit AS (
+      SELECT {gc}, bucket,
+             MAX(CASE WHEN w = 0 THEN {w_bits + 1}
+                      ELSE {w_bits} - length(bin(w)) + 1 END) AS register
+      FROM parts GROUP BY {gc}, bucket
+    ),
+    grid AS (
+      SELECT g.*, r.range AS bucket
+      FROM (SELECT DISTINCT {gc} FROM hashed) g, range({m}) r
+    ),
+    regs AS (
+      SELECT grid.*, COALESCE(hit.register, 0) AS register
+      FROM grid LEFT JOIN hit USING ({gc}, bucket)
+    )
+    SELECT {gc},
+           CAST(SUM(CAST(1 AS BIGINT) << ({w_bits} - register)) AS BIGINT)
+             AS hll_sum_scaled,
+           {num} / CAST(SUM(CAST(1 AS BIGINT) << ({w_bits} - register)) AS DOUBLE)
+             AS hll_estimate
+    FROM regs GROUP BY {gc}
+    """

@@ -6389,6 +6389,45 @@ def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from tickdb_spark.operators import layout as _layout  # noqa: E402
+from tickdb_spark.operators import sketch as _sketch  # noqa: E402
+
+
+@register(
+    "agg_hll_distinct_userdays",
+    _sketch.hll_estimate_sql(
+        "SELECT 'user_days' AS scope, "
+        "CAST(user_id AS VARCHAR) || '-' || "
+        "CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ud FROM events",
+        ["scope"],
+        "ud",
+        p=7,
+    )
+    + " ORDER BY scope",
+    "HyperLogLog distinct (user, day) pairs with a DETERMINISTIC, fully "
+    "hash-checked estimate (unlike approx_count_distinct's "
+    "engine-internal HLL++): portable md5-prefix hash, rho via exact "
+    "binary-string length (no log2), harmonic denominator kept as an "
+    "exact scaled BIGINT sum, estimate = one IEEE division. Registers "
+    "are the mergeable sketch state (m=128 small ints at any "
+    "cardinality); raw-HLL error ~1.04/sqrt(m)=9% asserted vs exact in "
+    "tests (cardinality chosen above the 2.5m raw-regime floor at "
+    "every SF; the sub-2.5m linear-counting correction needs ln, the "
+    "one op that is not bit-replayable cross-engine)",
+)
+def agg_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        F.lit("user_days").alias("scope"),
+        F.concat_ws(
+            "-",
+            F.col("user_id").cast("string"),
+            # integer `div`, not `/`: a double quotient truncates, and a
+            # near-integer ulp error would flip the day index vs the
+            # oracle's exact `//`
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .cast("string"),
+        ).alias("ud"),
+    )
+    return _sketch.hll_estimate(ev, ["scope"], "ud", p=7).orderBy("scope")
 
 
 @register(
@@ -6519,6 +6558,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "select_dsir_importance",
     "tick_downsample_lttb",
     "layout_zorder_stats",
+    "agg_hll_distinct_userdays",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6554,7 +6594,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_bucket_2month_anchored",
     "tick_twa_6h",
     "rangejoin_click_attribution",
-    "agg_stats_moments",
 ]
 
 
