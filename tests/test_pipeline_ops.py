@@ -1694,3 +1694,54 @@ def test_hll_registers_partitioning_independent(spark):
     a = {tuple(r) for r in hll_estimate(df, ["g"], "v", p=6).collect()}
     b = {tuple(r) for r in hll_estimate(df.repartition(17), ["g"], "v", p=6).collect()}
     assert a == b
+
+
+def test_holt_winters_recovers_planted_weekly_seasonality(spark):
+    """On a synthetic daily series with a strong planted weekly pattern,
+    the 1..7-step forecasts must reproduce the pattern's shape: the
+    forecast for the planted peak slot exceeds the trough slot by most
+    of the planted amplitude."""
+    from tickdb_spark.operators.trend import holt_winters_seasonal
+
+    amp = 100.0
+    rows = []
+    for d in range(140):  # 20 weeks
+        base = 500.0 + 0.5 * d
+        seasonal = amp if d % 7 == 2 else (-amp if d % 7 == 5 else 0.0)
+        rows.append(("s", d, base + seasonal))
+    df = spark.createDataFrame(rows, ["g", "day", "x"]).repartition(4)
+    out = holt_winters_seasonal(df, "g", "day", "x").first()
+    assert out.n_points == 140
+    # forecast day indices 140..146; slot (140+h-1)%7 == day%7 of that day
+    fc = {(140 + h - 1) % 7: getattr(out, f"f{h}") for h in range(1, 8)}
+    assert fc[2] - fc[5] > 1.5 * amp, fc  # peak-trough gap mostly learned
+    assert fc[2] > fc[0] > fc[5], fc
+
+
+def test_holt_winters_matches_plain_python_reference(spark):
+    """The grouped-map fold must equal the same recurrence run in plain
+    python (guards the kernel against accidental vectorization that
+    would change the IEEE op order)."""
+    import random
+
+    from tickdb_spark.operators.trend import holt_winters_seasonal
+
+    rng = random.Random(3)
+    xs = [round(rng.uniform(0, 50), 3) for _ in range(60)]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], ["g", "day", "x"]
+    )
+    got = holt_winters_seasonal(df, "g", "day", "x").first()
+    alpha, beta, gamma, m = 0.5, 0.25, 0.25, 7
+    l, b = xs[0], 0.0
+    s = [0.0] * m
+    for i, x in enumerate(xs[1:], start=2):
+        idx = (i - 1) % m
+        l_new = alpha * (x - s[idx]) + (1.0 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1.0 - beta) * b
+        s[idx] = gamma * (x - l_new) + (1.0 - gamma) * s[idx]
+        l = l_new
+    assert got.level == l and got.trend == b
+    n = len(xs)
+    for h in range(1, 8):
+        assert getattr(got, f"f{h}") == l + float(h) * b + s[(n + h - 1) % m], h

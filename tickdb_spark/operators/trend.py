@@ -206,3 +206,135 @@ def holt_linear_sql(
            h.l AS level, h.b AS trend, h.l + h.b AS forecast_1
     FROM holt h JOIN last l2 ON h.grp = l2.grp AND h.rn = l2.n
     """
+
+
+def holt_winters_seasonal(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Per-series Holt-Winters ADDITIVE seasonal (triple) exponential
+    smoothing — level + trend + a ``season``-slot seasonal vector folded
+    over the series in time order; the classic forecaster for daily
+    metric streams with weekly shape.
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+
+    Initialization is the DEFINED zero-seasonal start (l₁ = x₁, b₁ = 0,
+    s_j = 0): the γ-recurrence learns the seasonal shape from the data
+    instead of a mean-based warmup (a mean is a float sum — order-
+    dependent, so not bit-replayable; the zero start keeps every carried
+    double the result of the same IEEE expression tree per row, the
+    ``holt_linear`` argument). α/β/γ should be dyadic.
+
+    ``ts_col`` must be tie-free per group. Returns one row per group:
+    ``(group, n_points, level, trend, f1..f{season})`` — the 1..season
+    step-ahead forecasts ``l + h·b + s_{(n+h−1) mod season}``, one per
+    seasonal slot, so the whole learned seasonal vector is exercised
+    (and hash-checked).
+    """
+    import pandas as pd
+
+    m = season
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        xs = [float(v) for v in pdf[value_col]]
+        l, b = xs[0], 0.0
+        s = [0.0] * m
+        for i, x in enumerate(xs[1:], start=2):
+            idx = (i - 1) % m
+            l_new = alpha * (x - s[idx]) + (1.0 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1.0 - beta) * b
+            s[idx] = gamma * (x - l_new) + (1.0 - gamma) * s[idx]
+            l = l_new
+        n = len(xs)
+        out = {
+            group_col: [pdf[group_col].iloc[0]],
+            "n_points": [n],
+            "level": [l],
+            "trend": [b],
+        }
+        for h in range(1, m + 1):
+            out[f"f{h}"] = [l + float(h) * b + s[(n + h - 1) % m]]
+        return pd.DataFrame(out)
+
+    fcols = ", ".join(f"f{h} double" for h in range(1, m + 1))
+    return (
+        events.select(group_col, ts_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(
+            fit,
+            f"{group_col} string, n_points long, level double, "
+            f"trend double, {fcols}",
+        )
+    )
+
+
+def holt_winters_seasonal_sql(
+    table_filter: str,
+    group_col: str,
+    ts_expr: str,
+    value_col: str,
+    season: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> str:
+    """DuckDB twin: the triple recurrence as a recursive CTE carrying
+    the seasonal vector as ``season`` explicit columns, one step per
+    row, identical expression tree (the slot CASE selects which column
+    updates)."""
+    a, be, g = repr(alpha), repr(beta), repr(gamma)
+    m = season
+    scols = ", ".join(f"CAST(0.0 AS DOUBLE) AS s{j}" for j in range(m))
+    s_cur = (
+        "CASE "
+        + " ".join(f"WHEN (o.rn - 1) % {m} = {j} THEN h.s{j}" for j in range(m))
+        + " END"
+    )
+    l_new = f"{a} * (o.x - {s_cur}) + (1.0 - {a}) * (h.l + h.b)"
+    s_upds = ", ".join(
+        f"CASE WHEN (o.rn - 1) % {m} = {j} "
+        f"THEN {g} * (o.x - ({l_new})) + (1.0 - {g}) * h.s{j} "
+        f"ELSE h.s{j} END"
+        for j in range(m)
+    )
+    fsel = ", ".join(
+        f"h.l + {float(h_)!r} * h.b + ("
+        + "CASE "
+        + " ".join(
+            f"WHEN (l2.n + {h_} - 1) % {m} = {j} THEN h.s{j}" for j in range(m)
+        )
+        + " END) AS f{h}".replace("{h}", str(h_))
+        for h_ in range(1, m + 1)
+    )
+    return f"""
+    WITH RECURSIVE ord AS MATERIALIZED (
+      SELECT {group_col} AS grp, {ts_expr} AS tord, {value_col} AS x,
+             ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                ORDER BY {ts_expr}) AS rn
+      FROM {table_filter}
+    ),
+    hw AS (
+      SELECT grp, rn, x, x AS l, CAST(0.0 AS DOUBLE) AS b, {scols}
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.grp, o.rn, o.x,
+             {l_new},
+             {be} * (({l_new}) - h.l) + (1.0 - {be}) * h.b,
+             {s_upds}
+      FROM hw h JOIN ord o ON o.grp = h.grp AND o.rn = h.rn + 1
+    ),
+    last AS (SELECT grp, max(rn) AS n FROM ord GROUP BY grp)
+    SELECT h.grp AS {group_col}, CAST(l2.n AS BIGINT) AS n_points,
+           h.l AS level, h.b AS trend, {fsel}
+    FROM hw h JOIN last l2 ON h.grp = l2.grp AND h.rn = l2.n
+    """

@@ -4798,6 +4798,42 @@ def trend_holt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trend_holt_winters_weekly",
+    _trend.holt_winters_seasonal_sql(
+        "(SELECT event_type, epoch_us(ts) // 86400000000 AS day, "
+        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2)",
+        "event_type",
+        "day",
+        "x",
+    )
+    + " ORDER BY event_type",
+    "Holt-Winters ADDITIVE seasonal (triple) smoothing over daily event "
+    "volumes, weekly season: level + trend + 7-slot seasonal vector "
+    "folded per series; zero-seasonal defined init (a mean warmup is an "
+    "order-dependent float sum - not bit-replayable), so every carried "
+    "double is the same IEEE expression tree per row on both engines. "
+    "Emits the 1..7-step forecasts - one per seasonal slot, so the "
+    "whole learned seasonal vector is hash-checked. Daily counts are "
+    "exact BIGINTs cast to double; the oracle replays the recurrence "
+    "as a recursive CTE carrying the 7 seasonal columns",
+)
+def trend_hw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _read(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    return _trend.holt_winters_seasonal(
+        daily, "event_type", "day", "x"
+    ).orderBy("event_type")
+
+
+@register(
     "rangejoin_interval_overlap",
     """
     WITH v AS (
@@ -6559,6 +6595,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_downsample_lttb",
     "layout_zorder_stats",
     "agg_hll_distinct_userdays",
+    "trend_holt_winters_weekly",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6593,7 +6630,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q1_pricing_summary",
     "tick_bucket_2month_anchored",
     "tick_twa_6h",
-    "rangejoin_click_attribution",
 ]
 
 
