@@ -1745,3 +1745,25 @@ def test_holt_winters_matches_plain_python_reference(spark):
     n = len(xs)
     for h in range(1, 8):
         assert getattr(got, f"f{h}") == l + float(h) * b + s[(n + h - 1) % m], h
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """CMS guarantees: (a) est >= exact for EVERY key, even with a
+    deliberately tiny width forcing collisions; (b) sketches merge by
+    adding counters — sum of two halves' sketches equals the whole
+    corpus's sketch."""
+    from tickdb_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.range(3000).selectExpr("CAST(id % 37 AS STRING) AS v")
+    sk_small = cms_build(df, "v", depth=3, width=16)  # 37 keys -> 16 buckets
+    qs = df.select("v").distinct()
+    est = {r.v: r.cms_est for r in cms_estimate(sk_small, qs, "v", depth=3, width=16).collect()}
+    exact = {r.v: r.cnt for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[k] >= exact[k] for k in exact), "one-sided guarantee broken"
+    whole = {(r.depth, r.bucket): r.cnt for r in cms_build(df, "v").collect()}
+    h1 = cms_build(df.where("id % 2 = 0"), "v").collect()
+    h2 = cms_build(df.where("id % 2 = 1"), "v").collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        merged[(r.depth, r.bucket)] = merged.get((r.depth, r.bucket), 0) + r.cnt
+    assert merged == whole

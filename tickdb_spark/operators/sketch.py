@@ -151,3 +151,133 @@ def hll_estimate_sql(
              AS hll_estimate
     FROM regs GROUP BY {gc}
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# in d×w integer counters regardless of vocabulary size. Unlike HLL's
+# float estimate, CMS is ALL-INTEGER end to end (counters are exact sums,
+# the point estimate is an integer min over d counters), so the whole
+# sketch — build AND query — hash-checks with no quantization story at
+# all. Guarantees: est ≥ true always (one-sided), est ≤ true + εN with
+# probability 1−δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+#
+# Hash family: the dedup module's portable universal family over the
+# 44-bit md5-prefix integer (one md5 per item, d integer mul-add-mods —
+# both engines compute identical integers).
+#
+# Scale shape: the build is ONE hash aggregate to (depth, bucket) — d·w
+# counters per group regardless of cardinality, map-side combinable and
+# mergeable by ADDITION (sketch property, proven in tests). The probe
+# broadcasts the d·w table.
+# ---------------------------------------------------------------------------
+
+
+def _cms_hashes(value_col: str, depth: int, width: int):
+    from tickdb_spark.operators.dedup import MH_COEF, MINHASH_P
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 11), 16, 10)
+        .cast("long")
+    )
+    return [
+        ((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P) % F.lit(width))
+        for a, b in MH_COEF[:depth]
+    ]
+
+
+def _cms_hashes_sql(value_expr: str, depth: int, width: int) -> list[str]:
+    from tickdb_spark.operators.dedup import MH_COEF, MINHASH_P
+
+    h = f"CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 11)) AS BIGINT)"
+    return [
+        f"((({h}) * {a} + {b}) % {MINHASH_P} % {width})" for a, b in MH_COEF[:depth]
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Build the sketch: ``(depth, bucket, cnt)`` — d·w exact BIGINT
+    counters (absent (depth, bucket) pairs are implicitly 0; estimates
+    must COALESCE). Mergeable by summing cnt on (depth, bucket)."""
+    hashes = _cms_hashes(value_col, depth, width)
+    parts = [
+        df.select(F.lit(i).alias("depth"), hh.alias("bucket")) for i, hh in enumerate(hashes)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate each query value against the sketch:
+    ``(value_col, cms_est)`` with ``cms_est = min_i cnt[i, h_i(v)]``
+    (0-coalesced). The d·w sketch broadcasts."""
+    hashes = _cms_hashes(value_col, depth, width)
+    q = queries.select(
+        F.col(value_col),
+        *[hh.alias(f"_b{i}") for i, hh in enumerate(hashes)],
+    )
+    for i in range(depth):
+        s_i = sketch.where(F.col("depth") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        q = q.join(F.broadcast(s_i), f"_b{i}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_c{i}"), F.lit(0).cast("long")) for i in range(depth)]
+    )
+    return q.select(value_col, est.alias("cms_est"))
+
+
+def cms_topk_check_sql(
+    items_sql: str,
+    value_expr: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """DuckDB twin of the gate shape: build the sketch over the item
+    stream, take the top-k exact values (tie-broken on the value), emit
+    ``(value, exact_cnt, cms_est)`` — est ≥ exact always; the gap is the
+    collision mass the ε·N bound governs."""
+    hs = _cms_hashes_sql("v", depth, width)
+    layers = "\nUNION ALL\n".join(
+        f"SELECT {i} AS depth, {h} AS bucket FROM items" for i, h in enumerate(hs)
+    )
+    qhs = _cms_hashes_sql("v", depth, width)
+    mins = ", ".join(
+        f"(SELECT COALESCE((SELECT cnt FROM cms WHERE depth = {i} "
+        f"AND bucket = {qh.replace('items.', '')}), 0))"
+        for i, qh in enumerate(qhs)
+    )
+    return f"""
+    WITH items AS MATERIALIZED (
+      SELECT {value_expr} AS v FROM ({items_sql})
+    ),
+    cms AS MATERIALIZED (
+      SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        {layers}
+      ) GROUP BY depth, bucket
+    ),
+    topk AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM items GROUP BY v
+      ORDER BY exact_cnt DESC, v LIMIT {k}
+    )
+    SELECT t.v AS token, t.exact_cnt,
+           CAST(least({mins}) AS BIGINT) AS cms_est
+    FROM topk t
+    """

@@ -6429,6 +6429,39 @@ from tickdb_spark.operators import sketch as _sketch  # noqa: E402
 
 
 @register(
+    "agg_cms_token_counts",
+    _sketch.cms_topk_check_sql(
+        "SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents",
+        "tok",
+        k=20,
+    ),
+    "count-min sketch (Cormode-Muthukrishnan) over the token stream: "
+    "4x512 exact BIGINT counters (vocabulary-independent state, "
+    "mergeable by addition), point estimates = integer min over the 4 "
+    "rows - ALL-INTEGER end to end, so build AND query hash-check with "
+    "no quantization story. Emits the top-20 exact tokens with their "
+    "estimates: est >= exact always (one-sided guarantee, asserted); "
+    "the gap is the collision mass the eps*N bound governs. Hash "
+    "family: the dedup module's portable md5-prefix universal family",
+)
+def agg_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    sk = _sketch.cms_build(tok, "token")
+    topk = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    est = _sketch.cms_estimate(sk, topk.select("token"), "token")
+    return topk.join(est, "token").select("token", "exact_cnt", "cms_est")
+
+
+@register(
     "agg_hll_distinct_userdays",
     _sketch.hll_estimate_sql(
         "SELECT 'user_days' AS scope, "
@@ -6596,6 +6629,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "layout_zorder_stats",
     "agg_hll_distinct_userdays",
     "trend_holt_winters_weekly",
+    "agg_cms_token_counts",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6629,7 +6663,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sim_ann_topk_ivf",
     "tpch_q1_pricing_summary",
     "tick_bucket_2month_anchored",
-    "tick_twa_6h",
 ]
 
 
