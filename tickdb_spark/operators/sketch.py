@@ -73,7 +73,9 @@ def hll_registers(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("_rho").alias("register"))
     )
-    groups = df.select(*group_cols).distinct()
+    # derive the group list from the AGGREGATE (≤ groups·m rows), not a
+    # second scan of the raw data
+    groups = hit.select(*group_cols).distinct()
     grid = groups.crossJoin(
         df.sparkSession.range(m).select(F.col("id").alias("bucket"))
     )
@@ -205,14 +207,19 @@ def cms_build(
     counters (absent (depth, bucket) pairs are implicitly 0; estimates
     must COALESCE). Mergeable by summing cnt on (depth, bucket)."""
     hashes = _cms_hashes(value_col, depth, width)
-    parts = [
-        df.select(F.lit(i).alias("depth"), hh.alias("bucket")) for i, hh in enumerate(hashes)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("depth", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE scan: explode the d (depth, bucket) pairs per row instead of a
+    # d-branch union that rescans the item stream d times
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("depth"), hh.alias("bucket"))
+            for i, hh in enumerate(hashes)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
