@@ -1767,3 +1767,39 @@ def test_cms_one_sided_and_mergeable(spark):
     for r in list(h1) + list(h2):
         merged[(r.depth, r.bucket)] = merged.get((r.depth, r.bucket), 0) + r.cnt
     assert merged == whole
+
+
+def test_kmv_jaccard_estimate_on_controlled_overlap(spark):
+    """KMV estimate vs known ground truth: two sets with a planted 25%
+    Jaccard (2000 shared of 5000-each) must estimate within the k=256
+    sketch's error envelope, computed from the sketches alone."""
+    from tickdb_spark.operators.sketch import kmv_pairwise_jaccard, kmv_sketch
+
+    # A = [0, 5000), B = [3000, 8000): |A∩B| = 2000, |A∪B| = 8000, J = 0.25
+    a = spark.range(0, 5000).selectExpr("'A' AS g", "CAST(id AS STRING) AS v")
+    b = spark.range(3000, 8000).selectExpr("'B' AS g", "CAST(id AS STRING) AS v")
+    sk = kmv_sketch(a.unionByName(b), "g", "v", k=256)
+    est = kmv_pairwise_jaccard(sk, k=256).first()
+    assert est.grp_a == "A" and est.grp_b == "B"
+    assert est.kmv_size == 256
+    assert abs(est.kmv_jaccard - 0.25) < 0.09, est.kmv_jaccard  # ~3σ at k=256
+    # disjoint sets estimate exactly zero (no shared hashes can appear)
+    c = spark.range(100000, 105000).selectExpr("'C' AS g", "CAST(id AS STRING) AS v")
+    sk2 = kmv_sketch(a.unionByName(c), "g", "v", k=256)
+    est2 = kmv_pairwise_jaccard(sk2, k=256).first()
+    assert est2.kmv_jaccard == 0.0
+
+
+def test_kmv_sketch_is_k_smallest_and_partition_independent(spark):
+    """The sketch must be EXACTLY the k smallest distinct hashes (not a
+    sample), identical under any partitioning."""
+    from tickdb_spark.operators.sketch import kmv_sketch, value_hash_60
+
+    df = spark.range(2000).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    got = sorted(r.h for r in kmv_sketch(df, "g", "v", k=64).collect())
+    allh = sorted(
+        r.h for r in df.select(value_hash_60(F.col("v")).alias("h")).distinct().collect()
+    )
+    assert got == allh[:64]
+    got2 = sorted(r.h for r in kmv_sketch(df.repartition(13), "g", "v", k=64).collect())
+    assert got2 == got

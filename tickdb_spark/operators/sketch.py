@@ -288,3 +288,169 @@ def cms_topk_check_sql(
            CAST(least({mins}) AS BIGINT) AS cms_est
     FROM topk t
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch (Bar-Yossef et al. 2002; Beyer et al.
+# 2007) — fixed-size distinct-set summaries supporting SET OPERATIONS:
+# the k smallest distinct hash values of a set. Two sketches combine by
+# taking the k smallest of their union (k-min(A ∪ B) = k-min(k-min(A) ∪
+# k-min(B))), and the Jaccard estimate is the fraction of the combined
+# sketch's members present in both sides — all INTEGER work except the
+# final ratio (one IEEE division), so the whole pipeline hash-checks.
+#
+# Scale shape: per-group sketch state is k BIGINTs regardless of set
+# size; the pairwise combine touches only sketches (pairs × 2k rows),
+# never the underlying sets — the property that makes all-pairs corpus
+# similarity tractable at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 60-bit md5-prefix
+    hashes — ``(group, h)``, ≤ k rows per group."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_pairwise_jaccard(
+    sketches: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """All-pairs Jaccard estimates from per-group KMV sketches alone
+    (the sets themselves are never touched): for each group pair a < b,
+    combine the two sketches, keep the k smallest of the union, and
+    estimate J = |members in both| / |combined sketch|. Returns
+    ``(grp_a, grp_b, kmv_common, kmv_size, kmv_jaccard)``."""
+    from pyspark.sql import Window
+
+    a = sketches.select(
+        F.col("grp").alias("grp_a"), F.col("h").alias("h"), F.lit(1).alias("in_a")
+    )
+    b = sketches.select(
+        F.col("grp").alias("grp_b"), F.col("h").alias("h"), F.lit(1).alias("in_b")
+    )
+    pairs = (
+        sketches.select(F.col("grp").alias("grp_a"))
+        .distinct()
+        .crossJoin(sketches.select(F.col("grp").alias("grp_b")).distinct())
+        .where(F.col("grp_a") < F.col("grp_b"))
+    )
+    left = pairs.join(a, "grp_a").select("grp_a", "grp_b", "h", "in_a")
+    right = pairs.join(b, "grp_b").select("grp_a", "grp_b", "h", "in_b")
+    member = (
+        left.join(right, ["grp_a", "grp_b", "h"], "full")
+        .select(
+            "grp_a",
+            "grp_b",
+            "h",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    top = member.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return top.groupBy("grp_a", "grp_b").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("kmv_common"),
+        F.count(F.lit(1)).alias("kmv_size"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("kmv_jaccard"),
+    )
+
+
+def kmv_pairwise_jaccard_sql(
+    items_sql: str,
+    group_col: str,
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin: identical hash, identical k-min windows, identical
+    combine and single-division estimate, plus the EXACT Jaccard per
+    pair (gate-scale evidence column the sketch path never needs)."""
+    return f"""
+    WITH hashes AS MATERIALIZED (
+      SELECT DISTINCT {group_col} AS grp,
+             CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM ({items_sql})
+    ),
+    sk AS MATERIALIZED (
+      SELECT grp, h FROM (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashes
+      ) WHERE rn <= {k}
+    ),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b
+      FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+      WHERE a.grp < b.grp
+    ),
+    member2 AS (
+      SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.grp_a, p.grp_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.grp = p.grp_a
+        UNION ALL
+        SELECT p.grp_a, p.grp_b, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.grp = p.grp_b
+      ) GROUP BY grp_a, grp_b, h
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT m.*, ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+        FROM member2 m
+      ) WHERE rn <= {k}
+    ),
+    est AS (
+      SELECT grp_a, grp_b,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_common,
+             CAST(count(*) AS BIGINT) AS kmv_size,
+             CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS kmv_jaccard
+      FROM top GROUP BY grp_a, grp_b
+    ),
+    exact AS (
+      SELECT p.grp_a, p.grp_b,
+             CAST(SUM(CASE WHEN ha.h IS NOT NULL AND hb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+             CAST(count(*) AS BIGINT) AS uni
+      FROM pairs p
+      JOIN (
+        SELECT grp_a, grp_b, h FROM (
+          SELECT p2.grp_a, p2.grp_b, x.h
+          FROM pairs p2 JOIN hashes x ON x.grp IN (p2.grp_a, p2.grp_b)
+        ) GROUP BY grp_a, grp_b, h
+      ) u ON u.grp_a = p.grp_a AND u.grp_b = p.grp_b
+      LEFT JOIN hashes ha ON ha.grp = p.grp_a AND ha.h = u.h
+      LEFT JOIN hashes hb ON hb.grp = p.grp_b AND hb.h = u.h
+      GROUP BY p.grp_a, p.grp_b
+    )
+    SELECT * FROM (
+      SELECT e.grp_a, e.grp_b, e.kmv_common, e.kmv_size, e.kmv_jaccard,
+             CAST(x.inter AS DOUBLE) / CAST(x.uni AS DOUBLE) AS exact_jaccard
+      FROM est e JOIN exact x ON x.grp_a = e.grp_a AND x.grp_b = e.grp_b
+    )
+    """
+
+
+def value_hash_60(col):
+    """The family's shared portable 60-bit md5-prefix hash of any value
+    (cast to string first) — one expression both engines compute
+    identically."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
