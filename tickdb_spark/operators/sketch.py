@@ -454,3 +454,17 @@ def value_hash_60(col):
     (cast to string first) — one expression both engines compute
     identically."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch_from_hashes(hashes: DataFrame, k: int = 256) -> DataFrame:
+    """KMV sketch from an already-distinct ``(grp, h)`` frame — lets a
+    caller that also needs the hash set for other work (exact evidence,
+    sizes) scan it ONCE instead of re-deriving it inside the sketch."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("grp", "h")
+    )

@@ -6458,11 +6458,20 @@ def sketch_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string"),
         ).alias("ud"),
     )
-    sk = _sketch.kmv_sketch(ev, "event_type", "ud", k=256)
+    # ONE distinct-hash scan feeds the sketch, the sizes and both sides
+    # of the exact-evidence join; without the checkpoint the 4 subtree
+    # references re-ran the distinct 4x (measured 6.5 -> ~2 s at sf0.1 —
+    # the triangle-counting trap, see CLAUDE.md)
+    hashes = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            _sketch.value_hash_60(F.col("ud")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sk = _sketch.kmv_sketch_from_hashes(hashes, k=256)
     est = _sketch.kmv_pairwise_jaccard(sk, k=256)
-    hashes = ev.select(
-        F.col("event_type").alias("grp"), _sketch.value_hash_60(F.col("ud")).alias("h")
-    ).distinct()
     sizes = hashes.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     ha = hashes.select(F.col("grp").alias("grp_a"), "h")
     hb = hashes.select(F.col("grp").alias("grp_b"), "h")
