@@ -436,3 +436,42 @@ def test_gapfill_chunked_carry_exact_across_boundaries(spark, monkeypatch):
         exp = 1.0 + (18.0 - 1.0) * (b - 10) / (180 - 10)
         assert abs(interp[b][0] - exp) < 1e-12 and interp[b][1] == 0, b
     assert interp[200] == (18.0 + (23.0 - 18.0) * 20 / 50, 0)
+
+
+def test_snapshot_diff_classifies_all_three_changes(tmp_path, spark):
+    """Plant one added, one removed (via a rewriting compact? no —
+    removal here means 'present at seq_a, absent later', which only a
+    rewrite produces; between two APPEND-only seqs 'removed' is
+    impossible and the test proves exactly that), and one changed row,
+    then diff seq 0 vs seq 1."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.ingest import append_batch, snapshot_diff
+    from tickdb_spark.schema import ns_to_ts
+
+    db = str(tmp_path / "db")
+    import os
+
+    os.makedirs(db)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "series string, ts long, value map<string,double>")
+        return df.withColumn("ts_utc", ns_to_ts(F.col("ts")))
+
+    t0 = 1_700_000_000_000_000_000
+    append_batch(db, batch([("a", t0, {"v": 1.0}), ("a", t0 + 1, {"v": 2.0})]))
+    append_batch(
+        db,
+        batch([("a", t0, {"v": 9.0}), ("a", t0 + 2, {"v": 3.0})]),  # upsert + new
+    )
+    d = {(r.ts, r.change) for r in snapshot_diff(spark, db, 0, 1).collect()}
+    assert d == {(t0, "changed"), (t0 + 2, "added")}
+    # unchanged row (t0+1) must NOT appear; append-only history can
+    # never produce 'removed'
+    vals = {
+        r.ts: (r.value_a, r.value_b) for r in snapshot_diff(spark, db, 0, 1).collect()
+    }
+    assert vals[t0] == ({"v": 1.0}, {"v": 9.0})
+    assert vals[t0 + 2] == (None, {"v": 3.0})
+    # identical snapshots diff to empty
+    assert snapshot_diff(spark, db, 1, 1).count() == 0

@@ -243,3 +243,65 @@ def delete_range(spark: SparkSession, db_path: str, series: str, frm, to) -> Non
     dirty |= {(series, n.split("=", 1)[1]) for n in affected}
     meta["dirty"] = sorted([list(t) for t in dirty])
     _write_meta(db_path, meta)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    db_path: str,
+    seq_a: int,
+    seq_b: int | None = None,
+    series: str | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshot views of the warehouse — the
+    audit companion to ``as_of_seq`` time travel (what Delta's
+    table-version CDF answers; the reference has no versioned reads at
+    all). Compares the LWW view as of ``seq_a`` against ``seq_b``
+    (default: the live view) on the (series, ts) key:
+
+    * ``added``   — present only in the LATER view (new points),
+    * ``removed`` — present only in the earlier view (physical deletes
+      rewrite both snapshots, so range deletes do NOT show here — by
+      design; only compaction-style rewrites that drop rows would),
+    * ``changed`` — both present, value maps differ (LWW upserts).
+
+    Maps aren't comparable in Spark SQL; equality goes through sorted
+    ``map_entries`` arrays (structs ARE comparable) — exact, no JSON
+    round-trip. Returns ``(series, ts, ts_utc, change, value_a,
+    value_b)``. One full-outer hash join on (series, ts) — partition
+    pruning applies to both sides like any tick read.
+    """
+    a = read_ticks(spark, db_path, as_of_seq=seq_a)
+    b = (
+        read_ticks(spark, db_path)
+        if seq_b is None
+        else read_ticks(spark, db_path, as_of_seq=seq_b)
+    )
+    if series is not None:
+        a = a.where(F.col("series") == series)
+        b = b.where(F.col("series") == series)
+    an = a.select(
+        "series", "ts", F.col("ts_utc").alias("_utc_a"), F.col("value").alias("value_a")
+    )
+    bn = b.select(
+        "series", "ts", F.col("ts_utc").alias("_utc_b"), F.col("value").alias("value_b")
+    )
+    j = an.join(bn, ["series", "ts"], "full")
+    norm_a = F.array_sort(F.map_entries(F.col("value_a")))
+    norm_b = F.array_sort(F.map_entries(F.col("value_b")))
+    change = (
+        F.when(F.col("value_a").isNull(), F.lit("added"))
+        .when(F.col("value_b").isNull(), F.lit("removed"))
+        .when(norm_a != norm_b, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            "series",
+            "ts",
+            F.coalesce(F.col("_utc_b"), F.col("_utc_a")).alias("ts_utc"),
+            "change",
+            "value_a",
+            "value_b",
+        )
+    )

@@ -3239,6 +3239,53 @@ def tick_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tick_snapshot_diff",
+    f"""
+    WITH ch AS (
+      SELECT ts, value FROM events
+      WHERE event_type = 'click' AND user_id < 10
+        AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-15 00:00:00')
+        AND value * 2 <> value
+    )
+    SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+           CAST(0 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+           CAST(COUNT(*) AS BIGINT) AS n_changed,
+           CAST(SUM(CAST(value * 2 - value AS {DEC})) AS DOUBLE) AS delta_sum
+    FROM ch GROUP BY bucket ORDER BY bucket
+    """,
+    "snapshot DIFF between version 0 and the live view of the lifecycle "
+    "warehouse (the audit companion to as-of time travel - what Delta's "
+    "CDF answers): full-outer LWW-view join on (series, ts), change "
+    "classification via sorted map_entries (maps aren't comparable in "
+    "Spark SQL; entry-struct arrays are), per-day counts + DECIMAL "
+    "delta sum. Proves exactly the upserted rows show as changed and "
+    "NOTHING shows as added/removed (physical range deletes rewrite "
+    "both snapshots - documented non-versioning)",
+)
+def tick_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.ingest import snapshot_diff as _snapshot_diff
+
+    db_path = _lifecycle_warehouse(spark, sf_dir)
+    d = _snapshot_diff(spark, db_path, 0, series="click")
+    day = (F.unix_micros(F.date_trunc("day", F.col("ts_utc"))) * 1000).alias("bucket")
+    is_ = lambda s: F.when(F.col("change") == s, 1).otherwise(0)  # noqa: E731
+    delta = F.col("value_b").getItem("value") - F.col("value_a").getItem("value")
+    return (
+        d.groupBy(day)
+        .agg(
+            F.sum(is_("added")).cast("long").alias("n_added"),
+            F.sum(is_("removed")).cast("long").alias("n_removed"),
+            F.sum(is_("changed")).cast("long").alias("n_changed"),
+            F.sum(
+                F.when(F.col("change") == "changed", delta).cast(DEC)
+            ).cast("double").alias("delta_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _WH3_CACHE: dict[str, str] = {}
 
 
@@ -6699,6 +6746,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "trend_holt_winters_weekly",
     "agg_cms_token_counts",
     "sketch_kmv_audience_jaccard",
+    "tick_snapshot_diff",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6730,7 +6778,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sample_weighted_mixture",
     "collection_function_battery",
     "sim_ann_topk_ivf",
-    "tpch_q1_pricing_summary",
 ]
 
 
