@@ -611,3 +611,61 @@ def test_lsh_multitable_probe_reads_stored_signatures(spark):
         "signature scan drags raw vectors"
     )
     assert count_op(df, "CartesianProduct") == 0
+
+
+def test_dsir_weights_broadcast_no_cartesian(spark):
+    """DSIR's weight table (256 rows) must broadcast onto the feature
+    stream; no cartesian/nested-loop anywhere; the top-k is TakeOrdered,
+    not a global sort exchange."""
+    df = _df(spark, "select_dsir_importance")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "top-k fell back to a global sort"
+
+
+def test_hll_single_data_scan(spark):
+    """The HLL gate plan must read event DATA exactly once: the register
+    grid derives from the aggregate side, so any extra scan may read
+    ZERO columns (struct<> — an existence-only footer read for the
+    constant-folded group list), never the corpus columns twice."""
+    df = _df(spark, "agg_hll_distinct_userdays")
+    schemas = scan_read_schemas(df)
+    data_scans = [s for s in schemas if s not in ("struct<>",)]
+    assert len(data_scans) == 1, schemas
+    assert count_op(df, "CartesianProduct") <= 1  # groups x range(m) grid is tiny
+
+
+def test_lttb_single_series_shuffle_before_kernel(spark):
+    """LTTB must hash-shuffle on the series key once and run the
+    sequential kernel per series — no data-wide window, no sort
+    exchange over the points."""
+    df = _df(spark, "tick_downsample_lttb")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "Window") == 0
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_zorder_stats_single_aggregate_shape(spark):
+    """The z-order stats plan: bounds broadcast onto the scan, one hash
+    aggregate to 64 ranges, no joins beyond the broadcast."""
+    df = _df(spark, "layout_zorder_stats")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") <= 1  # 1-row bounds
+    assert count_op(df, "HashAggregate") >= 2  # partial + final
+
+
+def test_kmv_checkpoint_reused_across_consumers(spark):
+    """The KMV gate plan must read the CHECKPOINTED distinct-hash frame
+    (ExistingRDD scans), not re-derive the distinct per consumer — the
+    subtree re-execution trap."""
+    df = _df(spark, "sketch_kmv_audience_jaccard")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:1500]
+    # the raw events parquet feeds only the checkpoint build, which ran
+    # eagerly-lazily before this plan — so the probe itself reads NO
+    # events parquet
+    assert "events.parquet" not in plan
