@@ -6167,6 +6167,44 @@ def _ivf_cells(emb, sf_dir: str):
 
 
 @register(
+    "sim_ann_jl_topk",
+    _sim.jl_topk_sql("embeddings", _PQ_QUERIES, k=5, out_dim=16),
+    "Johnson-Lindenstrauss random projection (Achlioptas +/-1 signs, "
+    "md5-parity deterministic, driver-generated literals): 64 -> 16 "
+    "dims = 4x less memory/FLOPs for the search tier; brute-force L2 "
+    "top-5 in the PROJECTED space with BIGINT-quantized distances. "
+    "Projection is a stored ingest-time column (materialized, like LSH "
+    "signatures and PQ codes); every projected coordinate and distance "
+    "is a left-assoc fold - bit-identical cross-engine. Recall vs "
+    "exact-space top-k pinned in tests",
+)
+def sim_jl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = _materialized_assets("jl_proj", sf_dir, _sim.jl_project(emb, out_dim=16))
+    return _sim.jl_topk(emb, _PQ_QUERIES, k=5, out_dim=16, projected=proj)
+
+
+@register(
+    "sim_ann_jl_rerank",
+    _sim.jl_topk_rerank_sql("embeddings", _PQ_QUERIES, shortlist=100, k=5, out_dim=16),
+    "the JL production operating point (PQ's ADC+rerank pattern for the "
+    "projection tier): the 4x-compressed projected space shortlists 100 "
+    "candidates per query, then ONLY the shortlist's raw vectors are "
+    "exactly re-scored (left-assoc fold, BIGINT-quantized). Measured "
+    "recall@5 vs exact 64-dim L2: 0.08 projected-only -> 0.72 with the "
+    "shortlist on this isotropic corpus (JL's worst case: distances "
+    "concentrate, so ranking needs the exact tier; the distances "
+    "themselves ARE preserved - distortion mean 0.998)",
+)
+def sim_jl_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = _materialized_assets("jl_proj", sf_dir, _sim.jl_project(emb, out_dim=16))
+    return _sim.jl_topk_rerank(
+        emb, _PQ_QUERIES, shortlist=100, k=5, out_dim=16, projected=proj
+    )
+
+
+@register(
     "sim_ann_pq_adc",
     _pq.pq_adc_topk_sql(
         "embeddings", dim=64, m_sub=8, k=16, iters=2,
@@ -6747,6 +6785,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_cms_token_counts",
     "sketch_kmv_audience_jaccard",
     "tick_snapshot_diff",
+    "sim_ann_jl_topk",
+    "sim_ann_jl_rerank",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6776,8 +6816,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sample_hash_deterministic",
     "sample_stratified_quota",
     "sample_weighted_mixture",
-    "collection_function_battery",
-    "sim_ann_topk_ivf",
 ]
 
 
