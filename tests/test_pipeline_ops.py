@@ -1868,3 +1868,54 @@ def test_jl_projection_distortion_and_rerank_recall(spark):
         for i in range(64):
             acc += v[i] * float(S[j][i])
         assert jl_row[j] == acc, j
+
+
+def test_pca_fit_matches_numpy_and_projects_correctly(spark):
+    """The driver-side eigen half: covariance must equal numpy's
+    (population) covariance to quantization precision; components must
+    be orthonormal; the variance of each projected coordinate must
+    equal its eigenvalue; and pca_project must equal the numpy
+    projection of centered vectors."""
+    import numpy as np
+
+    from tickdb_spark.operators.pca import pca_fit, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    comps, eigvals, means = pca_fit(emb, k=8)
+    C = np.array(comps)
+    assert C.shape == (8, 64)
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-9)  # orthonormal
+    pdf = emb.toPandas()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    mu = M.mean(axis=0)
+    assert np.allclose(mu, means, atol=1e-6)
+    ref_cov = np.cov(M, rowvar=False, bias=True)
+    # eigenvalues of the exact-quantized covariance track numpy's
+    w_ref = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:8]
+    assert np.allclose(sorted(eigvals, reverse=True), w_ref, rtol=1e-4)
+    proj = pca_project(emb, comps, means)
+    got = {r.vec_id: np.array(r.pc) for r in proj.collect()}
+    P_ref = (M - mu) @ C.T
+    ids = pdf["vec_id"].to_numpy()
+    for idx in (0, 7, 123):
+        assert np.allclose(got[int(ids[idx])], P_ref[idx], atol=1e-6), idx
+    # projected variance per coordinate == the eigenvalue
+    P = np.vstack([got[int(v)] for v in ids])
+    assert np.allclose(P.var(axis=0), eigvals, rtol=1e-3)
+
+
+def test_pca_covariance_partitioning_independent(spark):
+    """Quantized BIGINT sums: identical under any partitioning."""
+    from tickdb_spark.operators.pca import embedding_covariance
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = {(r.i, r.j): (r.n, r.cov) for r in embedding_covariance(emb).collect()}
+    b = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in embedding_covariance(emb.repartition(11)).collect()
+    }
+    assert a == b

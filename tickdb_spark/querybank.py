@@ -6166,6 +6166,27 @@ def _ivf_cells(emb, sf_dir: str):
     )
 
 
+from tickdb_spark.operators import pca as _pca  # noqa: E402
+
+
+@register(
+    "embed_pca_covariance",
+    _pca.embedding_covariance_sql("embeddings") + " ORDER BY i, j",
+    "exact embedding covariance (the distributed half of PCA, fully "
+    "hash-checked): per-dim linear sums and per-pair product sums as "
+    "quantized BIGINTs (each v_i*v_j is one IEEE multiply, then "
+    "floor(x*1e10+0.5) - exact order-independent integer sums), "
+    "covariance as a pinned 4-op expression. One corpus scan; the "
+    "shuffle is d^2/2 partials PER TASK, never per row. The eigensolve "
+    "(pca_fit, numpy eigh on the 64x64 result) is driver-side and "
+    "test-proven (LAPACK is not SQL-replayable); projection is the "
+    "literal-fold chain like JL/LSH",
+)
+def embed_pca_cov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _pca.embedding_covariance(emb).orderBy("i", "j")
+
+
 @register(
     "sim_ann_jl_topk",
     _sim.jl_topk_sql("embeddings", _PQ_QUERIES, k=5, out_dim=16),
@@ -6787,6 +6808,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_snapshot_diff",
     "sim_ann_jl_topk",
     "sim_ann_jl_rerank",
+    "embed_pca_covariance",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6815,7 +6837,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_incremental_vs_corpus",
     "sample_hash_deterministic",
     "sample_stratified_quota",
-    "sample_weighted_mixture",
 ]
 
 
