@@ -6183,7 +6183,13 @@ from tickdb_spark.operators import pca as _pca  # noqa: E402
     "literal-fold chain like JL/LSH",
 )
 def embed_pca_cov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # repartition: the single-split parquet otherwise serializes the
+    # partial-sum kernel onto one task (the many-splits shape at scale)
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .repartition(32, "vec_id")
+        .select("vec_id", "embedding")
+    )
     return _pca.embedding_covariance(emb).orderBy("i", "j")
 
 
