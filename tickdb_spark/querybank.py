@@ -6630,7 +6630,10 @@ def agg_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
     )
-    sk = _sketch.cms_build(tok, "token")
+    # the 4 depth-filtered broadcasts in cms_estimate each reference the
+    # sketch subtree; checkpoint the <=2048-row aggregate so the token
+    # scan runs once, not 4x (measured 7.5 -> ~2 s first-run at sf0.1)
+    sk = _sketch.cms_build(tok, "token").localCheckpoint(eager=False)
     topk = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
