@@ -669,3 +669,16 @@ def test_kmv_checkpoint_reused_across_consumers(spark):
     # eagerly-lazily before this plan — so the probe itself reads NO
     # events parquet
     assert "events.parquet" not in plan
+
+
+def test_pmi_collocations_all_broadcast(spark):
+    """PMI collocation mining: the vocab-bounded unigram table joins
+    onto bigram counts by BROADCAST (twice), the two 1-row totals
+    broadcast, and the top-50 is TakeOrdered — no sort-merge join, no
+    global sort exchange over the pair table."""
+    df = _df(spark, "text_pmi_collocations")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert count_op(df, "CartesianProduct") == 0
+    assert "TakeOrderedAndProject" in plan, "top-k fell back to a global sort"

@@ -4131,6 +4131,95 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pmi_collocations",
+    r"""
+    WITH arr AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+    ),
+    uni AS MATERIALIZED (
+      SELECT token, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(w) AS token FROM arr) GROUP BY token
+    ),
+    n AS (SELECT sum(cnt)::BIGINT AS n_tok FROM uni),
+    bg AS (
+      SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+             unnest(list_slice(w, 2, len(w)))     AS w2
+      FROM arr WHERE len(w) >= 2
+    ),
+    bgc AS MATERIALIZED (
+      SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+    ),
+    nbt AS (SELECT sum(c12)::BIGINT AS nb FROM bgc),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12, u1.cnt AS c1, u2.cnt AS c2,
+             round(CAST(b.c12 AS DOUBLE) * n.n_tok * n.n_tok
+                   / (CAST(nbt.nb AS DOUBLE) * u1.cnt * u2.cnt), 6) AS pmi_lift
+      FROM bgc b
+      JOIN uni u1 ON b.w1 = u1.token
+      JOIN uni u2 ON b.w2 = u2.token, n, nbt
+      WHERE b.c12 >= 3
+    )
+    SELECT w1, w2, c12, c1, c2, pmi_lift FROM scored
+    ORDER BY pmi_lift DESC, w1, w2 LIMIT 50
+    """,
+    "collocation / phrase mining: adjacent-bigram PMI lift "
+    "p(xy)/(p(x)p(y)) = c12*N^2/(NB*c1*c2), min support 3, top-50 "
+    "tie-broken on the pair. The score stays hash-stable cross-engine "
+    "because PMI's log is monotonic and therefore DROPPED (ranking is "
+    "identical) and the remaining rational is ONE fixed double "
+    "expression tree — written with the same associativity on both "
+    "engines (the text_tfidf_topterms discipline); counts are exact "
+    "BIGINTs. Scale: bigram counts map-side combine to a vocab^2-bounded "
+    "table; both unigram joins and the two 1-row totals broadcast — no "
+    "shuffle beyond the two hash aggregates, corpus-linear scan",
+)
+def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # single-split parquet would serialize both explode+agg branches onto
+    # one task (CLAUDE.md perf note) — spread the doc stream up front
+    arr = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    uni = (
+        arr.select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_tok = uni.agg(F.sum("cnt").cast("bigint").alias("n_tok"))
+    bg = arr.where(F.size("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1), "
+                "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nbt = bgc.agg(F.sum("c12").cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    scored = (
+        bgc.where(F.col("c12") >= 3)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(nbt))
+        .withColumn(
+            "pmi_lift",
+            F.expr(
+                "round(CAST(c12 AS DOUBLE) * n_tok * n_tok "
+                "/ (CAST(nb AS DOUBLE) * c1 * c2), 6)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_lift"), "w1", "w2")
+        .limit(50)
+        .select("w1", "w2", "c12", "c1", "c2", "pmi_lift")
+    )
+
+
 _PII_CNT_SQL = _text.pii_counts_sql("text")
 
 
@@ -6818,6 +6907,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sim_ann_jl_topk",
     "sim_ann_jl_rerank",
     "embed_pca_covariance",
+    "text_pmi_collocations",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6845,7 +6935,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "decontaminate_train_vs_eval",
     "dedup_incremental_vs_corpus",
     "sample_hash_deterministic",
-    "sample_stratified_quota",
 ]
 
 
