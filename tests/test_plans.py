@@ -682,3 +682,18 @@ def test_pmi_collocations_all_broadcast(spark):
     assert count_op(df, "BroadcastHashJoin") >= 2
     assert count_op(df, "CartesianProduct") == 0
     assert "TakeOrderedAndProject" in plan, "top-k fell back to a global sort"
+
+
+def test_auc_window_over_aggregate_only(spark):
+    """The AUC rank-sum window must run over the per-(source, distinct
+    score) AGGREGATE, partitioned by source — never a data-wide or
+    partition-less window over the corpus."""
+    df = _df(spark, "eval_quality_auc")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the Window's child must contain the score aggregate, i.e. a
+    # HashAggregate appears below the Window operator
+    assert count_op(df, "Window") == 1
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], "window not over the aggregate"
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "SortMergeJoin") == 0

@@ -4220,6 +4220,102 @@ def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_quality_auc",
+    r"""
+    WITH base AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             (len(list_filter(string_split_regex(trim(text), '\s+'),
+                  t -> list_contains(['the','a','of','and','to','is','in','that'], t)))
+              * 1000000)
+             // len(string_split_regex(trim(text), '\s+')) AS score_q
+      FROM documents
+    ),
+    per AS (
+      SELECT source, score_q,
+             sum(label)::BIGINT AS pos,
+             (count(*) - sum(label))::BIGINT AS neg
+      FROM base GROUP BY source, score_q
+    ),
+    cum AS (
+      SELECT source, score_q, pos, neg,
+             COALESCE(sum(neg) OVER (PARTITION BY source ORDER BY score_q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_neg
+      FROM per
+    ),
+    agg AS (
+      SELECT source,
+             sum(2 * pos * cum_neg + pos * neg)::BIGINT AS two_u,
+             sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+      FROM cum GROUP BY source
+    )
+    SELECT source, n_pos, n_neg, two_u,
+           round(CAST(two_u AS DOUBLE) / CAST(2 * n_pos * n_neg AS BIGINT), 6) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY source
+    """,
+    "classifier evaluation: per-source ROC AUC of the stopword "
+    "'Englishness' score against the lang ground truth, computed EXACTLY "
+    "as the Mann-Whitney rank-sum with midrank tie handling — "
+    "2U = sum(2*pos*cum_neg + pos*neg) over the distinct-score table as "
+    "a BIGINT, AUC = one IEEE division by the exact 2*n_pos*n_neg. No "
+    "float ranks anywhere: the score is integer-quantized (hits*1e6 div "
+    "n_tokens), so both engines bucket identically. Scale: the window "
+    "runs over the per-(source, distinct-score) AGGREGATE (score "
+    "cardinality <= 1e6 buckets by construction), partitioned by "
+    "source — never over the corpus; everything upstream is one "
+    "map-side-combined hash aggregate. The eval primitive for quality "
+    "classifiers (perceptron/percentile gates) at pipeline scale",
+)
+def eval_quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    hits = _text.stopword_hits(F.col("text"), "en").cast("long")
+    n_tok = _text.token_count(F.col("text")).cast("long")
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "source",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+        (hits * F.lit(1000000)).alias("num"),
+        n_tok.alias("den"),
+    ).select("source", "label", F.expr("num div den").alias("score_q"))
+    per = base.groupBy("source", "score_q").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "cum_neg", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = cum.groupBy("source").agg(
+        F.sum(
+            F.lit(2) * F.col("pos") * F.col("cum_neg")
+            + F.col("pos") * F.col("neg")
+        )
+        .cast("bigint")
+        .alias("two_u"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    return (
+        agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            "two_u",
+            F.expr(
+                "round(CAST(two_u AS DOUBLE) "
+                "/ CAST(2 * n_pos * n_neg AS BIGINT), 6)"
+            ).alias("auc"),
+        )
+    )
+
+
 _PII_CNT_SQL = _text.pii_counts_sql("text")
 
 
@@ -6908,6 +7004,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sim_ann_jl_rerank",
     "embed_pca_covariance",
     "text_pmi_collocations",
+    "eval_quality_auc",
     # (2) code or oracle text changed in r8 — re-proof required
     "text_heavy_hitters",
     "sim_ivf_kmeans_cells",
@@ -6934,7 +7031,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_tfidf_topterms",
     "decontaminate_train_vs_eval",
     "dedup_incremental_vs_corpus",
-    "sample_hash_deterministic",
 ]
 
 
