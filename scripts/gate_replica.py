@@ -63,6 +63,12 @@ def main() -> int:
         try:
             sdf = qs[n](spark, sf).toPandas()
             if n not in osql:
+                # replay the driver's rows-only canonicalization too: it
+                # sorts the pandas frame over all columns, which dies on
+                # unhashable cells (array/map columns) — the exact class
+                # of red that hit agg_approx_sketches three times
+                cols = sorted(sdf.columns)
+                sdf[cols].sort_values(cols).reset_index(drop=True)
                 print(f"{n:42s} rows-only {len(sdf):6d}  {time.time()-t0:5.1f}s")
                 continue
             odf = oracle(osql[n])

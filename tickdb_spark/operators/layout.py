@@ -49,12 +49,17 @@ def zorder_key_sql(q1: str, q2: str, bits: int = 16) -> str:
 
 def quantize_to_grid(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
     """Scale a value into [0, 2^bits) with exact integer arithmetic:
-    ``((v - lo) * 2^bits) // (hi - lo + 1)`` — identical on any engine
-    (no floats anywhere)."""
+    ``((v - lo) * 2^bits) div (hi - lo + 1)``. Spark's ``div`` truncates
+    and DuckDB's ``//`` floors, but both operands are non-negative here so
+    the results coincide — and unlike ``floor(a / b)`` (double division)
+    they stay exact past 2^53, which µs timestamps over multi-day spans
+    already reach once scaled by 2^bits. Caller contract: the scaled
+    numerator ``(hi - lo) * 2^bits`` must fit int64 (bits=16 leaves
+    ~2^47 of span headroom; ns-scale epochs must be quantized to µs/ms
+    first)."""
     span = (hi - lo + F.lit(1)).cast("long")
-    return F.floor(
-        ((col.cast("long") - lo.cast("long")) * F.lit(1 << bits)) / span
-    ).cast("long")
+    num = (col.cast("long") - lo.cast("long")) * F.lit(1 << bits)
+    return F.call_function("div", num, span)
 
 
 def quantize_to_grid_sql(v: str, lo: str, hi: str, bits: int = 16) -> str:

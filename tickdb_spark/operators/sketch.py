@@ -12,8 +12,11 @@ the md5-prefix integer hash the dedup family already shares with DuckDB
 * ρ(w) = leading-zero count + 1, computed EXACTLY via the binary-string
   length both engines agree on (``length(bin(w))`` — no log2 anywhere);
 * the harmonic denominator Σ 2^{-ρ_j} is kept EXACT by scaling: each
-  term 2^{W-ρ} is a BIGINT (W = 60-p bits, ρ ≤ W+1, m ≤ 2^14 ⇒ the sum
-  fits int64 with headroom), summed order-independently;
+  term 2^{W-ρ} is a BIGINT — ρ is CLAMPED to ≤ W (the all-zero-word
+  case, probability ~2^-50/value, registers W instead of W+1, since a
+  2^{-1} term would not be an integer after scaling and shiftleft(1,-1)
+  wraps on the JVM / raises on DuckDB), so with m ≤ 2^14 the sum fits
+  int64 with headroom, summed order-independently;
 * the estimate α_m·m²/Σ2^{-ρ} becomes ``α_m · m² · 2^W / S`` — ONE IEEE
   division of exactly-representable values, bit-identical cross-engine.
 
@@ -63,9 +66,14 @@ def hll_registers(
     bucket = F.shiftright(h, w_bits)
     w = h % F.lit(1 << w_bits)
     # rho = leading zeros of the w-bit word + 1
-    #     = w_bits - len(bin(w)) + 1 for w >= 1; w == 0 -> w_bits + 1.
-    # bin() gives minimal binary digits on both engines — integer-exact.
-    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+    #     = w_bits - len(bin(w)) + 1 for w >= 1; the w == 0 case is
+    # CLAMPED to w_bits (true HLL says w_bits+1, but then the scaled sum's
+    # 2^{W-rho} term would be 1/2 — Spark shiftleft(1, -1) silently wraps
+    # to Long.MIN_VALUE and DuckDB raises; probability ~2^-50 per value,
+    # estimate impact far below raw-HLL error). Clamped identically in
+    # hll_estimate_sql. bin() gives minimal binary digits on both
+    # engines — integer-exact.
+    rho = F.when(w == 0, F.lit(w_bits)).otherwise(
         F.lit(w_bits) - F.length(F.bin(w)) + 1
     )
     hit = (
@@ -134,7 +142,7 @@ def hll_estimate_sql(
     ),
     hit AS (
       SELECT {gc}, bucket,
-             MAX(CASE WHEN w = 0 THEN {w_bits + 1}
+             MAX(CASE WHEN w = 0 THEN {w_bits}
                       ELSE {w_bits} - length(bin(w)) + 1 END) AS register
       FROM parts GROUP BY {gc}, bucket
     ),

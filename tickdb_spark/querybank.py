@@ -3875,7 +3875,9 @@ register(
     "heavy hitters) — the 100 TB substitutes for exact distinct/"
     "percentile/top-k; exact counterparts are gate-checked in "
     "agg_distinct_users_daily / agg_percentiles_by_priority / "
-    "text_heavy_hitters",
+    "text_heavy_hitters. The top-k array is JSON-encoded: the driver's "
+    "rows-only canonicalizer sorts a pandas frame, and a raw "
+    "array<struct> column is unhashable there (r3/r4/r8 driver reds)",
 )(
     lambda spark, sf_dir: _read_events(spark, sf_dir)
     .groupBy("event_type")
@@ -3883,7 +3885,7 @@ register(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_p50"),
         F.percentile_approx("value", 0.99).alias("approx_p99"),
-        F.expr("approx_top_k(user_id, 3)").alias("approx_top_users"),
+        F.to_json(F.expr("approx_top_k(user_id, 3)")).alias("approx_top_users"),
     )
     .orderBy("event_type")
 )
