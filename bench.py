@@ -71,20 +71,29 @@ def main() -> None:
         "value",
     )
     n_points = big.count()
-    wh = tempfile.mkdtemp(prefix="bench_ingest_")
-    t0 = time.perf_counter()
-    append_batch(wh, big)
-    ingest_sec = time.perf_counter() - t0
-    # Rollup build reported as its own line item (write-path vs rollup
-    # regressions stay individually legible; VERDICT r5 ask #7). The
-    # minute level is the expensive one — every coarser level derives
-    # from it over ~60x less data.
+    # MIN of two full runs: ingest + rollup are single long jobs, so a
+    # transient box stall (measured on this host: same code 153 vs 222 s
+    # total 30 min apart, one entry 3.2 → 67.5 s) lands entirely in one
+    # sample. Two samples bound that exposure at ~20 s extra bench time;
+    # the MIN is the number that reflects the code, matching the
+    # per-entry-MIN discipline BASELINE.md already uses for analysis.
     from tickdb_spark.rollup import RollupStore
 
-    t0 = time.perf_counter()
-    RollupStore(spark, wh).refresh(("minute", "hour", "day"))
-    rollup_sec = time.perf_counter() - t0
-    shutil.rmtree(wh, ignore_errors=True)
+    ingest_sec = float("inf")
+    rollup_sec = float("inf")
+    for _ in range(2):
+        wh = tempfile.mkdtemp(prefix="bench_ingest_")
+        t0 = time.perf_counter()
+        append_batch(wh, big)
+        ingest_sec = min(ingest_sec, time.perf_counter() - t0)
+        # Rollup build reported as its own line item (write-path vs rollup
+        # regressions stay individually legible; VERDICT r5 ask #7). The
+        # minute level is the expensive one — every coarser level derives
+        # from it over ~60x less data.
+        t0 = time.perf_counter()
+        RollupStore(spark, wh).refresh(("minute", "hour", "day"))
+        rollup_sec = min(rollup_sec, time.perf_counter() - t0)
+        shutil.rmtree(wh, ignore_errors=True)
     timings["ingest_events_warehouse"] = round(ingest_sec, 4)
     timings["rollup_build_cascade"] = round(rollup_sec, 4)
 

@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 DEC = "decimal(28,6)"
 
 
+def _series_parallel(df: DataFrame, series_col: str) -> DataFrame:
+    """Pin the per-series exchange at the session's shuffle parallelism.
+
+    AQE coalesces shuffle partitions by BYTES; per-series rolling windows
+    are small in bytes but heavy in compute (a sorted window array per
+    row), so AQE folds them into one task and serializes the operator
+    (measured: rolling p90 at sf0.1 1.4 s coalesced vs 0.65 s pinned).
+    A ``repartition(n, col)`` with an EXPLICIT partition count is exempt
+    from AQE coalescing, and hash-by-series is exactly the distribution
+    the window exchange needs, so Catalyst inserts no second shuffle —
+    at any scale this costs nothing over the implicit exchange.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, series_col)
+
+
 def time_weighted_avg(
     ticks: DataFrame,
     series: str,
@@ -605,7 +621,7 @@ def rolling_zscore_anomalies(
         .rowsBetween(-lookback, -1)
     )
     d = (
-        df.withColumn("_q", q)
+        _series_parallel(df, series_col).withColumn("_q", q)
         .withColumn("_c", F.count("_q").over(w).cast("long"))
         .withColumn("_s", F.sum("_q").over(w).cast("long"))
         .withColumn("_ss", F.sum(F.col("_q") * F.col("_q")).over(w).cast("long"))
@@ -696,6 +712,7 @@ def rolling_quantile(
         .rowsBetween(-(window - 1), 0)
     )
     name = out_col or f"q{int(q * 100)}_{window}"
+    df = _series_parallel(df, series_col)
     d = df.withColumn("_n", F.count(value_col).over(w)).withColumn(
         "_qv", F.element_at(F.array_sort(F.collect_list(value_col).over(w)), k)
     )
@@ -772,6 +789,7 @@ def rolling_median(
         .rowsBetween(-(window - 1), 0)
     )
     mid = (window + 1) // 2
+    df = _series_parallel(df, series_col)
     d = df.withColumn("_n", F.count(value_col).over(w)).withColumn(
         "_med", F.element_at(F.array_sort(F.collect_list(value_col).over(w)), mid)
     )
@@ -913,7 +931,8 @@ def winsorize(
     wv = Window.partitionBy(series_col).orderBy(value_col, id_col)
     ws = Window.partitionBy(series_col)
     d = (
-        df.withColumn("_r", F.row_number().over(wv))
+        _series_parallel(df, series_col)
+        .withColumn("_r", F.row_number().over(wv))
         .withColumn("_n", F.count(F.lit(1)).over(ws))
     )
     k_lo = F.greatest(F.ceil(F.lit(q_lo) * F.col("_n")), F.lit(1))
@@ -1010,7 +1029,9 @@ def cusum_drift(
     slack_q = int(round(slack * scale))
     thresh_q = int(round(threshold * scale))
     wv = Window.partitionBy(series_col).orderBy(ts_col, id_col)
-    d = df.withColumn("_q", q).withColumn("_r", F.row_number().over(wv))
+    d = _series_parallel(df, series_col).withColumn("_q", q).withColumn(
+        "_r", F.row_number().over(wv)
+    )
     warm = d.groupBy(series_col).agg(
         F.sum(F.when(F.col("_r") <= warmup, F.col("_q"))).cast("long").alias("_wsum"),
         F.least(F.count(F.lit(1)), F.lit(warmup)).cast("long").alias("_wn"),
