@@ -1919,3 +1919,88 @@ def test_pca_covariance_partitioning_independent(spark):
         for r in embedding_covariance(emb.repartition(11)).collect()
     }
     assert a == b
+
+
+def test_phash_neardup_planted_recall(spark):
+    """The perceptual-hash dedup contract on the planted variant groups:
+    v0-v3 (same content, BMP vs PNG alternating) hash IDENTICALLY despite
+    different bytes (cross-format dedup — byte SHA can never pair them);
+    v4 (one perturbed grid cell) stays within Hamming 2 of the group;
+    v7 (unrelated content) never pairs with its group."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators import multimodal as mm
+    from tickdb_spark.operators.dedup import dhash_near_pairs
+
+    docs = spark.range(64).select(F.col("id").alias("doc_id"))  # groups 0-7
+    media = mm.plant_phash_assets(docs)
+    # different bytes across formats (SHA dedup would miss all of these)
+    shas = {
+        r["media_id"]: r["sha"]
+        for r in media.select(
+            "media_id", F.sha2("content", 256).alias("sha")
+        ).collect()
+    }
+    sigs = mm.image_dhash(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_pairs(sigs).collect()
+    }
+    for base in range(8):
+        ids = [base * 8 + v for v in range(8)]
+        # v0-v3: all 6 mutual pairs at hamming 0; the cross-format pairs
+        # (BMP vs PNG) have distinct bytes — byte-SHA dedup misses them
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert pairs[(ids[i], ids[j])] == 0, (base, i, j)
+                if i % 2 != j % 2:
+                    assert shas[ids[i]] != shas[ids[j]]
+        # v4 pairs with every exact member at hamming <= 2
+        for i in range(4):
+            assert pairs[(ids[i], ids[4])] <= 2, (base, i)
+        # v7 (unrelated key) never pairs into the group
+        for i in range(5):
+            assert (ids[i], ids[7]) not in pairs, (base, i)
+
+
+def test_image_dhash_arbitrary_dims_exact(spark):
+    """Non-divisible image dimensions: grid cells are UNEQUAL, and the
+    cross-multiply comparison (sum_r * n_l > sum_l * n_r) must equal the
+    exact mean comparison — verified against a numpy float reference on
+    a planted 10x13 gradient (no boundary ties)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators import multimodal as mm
+    from tickdb_spark.operators.mediacodec import encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 251, size=(13, 10), dtype=np.int64).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image_png", bytearray(encode_png(img)))],
+        "media_id long, media_type string, content binary",
+    )
+    row = mm.image_dhash(media).collect()[0]
+    # numpy reference: exact rational means per integer-boundary cell
+    h, w = img.shape
+    rb = [r * h // 8 for r in range(8)] + [h]
+    cb = [c * w // 9 for c in range(9)] + [w]
+    means = np.array(
+        [
+            [
+                img[rb[r]:rb[r + 1], cb[c]:cb[c + 1]].astype(np.float64).mean()
+                for c in range(9)
+            ]
+            for r in range(8)
+        ]
+    )
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            bit = 1 if means[r, c + 1] > means[r, c] else 0
+            k = r * 8 + c
+            if k >= 32:
+                hi |= bit << (k - 32)
+            else:
+                lo |= bit << k
+    assert (row["dhash_hi"], row["dhash_lo"]) == (hi, lo)

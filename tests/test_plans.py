@@ -697,3 +697,12 @@ def test_auc_window_over_aggregate_only(spark):
     assert "HashAggregate" in plan[win_pos:], "window not over the aggregate"
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_phash_pairs_banded_equijoin_no_cartesian(spark):
+    """Hamming-ball pairing must come from (block_idx, block_val)
+    equality joins over the signature table — never an all-pairs
+    product over the corpus."""
+    df = _df(spark, "media_phash_neardup_pairs")
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0

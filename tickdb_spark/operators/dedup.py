@@ -799,3 +799,91 @@ def substring_dedup_sql(
            CAST(COUNT(*) AS BIGINT) AS n_kept
     FROM kept GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# 64-bit perceptual-hash near-duplicate pairs (image dHash / any 64-bit fp)
+# ---------------------------------------------------------------------------
+
+
+def dhash_near_pairs(
+    sig: DataFrame,
+    id_col: str = "media_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs over 64-bit fingerprints stored as two 32-bit
+    BIGINT halves, Hamming ≤ ``max_hamming`` (default 3).
+
+    Same pigeonhole as :func:`simhash_near_pairs`, lifted to 64 bits:
+    with ``max_hamming + 1`` disjoint blocks (default 4 × 16 bits — two
+    per half), any pair within the budget agrees on ≥ 1 whole block, so
+    candidates come from equality joins on (block_idx, block_val) and the
+    banded result EQUALS the brute-force result (recall 1 by
+    construction, which is what lets a SQL oracle replay it as a plain
+    all-pairs bit_count filter). Hamming distance is
+    ``bit_count(hi⊕hi) + bit_count(lo⊕lo)`` — exact on any engine, no
+    sign-bit hazard because each half stays in [0, 2^32).
+
+    Scale: candidates ∝ Σ_bucket |bucket|², never |corpus|² — the stored
+    (id, hi, lo) table is tiny next to the media bytes, and the block
+    explode is ×(h+1) on that table only.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    block_cols = []
+    for bi in range(nb):
+        shift = bi * width
+        w = 64 - shift if bi == nb - 1 else width
+        # carve [shift, shift+w) out of the hi/lo halves (may straddle)
+        parts = []
+        if shift < 32:
+            lo_w = min(w, 32 - shift)
+            parts.append(
+                F.shiftright(F.col(lo_col), shift).bitwiseAND((1 << lo_w) - 1)
+            )
+        if shift + w > 32:
+            hi_lo = max(shift - 32, 0)
+            hi_w = shift + w - 32 - hi_lo
+            up = F.shiftright(F.col(hi_col), hi_lo).bitwiseAND((1 << hi_w) - 1)
+            if parts:
+                up = up * F.lit(1 << (32 - shift))
+            parts.append(up)
+        val = parts[0] if len(parts) == 1 else parts[0] + parts[1]
+        block_cols.append(
+            F.struct(F.lit(bi).alias("bi"), val.cast("long").alias("bv"))
+        )
+    blocks = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+        F.explode(F.array(*block_cols)).alias("b"),
+    ).select("id", "hi", "lo", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("b.lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -938,3 +938,132 @@ def extract_exif(df: DataFrame, repartition: bool = True) -> DataFrame:
             "make string, model string, taken_at string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: dHash over decoded pixels → near-duplicate images
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 8 comparison rows × 9 sample columns → 8×8 = 64 bits.
+DHASH_ROWS, DHASH_COLS = 8, 9
+
+
+def plant_phash_assets(docs: DataFrame, n_docs: int = 512) -> DataFrame:
+    """Plant near-duplicate IMAGE groups with closed-form dHashes, so the
+    whole decode → perceptual-hash → Hamming-pair pipeline replays in SQL.
+
+    Each ``doc_id < n_docs`` becomes one image in group ``base = d // 8``
+    with variant ``v = d % 8``. Content is defined DIRECTLY in dHash grid
+    space — every 8×9 grid cell is a constant-value pixel block, so the
+    cell sums a dHash computes are exact integers with a closed form:
+
+        gh       = ((g + 1) * 2654435761) % 2^31        (LCG mix — keys
+                    beyond 251 apart stay decorrelated mod 251)
+        V(g,r,c) = ((gh >> ((r*9+c) % 16)) + gh * (r*9+c+17)) % 251
+
+    Variants: v0–v3 share the group's content key exactly but alternate
+    container format (even v → 24-bit BMP, odd v → greyscale PNG) — the
+    cross-format exact-phash duplicates a byte-level SHA can never pair.
+    v4/v5 perturb 1/2 grid cells by +100 mod 251 (Hamming ≤ 2 / ≤ 4 —
+    near-duplicates). v6/v7 get unrelated keys (g = 100000 + d): negative
+    controls at Hamming ≈ 32. Cell blocks are cw×ch pixels with
+    cw = 2 + base % 3, ch = 2 + base % 2 (w ≤ 36, h ≤ 24) — equal-size
+    cells, so sum comparisons equal mean comparisons.
+    """
+    m = _codec()
+    encode_bmp, encode_png = m.encode_bmp, m.encode_png
+    rows_, cols_ = DHASH_ROWS, DHASH_COLS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(rows_ * cols_, dtype=np.int64)  # grid cell index
+
+        def grid_vals(g: int, base: int, v: int) -> np.ndarray:
+            gh = ((g + 1) * 2654435761) % 2147483648
+            vals = ((gh >> (k % 16)) + gh * (k + 17)) % 251
+            pert = np.zeros_like(vals)
+            p0 = (base % rows_) * cols_ + (base % cols_)
+            if v in (4, 5):
+                pert[p0] = 100
+            if v == 5:
+                pert[((base * 3 + 1) % rows_) * cols_ + (base * 5 + 2) % cols_] = 100
+            return ((vals + pert) % 251).reshape(rows_, cols_)
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, v = d // 8, d % 8
+                g = base if v <= 5 else 100000 + d
+                M = grid_vals(g, base, v)
+                cw, ch = 2 + base % 3, 2 + base % 2
+                gray = np.kron(M, np.ones((ch, cw), dtype=np.int64)).astype(np.uint8)
+                if v % 2 == 0:
+                    content = encode_bmp(np.repeat(gray[:, :, None], 3, axis=2))
+                    mt = "image_bmp"
+                else:
+                    content = encode_png(gray)
+                    mt = "image_png"
+                out.append((d, mt, content))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    return _repartitioned(
+        docs.select("doc_id").where(F.col("doc_id") < n_docs)
+    ).mapInPandas(run, schema="media_id long, media_type string, content binary")
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """REAL perceptual hash: decode each image (container sniffed from the
+    bytes — BMP or PNG, the pure-numpy kernels in ``mediacodec.py``), sum
+    luma into an 8×9 grid, and emit the 64-bit dHash as two BIGINT halves
+    ``(dhash_hi, dhash_lo)`` (bit 63 in an int64 would flip the sign —
+    two non-negative 32-bit halves keep every engine comparison exact).
+
+    Bit k = r*8+c is set iff grid cell (r, c+1) outweighs (r, c), compared
+    by EXACT integer cross-multiplication of (sum, count) — division-free,
+    so unequal cell sizes at arbitrary dimensions still compare exactly.
+    Grid boundaries use the per-index formula ``lo_i = i * dim // n``
+    (both engines integer-floor it identically). Luma = channel sum:
+    dHash is invariant to any uniform positive channel scaling, so the
+    1-channel PNG and the 3× replicated-channel BMP of the same content
+    hash identically — the cross-format dedup property.
+    """
+    m = _codec()
+    decode_bmp, decode_png = m.decode_bmp, m.decode_png
+    rows_, cols_ = DHASH_ROWS, DHASH_COLS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:2] == b"BM":
+                    img = decode_bmp(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(b)
+                else:
+                    continue  # reject-to-drop: not an image we hash
+                luma = img.astype(np.int64)
+                while luma.ndim > 2:
+                    luma = luma.sum(axis=-1)
+                h, w = luma.shape
+                rb = [r * h // rows_ for r in range(rows_)]
+                cb = [c * w // cols_ for c in range(cols_)]
+                sums = np.add.reduceat(np.add.reduceat(luma, rb, axis=0), cb, axis=1)
+                rn = np.diff(rb + [h]).astype(np.int64)
+                cn = np.diff(cb + [w]).astype(np.int64)
+                cnt = rn[:, None] * cn[None, :]
+                left_s, right_s = sums[:, :-1], sums[:, 1:]
+                left_n, right_n = cnt[:, :-1], cnt[:, 1:]
+                bits = (right_s * left_n > left_s * right_n).astype(np.uint64)
+                flat = bits.reshape(-1)  # k = r*8 + c
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                lo = int((flat[:32] * weights[:32]).sum(dtype=np.uint64))
+                hi = int((flat[32:] * weights[:32]).sum(dtype=np.uint64))
+                out.append((int(mid), hi, lo))
+            yield pd.DataFrame(out, columns=["media_id", "dhash_hi", "dhash_lo"])
+
+    return df.mapInPandas(run, schema="media_id long, dhash_hi long, dhash_lo long")

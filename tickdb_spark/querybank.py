@@ -6298,6 +6298,70 @@ def media_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
 
 
+@register(
+    "media_phash_neardup_pairs",
+    """
+    WITH keys AS (
+      SELECT doc_id AS d, doc_id // 8 AS base, doc_id % 8 AS v,
+             CASE WHEN doc_id % 8 <= 5 THEN doc_id // 8
+                  ELSE 100000 + doc_id END AS g
+      FROM documents WHERE doc_id < 512
+    ),
+    grid AS (
+      SELECT k.d, r.range AS r, c.range AS c,
+             ( ((((k.g + 1) * 2654435761) % 2147483648)
+                  >> ((r.range * 9 + c.range) % 16))
+               + (((k.g + 1) * 2654435761) % 2147483648)
+                   * (r.range * 9 + c.range + 17) ) % 251
+             + CASE WHEN (k.v = 4 OR k.v = 5)
+                         AND r.range = k.base % 8 AND c.range = k.base % 9 THEN 100
+                    WHEN k.v = 5 AND r.range = (k.base * 3 + 1) % 8
+                         AND c.range = (k.base * 5 + 2) % 9 THEN 100
+                    ELSE 0 END AS raw
+      FROM keys k, range(8) r, range(9) c
+    ),
+    cells AS (SELECT d, r, c, raw % 251 AS val FROM grid),
+    bits AS (
+      SELECT l.d, l.r * 8 + l.c AS k,
+             CASE WHEN rt.val > l.val THEN 1 ELSE 0 END AS bit
+      FROM cells l JOIN cells rt ON rt.d = l.d AND rt.r = l.r AND rt.c = l.c + 1
+      WHERE l.c < 8
+    ),
+    sig AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN k >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN k < 32
+                      THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                  AS BIGINT) AS lo
+      FROM bits GROUP BY d
+    )
+    SELECT a.d AS id_a, b.d AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.d < b.d
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+    "image near-duplicate detection via perceptual hash (VERDICT r8 ask "
+    "#4): REAL decode of 512 planted BMP/PNG images (mediacodec.py "
+    "kernels), 64-bit dHash over an 8×9 luma grid (exact cross-multiply "
+    "sum comparisons, two 32-bit BIGINT halves), then Hamming≤3 pairs "
+    "via 4×16-bit pigeonhole block joins — banded recall is EXACTLY 1 at "
+    "this threshold, so the oracle replays it as closed-form grid values "
+    "+ a brute-force bit_count filter. Variants planted per 8-doc group: "
+    "4 exact cross-format dups (BMP vs PNG — byte-level SHA can never "
+    "pair these), 1-cell and 2-cell perturbations (near-dups), and two "
+    "unrelated negative controls. Connects the multimodal decode tier to "
+    "the dedup tier.",
+)
+def media_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _materialized_assets("phash", sf_dir, _mm.plant_phash_assets(docs))
+    sigs = _mm.image_dhash(media)
+    return _dedup.dhash_near_pairs(sigs)
+
+
 from tickdb_spark.operators import pq as _pq  # noqa: E402
 
 _PQ_QUERIES = [0, 101, 202, 303, 404]
