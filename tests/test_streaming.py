@@ -448,3 +448,63 @@ def test_docs_from_bus_streaming_end_to_end(tmp_path, spark):
     q.awaitTermination(120)
     assert tdb.get("k", "bus1", "2024-03-01T10:00:01Z") == {"p": 1.0}
     assert tdb.get("k", "bus0", "2024-03-01T10:00:02Z") == {"p": 2.0}
+
+
+def test_stream_ann_index_incremental_and_probe_reads_stored(tmp_path, spark):
+    """Incremental ANN index maintenance: (1) the maintained signature
+    table equals the batch-built index over the same rows; (2) restart
+    with ONE new landing file encodes only the new vectors (old rows
+    byte-identical, checkpoint skips processed files); (3) a probe over
+    the maintained table reads the stored parquet — the signature
+    derivation kernel is absent from the probe plan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.similarity import (
+        ann_topk_lsh_multitable,
+        lsh_signature_table,
+    )
+    from tickdb_spark.streaming.index import stream_ann_index_maintenance
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    pdf = emb.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(landing / "b0.parquet", index=False)
+    pdf.iloc[half : half + half // 2].to_parquet(landing / "b1.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    got1 = stream_ann_index_maintenance(spark, str(landing), work, schema=emb.schema)
+    seen_ids = set(pdf.vec_id.iloc[: half + half // 2])
+    want1 = lsh_signature_table(emb.where(F.col("vec_id").isin(seen_ids)))
+    k1 = {(r[0], r[1]): r[2] for r in got1.collect()}
+    w1 = {(r[0], r[1]): r[2] for r in want1.collect()}
+    assert k1 == w1 and len(k1) == len(seen_ids) * 24
+
+    # restart with one NEW file: only the new vectors are encoded
+    pdf.iloc[half + half // 2 :].to_parquet(landing / "b2.parquet", index=False)
+    got2 = stream_ann_index_maintenance(spark, str(landing), work, schema=emb.schema)
+    k2 = {(r[0], r[1]): r[2] for r in got2.collect()}
+    w2 = {(r[0], r[1]): r[2] for r in lsh_signature_table(emb).collect()}
+    assert k2 == w2 and len(k2) == len(pdf) * 24
+    assert all(k2[key] == v for key, v in k1.items())  # old rows untouched
+
+    # probe reads the STORED table; no signature kernel in the plan
+    stored = spark.read.parquet(str(tmp_path / "state" / "signatures"))
+    probe = ann_topk_lsh_multitable(
+        emb, query_ids=[0, 1], k=3, signatures=stored
+    )
+    from tickdb_spark.plans import scan_read_schemas
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
+    sig_scans = [
+        s for s in scan_read_schemas(probe) if "table_id" in s and "bucket" in s
+    ]
+    assert sig_scans, scan_read_schemas(probe)  # scans the maintained parquet
+    assert all("embedding" not in s for s in sig_scans)

@@ -2618,6 +2618,47 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sdi(spark, landing, _os.path.join(work, "state")).orderBy("doc_id")
 
 
+@register(
+    "stream_ann_index_maintenance",
+    _sim.lsh_signature_table_sql("embeddings")
+    + " ORDER BY vec_id, table_id",
+    "incremental ANN index maintenance (VERDICT r8 ask #5): an embedding "
+    "stream (4 id-range landing files = 4 micro-batches) encodes each "
+    "batch's NEW vectors with the FROZEN 24x6 LSH hyperplane sets and "
+    "appends to the stored signature table via foreachBatch — the corpus "
+    "is never re-encoded (per-batch cost = new vectors x tables only, "
+    "the streaming/dedup.py fingerprint shape applied to the index "
+    "tier). Signature rows are a pure per-vector function of the frozen "
+    "planes, so the maintained table is append-order-independent and "
+    "EQUALS the batch-built index over the same rows — which is exactly "
+    "the oracle (one literal bucket expansion per table over the full "
+    "corpus).",
+)
+def stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from tickdb_spark.streaming.index import stream_ann_index_maintenance as _sam
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sann_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.orderBy("vec_id").toPandas()
+    n = len(pdf)
+    step = (n + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _pq.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
+        _os.utime(p, (base + k, base + k))
+    return _sam(
+        spark, landing, _os.path.join(work, "state"), schema=emb.schema
+    ).orderBy("vec_id", "table_id")
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, wave 2: multi-dimensional grouping, set ops,
 # semi/anti joins, pivot, sessionization (SURVEY.md §2.3 extensions)
