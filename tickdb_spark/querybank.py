@@ -4218,7 +4218,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle beyond the two hash aggregates, corpus-linear scan",
 )
 def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(_read(spark, sf_dir, "documents"))
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """PMI-lift collocation mining over any ``(text)`` frame — shared by
+    the gate entry and scripts/bench_analytics_scale.py (scaling rows,
+    VERDICT r8 ask #6). Broadcast unigram joins: the table is
+    vocab-bounded, and the measured growth + ceiling note live in
+    BASELINE.md — above ~10^7 distinct tokens swap the two broadcast
+    joins for shuffled hash joins (same result, no driver memory bet)."""
+    spark = docs.sparkSession
     # single-split parquet would serialize both explode+agg branches onto
     # one task (CLAUDE.md perf note) — spread the doc stream up front
     arr = docs.repartition(spark.sparkContext.defaultParallelism).select(
@@ -4313,7 +4323,14 @@ def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classifiers (perceptron/percentile gates) at pipeline scale",
 )
 def eval_quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    return quality_auc(_read(spark, sf_dir, "documents"))
+
+
+def quality_auc(docs: DataFrame) -> DataFrame:
+    """Per-source ROC AUC (exact Mann-Whitney over the distinct-score
+    aggregate) over any ``(source, lang, text)`` frame — shared by the
+    gate entry and scripts/bench_analytics_scale.py."""
+    spark = docs.sparkSession
     hits = _text.stopword_hits(F.col("text"), "en").cast("long")
     n_tok = _text.token_count(F.col("text")).cast("long")
     base = docs.repartition(spark.sparkContext.defaultParallelism).select(
