@@ -2004,3 +2004,57 @@ def test_image_dhash_arbitrary_dims_exact(spark):
             else:
                 lo |= bit << k
     assert (row["dhash_hi"], row["dhash_lo"]) == (hi, lo)
+
+
+def test_unigram_tokenizer_segmentation_and_fallback(spark):
+    """Unigram-LM trainer on a tiny controlled corpus: the dominant word
+    survives as a single vocabulary piece and wins its own segmentation;
+    a word longer than MAX_WORD_LEN falls back to single characters; the
+    token count mass equals the corpus word-occurrence mass."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators import unigram as U
+
+    rows = [(i, "data data data base base overlylongword") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = U.unigram_train(docs, seed_size=16, vocab_sizes=(12, 8))
+    pieces = {r["piece"]: (r["usage"], r["score"]) for r in vocab.collect()}
+    assert "data" in pieces and pieces["data"][0] == 150  # 3 per doc x 50
+    assert "base" in pieces and pieces["base"][0] == 100
+    toks = {
+        r["token"]: r["n_tokens"]
+        for r in U.unigram_tokenize(docs, vocab).collect()
+    }
+    assert toks["data"] == 150 and toks["base"] == 100
+    # overlylongword (14 chars > 8) -> single-char fallback: 50 of each char
+    assert toks["v"] == 50 and toks["w"] == 50
+    # mass conservation: every char of every word lands in some token
+    total_chars = docs.select(
+        F.sum(F.length(F.regexp_replace("text", r"\s+", ""))).alias("n")
+    ).collect()[0]["n"]
+    assert sum(len(t) * n for t, n in toks.items()) == total_chars
+
+
+def test_unigram_composition_table_is_exact(spark):
+    """The composition literal table must enumerate EVERY composition of
+    n into parts 1..4 exactly once (the argmax search space): counts per
+    n follow the tetranacci recurrence, offsets partition [1, n]."""
+    import collections
+
+    from tickdb_spark.operators.unigram import MAX_WORD_LEN, composition_rows
+
+    segs = collections.defaultdict(list)
+    for n, sid, npieces, pidx, off, ln in composition_rows():
+        segs[(n, sid)].append((pidx, off, ln))
+    counts = collections.Counter(n for n, _ in segs)
+    t = {0: 1, 1: 1, 2: 2, 3: 4}
+    for n in range(4, MAX_WORD_LEN + 1):
+        t[n] = t[n - 1] + t[n - 2] + t[n - 3] + t[n - 4]
+    assert all(counts[n] == t[n] for n in range(1, MAX_WORD_LEN + 1))
+    for (n, _sid), ps in segs.items():
+        ps.sort()
+        off = 1
+        for _pidx, o, ln in ps:
+            assert o == off and 1 <= ln <= 4
+            off += ln
+        assert off == n + 1
