@@ -7126,74 +7126,73 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r8 head (rotated per VERDICT r7 ask #1): leads with the 13 entries
-#: that had NEVER received a driver-side CORRECTNESS row through r7
-#: (verified by scripts/evidence_ledger.py — after r8 every registry
-#: entry has driver proof: 170/170), then the entries whose CODE or
-#: ORACLE TEXT changed in r8 (heavy-hitters integer threshold on both
-#: engines; the two trained-IVF entries whose oracle gained AS
-#: MATERIALIZED steps late in r7; LSH multitable moved to ingest-time
-#: stored signatures; the gapfills' single-chunk fast path), and fills
-#: the remaining slots with the entries holding the OLDEST driver rows
-#: (r3-r5) as proof refresh. tests/test_registry_head.py enforces the
-#: rotation rule mechanically: any never-driver-sampled entry outside
-#: the first 50 fails the suite.
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 4 entries
+#: NEW in r9 (never sampled by construction), then the 10 entries whose
+#: CODE changed in r9 and need re-proof (the approx-sketch to_json
+#: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
+#: fixes; the five per-series windows pinned past AQE byte-coalescing;
+#: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
+#: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
+#: evidence), and fills the remaining 30 slots with the r5-era proofs
+#: (all of that cohort except tick_point_get, which every bench run
+#: exercises as its warm-up action). tests/test_registry_head.py
+#: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (1) never driver-sampled through r7 — the r8 rotation queue
-    "graph_pagerank_neardup",
-    "pack_sequences_greedy",
-    "sample_reservoir_per_key",
-    "media_decode_gif",
-    "sim_ann_pq_adc",
-    "sim_ann_pq_rerank",
-    "sim_ann_ivfadc",
-    "analytics_time_to_convert",
-    "order_global_shuffle_index",
-    "filter_quality_percentile",
-    "pipeline_curation_end2end",
-    "dedup_substring_rolling",
-    "asof_forward_next_view",
-    # (1b) NEW in r8 — never sampled by construction
-    "select_dsir_importance",
-    "tick_downsample_lttb",
+    # (1) NEW in r9 — never sampled by construction
+    "media_phash_neardup_pairs",
+    "stream_ann_index_maintenance",
+    "text_unigram_train_vocab",
+    "text_unigram_tokenize",
+    # (2) code changed in r9 — re-proof required
+    "agg_approx_sketches",
     "layout_zorder_stats",
     "agg_hll_distinct_userdays",
-    "trend_holt_winters_weekly",
-    "agg_cms_token_counts",
-    "sketch_kmv_audience_jaccard",
-    "tick_snapshot_diff",
-    "sim_ann_jl_topk",
-    "sim_ann_jl_rerank",
-    "embed_pca_covariance",
+    "tick_rolling_p90",
+    "tick_rolling_median",
+    "tick_anomaly_zscore",
+    "tick_winsorize_p99",
+    "tick_cusum_drift",
     "text_pmi_collocations",
     "eval_quality_auc",
-    # (2) code or oracle text changed in r8 — re-proof required
-    "text_heavy_hitters",
-    "sim_ivf_kmeans_cells",
-    "sim_ann_topk_ivf_trained",
-    "sim_ann_topk_lsh_multitable",
-    "tick_gapfill_locf",
-    "tick_gapfill_interp",
-    # (3) oldest driver proof (r3-r5 rows only) — rotation refresh
-    "agg_equidepth_histogram",
-    "json_props_extract",
-    "join_salted_hotkey",
-    "stream_stream_interval_join",
-    "tick_compaction_equivalence",
-    "sim_ann_topk_int8",
-    "dedup_segment_spans",
-    "text_chunk_sliding",
-    "sample_split_assign",
-    "source_csv_json_roundtrip",
-    "agg_percentiles_by_priority",
-    "agg_corr_covar_moments",
-    "agg_approx_sketches",
-    "text_c4_quality_filter",
-    "text_vocab_topk",
-    "text_tfidf_topterms",
-    "decontaminate_train_vs_eval",
-    "dedup_incremental_vs_corpus",
+    # (3) stalest driver proof (r4) — rotation refresh
+    "collection_function_battery",
+    "sample_hash_deterministic",
+    "sample_stratified_quota",
+    "sample_weighted_mixture",
+    "sim_ann_topk_ivf",
+    "tpch_q1_pricing_summary",
+    # (4) r5-era proofs — next-stalest refresh
+    "agg_distinct_users_daily",
+    "agg_multi_distinct_stringagg",
+    "agg_salted_hotkey",
+    "agg_stats_moments",
+    "agg_value_histogram",
+    "asof_purchase_last_click",
+    "decontaminate_neardup_eval",
+    "rangejoin_click_attribution",
+    "sessionize_user_events",
+    "stream_dedup_ingest",
+    "stream_session_windows",
+    "stream_stateful_spike_detect",
+    "stream_windowed_bucket_agg",
+    "tick_bucket_2month_anchored",
+    "tick_bucket_5min_anchored",
+    "tick_bucket_day_count_avg",
+    "tick_bucket_day_ohlc",
+    "tick_bucket_hour_sum",
+    "tick_bucket_minute_minmax",
+    "tick_bucket_month_sum",
+    "tick_bucket_second",
+    "tick_bucket_week_sum",
+    "tick_bucket_year",
+    "tick_ma3_hourly",
+    "tick_multiseries_day_agg",
+    "tick_range_scan",
+    "tick_sparse_field_nulls",
+    "tick_twa_6h",
+    "tick_upsert_delete_lifecycle",
+    "win_analytic_suite",
 ]
 
 
