@@ -1923,8 +1923,9 @@ def test_pca_covariance_partitioning_independent(spark):
 
 def test_phash_neardup_planted_recall(spark):
     """The perceptual-hash dedup contract on the planted variant groups:
-    v0-v3 (same content, BMP vs PNG alternating) hash IDENTICALLY despite
-    different bytes (cross-format dedup — byte SHA can never pair them);
+    v0-v3 (same content; BMP vs PNG alternating; v2/v3 RESIZED 2x) hash
+    IDENTICALLY despite different bytes and different dimensions (cross-
+    format AND cross-scale dedup — byte SHA can never pair either);
     v4 (one perturbed grid cell) stays within Hamming 2 of the group;
     v7 (unrelated content) never pairs with its group."""
     from pyspark.sql import functions as F

@@ -963,12 +963,16 @@ def plant_phash_assets(docs: DataFrame, n_docs: int = 512) -> DataFrame:
 
     Variants: v0–v3 share the group's content key exactly but alternate
     container format (even v → 24-bit BMP, odd v → greyscale PNG) — the
-    cross-format exact-phash duplicates a byte-level SHA can never pair.
-    v4/v5 perturb 1/2 grid cells by +100 mod 251 (Hamming ≤ 2 / ≤ 4 —
-    near-duplicates). v6/v7 get unrelated keys (g = 100000 + d): negative
-    controls at Hamming ≈ 32. Cell blocks are cw×ch pixels with
-    cw = 2 + base % 3, ch = 2 + base % 2 (w ≤ 36, h ≤ 24) — equal-size
-    cells, so sum comparisons equal mean comparisons.
+    cross-format exact-phash duplicates a byte-level SHA can never pair —
+    and v2/v3 are additionally RESIZED 2× (double the block size): the
+    grid cell means are unchanged, so the dHash is bit-identical across
+    the resize, the transform perceptual hashing exists for (and the
+    oracle needs no size term at all). v4/v5 perturb 1/2 grid cells by
+    +100 mod 251 (Hamming ≤ 2 / ≤ 4 — near-duplicates). v6/v7 get
+    unrelated keys (g = 100000 + d): negative controls at Hamming ≈ 32.
+    Cell blocks are cw×ch pixels with cw = 2 + base % 3,
+    ch = 2 + base % 2 (w ≤ 72, h ≤ 48 after resize) — equal-size cells,
+    so sum comparisons equal mean comparisons.
     """
     m = _codec()
     encode_bmp, encode_png = m.encode_bmp, m.encode_png
@@ -998,6 +1002,8 @@ def plant_phash_assets(docs: DataFrame, n_docs: int = 512) -> DataFrame:
                 g = base if v <= 5 else 100000 + d
                 M = grid_vals(g, base, v)
                 cw, ch = 2 + base % 3, 2 + base % 2
+                if v in (2, 3):  # resized re-encode: same cell means
+                    cw, ch = cw * 2, ch * 2
                 gray = np.kron(M, np.ones((ch, cw), dtype=np.int64)).astype(np.uint8)
                 if v % 2 == 0:
                     content = encode_bmp(np.repeat(gray[:, :, None], 3, axis=2))

@@ -6447,10 +6447,12 @@ def media_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "via 4×16-bit pigeonhole block joins — banded recall is EXACTLY 1 at "
     "this threshold, so the oracle replays it as closed-form grid values "
     "+ a brute-force bit_count filter. Variants planted per 8-doc group: "
-    "4 exact cross-format dups (BMP vs PNG — byte-level SHA can never "
-    "pair these), 1-cell and 2-cell perturbations (near-dups), and two "
-    "unrelated negative controls. Connects the multimodal decode tier to "
-    "the dedup tier.",
+    "4 exact dups across FORMAT (BMP vs PNG) and SCALE (two resized 2× — "
+    "grid cell means unchanged, so the dHash is bit-identical and the "
+    "oracle needs no size term; byte-level SHA can pair none of them), "
+    "1-cell and 2-cell perturbations (near-dups), and two unrelated "
+    "negative controls. Connects the multimodal decode tier to the "
+    "dedup tier.",
 )
 def media_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
