@@ -6395,9 +6395,11 @@ def media_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_media_stats(media, repartition=False).orderBy("media_id", "stat")
 
 
-@register(
-    "media_phash_neardup_pairs",
-    """
+#: Closed-form replay of the planted dHash corpus: grid values → packed
+#: 64-bit signatures (two BIGINT halves) → brute-force Hamming≤3 pairs
+#: (== the banded join by the pigeonhole guarantee). Shared by the pair
+#: entry and the image-dedup clustering composition.
+_PHASH_PAIRS_SQL = """
     WITH keys AS (
       SELECT doc_id AS d, doc_id // 8 AS base, doc_id % 8 AS v,
              CASE WHEN doc_id % 8 <= 5 THEN doc_id // 8
@@ -6439,7 +6441,12 @@ def media_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.d < b.d
     WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-    """,
+"""
+
+
+@register(
+    "media_phash_neardup_pairs",
+    _PHASH_PAIRS_SQL,
     "image near-duplicate detection via perceptual hash (VERDICT r8 ask "
     "#4): REAL decode of 512 planted BMP/PNG images (mediacodec.py "
     "kernels), 64-bit dHash over an 8×9 luma grid (exact cross-multiply "
@@ -6459,6 +6466,34 @@ def media_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _materialized_assets("phash", sf_dir, _mm.plant_phash_assets(docs))
     sigs = _mm.image_dhash(media)
     return _dedup.dhash_near_pairs(sigs)
+
+
+@register(
+    "media_phash_dedup_clusters",
+    _cluster.dedup_clusters_sql(
+        _PHASH_PAIRS_SQL,
+        table="(SELECT doc_id AS media_id FROM documents WHERE doc_id < 512)",
+        id_col="media_id",
+    )
+    + " ORDER BY media_id",
+    "image dedup END TO END: decode → dHash → Hamming≤3 pairs → "
+    "connected components → one canonical image per visual cluster "
+    "(min-id, deterministic) — the SemDeDup composition applied to the "
+    "image modality. Variant groups collapse across format AND scale; "
+    "negative controls stay singletons. The pair detector's symmetrized "
+    "edges are localCheckpointed inside connected_components, so the "
+    "decode+hash subtree runs once, not once per CC round. Oracle "
+    "composes the same two builders (closed-form pairs + recursive-CTE "
+    "closure).",
+)
+def media_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = _materialized_assets("phash", sf_dir, _mm.plant_phash_assets(docs))
+    pairs = _dedup.dhash_near_pairs(_mm.image_dhash(media))
+    spine = media.select("media_id")
+    return _cluster.dedup_clusters(spine, pairs, id_col="media_id").orderBy(
+        "media_id"
+    )
 
 
 from tickdb_spark.operators import pq as _pq  # noqa: E402
@@ -7143,6 +7178,7 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r9 — never sampled by construction
     "media_phash_neardup_pairs",
+    "media_phash_dedup_clusters",
     "stream_ann_index_maintenance",
     "text_unigram_train_vocab",
     "text_unigram_tokenize",
@@ -7194,7 +7230,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_sparse_field_nulls",
     "tick_twa_6h",
     "tick_upsert_delete_lifecycle",
-    "win_analytic_suite",
 ]
 
 
