@@ -508,3 +508,37 @@ def test_stream_ann_index_incremental_and_probe_reads_stored(tmp_path, spark):
     ]
     assert sig_scans, scan_read_schemas(probe)  # scans the maintained parquet
     assert all("embedding" not in s for s in sig_scans)
+
+
+def test_stream_pq_index_incremental_matches_batch(tmp_path, spark):
+    """Incremental PQ-code maintenance: maintained codes equal the
+    batch-built encode under the SAME frozen codebooks, and a restart
+    with a new landing file appends only the new vectors' codes."""
+    from tickdb_spark.operators.pq import pq_encode, pq_train
+    from tickdb_spark.streaming.index import stream_pq_index_maintenance
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    books = pq_train(emb, dim=64, m_sub=8, k=16, iters=2, sample_fraction=0.5)
+    pdf = emb.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(landing / "b0.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    got1 = stream_pq_index_maintenance(
+        spark, str(landing), work, books, schema=emb.schema
+    )
+    assert got1.count() == half * 8
+
+    pdf.iloc[half:].to_parquet(landing / "b1.parquet", index=False)
+    got2 = stream_pq_index_maintenance(
+        spark, str(landing), work, books, schema=emb.schema
+    )
+    k2 = {(r[0], r[1]): r[2] for r in got2.collect()}
+    want = {(r[0], r[1]): r[2] for r in pq_encode(emb, books).collect()}
+    assert k2 == want and len(k2) == len(pdf) * 8

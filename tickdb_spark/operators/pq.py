@@ -682,3 +682,56 @@ def ivfadc_topk_sql(
       FROM ivf_rr
     ) WHERE rank <= {k_top}
     """
+
+
+def pq_codes_sql(
+    table: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    sample_fraction: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of train → :func:`pq_encode` alone: the batch-built
+    stored code table ``(vec_id, m, code)`` with the trainers replayed —
+    the oracle for INCREMENTAL code maintenance (the maintained table
+    must equal this, because codes are a pure per-vector function of the
+    frozen codebooks)."""
+    d_sub = dim // m_sub
+    chains = []
+    cb_parts = []
+    code_parts = []
+    for m in range(m_sub):
+        pre = f"s{m}_"
+        sub_table = (
+            f"(SELECT {id_col}, list_slice(CAST({vec_col} AS DOUBLE[]), "
+            f"{m * d_sub + 1}, {(m + 1) * d_sub}) AS sub FROM {table})"
+        )
+        chains.append(
+            kmeans_replay_ctes(
+                sub_table, k, iters, d_sub, sample_fraction,
+                id_col=id_col, vec_col="sub", prefix=pre,
+            )
+        )
+        cb_parts.append(f"SELECT {m} AS m, cell AS code, c FROM {pre}km_cents")
+        code_parts.append(
+            f"""SELECT {id_col}, {m} AS m, code FROM (
+      SELECT e.{id_col}, cb.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.{id_col}
+               ORDER BY {_score_sql('e.sub', 'cb.c', d_sub)}, cb.code) AS rn
+      FROM {sub_table} e CROSS JOIN (SELECT code, c FROM pq_cb WHERE m = {m}) cb
+    ) WHERE rn = 1"""
+        )
+    all_chains = ",\n    ".join(chains)
+    cb = " UNION ALL ".join(cb_parts)
+    codes = " UNION ALL ".join(code_parts)
+    return f"""
+    WITH {all_chains},
+    pq_cb AS MATERIALIZED ({cb}),
+    pq_codes AS MATERIALIZED ({codes})
+    SELECT {id_col}, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+    FROM pq_codes
+    """

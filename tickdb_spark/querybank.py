@@ -2698,6 +2698,8 @@ def stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "table_id")
 
 
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, wave 2: multi-dimensional grouping, set ops,
 # semi/anti joins, pivot, sessionization (SURVEY.md §2.3 extensions)
@@ -6551,6 +6553,45 @@ def _ivf_cells(emb, sf_dir: str):
     )
 
 
+@register(
+    "stream_pq_index_maintenance",
+    _pq.pq_codes_sql("embeddings") + " ORDER BY vec_id, m",
+    "incremental PQ-code maintenance — the trained-state face of "
+    "stream_ann_index_maintenance: sub-codebooks are trained ONCE "
+    "(ingest-time state, memoized like the batch PQ entries), then each "
+    "micro-batch's NEW vectors are encoded with the FROZEN codebooks and "
+    "appended to the stored (vec_id, m, code) table — the 32x-compressed "
+    "tier grows with the corpus while training cost stays where it was "
+    "paid. Codes are a pure per-vector function of the frozen codebooks, "
+    "so the maintained table equals the batch-built index; the oracle "
+    "replays BOTH trainers (8 namespaced Lloyd chains) and the encode, "
+    "so a drifted cached codebook is caught, not hidden.",
+)
+def stream_pq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq_
+
+    from tickdb_spark.streaming.index import stream_pq_index_maintenance as _spm
+
+    work = _tempfile.mkdtemp(prefix="tickdb_spq_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_books(emb, sf_dir)
+    pdf = emb.orderBy("vec_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _pq_.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
+        _os.utime(p, (base + k, base + k))
+    return _spm(
+        spark, landing, _os.path.join(work, "state"), books, schema=emb.schema
+    ).orderBy("vec_id", "m")
+
+
 from tickdb_spark.operators import pca as _pca  # noqa: E402
 
 
@@ -7163,16 +7204,16 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 4 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 6 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 30 slots with the r5-era proofs
-#: (all of that cohort except tick_point_get, which every bench run
-#: exercises as its warm-up action). tests/test_registry_head.py
+#: evidence), and fills the remaining 28 slots with r5-era proofs
+#: (that cohort minus tick_point_get — every bench run's warm-up
+#: action — win_analytic_suite, and tick_bucket_year). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7180,6 +7221,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_phash_neardup_pairs",
     "media_phash_dedup_clusters",
     "stream_ann_index_maintenance",
+    "stream_pq_index_maintenance",
     "text_unigram_train_vocab",
     "text_unigram_tokenize",
     # (2) code changed in r9 — re-proof required
@@ -7223,7 +7265,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_bucket_month_sum",
     "tick_bucket_second",
     "tick_bucket_week_sum",
-    "tick_bucket_year",
     "tick_ma3_hourly",
     "tick_multiseries_day_agg",
     "tick_range_scan",

@@ -86,3 +86,55 @@ def stream_ann_index_maintenance(
     )
     q.awaitTermination()
     return spark.read.parquet(sig_dir)
+
+
+_CODE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("m", T.LongType(), False),
+        T.StructField("code", T.LongType(), False),
+    ]
+)
+
+
+def stream_pq_index_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """PQ-code face of the same maintenance shape: each micro-batch's new
+    vectors are encoded with the FROZEN trained sub-codebooks
+    (``operators/pq.pq_encode``) and appended to the stored
+    ``(vec_id, m, code)`` table — the 32×-compressed tier grows with the
+    corpus while the training cost stays where it was paid, at ingest
+    time. Codes are a pure per-vector function of the frozen codebooks,
+    so the maintained table equals the batch-built one over the same
+    rows (the oracle)."""
+    from tickdb_spark.operators.pq import pq_encode
+
+    code_dir = os.path.join(work_dir, "pq_codes")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_pq")
+    spark.createDataFrame([], _CODE_SCHEMA).write.mode("ignore").parquet(code_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        pq_encode(batch, codebooks, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col("m").cast("long"),
+            F.col("code").cast("long"),
+        ).write.mode("append").parquet(code_dir)
+
+    q = (
+        spark.readStream.schema(schema or emb_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(code_dir)
