@@ -1218,6 +1218,53 @@ def sim_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_ann_recall_lsh",
+    f"""
+    WITH bf AS ({_sim.ann_topk_bruteforce_sql("embeddings", [0, 1, 2, 3, 4], k=5)}),
+    lsh AS ({_sim.ann_topk_lsh_multitable_sql("embeddings", [0, 1, 2, 3, 4], k=5)})
+    SELECT bf.query_id,
+           CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(5 AS BIGINT) AS k,
+           CAST(count(lsh.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """,
+    "ANN recall evaluation AS A QUERY: per-query recall@5 of the "
+    "stored-signature multi-table LSH probe against the exact "
+    "brute-force top-5 — the eval harness that justifies an approximate "
+    "index is itself an oracle-checked operator (hits are an exact "
+    "BIGINT join count; recall is one IEEE division). At 100 TB this is "
+    "the query you run on a sampled query set after every index "
+    "(re)build; recall regressions surface as value changes, not as "
+    "silent quality drift.",
+)
+def eval_ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = _sim.ann_topk_bruteforce(emb, qids, k=5)
+    sigs = _materialized_assets("lsh_sigs", sf_dir, _sim.lsh_signature_table(emb))
+    lsh = _sim.ann_topk_lsh_multitable(emb, qids, k=5, signatures=sigs).select(
+        F.col("query_id").alias("_lq"), F.col("neighbor_id").alias("_ln")
+    )
+    return (
+        bf.join(
+            lsh,
+            (F.col("query_id") == F.col("_lq"))
+            & (F.col("neighbor_id") == F.col("_ln")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_ln").cast("long").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+            (F.count("_ln").cast("double") / 5).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "sim_cosine_neardup_pairs",
     _sim.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "embedding cosine pairs at ≥ 0.4 — exact brute-force baseline (the "
@@ -7204,16 +7251,16 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 6 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 7 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 28 slots with r5-era proofs
+#: evidence), and fills the remaining 27 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
-#: action — win_analytic_suite, and tick_bucket_year). tests/test_registry_head.py
+#: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7224,6 +7271,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_pq_index_maintenance",
     "text_unigram_train_vocab",
     "text_unigram_tokenize",
+    "eval_ann_recall_lsh",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7262,7 +7310,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_bucket_day_ohlc",
     "tick_bucket_hour_sum",
     "tick_bucket_minute_minmax",
-    "tick_bucket_month_sum",
     "tick_bucket_second",
     "tick_bucket_week_sum",
     "tick_ma3_hourly",
