@@ -1811,6 +1811,76 @@ def unigram_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_tokenizer_compression",
+    f"""
+    WITH bpe_counts AS ({_bpe.bpe_encode_sql("documents", "text", "doc_id", 8)}),
+    bpe_chars AS (
+      SELECT SUM(length(word))::BIGINT AS n_chars FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' AND NOT regexp_matches(word, '[<>''\\\\]')
+    ),
+    uni_counts AS ({_unigram.unigram_tokenize_sql("documents")})
+    SELECT * FROM (
+      SELECT 'bpe8' AS tokenizer,
+             (SELECT SUM(n_bpe_tokens)::BIGINT FROM bpe_counts) AS n_tokens,
+             (SELECT n_chars FROM bpe_chars) AS n_chars,
+             CAST((SELECT n_chars FROM bpe_chars) AS DOUBLE)
+               / (SELECT SUM(n_bpe_tokens)::BIGINT FROM bpe_counts)
+               AS chars_per_token
+      UNION ALL
+      SELECT 'unigram24',
+             (SELECT SUM(n_tokens)::BIGINT FROM uni_counts),
+             (SELECT SUM(length(token) * n_tokens)::BIGINT FROM uni_counts),
+             CAST((SELECT SUM(length(token) * n_tokens) FROM uni_counts) AS DOUBLE)
+               / (SELECT SUM(n_tokens)::BIGINT FROM uni_counts)
+      ) ORDER BY tokenizer
+    """,
+    "tokenizer-quality evaluation AS A QUERY: corpus compression "
+    "(chars per token) of the trained BPE-8 merge list vs the trained "
+    "unigram-24 vocabulary — the metric tokenizer families compete on, "
+    "oracle-checked end to end (both trainers replay inside the oracle; "
+    "token and char masses are exact BIGINTs, the ratio one IEEE "
+    "division). Each tokenizer is measured under its own normalization "
+    "(BPE: sentinel-safe word filter; unigram: lowercase + char "
+    "fallback), reported side by side.",
+)
+def eval_tokenizer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    _, merges = _bpe.bpe_train(docs, "text", n_merges=8)
+    bpe_counts = _bpe.bpe_encode_token_counts(docs, merges, "text", "doc_id")
+    bpe_tok = bpe_counts.agg(F.sum("n_bpe_tokens").cast("long").alias("n_tokens"))
+    bpe_ch = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .where((F.col("word") != "") & ~F.col("word").rlike("[<>'\\\\]"))
+        .agg(F.sum(F.length("word")).cast("long").alias("n_chars"))
+    )
+    uni = _unigram.unigram_tokenize(docs, _unigram.unigram_train(docs))
+    uni_agg = uni.agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.length("token") * F.col("n_tokens")).cast("long").alias("n_chars"),
+    )
+    bpe_row = (
+        bpe_tok.crossJoin(bpe_ch)
+        .select(
+            F.lit("bpe8").alias("tokenizer"),
+            "n_tokens",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+    uni_row = uni_agg.select(
+        F.lit("unigram24").alias("tokenizer"),
+        "n_tokens",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("chars_per_token"),
+    )
+    return bpe_row.unionByName(uni_row).orderBy("tokenizer")
+
+
+@register(
     "agg_equidepth_histogram",
     f"""
     WITH ranked AS (
@@ -7251,16 +7321,17 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 7 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 8 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 27 slots with r5-era proofs
+#: evidence), and fills the remaining 26 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
-#: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum). tests/test_registry_head.py
+#: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
+#: and agg_value_histogram). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7272,6 +7343,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_unigram_train_vocab",
     "text_unigram_tokenize",
     "eval_ann_recall_lsh",
+    "eval_tokenizer_compression",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7295,7 +7367,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_multi_distinct_stringagg",
     "agg_salted_hotkey",
     "agg_stats_moments",
-    "agg_value_histogram",
     "asof_purchase_last_click",
     "decontaminate_neardup_eval",
     "rangejoin_click_attribution",
