@@ -2059,3 +2059,25 @@ def test_unigram_composition_table_is_exact(spark):
             assert o == off and 1 <= ln <= 4
             off += ln
         assert off == n + 1
+
+
+def test_doremi_upweights_hard_domains(spark):
+    """DoReMi direction check on a planted corpus: a domain whose text is
+    out-of-distribution (unique bigrams -> high OOV against the shared
+    model) must get a HIGHER learned weight than an in-distribution
+    domain; weights are positive and normalize to 1."""
+    from tickdb_spark.operators.domainmix import doremi_domain_weights
+
+    rows = []
+    for i in range(240):
+        rows.append((i, "common", "the quick brown fox jumps over the lazy dog"))
+    for i in range(240, 300):
+        rows.append((i, "rare", f"zxq{i} wvu{i * 7} qqj{i * 13} kpf{i * 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {r["domain"]: r for r in doremi_domain_weights(docs).collect()}
+    assert set(w) == {"common", "rare"}
+    assert abs(w["common"]["weight"] + w["rare"]["weight"] - 1.0) < 1e-12
+    assert w["rare"]["weight"] > w["common"]["weight"]
+    assert w["rare"]["n_docs"] == 60 and w["common"]["n_docs"] == 240
+    # MW state stays an exact BIGINT product of [1000, 2000] factors
+    assert 1000**3 <= w["rare"]["w_raw"] <= 2000**3

@@ -7311,6 +7311,28 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir.dsir_select(pool, target, k=120)
 
 
+from tickdb_spark.operators import domainmix as _domainmix  # noqa: E402
+
+
+@register(
+    "select_doremi_domain_weights",
+    _domainmix.doremi_domain_weights_sql("documents") + " ORDER BY domain",
+    "domain mixture reweighting (DoReMi-shaped, Xie et al. 2023): "
+    "per-domain sampling weights learned by multiplicative-weights "
+    "updates over per-shard proxy losses — the loss is each domain's "
+    "quantized OOV rate against the corpus bigram model (lm.py), shards "
+    "are deterministic md5 hash-slices, and the textbook exp(eta*L) "
+    "factor is linearized to (1000+L) so the whole weight state is an "
+    "exact BIGINT product (exp's last-ulp behavior differs across "
+    "engines); normalized weights are one IEEE division each. "
+    "Complements DSIR: DSIR selects documents toward a target, DoReMi "
+    "balances the domains the proxy finds hardest.",
+)
+def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return _domainmix.doremi_domain_weights(docs).orderBy("domain")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -7321,17 +7343,17 @@ def select_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 8 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 9 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 26 slots with r5-era proofs
+#: evidence), and fills the remaining 25 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
-#: and agg_value_histogram). tests/test_registry_head.py
+#: agg_value_histogram, and tick_bucket_week_sum). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7344,6 +7366,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_unigram_tokenize",
     "eval_ann_recall_lsh",
     "eval_tokenizer_compression",
+    "select_doremi_domain_weights",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7382,7 +7405,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_bucket_hour_sum",
     "tick_bucket_minute_minmax",
     "tick_bucket_second",
-    "tick_bucket_week_sum",
     "tick_ma3_hourly",
     "tick_multiseries_day_agg",
     "tick_range_scan",
