@@ -6588,6 +6588,73 @@ def media_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_media_curation",
+    f"""
+    WITH clustered AS MATERIALIZED (
+      {_cluster.dedup_clusters_sql(
+          _PHASH_PAIRS_SQL,
+          table="(SELECT doc_id AS media_id FROM documents WHERE doc_id < 512)",
+          id_col="media_id",
+      )}
+    )
+    SELECT media_id,
+           CASE WHEN is_canonical THEN 'kept' ELSE 'dup_dropped' END AS status,
+           component, CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM clustered
+    UNION ALL
+    SELECT doc_id + 1000000 AS media_id, 'reject_corrupt' AS status,
+           CAST(NULL AS BIGINT) AS component, CAST(NULL AS BIGINT) AS cluster_size
+    FROM documents WHERE doc_id < 32
+    ORDER BY media_id
+    """,
+    "the curation pipeline for the IMAGE modality, end to end: a mixed "
+    "media corpus (512 real BMP/PNG assets + 32 planted corrupt blobs) "
+    "flows decode → reject-to-drop → dHash → Hamming pairs → connected "
+    "components → one canonical keeper per visual cluster, emitting a "
+    "per-asset verdict (kept / dup_dropped / reject_corrupt) — the image "
+    "twin of pipeline_curation_end2end. A single bad blob never kills "
+    "the task (the kernel drops non-image magics row-by-row), and the "
+    "verdict table is the audit artifact a 100 TB curation run ships.",
+)
+def pipeline_media_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    good = _materialized_assets("phash", sf_dir, _mm.plant_phash_assets(docs))
+    junk = (
+        docs.where(F.col("doc_id") < 32)
+        .select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.lit("junk").alias("media_type"),
+            # 0x00FF prefix guarantees no decodable container magic
+            F.concat(
+                F.lit(bytearray([0, 255])),
+                F.unhex(F.md5(F.col("doc_id").cast("string"))),
+            ).alias("content"),
+        )
+    )
+    media = good.unionByName(junk)
+    sigs = _mm.image_dhash(media)  # junk drops here (reject-to-drop)
+    pairs = _dedup.dhash_near_pairs(sigs)
+    clustered = _cluster.dedup_clusters(
+        sigs.select("media_id"), pairs, id_col="media_id"
+    )
+    decoded = clustered.select(
+        "media_id",
+        F.when(F.col("is_canonical"), F.lit("kept"))
+        .otherwise(F.lit("dup_dropped"))
+        .alias("status"),
+        "component",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    rejects = junk.select(
+        "media_id",
+        F.lit("reject_corrupt").alias("status"),
+        F.lit(None).cast("long").alias("component"),
+        F.lit(None).cast("long").alias("cluster_size"),
+    )
+    return decoded.unionByName(rejects).orderBy("media_id")
+
+
+@register(
     "media_phash_dedup_clusters",
     _cluster.dedup_clusters_sql(
         _PHASH_PAIRS_SQL,
@@ -7343,17 +7410,18 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 9 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 10 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 25 slots with r5-era proofs
+#: evidence), and fills the remaining 24 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
-#: agg_value_histogram, and tick_bucket_week_sum). tests/test_registry_head.py
+#: agg_value_histogram, tick_bucket_week_sum, and
+#: agg_multi_distinct_stringagg). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7367,6 +7435,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_ann_recall_lsh",
     "eval_tokenizer_compression",
     "select_doremi_domain_weights",
+    "pipeline_media_curation",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7387,7 +7456,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q1_pricing_summary",
     # (4) r5-era proofs — next-stalest refresh
     "agg_distinct_users_daily",
-    "agg_multi_distinct_stringagg",
     "agg_salted_hotkey",
     "agg_stats_moments",
     "asof_purchase_last_click",
