@@ -542,3 +542,41 @@ def test_stream_pq_index_incremental_matches_batch(tmp_path, spark):
     k2 = {(r[0], r[1]): r[2] for r in got2.collect()}
     want = {(r[0], r[1]): r[2] for r in pq_encode(emb, books).collect()}
     assert k2 == want and len(k2) == len(pdf) * 8
+
+
+def test_stream_hll_register_log_merges_to_batch_sketch(tmp_path, spark):
+    """HLL register-log maintenance: the max-merged log equals the
+    batch-built registers regardless of batching, including after a
+    restart with one new landing file (duplicate values across batches
+    must NOT inflate the sketch — max-merge absorbs them)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.sketch import hll_registers
+    from tickdb_spark.streaming.index import stream_hll_maintenance
+
+    rows = [("s", f"v{i % 300}") for i in range(900)]  # heavy duplication
+    df = spark.createDataFrame(rows, "scope string, v string")
+    pdf = df.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.iloc[:600].to_parquet(landing / "b0.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    merged1 = stream_hll_maintenance(
+        spark, str(landing), work, df.schema, ["scope"], "v", p=5
+    )
+    want1 = hll_registers(
+        spark.createDataFrame(pdf.iloc[:600], df.schema), ["scope"], "v", p=5
+    )
+    k1 = {(r[0], r[1]): r[2] for r in merged1.collect()}
+    assert k1 == {(r[0], r[1]): r[2] for r in want1.collect()}
+
+    pdf.iloc[600:].to_parquet(landing / "b1.parquet", index=False)
+    merged2 = stream_hll_maintenance(
+        spark, str(landing), work, df.schema, ["scope"], "v", p=5
+    )
+    want2 = hll_registers(df, ["scope"], "v", p=5)
+    assert {(r[0], r[1]): r[2] for r in merged2.collect()} == {
+        (r[0], r[1]): r[2] for r in want2.collect()
+    }

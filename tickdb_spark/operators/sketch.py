@@ -94,6 +94,29 @@ def hll_registers(
     )
 
 
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 10,
+) -> DataFrame:
+    """Estimate from a REGISTER table ``(group_cols..., bucket,
+    register)`` — the read side of register-as-stored-state maintenance
+    (registers are max-mergeable, so an append log of per-batch registers
+    max-merges to exactly the batch-built sketch)."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    # python-API shiftleft only takes an int literal; the SQL form
+    # accepts an expression on both engines
+    s = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits} - register)")).alias(
+        "hll_sum_scaled"
+    )
+    num = float(_alpha(m)) * float(m) * float(m) * float(2**w_bits)
+    return regs.groupBy(*group_cols).agg(
+        s,
+        (F.lit(num) / F.col("hll_sum_scaled").cast("double")).alias("hll_estimate"),
+    )
+
+
 def hll_estimate(
     df: DataFrame,
     group_cols: list[str],
@@ -104,18 +127,8 @@ def hll_estimate(
     ``(group_cols..., hll_sum_scaled, hll_estimate)`` where
     ``hll_sum_scaled = Σ 2^{W-ρ_j}`` (the exact BIGINT sketch
     denominator) and ``hll_estimate = α_m·m²·2^W / hll_sum_scaled``."""
-    m = 1 << p
-    w_bits = _HASH_BITS - p
-    regs = hll_registers(df, group_cols, value_col, p)
-    # python-API shiftleft only takes an int literal; the SQL form
-    # accepts an expression on both engines
-    s = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits} - register)")).alias(
-        "hll_sum_scaled"
-    )
-    num = float(_alpha(m)) * float(m) * float(m) * float(2**w_bits)
-    return regs.groupBy(*group_cols).agg(
-        s,
-        (F.lit(num) / F.col("hll_sum_scaled").cast("double")).alias("hll_estimate"),
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
     )
 
 

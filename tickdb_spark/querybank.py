@@ -7276,6 +7276,59 @@ def agg_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every SF; the sub-2.5m linear-counting correction needs ln, the "
     "one op that is not bit-replayable cross-engine)",
 )
+@register(
+    "stream_hll_maintenance",
+    _sketch.hll_estimate_sql(
+        "SELECT 'user_days' AS scope, "
+        "CAST(user_id AS VARCHAR) || '-' || "
+        "CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ud FROM events",
+        ["scope"],
+        "ud",
+        p=7,
+    )
+    + " ORDER BY scope",
+    "streaming sketch-state maintenance: the event stream (4 landing "
+    "files = 4 micro-batches) appends each batch's HLL REGISTERS to a "
+    "stored register log via foreachBatch; the read side max-merges the "
+    "log. Registers are max-mergeable, so the merged estimate equals the "
+    "batch-built sketch over the same rows REGARDLESS of batching — the "
+    "oracle is literally the batch entry's SQL (agg_hll_distinct_"
+    "userdays). This is the production shape for streaming distinct "
+    "counts at 100 TB: state is groups × 128 small ints forever, where "
+    "exact-distinct streaming state grows without bound.",
+)
+def stream_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd  # noqa: F401
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq_
+
+    from tickdb_spark.operators.sketch import hll_estimate_from_registers
+    from tickdb_spark.streaming.index import stream_hll_maintenance as _shm
+
+    work = _tempfile.mkdtemp(prefix="tickdb_shll_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    proj = _read(spark, sf_dir, "events").select(
+        F.lit("user_days").alias("scope"),
+        F.concat_ws(
+            "-",
+            F.col("user_id").cast("string"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+        ).alias("ud"),
+        (F.col("event_id") % 4).alias("_q"),
+    )
+    pdf = proj.toPandas()
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf[pdf._q == k][["scope", "ud"]]
+        path = _os.path.join(landing, f"batch_{k}.parquet")
+        _pq_.write_table(_pa.Table.from_pandas(part, preserve_index=False), path)
+        _os.utime(path, (base + k, base + k))
+    schema = proj.select("scope", "ud").schema
+    merged = _shm(spark, landing, _os.path.join(work, "state"), schema, ["scope"], "ud", p=7)
+    return hll_estimate_from_registers(merged, ["scope"], p=7).orderBy("scope")
+
+
 def agg_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select(
         F.lit("user_days").alias("scope"),
@@ -7410,18 +7463,18 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 10 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 11 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 24 slots with r5-era proofs
+#: evidence), and fills the remaining 23 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
-#: agg_value_histogram, tick_bucket_week_sum, and
-#: agg_multi_distinct_stringagg). tests/test_registry_head.py
+#: agg_value_histogram, tick_bucket_week_sum,
+#: agg_multi_distinct_stringagg, and stream_windowed_bucket_agg). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7436,6 +7489,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_tokenizer_compression",
     "select_doremi_domain_weights",
     "pipeline_media_curation",
+    "stream_hll_maintenance",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7465,7 +7519,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_dedup_ingest",
     "stream_session_windows",
     "stream_stateful_spike_detect",
-    "stream_windowed_bucket_agg",
     "tick_bucket_2month_anchored",
     "tick_bucket_5min_anchored",
     "tick_bucket_day_count_avg",

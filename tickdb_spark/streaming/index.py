@@ -138,3 +138,54 @@ def stream_pq_index_maintenance(
     )
     q.awaitTermination()
     return spark.read.parquet(code_dir)
+
+
+def stream_hll_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Mergeable-sketch state maintenance: each micro-batch's HLL
+    REGISTERS append to a stored register log; the read side max-merges
+    the log per (group, bucket). Registers are max-mergeable, so the
+    merged view equals the batch-built sketch over the same rows
+    REGARDLESS of how the stream was batched — which is why a sketch
+    (fixed-size state, merge = max) is the 100 TB substitute for exact
+    distinct state that only ever grows. Returns the MERGED register
+    table ``(group_cols..., bucket, register)``."""
+    from tickdb_spark.operators.sketch import hll_registers
+
+    reg_dir = os.path.join(work_dir, "hll_registers")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_hll")
+    seed = T.StructType(
+        [schema[c] for c in group_cols]
+        + [
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("register", T.LongType(), False),
+        ]
+    )
+    spark.createDataFrame([], seed).write.mode("ignore").parquet(reg_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        hll_registers(batch, group_cols, value_col, p).write.mode(
+            "append"
+        ).parquet(reg_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(reg_dir)
+    return log.groupBy(*group_cols, "bucket").agg(
+        F.max("register").cast("long").alias("register")
+    )
