@@ -4933,6 +4933,97 @@ def sim_ivf_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topic_labels_sql() -> str:
+    from tickdb_spark.operators.kmeans import _score_sql, kmeans_replay_ctes
+
+    ctes = kmeans_replay_ctes("embeddings", 4, 3, _sim.EMB_DIM, 0.5)
+    return f"""
+    WITH {ctes},
+    km_all AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cells AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT a.id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.id
+                 ORDER BY {_score_sql('a.v', 'c.c', 64)}, c.cell) AS rn
+        FROM km_all a CROSS JOIN km_cents c
+      ) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT c.cell, t.token, count(*)::BIGINT AS tf
+      FROM cells c JOIN toks t ON c.id = t.doc_id
+      WHERE t.token <> ''
+      GROUP BY c.cell, t.token
+    ),
+    df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token)
+    SELECT CAST(cell AS INT) AS cell, CAST(rnk AS BIGINT) AS rank,
+           token, tf, df, score
+    FROM (
+      SELECT tf.cell, tf.token, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.cell
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token ASC) AS rnk
+      FROM tf JOIN df USING (token)
+    ) WHERE rnk <= 3 ORDER BY cell, rank
+    """
+
+
+@register(
+    "analytics_cluster_topics",
+    _topic_labels_sql(),
+    "unsupervised topic discovery: embedding k-means cells (the trained "
+    "IVF quantizer, Lloyd replay) labeled by their documents' most "
+    "DISTINCTIVE tokens — ranked by the rational tf/df score (tf-idf "
+    "with the log dropped and idf as the exact reciprocal cell-df; the "
+    "PMI discipline: counts are exact BIGINTs, the ranking key is ONE "
+    "IEEE division of exactly-representable ints, identical cross-"
+    "engine), top-3 per cell tie-broken on the token. The cluster-"
+    "labeling step every embedding-organized corpus browser needs.",
+)
+def analytics_cluster_topics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from tickdb_spark.operators import kmeans as _km
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _km.kmeans_fit(emb, k=4, max_iter=3, sample_fraction=0.5, tol=0.0)
+    cells = _km.assign_cells(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    tf = (
+        cells.join(toks, "doc_id")
+        .groupBy("cell", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = _W.partitionBy("cell").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(F.col("cell").cast("int"), "rank", "token", "tf", "df", "score")
+        .orderBy("cell", "rank")
+    )
+
+
 @register(
     "sim_ann_topk_ivf_trained",
     _km_ann_sql(
@@ -7463,18 +7554,19 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 11 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 12 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 23 slots with r5-era proofs
+#: evidence), and fills the remaining 22 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
 #: agg_value_histogram, tick_bucket_week_sum,
-#: agg_multi_distinct_stringagg, and stream_windowed_bucket_agg). tests/test_registry_head.py
+#: agg_multi_distinct_stringagg, stream_windowed_bucket_agg, and
+#: stream_session_windows). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7490,6 +7582,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "select_doremi_domain_weights",
     "pipeline_media_curation",
     "stream_hll_maintenance",
+    "analytics_cluster_topics",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7517,7 +7610,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "rangejoin_click_attribution",
     "sessionize_user_events",
     "stream_dedup_ingest",
-    "stream_session_windows",
     "stream_stateful_spike_detect",
     "tick_bucket_2month_anchored",
     "tick_bucket_5min_anchored",
