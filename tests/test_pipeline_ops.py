@@ -2081,3 +2081,69 @@ def test_doremi_upweights_hard_domains(spark):
     assert w["rare"]["n_docs"] == 60 and w["common"]["n_docs"] == 240
     # MW state stays an exact BIGINT product of [1000, 2000] factors
     assert 1000**3 <= w["rare"]["w_raw"] <= 2000**3
+
+
+def test_image_dhash_fuzz_vs_numpy_reference(spark):
+    """20 random-dimension random-content images (PNG gray and BMP RGB
+    mixed) through the real decode + dHash kernel must match a pure
+    numpy rational-mean reference bit for bit."""
+    import numpy as np
+
+    from tickdb_spark.operators import multimodal as mm
+    from tickdb_spark.operators.mediacodec import encode_bmp, encode_png
+
+    rng = np.random.default_rng(42)
+    rows, want = [], {}
+
+    def ref_hash(luma):
+        h, w = luma.shape
+        rb = [r * h // 8 for r in range(8)] + [h]
+        cb = [c * w // 9 for c in range(9)] + [w]
+        s = np.array(
+            [
+                [
+                    int(luma[rb[r]:rb[r + 1], cb[c]:cb[c + 1]].sum(dtype=np.int64))
+                    for c in range(9)
+                ]
+                for r in range(8)
+            ],
+            dtype=np.int64,
+        )
+        n = np.array(
+            [
+                [(rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c]) for c in range(9)]
+                for r in range(8)
+            ],
+            dtype=np.int64,
+        )
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                bit = 1 if s[r, c + 1] * n[r, c] > s[r, c] * n[r, c + 1] else 0
+                k = r * 8 + c
+                if k >= 32:
+                    hi |= bit << (k - 32)
+                else:
+                    lo |= bit << k
+        return hi, lo
+
+    for i in range(20):
+        h = int(rng.integers(9, 40))
+        w = int(rng.integers(10, 50))
+        if i % 2 == 0:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.int64).astype(np.uint8)
+            rows.append((i, "png", bytearray(encode_png(img))))
+            want[i] = ref_hash(img.astype(np.int64))
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+            rows.append((i, "bmp", bytearray(encode_bmp(img))))
+            want[i] = ref_hash(img.astype(np.int64).sum(axis=2))
+
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    got = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in mm.image_dhash(media).collect()
+    }
+    assert got == want
