@@ -1154,6 +1154,56 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_dedup_recall_lsh",
+    f"""
+    WITH ex AS MATERIALIZED ({_dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.7)}),
+    ls AS MATERIALIZED ({_dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.7)})
+    SELECT CAST(0.7 AS DOUBLE) AS tau,
+           CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM ex JOIN ls USING (id_a, id_b)) AS BIGINT)
+             AS n_hit,
+           CAST((SELECT count(*) FROM ex JOIN ls USING (id_a, id_b)) AS DOUBLE)
+             / greatest((SELECT count(*) FROM ex), 1) AS recall
+    """,
+    "dedup-recall evaluation AS A QUERY: MinHash(12)+LSH(4-band) "
+    "candidate generation vs the exact word-3-gram Jaccard detector at "
+    "the same tau=0.7 — pair recall of the linear-time scale path "
+    "against ground truth (LSH output is exact-verified, so precision "
+    "is 1 by construction; what banding can lose is RECALL, and this "
+    "entry pins it as an oracle-checked number). Completes the eval "
+    "family: ANN recall, tokenizer compression, dedup recall.",
+)
+def eval_dedup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # single full-outer join + ONE aggregate: separate count frames would
+    # reference (and re-execute) each detector subtree per count
+    ex = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).select(
+        "id_a", "id_b", F.lit(1).alias("_ex")
+    )
+    ls = _dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7).select(
+        "id_a", "id_b", F.lit(1).alias("_ls")
+    )
+    j = ex.join(ls, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.lit(0.7).cast("double").alias("tau"),
+        F.sum(F.coalesce("_ex", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("_ls", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(F.coalesce("_ex", F.lit(0)) * F.coalesce("_ls", F.lit(0)))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "tau",
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        (
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1))
+        ).alias("recall"),
+    )
+
+
+@register(
     "dedup_simhash_fingerprints",
     _dedup.simhash_sql("documents", "text", "doc_id") + " ORDER BY id",
     "32-bit SimHash fingerprints (integer-exact, 32 conditional-sum "
@@ -7554,19 +7604,19 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 12 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 13 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 22 slots with r5-era proofs
+#: evidence), and fills the remaining 21 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
 #: agg_value_histogram, tick_bucket_week_sum,
-#: agg_multi_distinct_stringagg, stream_windowed_bucket_agg, and
-#: stream_session_windows). tests/test_registry_head.py
+#: agg_multi_distinct_stringagg, stream_windowed_bucket_agg,
+#: stream_session_windows, and rangejoin_click_attribution). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7583,6 +7633,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "pipeline_media_curation",
     "stream_hll_maintenance",
     "analytics_cluster_topics",
+    "eval_dedup_recall_lsh",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7607,7 +7658,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_stats_moments",
     "asof_purchase_last_click",
     "decontaminate_neardup_eval",
-    "rangejoin_click_attribution",
     "sessionize_user_events",
     "stream_dedup_ingest",
     "stream_stateful_spike_detect",
