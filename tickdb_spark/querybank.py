@@ -5255,6 +5255,52 @@ def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_corpus_datacard",
+    r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS en_docs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+             AS exact_dup_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+             / count(*) AS tokens_per_doc
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    "corpus datacard: the per-source governance summary every released "
+    "dataset ships (Gebru et al., Datasheets for Datasets) — doc and "
+    "exact-token counts, language spread, English share inputs, exact "
+    "byte-duplicate counts (docs minus distinct content hashes), and "
+    "tokens/doc (one IEEE division of exact ints). One hash aggregate "
+    "over the corpus; every count exact BIGINT.",
+)
+def analytics_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = _text.token_count(F.col("text")).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tok).cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("en_docs"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            (F.sum(tok).cast("double") / F.count(F.lit(1))).alias("tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "analytics_cohort_retention",
     """
     WITH firsts AS (
@@ -7604,19 +7650,20 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 13 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 14 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 21 slots with r5-era proofs
+#: evidence), and fills the remaining 20 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
 #: agg_value_histogram, tick_bucket_week_sum,
 #: agg_multi_distinct_stringagg, stream_windowed_bucket_agg,
-#: stream_session_windows, and rangejoin_click_attribution). tests/test_registry_head.py
+#: stream_session_windows, rangejoin_click_attribution, and
+#: decontaminate_neardup_eval). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7634,6 +7681,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_hll_maintenance",
     "analytics_cluster_topics",
     "eval_dedup_recall_lsh",
+    "analytics_corpus_datacard",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7657,7 +7705,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_salted_hotkey",
     "agg_stats_moments",
     "asof_purchase_last_click",
-    "decontaminate_neardup_eval",
     "sessionize_user_events",
     "stream_dedup_ingest",
     "stream_stateful_spike_detect",
