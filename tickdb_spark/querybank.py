@@ -5255,6 +5255,84 @@ def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diag_key_skew_gini",
+    """
+    WITH u AS (
+      SELECT 'events.user_id' AS keyspace, CAST(user_id AS VARCHAR) AS k,
+             count(*)::BIGINT AS c FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR),
+             count(*)::BIGINT FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR),
+             count(*)::BIGINT FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT keyspace, c,
+             ROW_NUMBER() OVER (PARTITION BY keyspace ORDER BY c, k) AS i,
+             count(*) OVER (PARTITION BY keyspace) AS n,
+             SUM(c) OVER (PARTITION BY keyspace) AS tot
+      FROM u
+    )
+    SELECT keyspace,
+           CAST(any_value(n) AS BIGINT) AS n_keys,
+           CAST(any_value(tot) AS BIGINT) AS total_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS gini_num,
+           CAST(SUM((2 * i - n - 1) * c) AS DOUBLE)
+             / (any_value(n) * any_value(tot)) AS gini
+    FROM ranked GROUP BY keyspace ORDER BY keyspace
+    """,
+    "key-skew diagnostic: exact Gini concentration per join/group "
+    "keyspace — the audit an engineer runs BEFORE choosing salting or "
+    "AQE skew hints. Numerator Σ(2i−n−1)·c_i over the deterministic "
+    "(count, key) total order is an exact BIGINT (the window runs over "
+    "the KEY AGGREGATE, never the corpus); gini is one IEEE division. "
+    "gini≈0 ⇒ uniform keys (hash joins fine); gini→1 ⇒ a hot key owns "
+    "the table (salt it — operators/skew.py).",
+)
+def diag_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    def counts(df, keyspace, col):
+        return (
+            df.groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(F.lit(keyspace).alias("keyspace"), "k", "c")
+        )
+
+    u = (
+        counts(_read_events(spark, sf_dir), "events.user_id", "user_id")
+        .unionByName(counts(_read(spark, sf_dir, "orders"), "orders.o_custkey", "o_custkey"))
+        .unionByName(
+            counts(_read(spark, sf_dir, "lineitem"), "lineitem.l_partkey", "l_partkey")
+        )
+    )
+    wk = _W.partitionBy("keyspace")
+    ranked = u.select(
+        "keyspace",
+        "c",
+        F.row_number().over(wk.orderBy("c", "k")).alias("i"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+        F.sum("c").over(wk).alias("tot"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c")).cast("long")
+    return (
+        ranked.groupBy("keyspace")
+        .agg(
+            F.first("n").cast("long").alias("n_keys"),
+            F.first("tot").cast("long").alias("total_rows"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            num.alias("gini_num"),
+            (
+                num.cast("double") / (F.first("n") * F.first("tot")).cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("keyspace")
+    )
+
+
+@register(
     "analytics_corpus_datacard",
     r"""
     SELECT source,
@@ -7650,20 +7728,20 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 14 entries
+#: r9 head (rotation per VERDICT r8 ask #7): leads with the 15 entries
 #: NEW in r9 (never sampled by construction), then the 10 entries whose
 #: CODE changed in r9 and need re-proof (the approx-sketch to_json
 #: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
 #: fixes; the five per-series windows pinned past AQE byte-coalescing;
 #: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
 #: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 20 slots with r5-era proofs
+#: evidence), and fills the remaining 19 slots with r5-era proofs
 #: (that cohort minus tick_point_get — every bench run's warm-up
 #: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
 #: agg_value_histogram, tick_bucket_week_sum,
 #: agg_multi_distinct_stringagg, stream_windowed_bucket_agg,
-#: stream_session_windows, rangejoin_click_attribution, and
-#: decontaminate_neardup_eval). tests/test_registry_head.py
+#: stream_session_windows, rangejoin_click_attribution,
+#: decontaminate_neardup_eval, and asof_purchase_last_click). tests/test_registry_head.py
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -7682,6 +7760,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_cluster_topics",
     "eval_dedup_recall_lsh",
     "analytics_corpus_datacard",
+    "diag_key_skew_gini",
     # (2) code changed in r9 — re-proof required
     "agg_approx_sketches",
     "layout_zorder_stats",
@@ -7704,7 +7783,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_distinct_users_daily",
     "agg_salted_hotkey",
     "agg_stats_moments",
-    "asof_purchase_last_click",
     "sessionize_user_events",
     "stream_dedup_ingest",
     "stream_stateful_spike_detect",
