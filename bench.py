@@ -71,17 +71,18 @@ def main() -> None:
         "value",
     )
     n_points = big.count()
-    # MIN of two full runs: ingest + rollup are single long jobs, so a
+    # MIN of three full runs: ingest + rollup are single long jobs, so a
     # transient box stall (measured on this host: same code 153 vs 222 s
-    # total 30 min apart, one entry 3.2 → 67.5 s) lands entirely in one
-    # sample. Two samples bound that exposure at ~20 s extra bench time;
-    # the MIN is the number that reflects the code, matching the
-    # per-entry-MIN discipline BASELINE.md already uses for analysis.
+    # total 30 min apart, one entry 3.2 → 67.5 s; and MIN-of-2 ingest
+    # still spanning 86k–182k pts/s across same-code runs) lands entirely
+    # in one sample. Three samples bound that exposure at ~30 s extra
+    # bench time; the MIN is the number that reflects the code, matching
+    # the per-entry-MIN discipline BASELINE.md uses for analysis.
     from tickdb_spark.rollup import RollupStore
 
     ingest_sec = float("inf")
     rollup_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         wh = tempfile.mkdtemp(prefix="bench_ingest_")
         t0 = time.perf_counter()
         append_batch(wh, big)
