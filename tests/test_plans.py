@@ -706,3 +706,56 @@ def test_phash_pairs_banded_equijoin_no_cartesian(spark):
     df = _df(spark, "media_phash_neardup_pairs")
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_quantize_to_grid_exact_past_2_53(spark):
+    """ADVICE r8 regression pin: the grid quantizer must use integer
+    division on the Spark side — floor of a double division diverges
+    from DuckDB's // once (v-lo)*2^bits exceeds 2^53. Checked against
+    python's exact // on values straddling the boundary."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.layout import quantize_to_grid, quantize_to_grid_sql
+
+    # (v - lo) * 65536 lands just above 2^53 for v-lo around 137438953473
+    cases = [
+        (137438953473 + d, 0, 137438953600, 3)  # (v, lo, hi, divisor-ish)
+        for d in range(-2, 3)
+    ] + [(9007199254740993 // 65536 + d, 0, 2**47, 7) for d in range(-2, 3)]
+    rows = [(v, lo, hi) for v, lo, hi, _ in cases]
+    df = spark.createDataFrame(rows, "v long, lo long, hi long")
+    got = [
+        r[0]
+        for r in df.select(
+            quantize_to_grid(F.col("v"), F.col("lo"), F.col("hi")).alias("q")
+        ).collect()
+    ]
+    want = [((v - lo) * 65536) // (hi - lo + 1) for v, lo, hi in rows]
+    assert got == want
+    con = duckdb.connect()
+    oracle = [
+        con.execute(
+            f"SELECT {quantize_to_grid_sql(str(v), str(lo), str(hi))}"
+        ).fetchone()[0]
+        for v, lo, hi in rows
+    ]
+    assert oracle == want
+
+
+def test_lsh_signature_encode_matches_literal_table(spark):
+    """The incremental maintenance encoder (planes as a broadcast column)
+    must produce bit-identical buckets to the literal-expression batch
+    kernel — the property that makes the maintained index equal the
+    batch-built one."""
+    from tickdb_spark.operators.similarity import (
+        lsh_signature_encode,
+        lsh_signature_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = {(r[0], r[1]): r[2] for r in lsh_signature_table(emb).collect()}
+    b = {(r[0], r[1]): r[2] for r in lsh_signature_encode(emb).collect()}
+    assert a == b and len(a) > 0
