@@ -117,5 +117,29 @@ def main() -> None:
     )
 
 
+def wave2() -> None:
+    """1x-8x rows for the wave-2 r9 operators:
+    ``python scripts/bench_r9_ops_scale.py wave2``."""
+    spark = get_spark(
+        app_name="r9_ops_scale2", master="local[32]", shuffle_partitions=32
+    )
+    from bench_analytics_scale import scaled_labeled_docs
+    from tickdb_spark.operators.domainmix import doremi_domain_weights
+
+    def run(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    scaled_labeled_docs(spark, 1).count()
+    times = [
+        run(doremi_domain_weights(scaled_labeled_docs(spark, f))) for f in FACTORS
+    ]
+    print(json.dumps({"op": "doremi", "sec": times, "log2_growth": growth(times)}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "wave2":
+        wave2()
+    else:
+        main()
