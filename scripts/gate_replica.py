@@ -19,7 +19,6 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as E
-from tickdb_spark import get_spark
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -27,9 +26,31 @@ TABLES = (
 ).split()
 
 
+def _driver_like_spark():
+    """A PLAIN SparkSession, exactly the shape the driver builds — NOT
+    ``get_spark``. The driver owns its session and sets nothing beyond
+    master + shuffle partitions; entries must survive that (querybank
+    pins what it needs at runtime). Replicating with get_spark's tuned
+    confs hid a real red for a full round: a non-Arrow ``toPandas``
+    materializes float32 arrays as doubles and the streaming landing
+    files then mismatch their declared array<float> schema
+    (CORRECTNESS_r09 stream_{ann,pq})."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("gate_replica")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark = _driver_like_spark()
 
     def oracle(sql: str):
         # fresh connection per oracle, like the driver's per-entry

@@ -59,8 +59,19 @@ def doremi_domain_weights(
     """Learn the domain mixture: ``(domain, n_docs, w_raw, weight)`` with
     ``w_raw = Π_shards (1000 + L_shard)`` (exact BIGINT) and
     ``weight = w_raw / Σ w_raw`` (one IEEE division of exact ints)."""
-    if not 1 <= n_shards <= 17:
-        raise ValueError("n_shards must be in [1, 17] (int64 product bound)")
+    # MW factors are in [LOSS_SCALE, 2*LOSS_SCALE] = [1000, 2000], so the
+    # per-domain product w_raw is bounded by 2000^n_shards. Both engines
+    # must stay EXACT: Spark's BIGINT product wraps silently (ANSI off)
+    # past 2^63 and DuckDB's product() is a double, inexact past 2^53 —
+    # 2000^5 = 3.2e16 > 2^53 already diverges, 2000^4 = 1.6e13 is safe
+    # on both. (ADVICE r9: the old [1, 17] "int64 bound" ignored the
+    # oracle's double product.)
+    if not 1 <= n_shards <= 4:
+        raise ValueError(
+            "n_shards must be in [1, 4]: 2000^n_shards must stay under "
+            "2^53 so the BIGINT product (Spark) and double product "
+            "(DuckDB oracle) are both exact"
+        )
     fam = bigram_familiarity(docs, text_col, id_col)
     tagged = docs.select(
         F.col(id_col),

@@ -1185,11 +1185,21 @@ def eval_dedup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.lit(1).alias("_ls")
     )
     j = ex.join(ls, ["id_a", "id_b"], "full")
+    # outer coalesce (ADVICE r9): sum over ZERO rows is NULL, while the
+    # oracle's scalar count(*) subqueries return 0 — a degenerate corpus
+    # with no detector pairs must still hash-match (0, 0, 0, 0.0).
     return j.agg(
         F.lit(0.7).cast("double").alias("tau"),
-        F.sum(F.coalesce("_ex", F.lit(0))).cast("long").alias("n_exact"),
-        F.sum(F.coalesce("_ls", F.lit(0))).cast("long").alias("n_lsh"),
-        F.sum(F.coalesce("_ex", F.lit(0)) * F.coalesce("_ls", F.lit(0)))
+        F.coalesce(F.sum(F.coalesce("_ex", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce("_ls", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_lsh"),
+        F.coalesce(
+            F.sum(F.coalesce("_ex", F.lit(0)) * F.coalesce("_ls", F.lit(0))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_hit"),
     ).select(
@@ -2404,6 +2414,44 @@ def _events_warehouse(spark: SparkSession, sf_dir: str) -> str:
     return _WH_CACHE[sf_dir]
 
 
+def _write_landing(pdf, spark_schema, path: str, mtime: int) -> None:
+    """Write one streaming landing parquet with EXACTLY the arrow types
+    of ``spark_schema``. pandas→arrow inference must never pick the
+    types: a non-Arrow ``toPandas`` (the DRIVER's plain session — it
+    does not enable ``spark.sql.execution.arrow.pyspark.enabled``)
+    materializes float32 arrays as Python doubles, arrow infers
+    ``list<double>``, and the streaming parquet reader then refuses the
+    declared ``array<float>`` schema (FAILED_READ_FILE.PARQUET_COLUMN_
+    DATA_TYPE_MISMATCH — the CORRECTNESS_r09 stream_{ann,pq} red). The
+    values are float32-exact either way, so the explicit cast is
+    lossless; mtime ordering drives the file-source batch order."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq_
+
+    from pyspark.sql import types as _T
+
+    def conv(dt):
+        if isinstance(dt, _T.LongType):
+            return _pa.int64()
+        if isinstance(dt, _T.IntegerType):
+            return _pa.int32()
+        if isinstance(dt, _T.FloatType):
+            return _pa.float32()
+        if isinstance(dt, _T.DoubleType):
+            return _pa.float64()
+        if isinstance(dt, _T.StringType):
+            return _pa.string()
+        if isinstance(dt, _T.ArrayType):
+            return _pa.list_(conv(dt.elementType))
+        raise TypeError(f"no landing arrow mapping for {dt}")
+
+    schema = _pa.schema([_pa.field(f.name, conv(f.dataType)) for f in spark_schema.fields])
+    cols = [f.name for f in spark_schema.fields]
+    tbl = _pa.Table.from_pandas(pdf[cols], schema=schema, preserve_index=False)
+    _pq_.write_table(tbl, path)
+    _os.utime(path, (mtime, mtime))
+
+
 @register(
     "tick_rollup_day_agg",
     f"""
@@ -2793,8 +2841,6 @@ def stream_stream_leftouter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
 
     from tickdb_spark.streaming.dedup import stream_dedup_ingest as _sdi
 
@@ -2816,11 +2862,13 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ech1 = pdf[pdf.doc_id % 7 == 3].assign(doc_id=lambda d: d.doc_id + 1_000_000)
     ech2 = pdf[pdf.doc_id % 11 == 5].assign(doc_id=lambda d: d.doc_id + 2_000_000)
     parts[3] = _pd.concat([parts[3], ech1, ech2], ignore_index=True)
+    from tickdb_spark.streaming.dedup import batch_schema as _batch_schema
+
     base = 1_600_000_000
     for k, part in enumerate(parts):
         p = _os.path.join(landing, f"batch_{k}.parquet")
-        _pq.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
-        _os.utime(p, (base + k, base + k))  # file source processes in mtime order
+        # file source processes in mtime order
+        _write_landing(part, _batch_schema(), p, base + k)
     return _sdi(spark, landing, _os.path.join(work, "state")).orderBy("doc_id")
 
 
@@ -2841,10 +2889,6 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus).",
 )
 def stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq
-
     from tickdb_spark.streaming.index import stream_ann_index_maintenance as _sam
 
     work = _tempfile.mkdtemp(prefix="tickdb_sann_")
@@ -2858,8 +2902,7 @@ def stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(4):
         part = pdf.iloc[k * step : (k + 1) * step]
         p = _os.path.join(landing, f"batch_{k}.parquet")
-        _pq.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
-        _os.utime(p, (base + k, base + k))
+        _write_landing(part, emb.schema, p, base + k)
     return _sam(
         spark, landing, _os.path.join(work, "state"), schema=emb.schema
     ).orderBy("vec_id", "table_id")
@@ -7017,10 +7060,6 @@ def _ivf_cells(emb, sf_dir: str):
     "so a drifted cached codebook is caught, not hidden.",
 )
 def stream_pq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq_
-
     from tickdb_spark.streaming.index import stream_pq_index_maintenance as _spm
 
     work = _tempfile.mkdtemp(prefix="tickdb_spq_")
@@ -7034,8 +7073,7 @@ def stream_pq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(4):
         part = pdf.iloc[k * step : (k + 1) * step]
         p = _os.path.join(landing, f"batch_{k}.parquet")
-        _pq_.write_table(_pa.Table.from_pandas(part, preserve_index=False), p)
-        _os.utime(p, (base + k, base + k))
+        _write_landing(part, emb.schema, p, base + k)
     return _spm(
         spark, landing, _os.path.join(work, "state"), books, schema=emb.schema
     ).orderBy("vec_id", "m")
@@ -7563,10 +7601,6 @@ def agg_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-distinct streaming state grows without bound.",
 )
 def stream_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd  # noqa: F401
-    import pyarrow as _pa
-    import pyarrow.parquet as _pq_
-
     from tickdb_spark.operators.sketch import hll_estimate_from_registers
     from tickdb_spark.streaming.index import stream_hll_maintenance as _shm
 
@@ -7584,12 +7618,11 @@ def stream_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pdf = proj.toPandas()
     base = 1_600_000_000
+    schema = proj.select("scope", "ud").schema
     for k in range(4):
         part = pdf[pdf._q == k][["scope", "ud"]]
         path = _os.path.join(landing, f"batch_{k}.parquet")
-        _pq_.write_table(_pa.Table.from_pandas(part, preserve_index=False), path)
-        _os.utime(path, (base + k, base + k))
-    schema = proj.select("scope", "ud").schema
+        _write_landing(part, schema, path, base + k)
     merged = _shm(spark, landing, _os.path.join(work, "state"), schema, ["scope"], "ud", p=7)
     return hll_estimate_from_registers(merged, ["scope"], p=7).orderBy("scope")
 

@@ -38,6 +38,21 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
+def _read_maintained(
+    spark: SparkSession, table_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Read a maintained index table whose epochs live in per-epoch
+    subdirectories (the idempotent-write layout): recursiveFileLookup
+    flattens the seed file + every ``epoch_<id>/`` part file into one
+    scan, bypassing partition discovery (epoch is a write-idempotence
+    artifact, not a data column)."""
+    return (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(table_dir)
+    )
+
+
 def emb_schema(dim: int = 64) -> T.StructType:
     return T.StructType(
         [
@@ -59,7 +74,12 @@ def stream_ann_index_maintenance(
     return the maintained signature table ``(vec_id, table_id, bucket)``.
 
     ``work_dir`` holds ``signatures/`` (the stored index probes read) and
-    ``checkpoint/`` (stream progress — exactly-once appends per epoch).
+    ``checkpoint/`` (stream progress). Appends are IDEMPOTENT per epoch:
+    each batch overwrites its own ``epoch_<id>/`` subdirectory, so a
+    crash between the parquet write and the checkpoint commit re-runs
+    the epoch into the same directory instead of duplicating rows — a
+    plain append would make foreachBatch at-least-once and break the
+    maintained-table-equals-batch-built oracle on restart (ADVICE r9).
     """
     from tickdb_spark.operators.similarity import lsh_signature_encode
 
@@ -73,7 +93,9 @@ def stream_ann_index_maintenance(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col("table_id").cast("int"),
             F.col("bucket").cast("int"),
-        ).write.mode("append").parquet(sig_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"epoch_{epoch_id}")
+        )
 
     q = (
         spark.readStream.schema(schema or emb_schema())
@@ -85,7 +107,7 @@ def stream_ann_index_maintenance(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sig_dir)
+    return _read_maintained(spark, sig_dir, _SIG_SCHEMA)
 
 
 _CODE_SCHEMA = T.StructType(
@@ -113,7 +135,9 @@ def stream_pq_index_maintenance(
     corpus while the training cost stays where it was paid, at ingest
     time. Codes are a pure per-vector function of the frozen codebooks,
     so the maintained table equals the batch-built one over the same
-    rows (the oracle)."""
+    rows (the oracle). Writes are idempotent per epoch (overwrite into
+    ``epoch_<id>/``), so a restart re-runs an uncommitted epoch in place
+    instead of appending duplicates."""
     from tickdb_spark.operators.pq import pq_encode
 
     code_dir = os.path.join(work_dir, "pq_codes")
@@ -125,7 +149,9 @@ def stream_pq_index_maintenance(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col("m").cast("long"),
             F.col("code").cast("long"),
-        ).write.mode("append").parquet(code_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(code_dir, f"epoch_{epoch_id}")
+        )
 
     q = (
         spark.readStream.schema(schema or emb_schema())
@@ -137,7 +163,7 @@ def stream_pq_index_maintenance(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(code_dir)
+    return _read_maintained(spark, code_dir, _CODE_SCHEMA)
 
 
 def stream_hll_maintenance(
@@ -171,9 +197,12 @@ def stream_hll_maintenance(
     spark.createDataFrame([], seed).write.mode("ignore").parquet(reg_dir)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        # max-merge absorbs duplicate registers, so HLL needs no write
+        # idempotence for correctness — per-epoch overwrite anyway keeps
+        # the log restart-clean (no dead rows) and the layout uniform.
         hll_registers(batch, group_cols, value_col, p).write.mode(
-            "append"
-        ).parquet(reg_dir)
+            "overwrite"
+        ).parquet(os.path.join(reg_dir, f"epoch_{epoch_id}"))
 
     q = (
         spark.readStream.schema(schema)
@@ -185,7 +214,7 @@ def stream_hll_maintenance(
         .start()
     )
     q.awaitTermination()
-    log = spark.read.parquet(reg_dir)
+    log = _read_maintained(spark, reg_dir, seed)
     return log.groupBy(*group_cols, "bucket").agg(
         F.max("register").cast("long").alias("register")
     )
