@@ -494,8 +494,11 @@ def test_stream_ann_index_incremental_and_probe_reads_stored(tmp_path, spark):
     assert k2 == w2 and len(k2) == len(pdf) * 24
     assert all(k2[key] == v for key, v in k1.items())  # old rows untouched
 
-    # probe reads the STORED table; no signature kernel in the plan
-    stored = spark.read.parquet(str(tmp_path / "state" / "signatures"))
+    # probe reads the STORED table (epoch-subdir layout from the
+    # idempotent per-epoch writes); no signature kernel in the plan
+    from tickdb_spark.streaming.index import _SIG_SCHEMA, _read_maintained
+
+    stored = _read_maintained(spark, str(tmp_path / "state" / "signatures"), _SIG_SCHEMA)
     probe = ann_topk_lsh_multitable(
         emb, query_ids=[0, 1], k=3, signatures=stored
     )
@@ -542,6 +545,86 @@ def test_stream_pq_index_incremental_matches_batch(tmp_path, spark):
     k2 = {(r[0], r[1]): r[2] for r in got2.collect()}
     want = {(r[0], r[1]): r[2] for r in pq_encode(emb, books).collect()}
     assert k2 == want and len(k2) == len(pdf) * 8
+
+
+def test_stream_ivf_cells_incremental_matches_batch(tmp_path, spark):
+    """Incremental IVF cell maintenance: maintained (vec_id, cell) rows
+    equal the batch assignment under the SAME frozen coarse centroids,
+    and a restart with a new landing file appends only new vectors."""
+    from tickdb_spark.operators.kmeans import assign_cells, kmeans_fit
+    from tickdb_spark.streaming.index import stream_ivf_cell_maintenance
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    cents = kmeans_fit(emb, k=4, max_iter=2, tol=0.0, sample_fraction=0.5)
+    pdf = emb.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(landing / "b0.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    got1 = stream_ivf_cell_maintenance(
+        spark, str(landing), work, cents, schema=emb.schema
+    )
+    assert got1.count() == half
+
+    pdf.iloc[half:].to_parquet(landing / "b1.parquet", index=False)
+    got2 = stream_ivf_cell_maintenance(
+        spark, str(landing), work, cents, schema=emb.schema
+    )
+    k2 = {r[0]: r[1] for r in got2.collect()}
+    want = {
+        r[0]: r[1] for r in assign_cells(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert k2 == want and len(k2) == len(pdf)
+
+
+def test_stream_decontam_grams_incremental_matches_batch(tmp_path, spark):
+    """Incremental eval-gram maintenance: the maintained distinct gram
+    set equals the batch-built one over the same eval rows (including
+    duplicate grams arriving in different epochs), and the report probed
+    with the maintained set equals the batch contamination report."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.decontam import _gram_hashes, contamination_report
+    from tickdb_spark.streaming.index import stream_decontam_gram_maintenance
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eval_set = docs.where(F.col("doc_id") % 5 == 0)
+    pdf = eval_set.orderBy("doc_id").toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(landing / "b0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(landing / "b1.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    grams = stream_decontam_gram_maintenance(
+        spark, str(landing), work, eval_set.schema, "text", "doc_id", n=6
+    )
+    want = set(
+        r[0]
+        for r in _gram_hashes(eval_set, "text", "doc_id", 6)
+        .select("gram")
+        .distinct()
+        .collect()
+    )
+    assert set(r[0] for r in grams.collect()) == want
+
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    via_stream = contamination_report(
+        train, None, "text", "doc_id", n=6, eval_grams=grams
+    )
+    via_batch = contamination_report(train, eval_set, "text", "doc_id", n=6)
+    assert sorted(map(tuple, via_stream.collect())) == sorted(
+        map(tuple, via_batch.collect())
+    )
 
 
 def test_stream_hll_register_log_merges_to_batch_sketch(tmp_path, spark):

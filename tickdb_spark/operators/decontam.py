@@ -34,14 +34,21 @@ def _gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
 
 def contamination_report(
     train: DataFrame,
-    eval_set: DataFrame,
+    eval_set: DataFrame | None,
     text_col: str,
     id_col: str,
     n: int = 8,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per training doc: how many distinct n-grams it shares with the
     eval set and the keep/drop verdict. Returns
-    ``(id, n_shared_grams, contaminated)`` for every train doc."""
+    ``(id, n_shared_grams, contaminated)`` for every train doc.
+
+    ``eval_grams`` takes a pre-built distinct gram-hash table (e.g. the
+    maintained set from ``streaming/index.stream_decontam_gram_
+    maintenance``) — the production shape: the benchmark gram set is
+    stored state, not a per-run re-derivation. Omitted, it is derived
+    from ``eval_set`` inline."""
     # Spread the doc rows first: the gram build + md5 is the expensive
     # part, and a single-split parquet source would otherwise run it in
     # one task (the single-split gotcha in the working notes; shuffling raw docs is
@@ -49,9 +56,9 @@ def contamination_report(
     par = train.sparkSession.sparkContext.defaultParallelism
     tg = _gram_hashes(train.repartition(par), text_col, id_col, n)
     eg = (
-        _gram_hashes(eval_set, text_col, id_col, n)
-        .select("gram")
-        .distinct()
+        eval_grams.select("gram")
+        if eval_grams is not None
+        else _gram_hashes(eval_set, text_col, id_col, n).select("gram").distinct()
     )
     # word_ngrams dedups per doc (array_distinct), so the joined rows are
     # already one per (doc, shared gram): a plain count replaces the

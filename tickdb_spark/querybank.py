@@ -7079,6 +7079,115 @@ def stream_pq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "m")
 
 
+from tickdb_spark.operators import kmeans as _km  # noqa: E402
+
+
+def _ivf_cells_maintenance_oracle() -> str:
+    """Replay the coarse trainer (k=4, 3 Lloyd iters, 50% hash sample —
+    the exact _pq_coarse parameters) and assign every corpus vector to
+    its nearest centroid: the batch-built (vec_id, cell) table the
+    maintained one must equal."""
+    ctes = _km.kmeans_replay_ctes("embeddings", 4, 3, 64, 0.5)
+    score = _km._score_sql("a.v", "c.c", 64)
+    return f"""
+    WITH {ctes},
+    km_all AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    km_fin AS (
+      SELECT id, cell FROM (
+        SELECT a.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY a.id
+                                  ORDER BY {score}, c.cell) AS rn
+        FROM km_all a CROSS JOIN km_cents c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell
+    FROM km_fin ORDER BY vec_id
+    """
+
+
+@register(
+    "stream_ivf_cell_maintenance",
+    _ivf_cells_maintenance_oracle(),
+    "incremental IVF coarse-cell maintenance — the third stored-index "
+    "face (after LSH signatures and PQ codes): coarse centroids are "
+    "trained ONCE (k=4, 3 Lloyd iterations, memoized like the batch IVF "
+    "entries), then each micro-batch's NEW vectors are assigned with "
+    "the FROZEN centroids (the bit-exact assign_cells GEMM kernel) and "
+    "appended to the stored (vec_id, cell) table the IVF/IVFADC probes "
+    "prune with. Assignment is a pure per-vector function of the frozen "
+    "centroids, so the maintained table equals the batch-built one; the "
+    "oracle replays the trainer AND the assignment, so a drifted memo "
+    "is caught, not hidden.",
+)
+def stream_ivf_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import stream_ivf_cell_maintenance as _sic
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sivf_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _pq_coarse(emb, sf_dir)
+    pdf = emb.orderBy("vec_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _write_landing(part, emb.schema, p, base + k)
+    return _sic(
+        spark, landing, _os.path.join(work, "state"), cents, schema=emb.schema
+    ).orderBy("vec_id")
+
+
+@register(
+    "stream_decontam_gram_maintenance",
+    _decontam.contamination_report_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0",
+        "text",
+        "doc_id",
+        n=8,
+    )
+    + " ORDER BY id",
+    "incremental decontamination-state maintenance: the EVAL set is "
+    "what grows over a training run (new benchmarks get added), so its "
+    "distinct 8-gram hash set is maintained incrementally — each "
+    "micro-batch of eval docs (4 id-range landing files) appends its "
+    "gram hashes via foreachBatch, and the contamination probe "
+    "broadcasts the MAINTAINED set against the train corpus, which is "
+    "never rescanned for gram-set construction. Gram hashing is "
+    "per-doc pure and the probe reads the distinct-on-read view, so "
+    "the report equals the batch path's — the oracle IS the batch "
+    "entry's SQL (decontaminate_train_vs_eval).",
+)
+def stream_decontam_grams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import (
+        stream_decontam_gram_maintenance as _sdg,
+    )
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sgram_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    pdf = eval_set.orderBy("doc_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _write_landing(part, eval_set.schema, p, base + k)
+    grams = _sdg(
+        spark, landing, _os.path.join(work, "state"), eval_set.schema, "text", "doc_id", n=8
+    )
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return _decontam.contamination_report(
+        train, None, "text", "doc_id", n=8, eval_grams=grams
+    ).orderBy("id")
+
+
 from tickdb_spark.operators import pca as _pca  # noqa: E402
 
 

@@ -166,6 +166,108 @@ def stream_pq_index_maintenance(
     return _read_maintained(spark, code_dir, _CODE_SCHEMA)
 
 
+_CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+    ]
+)
+
+
+def stream_ivf_cell_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """IVF coarse-cell face of the maintenance shape: each micro-batch's
+    NEW vectors are assigned to their nearest FROZEN coarse centroid
+    (``operators/kmeans.assign_cells`` — the same bit-exact GEMM kernel
+    the batch path uses) and the ``(vec_id, cell)`` rows land in the
+    stored cell table the IVF/IVFADC probes prune with. Assignment is a
+    pure per-vector function of the frozen centroids, so the maintained
+    table equals the batch-built one over the same rows (the oracle
+    replays the trainer + assignment). Writes are idempotent per epoch
+    (overwrite into ``epoch_<id>/``)."""
+    from tickdb_spark.operators.kmeans import assign_cells
+
+    cell_dir = os.path.join(work_dir, "ivf_cells")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_ivf")
+    spark.createDataFrame([], _CELL_SCHEMA).write.mode("ignore").parquet(cell_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        assign_cells(batch, centroids, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col("cell").cast("long"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(cell_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema or emb_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_maintained(spark, cell_dir, _CELL_SCHEMA)
+
+
+_GRAM_SCHEMA = T.StructType([T.StructField("gram", T.LongType(), False)])
+
+
+def stream_decontam_gram_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Decontamination face: the EVAL/benchmark set is what grows here
+    (new benchmarks get added over a training run's lifetime, the train
+    corpus is the thing you must not rescan). Each micro-batch of eval
+    docs explodes to distinct word n-gram hashes (60-bit md5-prefix
+    ints, the exact batch scheme in ``operators/decontam.py``) appended
+    to the stored gram table; the contamination probe broadcasts the
+    maintained set against the corpus exactly like the batch path.
+    Gram hashing is per-doc pure, so the maintained set (distinct on
+    read — the same gram can arrive from two eval docs in different
+    epochs) equals the batch-built eval gram set over the same rows.
+    Returns the maintained DISTINCT gram set."""
+    from tickdb_spark.operators.decontam import _gram_hashes
+
+    gram_dir = os.path.join(work_dir, "eval_grams")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_grams")
+    spark.createDataFrame([], _GRAM_SCHEMA).write.mode("ignore").parquet(gram_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        _gram_hashes(batch, text_col, id_col, n).select(
+            "gram"
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(gram_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_maintained(spark, gram_dir, _GRAM_SCHEMA).distinct()
+
+
 def stream_hll_maintenance(
     spark: SparkSession,
     landing_dir: str,
