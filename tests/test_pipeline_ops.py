@@ -2147,3 +2147,41 @@ def test_image_dhash_fuzz_vs_numpy_reference(spark):
         for r in mm.image_dhash(media).collect()
     }
     assert got == want
+
+
+def test_bm25_ranks_term_density_and_downweights_stopwords(spark):
+    """BM25 behavioral pins: (1) the doc denser in the query terms ranks
+    first at equal length; (2) a near-ubiquitous term contributes ~0
+    (rational idf (N-df+.5)/(df+.5) < 1 when df > N/2), so a rare-term
+    match outranks a stopword match; (3) ranks are tie-broken by doc_id."""
+    from tickdb_spark.operators.bm25 import bm25_topk
+
+    rows = [
+        # doc 0: dense in "hash join"; doc 1: single mention, same length
+        (0, "hash join hash join hash join filler filler"),
+        (1, "hash join filler filler filler filler filler filler"),
+        # docs 2-9: all contain "the" (ubiquitous), only doc 2 has "rare"
+        (2, "the rare filler filler"),
+        (3, "the filler filler filler"),
+        (4, "the filler filler filler"),
+        (5, "the filler filler filler"),
+        (6, "the filler filler filler"),
+        (7, "the filler filler filler"),
+        (8, "the filler filler filler"),
+        (9, "the filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = bm25_topk(docs, [(0, "hash join"), (1, "the rare")], k_top=10)
+    pdf = got.toPandas().sort_values(["q_id", "rnk"]).reset_index(drop=True)
+
+    q0 = pdf[pdf.q_id == 0]
+    assert list(q0.doc_id[:2]) == [0, 1]  # denser doc first
+    assert q0.score.iloc[0] > q0.score.iloc[1] > 0
+
+    q1 = pdf[pdf.q_id == 1]
+    assert q1.doc_id.iloc[0] == 2  # rare-term match beats stopword-only
+    # stopword-only docs tie on score -> doc_id ascending tie-break
+    ties = q1[q1.doc_id != 2]
+    assert list(ties.doc_id) == sorted(ties.doc_id)
+    assert ties.score.nunique() == 1

@@ -1,0 +1,182 @@
+"""BM25 top-k text retrieval over the document corpus — the lexical
+search operator every training-data pipeline needs next to the embedding
+ANN tier (inspect corpora, mine hard negatives, build eval sets).
+
+The reference engine has no text surface at all (its query surface is
+time-bucket reducers, ``/root/reference/query.go:20-59``); this belongs
+to the LLM-pipeline extension set alongside tf-idf and PMI in
+``functions/text.py``.
+
+Cross-engine exactness (the hash-gate discipline): classic BM25's
+``log`` idf is not bit-replayable (JVM intrinsic vs glibc differ in the
+last ulp), so the idf here is the RATIONAL Robertson–Spärck-Jones
+weight WITHOUT the log: ``(N - df + 0.5) / (df + 0.5)``. Per term that
+is a monotone transform of log-idf (log is increasing), so each term's
+doc-ordering is preserved; the SUMMED score is a documented variant
+(not identical rank to log-BM25 for multi-term queries) — deterministic
+and engine-exact, which the gate needs more than textbook fidelity.
+Every per-term score is ONE fixed double expression tree (shared
+formula text between Spark and the DuckDB oracle — ``_SCORE_TMPL``),
+then integer-quantized ``floor(x*1e9 + 0.5)`` so the per-document sum
+over query terms is an order-independent exact BIGINT.
+
+Scale design: the corpus-wide token explode is FILTERED to query terms
+before any shuffle (one scan, predicate on the exploded token), so
+tf/df aggregates and the scoring join run over |matching (doc, term)|
+rows, not the corpus vocabulary; the query-term table and df table
+broadcast. Corpus statistics (N, total token count) are two exact
+BIGINTs computed once — at ingest time in production (the stored-stats
+pattern), inline here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Shared per-term score formula — IDENTICAL text on both engines, so
+#: every IEEE op runs on bit-identical inputs in the same order.
+#: Placeholders: {tf} {df} {dl} exact-BIGINT column refs, {n} {tot}
+#: exact integer literals / refs, {k1} {b1} {b} BM25 constants.
+_SCORE_TMPL = (
+    "CAST(floor(("
+    "((CAST({n} - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+    " * ((CAST({tf} AS DOUBLE) * {k1p1})"
+    "    / (CAST({tf} AS DOUBLE)"
+    "       + {k1} * ({omb} + {b} * (CAST({dl} AS DOUBLE)"
+    "                                / (CAST({tot} AS DOUBLE) / {n})))))"
+    ") * 1e9 + 0.5) AS BIGINT)"
+)
+
+_K1 = "1.2"
+_K1P1 = "2.2"
+_B = "0.75"
+_OMB = "0.25"  # 1 - b
+
+
+def _terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """(q_id, term) pairs, DISTINCT terms per query (a repeated query
+    term scores once — the qtf weight is 1, the common simplification)."""
+    out = []
+    for q_id, text in queries:
+        seen = set()
+        for t in text.strip().lower().split():
+            if t not in seen:
+                seen.add(t)
+                out.append((int(q_id), t))
+    return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k_top: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k_top`` documents per query by the rational-idf BM25 score.
+    Returns ``(q_id, rnk, doc_id, score)``, ranked score-desc with a
+    ``doc_id`` tie-break; only documents containing at least one query
+    term are candidates (standard inverted-index semantics)."""
+    spark = docs.sparkSession
+    terms = _terms(queries)
+    all_terms = sorted({t for _, t in terms})
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    # corpus stats: two exact BIGINTs (stored at ingest in production)
+    n_docs, tot = docs.select(
+        F.count(F.lit(1)).cast("long"),
+        F.sum(F.size(toks)).cast("long"),
+    ).first()
+
+    # filter BEFORE any shuffle: only query-term rows leave the scan
+    tf = (
+        tok.where(F.col("token").isin(all_terms))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    # (doc_id, token) is unique in tf, so df = plain count per token
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = spark.createDataFrame(terms, "q_id long, token string")
+
+    score_q = F.expr(
+        _SCORE_TMPL.format(
+            tf="tf", df="df", dl="dl", n=n_docs, tot=tot,
+            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qt), "token")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(score_q).cast("long").alias("score_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_top)
+        .select(
+            "q_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
+        )
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    k_top: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: same filtered-explode shape, same ``_SCORE_TMPL``
+    formula text, same quantized BIGINT sum and tie-break."""
+    terms = _terms(queries)
+    all_terms = ", ".join(f"'{t}'" for t in sorted({t for _, t in terms}))
+    qvals = ", ".join(f"({q}, '{t}')" for q, t in terms)
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    score = _SCORE_TMPL.format(
+        tf="t.tf", df="d.df", dl="t.dl", n="s.n_docs", tot="s.tot",
+        k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS doc_id, len({toks})::BIGINT AS dl,
+             unnest({toks}) AS token
+      FROM {table}
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(len({toks}))::BIGINT AS tot
+      FROM {table}
+    ),
+    qt(q_id, token) AS (VALUES {qvals}),
+    tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+      FROM tok WHERE token IN ({all_terms}) GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT q.q_id, t.doc_id, SUM({score})::BIGINT AS score_q
+      FROM tf t JOIN dfreq d USING (token) JOIN qt q USING (token), s
+      GROUP BY q.q_id, t.doc_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_q DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rnk,
+           doc_id, CAST(score_q AS DOUBLE) / 1e9 AS score
+    FROM ranked WHERE rnk <= {k_top}
+    """

@@ -4425,6 +4425,37 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tickdb_spark.operators import bm25 as _bm25  # noqa: E402
+
+#: fixed retrieval workload: 3 content queries + one stopword-heavy one
+#: (exercises the rational-idf downweighting of near-ubiquitous terms)
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "customer order query"),
+    (2, "slow spark stream"),
+    (3, "the big table"),
+]
+
+
+@register(
+    "text_bm25_retrieval",
+    _bm25.bm25_topk_sql("documents", _BM25_QUERIES, k_top=10),
+    "BM25 top-10 lexical retrieval for 4 fixed queries — the inverted-"
+    "index search face next to the embedding ANN tier (corpus "
+    "inspection, hard-negative mining, eval-set building). Rational "
+    "Robertson-Sparck-Jones idf WITHOUT the log (log is not bit-"
+    "replayable cross-engine; the rational weight is one fixed double "
+    "expression tree shared textually with the oracle), per-term "
+    "scores integer-quantized so the per-doc sum is an exact BIGINT. "
+    "The corpus explode is filtered to query terms BEFORE any shuffle; "
+    "df and query-term tables broadcast — at 100 TB the shuffles are "
+    "sized by matching (doc, term) rows, never corpus vocabulary.",
+)
+def text_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _bm25.bm25_topk(docs, _BM25_QUERIES, k_top=10)
+
+
 @register(
     "text_pmi_collocations",
     r"""
