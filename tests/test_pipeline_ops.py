@@ -2185,3 +2185,26 @@ def test_bm25_ranks_term_density_and_downweights_stopwords(spark):
     ties = q1[q1.doc_id != 2]
     assert list(ties.doc_id) == sorted(ties.doc_id)
     assert ties.score.nunique() == 1
+
+
+def test_cms_join_size_estimate_one_sided_and_exact_when_sparse(spark):
+    """CMS inner-product join-size estimate: (1) est >= exact always
+    (collisions only ADD cross products); (2) with far fewer keys than
+    buckets the estimate is EXACT at some depth (min picks it up);
+    (3) disjoint key sets -> exact_rows == 0 while est stays >= 0."""
+    from tickdb_spark.operators.sketch import cms_join_size_estimate
+
+    a = spark.createDataFrame([(i % 7,) for i in range(210)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    est, exact = cms_join_size_estimate(a, "k", b, "k").first()
+    true = sum(
+        (210 // 7) * (100 // 5) for key in range(7) if key < 5
+    )  # keys 0..4 shared: 30*20 each
+    assert exact == true == 3000
+    assert est >= exact
+    # 12 distinct keys across 512 buckets: no collisions at depth 0
+    assert est == exact
+
+    disj_b = spark.createDataFrame([(100 + i,) for i in range(50)], "k long")
+    est2, exact2 = cms_join_size_estimate(a, "k", disj_b, "k").first()
+    assert exact2 == 0 and est2 >= 0

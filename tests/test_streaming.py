@@ -547,6 +547,42 @@ def test_stream_pq_index_incremental_matches_batch(tmp_path, spark):
     assert k2 == want and len(k2) == len(pdf) * 8
 
 
+def test_stream_index_epoch_writes_are_idempotent(tmp_path, spark):
+    """ADVICE r9: a crash between the parquet write and the checkpoint
+    commit re-runs the epoch. Simulate the half-committed state by
+    pre-planting garbage rows in the epoch_0 directory the first batch
+    will claim — the overwrite-per-epoch sink must REPLACE them, so the
+    maintained table still equals the batch-built index (a plain append
+    would keep the garbage and duplicate the epoch)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tickdb_spark.operators.similarity import lsh_signature_table
+    from tickdb_spark.streaming.index import stream_ann_index_maintenance
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(40)
+    )
+    pdf = emb.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.to_parquet(landing / "b0.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    # half-committed epoch 0: rows that must NOT survive the re-run
+    garbage = spark.createDataFrame(
+        [(999_999, 0, 7), (999_998, 1, 3)], "vec_id long, table_id int, bucket int"
+    )
+    garbage.write.parquet(str(tmp_path / "state" / "signatures" / "epoch_0"))
+
+    got = stream_ann_index_maintenance(spark, str(landing), work, schema=emb.schema)
+    k = {(r[0], r[1]): r[2] for r in got.collect()}
+    want = {(r[0], r[1]): r[2] for r in lsh_signature_table(emb).collect()}
+    assert k == want  # garbage replaced, no duplicates, no stray ids
+
+
 def test_stream_ivf_cells_incremental_matches_batch(tmp_path, spark):
     """Incremental IVF cell maintenance: maintained (vec_id, cell) rows
     equal the batch assignment under the SAME frozen coarse centroids,

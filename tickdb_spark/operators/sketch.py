@@ -489,3 +489,92 @@ def kmv_sketch_from_hashes(hashes: DataFrame, k: int = 256) -> DataFrame:
         .where(F.col("_rn") <= k)
         .select("grp", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation — the classic sketch inner product (Cormode &
+# Muthukrishnan 2005, §4.2): |A ⋈_k B| is estimated WITHOUT running the
+# join as min_d Σ_w cmsA[d,w]·cmsB[d,w]. Like the point estimate it is
+# one-sided (est ≥ true: colliding keys only ADD cross products) and
+# ALL-INTEGER — counters are exact sums, the dot is an exact BIGINT sum,
+# the estimate an integer min — so it hash-checks with no quantization.
+#
+# Why it matters at 100 TB: this is the planner-side diagnostic you run
+# BEFORE committing to a join strategy (broadcast vs shuffle vs salted —
+# pairs with diag_key_skew_gini). Cost: two one-scan sketch builds of
+# d·w counters each; the dot joins two broadcast-sized tables. The join
+# itself never runs.
+# ---------------------------------------------------------------------------
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """One row ``(est_rows, exact_rows)``: the CMS inner-product
+    estimate of ``|a ⋈ b|`` on the given key columns next to the exact
+    size (computed from per-key counts — Σ cA(k)·cB(k), never the
+    materialized join). est ≥ exact always."""
+    sa = cms_build(a, a_col, depth, width).withColumnRenamed("cnt", "cnt_a")
+    sb = cms_build(b, b_col, depth, width).withColumnRenamed("cnt", "cnt_b")
+    dots = (
+        sa.join(sb, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est_rows"))
+    ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    exact = ca.join(cb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_rows")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def cms_join_size_estimate_sql(
+    a_sql: str,
+    a_expr: str,
+    b_sql: str,
+    b_expr: str,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """DuckDB twin: same hash family, same layered build, same integer
+    dot + min, exact size from per-key counts."""
+
+    def layers(src: str) -> str:
+        hs = _cms_hashes_sql("v", depth, width)
+        return "\nUNION ALL\n".join(
+            f"SELECT {i} AS depth, {h} AS bucket FROM {src}"
+            for i, h in enumerate(hs)
+        )
+
+    return f"""
+    WITH a_items AS MATERIALIZED (SELECT {a_expr} AS v FROM ({a_sql})),
+    b_items AS MATERIALIZED (SELECT {b_expr} AS v FROM ({b_sql})),
+    cms_a AS MATERIALIZED (
+      SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({layers('a_items')}) GROUP BY depth, bucket
+    ),
+    cms_b AS MATERIALIZED (
+      SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({layers('b_items')}) GROUP BY depth, bucket
+    ),
+    dots AS (
+      SELECT a.depth, SUM(a.cnt * b.cnt) AS dot
+      FROM cms_a a JOIN cms_b b USING (depth, bucket) GROUP BY a.depth
+    ),
+    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM dots),
+    exact AS (
+      SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS exact_rows
+      FROM (SELECT v, count(*) AS c FROM a_items GROUP BY v) ca
+      JOIN (SELECT v, count(*) AS c FROM b_items GROUP BY v) cb USING (v)
+    )
+    SELECT est_rows, exact_rows FROM est, exact
+    """

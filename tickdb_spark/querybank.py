@@ -5406,6 +5406,33 @@ def diag_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tickdb_spark.operators import sketch as _sketch  # noqa: E402
+
+
+@register(
+    "diag_join_size_estimate",
+    _sketch.cms_join_size_estimate_sql(
+        "SELECT user_id FROM events",
+        "user_id",
+        "SELECT o_custkey FROM orders",
+        "o_custkey",
+    ),
+    "join-size estimation WITHOUT running the join (CMS inner product, "
+    "Cormode-Muthukrishnan): |events x orders on user key| = min over "
+    "depths of the sketch dot product — the planner-side diagnostic "
+    "that decides broadcast vs shuffle vs salted BEFORE committing "
+    "(pairs with diag_key_skew_gini). All-integer end to end (exact "
+    "counters, BIGINT dot, integer min) so est >= exact is also "
+    "verifiable in-row: exact_rows comes from per-key counts, never a "
+    "materialized join. Cost: two one-scan d*w sketch builds; the dot "
+    "joins two broadcast-sized tables.",
+)
+def diag_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).select("user_id")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    return _sketch.cms_join_size_estimate(ev, "user_id", orders, "o_custkey")
+
+
 @register(
     "analytics_corpus_datacard",
     r"""
@@ -7918,60 +7945,61 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (1) NEW in r9 — never sampled by construction
-    "media_phash_neardup_pairs",
-    "media_phash_dedup_clusters",
+    # (1) NEW in r10 — never sampled by construction
+    "stream_ivf_cell_maintenance",
+    "stream_decontam_gram_maintenance",
+    "text_bm25_retrieval",
+    "diag_join_size_estimate",
+    # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
-    "text_unigram_train_vocab",
-    "text_unigram_tokenize",
-    "eval_ann_recall_lsh",
-    "eval_tokenizer_compression",
-    "select_doremi_domain_weights",
-    "pipeline_media_curation",
-    "stream_hll_maintenance",
-    "analytics_cluster_topics",
+    # (3) code changed in r10 — re-proof required
     "eval_dedup_recall_lsh",
-    "analytics_corpus_datacard",
-    "diag_key_skew_gini",
-    # (2) code changed in r9 — re-proof required
-    "agg_approx_sketches",
-    "layout_zorder_stats",
-    "agg_hll_distinct_userdays",
-    "tick_rolling_p90",
-    "tick_rolling_median",
-    "tick_anomaly_zscore",
-    "tick_winsorize_p99",
-    "tick_cusum_drift",
-    "text_pmi_collocations",
-    "eval_quality_auc",
-    # (3) stalest driver proof (r4) — rotation refresh
-    "collection_function_battery",
-    "sample_hash_deterministic",
-    "sample_stratified_quota",
-    "sample_weighted_mixture",
-    "sim_ann_topk_ivf",
-    "tpch_q1_pricing_summary",
-    # (4) r5-era proofs — next-stalest refresh
-    "agg_distinct_users_daily",
-    "agg_salted_hotkey",
-    "agg_stats_moments",
-    "sessionize_user_events",
+    "decontaminate_train_vs_eval",
+    "stream_hll_maintenance",
     "stream_dedup_ingest",
-    "stream_stateful_spike_detect",
-    "tick_bucket_2month_anchored",
-    "tick_bucket_5min_anchored",
-    "tick_bucket_day_count_avg",
-    "tick_bucket_day_ohlc",
-    "tick_bucket_hour_sum",
-    "tick_bucket_minute_minmax",
-    "tick_bucket_second",
-    "tick_ma3_hourly",
-    "tick_multiseries_day_agg",
-    "tick_range_scan",
-    "tick_sparse_field_nulls",
-    "tick_twa_6h",
-    "tick_upsert_delete_lifecycle",
+    "select_doremi_domain_weights",
+    # (4) stalest driver proof (r5) — rotation refresh
+    "agg_multi_distinct_stringagg",
+    "agg_value_histogram",
+    "asof_purchase_last_click",
+    "decontaminate_neardup_eval",
+    "rangejoin_click_attribution",
+    "stream_session_windows",
+    "stream_windowed_bucket_agg",
+    "tick_bucket_month_sum",
+    "tick_bucket_week_sum",
+    "tick_bucket_year",
+    "tick_point_get",
+    "win_analytic_suite",
+    # (5) r6-era proofs — next-stalest refresh
+    "agg_cube_flag_status",
+    "agg_equidepth_scale",
+    "agg_rollup_region_nation",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_near_pairs",
+    "join_bucketed_colocated",
+    "join_full_outer_nation_parties",
+    "join_semi_anti_customers",
+    "media_binary_stats",
+    "media_decode_jpeg",
+    "media_decode_png",
+    "media_decode_stats",
+    "media_feature_extract",
+    "media_video_frame_sample",
+    "pivot_qty_by_status",
+    "sample_token_budget",
+    "scalar_function_battery",
+    "setop_all_multiset_variants",
+    "setop_nation_coverage",
+    "sim_ann_topk_bruteforce",
+    "sim_ann_topk_lsh",
+    "sim_cosine_neardup_pairs",
+    "text_bpe_tokenize",
+    "text_bpe_train_merges",
 ]
 
 
