@@ -699,3 +699,36 @@ def test_stream_hll_register_log_merges_to_batch_sketch(tmp_path, spark):
     assert {(r[0], r[1]): r[2] for r in merged2.collect()} == {
         (r[0], r[1]): r[2] for r in want2.collect()
     }
+
+
+def test_stream_phash_fingerprints_match_batch_kernel(tmp_path, spark):
+    """Phash maintenance face: the maintained fingerprint table equals
+    the batch image_dhash over the same assets, including a non-image
+    blob (reject-to-drop inside the micro-batch, same as batch)."""
+    from tickdb_spark.operators.mediacodec import encode_bmp
+    from tickdb_spark.operators.multimodal import image_dhash
+    from tickdb_spark.streaming.index import stream_phash_index_maintenance
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, bytearray(encode_bmp(rng.randint(0, 255, (16, 18, 3)).astype("uint8"))))
+        for i in range(6)
+    ]
+    rows.append((99, bytearray(b"not an image at all")))
+    pdf = pd.DataFrame(rows, columns=["media_id", "content"])
+    pdf["content"] = pdf["content"].map(bytes)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.iloc[:4].to_parquet(landing / "b0.parquet", index=False)
+    pdf.iloc[4:].to_parquet(landing / "b1.parquet", index=False)
+
+    media = spark.createDataFrame(pdf, "media_id long, content binary")
+    got = stream_phash_index_maintenance(
+        spark, str(landing), str(tmp_path / "state"), media.schema
+    )
+    k = {r[0]: (r[1], r[2]) for r in got.collect()}
+    want = {r[0]: (r[1], r[2]) for r in image_dhash(media).collect()}
+    assert k == want and 99 not in k and len(k) == 6

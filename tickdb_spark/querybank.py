@@ -2441,6 +2441,8 @@ def _write_landing(pdf, spark_schema, path: str, mtime: int) -> None:
             return _pa.float64()
         if isinstance(dt, _T.StringType):
             return _pa.string()
+        if isinstance(dt, _T.BinaryType):
+            return _pa.binary()
         if isinstance(dt, _T.ArrayType):
             return _pa.list_(conv(dt.elementType))
         raise TypeError(f"no landing arrow mapping for {dt}")
@@ -6954,6 +6956,38 @@ def media_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_phash_index_maintenance",
+    _PHASH_PAIRS_SQL,
+    "incremental perceptual-hash maintenance — the media face of the "
+    "stored-index pattern: a binary asset stream (4 landing files) is "
+    "REAL-decoded and dHashed per micro-batch (the exact batch kernel, "
+    "reject-to-drop) into the stored fingerprint table, so decode is "
+    "paid once per asset at ingest and near-dup probes band over stored "
+    "64-bit fingerprints, never pixels. Fingerprints are a pure "
+    "per-asset function, so the maintained table equals the batch-built "
+    "one and the Hamming<=3 pairs over it equal the batch entry's — "
+    "the oracle IS media_phash_neardup_pairs' closed-form grid replay.",
+)
+def stream_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import stream_phash_index_maintenance as _spi
+
+    docs = _read(spark, sf_dir, "documents")
+    media = _materialized_assets("phash", sf_dir, _mm.plant_phash_assets(docs))
+    work = _tempfile.mkdtemp(prefix="tickdb_sphash_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    pdf = media.orderBy("media_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _write_landing(part, media.schema, p, base + k)
+    sigs = _spi(spark, landing, _os.path.join(work, "state"), media.schema)
+    return _dedup.dhash_near_pairs(sigs)
+
+
+@register(
     "pipeline_media_curation",
     f"""
     WITH clustered AS MATERIALIZED (
@@ -7950,6 +7984,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_decontam_gram_maintenance",
     "text_bm25_retrieval",
     "diag_join_size_estimate",
+    "stream_phash_index_maintenance",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -7996,7 +8031,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "setop_all_multiset_variants",
     "setop_nation_coverage",
     "sim_ann_topk_bruteforce",
-    "sim_ann_topk_lsh",
     "sim_cosine_neardup_pairs",
     "text_bpe_tokenize",
     "text_bpe_train_merges",

@@ -219,6 +219,53 @@ def stream_ivf_cell_maintenance(
     return _read_maintained(spark, cell_dir, _CELL_SCHEMA)
 
 
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), False),
+        T.StructField("dhash_lo", T.LongType(), False),
+    ]
+)
+
+
+def stream_phash_index_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Perceptual-hash face: a media stream (binary image assets) is
+    decoded and dHashed per micro-batch (``multimodal.image_dhash`` —
+    the same REAL pure-numpy BMP/PNG decode + exact cross-multiply grid
+    kernel as the batch path, reject-to-drop for non-images) and the
+    ``(media_id, dhash_hi, dhash_lo)`` fingerprints land in the stored
+    table the Hamming-ball near-dup probe bands over. The expensive step
+    (decode) is paid ONCE per asset at ingest; dedup probes never touch
+    pixels again. Idempotent per epoch like the other faces."""
+    from tickdb_spark.operators.multimodal import image_dhash
+
+    fp_dir = os.path.join(work_dir, "phash_fingerprints")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_phash")
+    spark.createDataFrame([], _DHASH_SCHEMA).write.mode("ignore").parquet(fp_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        image_dhash(batch).write.mode("overwrite").parquet(
+            os.path.join(fp_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_maintained(spark, fp_dir, _DHASH_SCHEMA)
+
+
 _GRAM_SCHEMA = T.StructType([T.StructField("gram", T.LongType(), False)])
 
 
