@@ -759,3 +759,43 @@ def test_lsh_signature_encode_matches_literal_table(spark):
     a = {(r[0], r[1]): r[2] for r in lsh_signature_table(emb).collect()}
     b = {(r[0], r[1]): r[2] for r in lsh_signature_encode(emb).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bm25_filters_before_shuffle_and_broadcasts_small_sides(spark):
+    """BM25's 100-TB shape: the corpus token explode is FILTERED to the
+    query terms BEFORE the tf aggregate's exchange (the shuffle is sized
+    by matching rows, not vocabulary), and the df + query-term tables
+    join as broadcasts (no corpus-sized shuffle joins)."""
+    df = _df(spark, "text_bm25_retrieval")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert count_op(df, "CartesianProduct") == 0
+    # the isin() filter on the exploded token sits under the aggregate:
+    # find the Generate (explode) fragment and demand the IN-list filter
+    # next to it rather than above the exchange
+    low = plan.lower()
+    gen = low.find("generate explode")
+    assert gen != -1
+    # plans print top-down: the filter node sits immediately ABOVE the
+    # explode, i.e. just BEFORE it in the string, and below the exchange
+    filt = low.rfind("filter token#", 0, gen)
+    assert filt != -1 and gen - filt < 300, "token filter not directly above explode"
+    assert "inset" in low[filt:gen] or " in " in low[filt:gen]
+
+
+def test_join_size_estimate_never_joins_the_inputs(spark):
+    """The CMS join-size estimate must never materialize the estimated
+    join: no join keyed on the raw key column between the two input
+    scans except the per-key-count equi-join for exact_rows, and no
+    cartesian products; the sketch dot joins (depth, bucket) frames."""
+    df = _df(spark, "diag_join_size_estimate")
+    assert count_op(df, "CartesianProduct") == 0
+    # join count is bounded: sketch dot (1) + exact per-key counts (1)
+    # + the singleton crossJoin-broadcast combine (1)
+    n_joins = (
+        count_op(df, "BroadcastHashJoin")
+        + count_op(df, "SortMergeJoin")
+        + count_op(df, "ShuffledHashJoin")
+        + count_op(df, "BroadcastNestedLoopJoin")
+    )
+    assert n_joins <= 3, n_joins
