@@ -2208,3 +2208,24 @@ def test_cms_join_size_estimate_one_sided_and_exact_when_sparse(spark):
     disj_b = spark.createDataFrame([(100 + i,) for i in range(50)], "k long")
     est2, exact2 = cms_join_size_estimate(a, "k", disj_b, "k").first()
     assert exact2 == 0 and est2 >= 0
+
+
+def test_rrf_fusion_rewards_cross_ranker_agreement(spark):
+    """RRF behavioral pins: a doc ranked by BOTH rankers outscores a doc
+    that tops only one (1/(60+1) alone < 1/(60+2)+1/(60+2)); scores are
+    exact integers (10^12 div (60+rank) contributions); ties break on
+    doc_id."""
+    from tickdb_spark.operators.bm25 import RRF_K, RRF_SCALE, rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2), (0, 30, 3)], "q_id long, doc_id long, rnk long"
+    )
+    rb = spark.createDataFrame(
+        [(0, 40, 1), (0, 20, 2), (0, 30, 3)], "q_id long, doc_id long, rnk long"
+    )
+    out = {r.doc_id: (r.rnk, r.rrf_score) for r in rrf_fuse([ra, rb]).collect()}
+    c = lambda r: RRF_SCALE // (RRF_K + r)
+    assert out[20] == (1, 2 * c(2))  # both rankers at 2 beats either #1
+    assert out[30][1] == 2 * c(3)
+    assert out[10][1] == out[40][1] == c(1)  # single-ranker #1s tie...
+    assert out[10][0] < out[40][0]  # ...and break on doc_id

@@ -180,3 +180,148 @@ def bm25_topk_sql(
            doc_id, CAST(score_q AS DOUBLE) / 1e9 AS score
     FROM ranked WHERE rnk <= {k_top}
     """
+
+
+def bm25_topk_by_example(
+    docs: DataFrame,
+    query_ids: list[int],
+    k_top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-by-example BM25: each query is a CORPUS DOCUMENT (its
+    distinct tokens become the query terms), the standard shape for
+    near-dup candidate retrieval and hard-negative mining. Returns
+    ``(q_id, rnk, doc_id)`` with the query doc itself excluded.
+
+    Same scale shape as :func:`bm25_topk` except the term filter is a
+    broadcast semi-join on the (query-doc-bounded) term set instead of
+    a literal IN-list — terms are data here, not plan constants."""
+    qids = [int(q) for q in query_ids]
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    n_docs, tot = docs.select(
+        F.count(F.lit(1)).cast("long"),
+        F.sum(F.size(toks)).cast("long"),
+    ).first()
+
+    qt = (
+        tok.where(F.col("doc_id").isin(qids))
+        .select(F.col("doc_id").alias("q_id"), "token")
+        .distinct()
+    )
+    qterms = qt.select("token").distinct()
+    tf = (
+        tok.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    score_q = F.expr(
+        _SCORE_TMPL.format(
+            tf="tf", df="df", dl="dl", n=n_docs, tot=tot,
+            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qt), "token")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(score_q).cast("long").alias("score_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_top)
+        .select("q_id", F.col("rnk").cast("long").alias("rnk"), "doc_id")
+    )
+
+
+def bm25_topk_by_example_sql(
+    table: str,
+    query_ids: list[int],
+    k_top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk_by_example` (no leading WITH —
+    composes as CTE text inside a larger query via ``{prefix}``)."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    score = _SCORE_TMPL.format(
+        tf="t.tf", df="d.df", dl="t.dl", n="s.n_docs", tot="s.tot",
+        k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+    )
+    return f"""
+    bm_tok AS MATERIALIZED (
+      SELECT {id_col} AS doc_id, len({toks})::BIGINT AS dl,
+             unnest({toks}) AS token
+      FROM {table}
+    ),
+    bm_s AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(len({toks}))::BIGINT AS tot
+      FROM {table}
+    ),
+    bm_qt AS (SELECT DISTINCT doc_id AS q_id, token FROM bm_tok
+              WHERE doc_id IN ({ids})),
+    bm_qterms AS (SELECT DISTINCT token FROM bm_qt),
+    bm_tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+      FROM bm_tok JOIN bm_qterms USING (token) GROUP BY doc_id, token
+    ),
+    bm_dfreq AS (SELECT token, count(*)::BIGINT AS df FROM bm_tf GROUP BY token),
+    bm_scored AS (
+      SELECT q.q_id, t.doc_id, SUM({score})::BIGINT AS score_q
+      FROM bm_tf t JOIN bm_dfreq d USING (token) JOIN bm_qt q USING (token),
+           bm_s s
+      WHERE t.doc_id <> q.q_id
+      GROUP BY q.q_id, t.doc_id
+    ),
+    bm_ranked AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_q DESC, doc_id) AS rnk
+      FROM bm_scored
+    ),
+    bm AS (SELECT q_id, rnk, doc_id FROM bm_ranked WHERE rnk <= {k_top})
+    """
+
+
+#: RRF quantum: score contribution = RRF_SCALE // (RRF_K + rank) — an
+#: EXACT integer division on both engines (the documented variant of
+#: 1/(k+rank); same ordering, no floats anywhere).
+RRF_K = 60
+RRF_SCALE = 1_000_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) over any rankings
+    shaped ``(q_id, doc_id, rnk)``: fused score = Σ over rankers of
+    ``RRF_SCALE div (RRF_K + rnk)`` (exact BIGINT — the division is
+    integer on both engines, so fusion needs no float story at all).
+    Documents missing from a ranker contribute 0. Returns
+    ``(q_id, rnk, doc_id, rrf_score)``."""
+    contrib = F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + rnk) AS BIGINT)")
+    u = rankings[0].select("q_id", "doc_id", contrib.alias("c"))
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("q_id", "doc_id", contrib.alias("c")))
+    fused = u.groupBy("q_id", "doc_id").agg(
+        F.sum("c").cast("long").alias("rrf_score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_top)
+        .select("q_id", F.col("rnk").cast("long").alias("rnk"), "doc_id", "rrf_score")
+    )

@@ -4458,6 +4458,71 @@ def text_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25.bm25_topk(docs, _BM25_QUERIES, k_top=10)
 
 
+_RRF_QIDS = [0, 1, 2]
+
+
+def _hybrid_rrf_oracle() -> str:
+    ann = _sim.ann_topk_bruteforce_sql("embeddings", _RRF_QIDS, k=20)
+    bm_ctes = _bm25.bm25_topk_by_example_sql("documents", _RRF_QIDS, k_top=20)
+    from tickdb_spark.operators.bm25 import RRF_K, RRF_SCALE
+
+    return f"""
+    WITH cos AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rnk FROM ({ann})
+    ),
+    {bm_ctes},
+    u AS (
+      SELECT query_id AS q_id, neighbor_id AS doc_id,
+             {RRF_SCALE} // ({RRF_K} + rnk) AS c
+      FROM cos
+      UNION ALL
+      SELECT q_id, doc_id, {RRF_SCALE} // ({RRF_K} + rnk) FROM bm
+    ),
+    fused AS (
+      SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score
+      FROM u GROUP BY q_id, doc_id
+    ),
+    rrf_ranked AS (
+      SELECT q_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS BIGINT) AS rnk,
+           doc_id, rrf_score
+    FROM rrf_ranked WHERE rnk <= 10
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    _hybrid_rrf_oracle(),
+    "hybrid retrieval with reciprocal-rank fusion (Cormack-Clarke RRF): "
+    "query-by-example over 3 corpus docs, fusing the exact-cosine "
+    "embedding ranker (top-20) with a query-by-example BM25 lexical "
+    "ranker (top-20, the query doc's distinct tokens as terms, term "
+    "set broadcast-semi-joined since terms are data, not plan "
+    "constants). Fusion is ALL-INTEGER: contribution = 10^12 div "
+    "(60 + rank) — exact integer division on both engines, so the "
+    "fused score needs no float story; missing-from-one-ranker docs "
+    "contribute 0, ties break on doc_id. The lexical+semantic "
+    "candidate-retrieval shape used for near-dup mining and RAG-style "
+    "corpus search.",
+)
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents")
+    cos = _sim.ann_topk_bruteforce(emb, _RRF_QIDS, k=20).select(
+        F.col("query_id").alias("q_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rnk",
+    )
+    bm = _bm25.bm25_topk_by_example(docs, _RRF_QIDS, k_top=20).select(
+        "q_id", "doc_id", "rnk"
+    )
+    return _bm25.rrf_fuse([cos, bm], k_top=10)
+
+
 @register(
     "text_pmi_collocations",
     r"""
@@ -7985,6 +8050,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_bm25_retrieval",
     "diag_join_size_estimate",
     "stream_phash_index_maintenance",
+    "hybrid_rrf_retrieval",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8029,7 +8095,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "sample_token_budget",
     "scalar_function_battery",
     "setop_all_multiset_variants",
-    "setop_nation_coverage",
     "sim_ann_topk_bruteforce",
     "sim_cosine_neardup_pairs",
     "text_bpe_tokenize",
