@@ -732,3 +732,49 @@ def test_stream_phash_fingerprints_match_batch_kernel(tmp_path, spark):
     k = {r[0]: (r[1], r[2]) for r in got.collect()}
     want = {r[0]: (r[1], r[2]) for r in image_dhash(media).collect()}
     assert k == want and 99 not in k and len(k) == 6
+
+
+def test_stream_bm25_index_incremental_and_probe_reads_postings_only(
+    tmp_path, spark
+):
+    """Inverted-index maintenance: (1) after a restart with one new
+    landing file, the maintained postings + SUM-merged stats equal the
+    batch build over all docs, and the BM25 probe over them equals
+    batch BM25; (2) the probe plan scans ONLY the postings parquet —
+    no text column anywhere, token predicate pushed into the scan."""
+    from tickdb_spark.operators.bm25 import bm25_topk, bm25_topk_from_index, postings
+    from tickdb_spark.streaming.index import stream_bm25_index_maintenance
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.orderBy("doc_id").toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(landing / "b0.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    idx1, n1, t1 = stream_bm25_index_maintenance(
+        spark, str(landing), work, docs.schema
+    )
+    assert n1 == half
+
+    pdf.iloc[half:].to_parquet(landing / "b1.parquet", index=False)
+    idx2, n2, t2 = stream_bm25_index_maintenance(
+        spark, str(landing), work, docs.schema
+    )
+    want_post = {tuple(r) for r in postings(docs).collect()}
+    assert {tuple(r) for r in idx2.collect()} == want_post
+    assert n2 == len(pdf)
+
+    queries = [(0, "hash join merge"), (1, "the big table")]
+    got = bm25_topk_from_index(idx2, n2, t2, queries, k_top=5)
+    want = bm25_topk(docs, queries, k_top=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    from tickdb_spark.plans import pushed_filters, scan_read_schemas
+
+    schemas = scan_read_schemas(got)
+    assert schemas and all("text" not in s for s in schemas), schemas
+    assert any("token" in f for f in pushed_filters(got)), pushed_filters(got)

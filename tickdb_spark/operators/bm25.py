@@ -67,6 +67,70 @@ def _terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return out
 
 
+def _rank_from_tf(
+    tf: DataFrame,
+    qt: DataFrame,
+    n_docs: int,
+    tot: int,
+    k_top: int,
+) -> DataFrame:
+    """Shared scoring tail: a ``(doc_id, token, tf, dl)`` frame (already
+    restricted to query terms) + a ``(q_id, token)`` query table →
+    ``(q_id, rnk, doc_id, score)``. df per token comes from the tf frame
+    itself — (doc_id, token) is unique there, so a plain count IS the
+    exact global document frequency of each query term."""
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    score_q = F.expr(
+        _SCORE_TMPL.format(
+            tf="tf", df="df", dl="dl", n=n_docs, tot=tot,
+            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qt), "token")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(score_q).cast("long").alias("score_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_top)
+        .select(
+            "q_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
+        )
+    )
+
+
+def postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The inverted-index postings of a (sub)corpus: one row per
+    (doc, term) — ``(token, doc_id, tf, dl)``. This is the AT-REST shape
+    of lexical search state: build it once at ingest, and query-time
+    BM25 reads postings for the query terms only (predicate pushdown on
+    ``token``), never the raw text."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .select("token", "doc_id", "tf", "dl")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -103,33 +167,31 @@ def bm25_topk(
             F.max("dl").alias("dl"),
         )
     )
-    # (doc_id, token) is unique in tf, so df = plain count per token
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qt = spark.createDataFrame(terms, "q_id long, token string")
+    return _rank_from_tf(tf, qt, n_docs, tot, k_top)
 
-    score_q = F.expr(
-        _SCORE_TMPL.format(
-            tf="tf", df="df", dl="dl", n=n_docs, tot=tot,
-            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
-        )
+
+def bm25_topk_from_index(
+    index: DataFrame,
+    n_docs: int,
+    total_dl: int,
+    queries: list[tuple[int, str]],
+    k_top: int = 10,
+) -> DataFrame:
+    """Query-time BM25 over a STORED postings index (``postings`` shape,
+    e.g. the maintained table from ``streaming/index.
+    stream_bm25_index_maintenance``) plus the stored corpus stats.
+    The raw corpus is never touched: the only scan is the postings
+    table with the query-term predicate pushed into it — at 100 TB the
+    query cost is |postings of the query terms|, not the corpus."""
+    spark = index.sparkSession
+    terms = _terms(queries)
+    all_terms = sorted({t for _, t in terms})
+    tf = index.where(F.col("token").isin(all_terms)).select(
+        "doc_id", "token", "tf", "dl"
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(qt), "token")
-        .groupBy("q_id", "doc_id")
-        .agg(F.sum(score_q).cast("long").alias("score_q"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k_top)
-        .select(
-            "q_id",
-            F.col("rnk").cast("long").alias("rnk"),
-            "doc_id",
-            (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
-        )
-    )
+    qt = spark.createDataFrame(terms, "q_id long, token string")
+    return _rank_from_tf(tf, qt, int(n_docs), int(total_dl), k_top)
 
 
 def bm25_topk_sql(

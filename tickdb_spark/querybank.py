@@ -4524,6 +4524,42 @@ def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_bm25_index_maintenance",
+    _bm25.bm25_topk_sql("documents", _BM25_QUERIES, k_top=10),
+    "incremental INVERTED-INDEX maintenance — the lexical-search face "
+    "of the stored-index family: each micro-batch of new documents "
+    "(4 id-range landing files) appends its postings (token, doc_id, "
+    "tf, dl) and a one-row (n_docs, total_dl) stats delta; batches "
+    "hold disjoint docs, so postings concatenate exactly and stats "
+    "SUM-merge (a third merge law next to replace-idempotent "
+    "signatures and max-merge HLL registers). The probe "
+    "(bm25_topk_from_index) then answers BM25 from the STORED postings "
+    "+ merged stats only — the raw corpus is never rescanned at query "
+    "time, and per-term df falls out of the maintained postings "
+    "themselves. Output equals the batch BM25 entry's, which is "
+    "exactly the oracle.",
+)
+def stream_bm25_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import stream_bm25_index_maintenance as _sbm
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sbm25_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        p = _os.path.join(landing, f"batch_{k}.parquet")
+        _write_landing(part, docs.schema, p, base + k)
+    index, n_docs, total_dl = _sbm(
+        spark, landing, _os.path.join(work, "state"), docs.schema
+    )
+    return _bm25.bm25_topk_from_index(index, n_docs, total_dl, _BM25_QUERIES, k_top=10)
+
+
+@register(
     "text_pmi_collocations",
     r"""
     WITH arr AS (
@@ -8051,6 +8087,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "diag_join_size_estimate",
     "stream_phash_index_maintenance",
     "hybrid_rrf_retrieval",
+    "stream_bm25_index_maintenance",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8083,7 +8120,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_simhash_fingerprints",
     "dedup_simhash_near_pairs",
     "join_bucketed_colocated",
-    "join_full_outer_nation_parties",
     "join_semi_anti_customers",
     "media_binary_stats",
     "media_decode_jpeg",

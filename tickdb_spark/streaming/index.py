@@ -315,6 +315,91 @@ def stream_decontam_gram_maintenance(
     return _read_maintained(spark, gram_dir, _GRAM_SCHEMA).distinct()
 
 
+_POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
+_BM25_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("total_dl", T.LongType(), False),
+    ]
+)
+
+
+def stream_bm25_index_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int, int]:
+    """Incremental INVERTED-INDEX maintenance — the lexical-search face:
+    each micro-batch of new documents explodes to its postings
+    ``(token, doc_id, tf, dl)`` (``operators/bm25.postings``, the
+    at-rest shape of text search state) plus a one-row stats delta
+    ``(n_docs, total_dl)``. Batches hold DISJOINT documents, so both
+    are exact under concatenation: postings rows are per-(doc, term)
+    facts, and the stats merge law is SUM (a third merge law in the
+    face family, next to replace-idempotent signatures and max-merge
+    HLL registers). Writes are idempotent per epoch.
+
+    Returns ``(postings, n_docs, total_dl)`` — what a query-time BM25
+    probe (``bm25.bm25_topk_from_index``) consumes; the raw corpus is
+    never rescanned at query time."""
+    from tickdb_spark.operators.bm25 import postings as _postings
+
+    post_dir = os.path.join(work_dir, "postings")
+    stats_dir = os.path.join(work_dir, "bm25_stats")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_bm25")
+    spark.createDataFrame([], _POSTING_SCHEMA).write.mode("ignore").parquet(post_dir)
+    spark.createDataFrame([], _BM25_STATS_SCHEMA).write.mode("ignore").parquet(
+        stats_dir
+    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        _postings(batch, text_col, id_col).write.mode("overwrite").parquet(
+            os.path.join(post_dir, f"epoch_{epoch_id}")
+        )
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        batch.select(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("total_dl"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(stats_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stats = (
+        _read_maintained(spark, stats_dir, _BM25_STATS_SCHEMA)
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long"),
+            F.coalesce(F.sum("total_dl"), F.lit(0)).cast("long"),
+        )
+        .first()
+    )
+    return (
+        _read_maintained(spark, post_dir, _POSTING_SCHEMA),
+        int(stats[0]),
+        int(stats[1]),
+    )
+
+
 def stream_hll_maintenance(
     spark: SparkSession,
     landing_dir: str,
