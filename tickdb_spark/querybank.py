@@ -1325,6 +1325,60 @@ def eval_ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_ann_mrr_lsh",
+    f"""
+    WITH bf1 AS ({_sim.ann_topk_bruteforce_sql("embeddings", [0, 1, 2, 3, 4], k=1)}),
+    lsh AS ({_sim.ann_topk_lsh_multitable_sql("embeddings", [0, 1, 2, 3, 4], k=5)})
+    SELECT bf1.query_id, bf1.neighbor_id AS true_top1,
+           CAST(COALESCE(l.rnk, 0) AS BIGINT) AS found_rank,
+           CAST(CASE WHEN l.rnk IS NULL THEN 0
+                     ELSE 1000000000000 // l.rnk END AS BIGINT) AS rr_q
+    FROM bf1 LEFT JOIN lsh l
+      ON l.query_id = bf1.query_id AND l.neighbor_id = bf1.neighbor_id
+    ORDER BY bf1.query_id
+    """,
+    "rank-position eval for the ANN tier: per-query reciprocal rank of "
+    "the TRUE nearest neighbor (exact brute-force top-1) inside the "
+    "stored-signature LSH probe's top-5 — recall@k says WHETHER the "
+    "index finds the truth, MRR says WHERE it puts it. rr_q = 10^12 "
+    "div found_rank (exact integer division, 0 on a miss), so the "
+    "metric — like the RRF fusion it mirrors — has no float story; "
+    "summing rr_q over a sampled query set and dividing once gives "
+    "corpus MRR.",
+)
+def eval_ann_mrr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf1 = _sim.ann_topk_bruteforce(emb, qids, k=1).select(
+        "query_id", F.col("neighbor_id").alias("true_top1")
+    )
+    sigs = _materialized_assets("lsh_sigs", sf_dir, _sim.lsh_signature_table(emb))
+    lsh = _sim.ann_topk_lsh_multitable(emb, qids, k=5, signatures=sigs).select(
+        F.col("query_id").alias("_lq"),
+        F.col("neighbor_id").alias("_ln"),
+        F.col("rnk").alias("_lrnk"),
+    )
+    return (
+        bf1.join(
+            lsh,
+            (F.col("query_id") == F.col("_lq"))
+            & (F.col("true_top1") == F.col("_ln")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "true_top1",
+            F.coalesce("_lrnk", F.lit(0)).cast("long").alias("found_rank"),
+            F.expr(
+                "CAST(CASE WHEN _lrnk IS NULL THEN 0 "
+                "ELSE 1000000000000 DIV _lrnk END AS BIGINT)"
+            ).alias("rr_q"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "sim_cosine_neardup_pairs",
     _sim.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "embedding cosine pairs at ≥ 0.4 — exact brute-force baseline (the "
@@ -8088,6 +8142,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_phash_index_maintenance",
     "hybrid_rrf_retrieval",
     "stream_bm25_index_maintenance",
+    "eval_ann_mrr_lsh",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8127,7 +8182,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_decode_stats",
     "media_feature_extract",
     "media_video_frame_sample",
-    "pivot_qty_by_status",
     "sample_token_budget",
     "scalar_function_battery",
     "setop_all_multiset_variants",
