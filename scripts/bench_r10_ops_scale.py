@@ -143,6 +143,31 @@ def main() -> None:
         )
     )
 
+    # inverted-index maintenance: f-times new docs through the postings
+    # explode (linear in new tokens, like the gram face)
+    from tickdb_spark.streaming.index import stream_bm25_index_maintenance
+
+    times = []
+    for f in FACTORS:
+        docs = scaled_plain_docs(spark, f)
+        pdf = docs.orderBy("doc_id").toPandas()
+        work, landing = _landing(pdf, prefix=f"sbm25_scale{f}_")
+        t0 = time.perf_counter()
+        idx, n, tot = stream_bm25_index_maintenance(
+            spark, landing, os.path.join(work, "state"), docs.schema
+        )
+        idx.write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "op": "stream_bm25_index_maintenance",
+                "sec": times,
+                "log2_growth": growth(times),
+            }
+        )
+    )
+
     # phash maintenance: f-times planted images, decode inside the stream
     from tickdb_spark.operators import multimodal as mm
     from tickdb_spark.streaming.index import stream_phash_index_maintenance

@@ -778,3 +778,47 @@ def test_stream_bm25_index_incremental_and_probe_reads_postings_only(
     schemas = scan_read_schemas(got)
     assert schemas and all("text" not in s for s in schemas), schemas
     assert any("token" in f for f in pushed_filters(got)), pushed_filters(got)
+
+
+def test_compact_index_preserves_probe_results_and_reduces_files(tmp_path, spark):
+    """Index compaction (build -> maintain -> compact): the epoch-dir
+    log rewrites into ONE sorted file with identical rows; a BM25 probe
+    over the compacted postings equals the probe over the log, and the
+    parquet file count actually drops."""
+    import glob
+
+    from tickdb_spark.operators.bm25 import bm25_topk_from_index
+    from tickdb_spark.streaming.index import (
+        _POSTING_SCHEMA,
+        compact_index,
+        stream_bm25_index_maintenance,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.orderBy("doc_id").toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    third = len(pdf) // 3
+    for i in range(3):  # 3 landing files -> 3 epochs -> 3+ log files
+        pdf.iloc[i * third : None if i == 2 else (i + 1) * third].to_parquet(
+            landing / f"b{i}.parquet", index=False
+        )
+    work = str(tmp_path / "state")
+    idx, n, tot = stream_bm25_index_maintenance(spark, str(landing), work, docs.schema)
+
+    post_dir = str(tmp_path / "state" / "postings")
+    dest = compact_index(spark, post_dir, _POSTING_SCHEMA, ["token", "doc_id"])
+    compacted = spark.read.parquet(dest)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, idx.collect())
+    )
+    n_log = len(glob.glob(post_dir + "/**/*.parquet", recursive=True))
+    n_comp = len(glob.glob(dest + "/*.parquet"))
+    assert n_comp == 1 < n_log
+
+    queries = [(0, "hash join merge")]
+    a = bm25_topk_from_index(compacted, n, tot, queries, k_top=5)
+    b = bm25_topk_from_index(idx, n, tot, queries, k_top=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -53,6 +53,36 @@ def _read_maintained(
     )
 
 
+def compact_index(
+    spark: SparkSession,
+    table_dir: str,
+    schema: T.StructType,
+    sort_cols: list[str],
+    n_files: int = 1,
+) -> str:
+    """Compact a maintained index table's epoch-directory log into a
+    single sorted parquet directory — the lifecycle step after build →
+    maintain: a long-running stream accumulates one small file per
+    epoch, and at 100 TB the probe's file-listing + tiny-row-group
+    overhead grows with stream age, not data. Sorting by the probe key
+    (token for postings, (vec_id, table_id) for signatures) gives each
+    compacted file min/max envelopes the scan prunes with.
+
+    Writes to ``<table_dir>_compacted`` and returns that path; the
+    caller swaps probes over and retires the log (the maintained dir
+    stays the live append target — compaction is an optimization of
+    the READ path, identical rows by construction)."""
+    dest = table_dir.rstrip("/") + "_compacted"
+    (
+        _read_maintained(spark, table_dir, schema)
+        .repartition(n_files)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    return dest
+
+
 def emb_schema(dim: int = 64) -> T.StructType:
     return T.StructType(
         [
