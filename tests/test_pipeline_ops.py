@@ -2229,3 +2229,23 @@ def test_rrf_fusion_rewards_cross_ranker_agreement(spark):
     assert out[30][1] == 2 * c(3)
     assert out[10][1] == out[40][1] == c(1)  # single-ranker #1s tie...
     assert out[10][0] < out[40][0]  # ...and break on doc_id
+
+
+def test_bm25_by_example_surfaces_near_duplicate_first(spark):
+    """Query-by-example BM25: for a query doc with a near-verbatim copy
+    in the corpus, the copy must rank first (it matches every query
+    term at matching tf); the query doc itself is excluded."""
+    from tickdb_spark.operators.bm25 import bm25_topk_by_example
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),  # near-copy of 0
+        (2, "alpha filler filler filler filler filler"),
+        (3, "unrelated words entirely different content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk_by_example(docs, [0], k_top=3).toPandas()
+    got = got.sort_values("rnk")
+    assert 0 not in set(got.doc_id)  # self excluded
+    assert got.doc_id.iloc[0] == 1  # the near-copy wins
+    assert 3 not in set(got.doc_id)  # zero shared terms -> not a candidate
