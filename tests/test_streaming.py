@@ -822,3 +822,36 @@ def test_compact_index_preserves_probe_results_and_reduces_files(tmp_path, spark
     a = bm25_topk_from_index(compacted, n, tot, queries, k_top=5)
     b = bm25_topk_from_index(idx, n, tot, queries, k_top=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stream_dedup_epoch_rerun_does_not_lose_or_duplicate(tmp_path, spark):
+    """Crash-replay idempotence for the dedup stream: simulate a crash
+    AFTER the fingerprint write but BEFORE the checkpoint commit by
+    pre-planting epoch_0's fingerprints (and a partial kept write).
+    With plain appends the re-run's anti-join would see its own hashes
+    and silently drop every keeper; with own-epoch-excluded reads +
+    per-epoch overwrite, the kept set equals the clean-run result."""
+    import pandas as pd
+
+    from tickdb_spark.streaming.dedup import stream_dedup_ingest
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["aa", "bb", "aa"]}
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.to_parquet(landing / "b0.parquet", index=False)
+    work = str(tmp_path / "state")
+
+    # half-committed epoch 0: fingerprints written, kept partial, no
+    # checkpoint commit -> the stream will re-run epoch 0
+    fp0 = spark.createDataFrame(
+        [("0cc175b9c0f1b6a831c399e269772661",)], "content_hash string"
+    )  # md5("aa") — the exact hash the batch will produce
+    fp0.write.parquet(str(tmp_path / "state" / "fingerprints" / "epoch_0"))
+    spark.createDataFrame([], "doc_id long, content_hash string").write.parquet(
+        str(tmp_path / "state" / "kept" / "epoch_0")
+    )
+
+    kept = stream_dedup_ingest(spark, str(landing), work).orderBy("doc_id").collect()
+    assert [r.doc_id for r in kept] == [1, 2]  # nothing lost, nothing duplicated

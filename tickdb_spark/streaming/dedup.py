@@ -6,8 +6,12 @@ table: each micro-batch (1) elects within-batch canonical keepers (min id
 per content hash), (2) anti-joins the keepers against the seen-hash
 table, (3) appends survivors to the kept output and their hashes to the
 fingerprint table. ``foreachBatch`` is the Structured Streaming idiom for
-this read-modify-append sink shape; checkpointing makes the appends
-exactly-once per epoch.
+this read-modify-append sink shape. Writes are IDEMPOTENT per epoch
+(each batch overwrites its own ``epoch_<id>/`` subdirectory, and the
+anti-join reads every epoch EXCEPT its own), so a crash between the
+parquet writes and the checkpoint commit re-runs the epoch to the same
+state: a plain append would let the re-run see its own partial
+fingerprint write and either duplicate or silently drop keepers.
 
 Scale: state is externalized to the fingerprint table (16 bytes/doc in
 parquet, bucketable by hash for a co-located join) instead of Spark
@@ -62,23 +66,44 @@ def stream_dedup_ingest(
     kept_dir = os.path.join(work_dir, "kept")
     fp_dir = os.path.join(work_dir, "fingerprints")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
-    # seed both tables so first-batch reads see a schema, not a missing path
-    spark.createDataFrame([], DOC_SCHEMA).select(
-        F.col(id_col), F.md5(text_col).alias("content_hash")
-    ).write.mode("ignore").parquet(kept_dir)
-    spark.createDataFrame([], _FP_SCHEMA).write.mode("ignore").parquet(fp_dir)
+    kept_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("content_hash", T.StringType(), False),
+        ]
+    )
+    os.makedirs(kept_dir, exist_ok=True)
+    os.makedirs(fp_dir, exist_ok=True)
+
+    def _committed_fps(s: SparkSession, own_epoch: int) -> DataFrame:
+        """Every fingerprint epoch EXCEPT the handler's own: on a crash
+        re-run the epoch's partial write must not feed its own
+        anti-join (it would filter the keepers out and overwrite the
+        kept epoch with nothing)."""
+        dirs = [
+            os.path.join(fp_dir, d)
+            for d in sorted(os.listdir(fp_dir))
+            if d.startswith("epoch_") and d != f"epoch_{own_epoch}"
+        ]
+        if not dirs:
+            return s.createDataFrame([], _FP_SCHEMA)
+        return s.read.schema(_FP_SCHEMA).parquet(*dirs)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
-        seen = s.read.schema(_FP_SCHEMA).parquet(fp_dir)
+        seen = _committed_fps(s, epoch_id)
         res = incremental_exact_dedup(batch, seen, text_col, id_col)
         keepers = res.where(F.col("is_new")).select(id_col, "content_hash")
-        # persist before appending: both writes must see the same batch
+        # persist before the writes: both must see the same batch
         # result, and hashes feed the NEXT batch's anti-join only (within
         # this batch, exact_dedup_groups already collapsed duplicates)
         keepers.persist()
-        keepers.write.mode("append").parquet(kept_dir)
-        keepers.select("content_hash").write.mode("append").parquet(fp_dir)
+        keepers.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, f"epoch_{epoch_id}")
+        )
+        keepers.select("content_hash").write.mode("overwrite").parquet(
+            os.path.join(fp_dir, f"epoch_{epoch_id}")
+        )
         keepers.unpersist()
 
     stream = (
@@ -93,7 +118,11 @@ def stream_dedup_ingest(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(kept_dir)
+    return (
+        spark.read.schema(kept_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(kept_dir)
+    )
 
 
 def batch_schema(id_col: str = "doc_id", text_col: str = "text") -> T.StructType:
