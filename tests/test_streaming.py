@@ -855,3 +855,57 @@ def test_stream_dedup_epoch_rerun_does_not_lose_or_duplicate(tmp_path, spark):
 
     kept = stream_dedup_ingest(spark, str(landing), work).orderBy("doc_id").collect()
     assert [r.doc_id for r in kept] == [1, 2]  # nothing lost, nothing duplicated
+
+
+def test_compact_index_with_tombstones_drops_rows_physically(tmp_path, spark):
+    """Delete lifecycle: tombstone_filter hides deleted ids at read
+    time; compact_index(tombstones=...) removes them PHYSICALLY — the
+    compacted files contain no trace of the deleted ids, and the probe
+    over the compacted table equals the tombstone-filtered view."""
+    from tickdb_spark.operators.similarity import lsh_signature_table
+    from tickdb_spark.streaming.index import (
+        _SIG_SCHEMA,
+        compact_index,
+        stream_ann_index_maintenance,
+        tombstone_filter,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(60)
+    )
+    pdf = emb.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.iloc[:30].to_parquet(landing / "b0.parquet", index=False)
+    pdf.iloc[30:].to_parquet(landing / "b1.parquet", index=False)
+    work = str(tmp_path / "state")
+    sigs = stream_ann_index_maintenance(spark, str(landing), work, schema=emb.schema)
+
+    from pyspark.sql import functions as F
+
+    tomb = emb.where(F.col("vec_id") % 7 == 2).select("vec_id")
+    dead = {r.vec_id for r in tomb.collect()}
+    assert dead
+
+    filtered = tombstone_filter(sigs, tomb)
+    dest = compact_index(
+        spark,
+        str(tmp_path / "state" / "signatures"),
+        _SIG_SCHEMA,
+        ["vec_id", "table_id"],
+        tombstones=tomb,
+    )
+    compacted = spark.read.parquet(dest)
+    got_ids = {r.vec_id for r in compacted.select("vec_id").distinct().collect()}
+    assert got_ids.isdisjoint(dead)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, filtered.collect())
+    )
+    # the surviving rows equal the index batch-built over survivors
+    live = lsh_signature_table(emb.join(tomb, "vec_id", "left_anti"))
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, live.collect())
+    )

@@ -1325,6 +1325,37 @@ def eval_ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_delete_tombstones",
+    _sim.ann_topk_lsh_multitable_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 10 <> 3)",
+        [0, 1, 2, 4, 5],
+        k=5,
+    ),
+    "the DELETE face of the maintained-index lifecycle: stored index "
+    "tables are append-only (that is what makes maintenance cheap), so "
+    "removals — dedup evictions, takedown requests — are a TOMBSTONE "
+    "table the probe anti-joins away (broadcast: deletions are rare "
+    "next to the corpus). Here a deterministic 10% of vectors is "
+    "tombstoned and the stored-signature LSH probe over the filtered "
+    "view must equal the index batch-built over the surviving corpus — "
+    "which is exactly the oracle. compact_index(tombstones=...) later "
+    "drops the rows physically and retires the tombstones "
+    "(test-proven).",
+)
+def ann_tombstones_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import tombstone_filter
+
+    emb = _read(spark, sf_dir, "embeddings")
+    sigs = _materialized_assets("lsh_sigs", sf_dir, _sim.lsh_signature_table(emb))
+    tomb = emb.where(F.col("vec_id") % 10 == 3).select("vec_id")
+    live_sigs = tombstone_filter(sigs, tomb)
+    live_emb = emb.where(F.col("vec_id") % 10 != 3)
+    return _sim.ann_topk_lsh_multitable(
+        live_emb, [0, 1, 2, 4, 5], k=5, signatures=live_sigs
+    )
+
+
+@register(
     "eval_ann_mrr_lsh",
     f"""
     WITH bf1 AS ({_sim.ann_topk_bruteforce_sql("embeddings", [0, 1, 2, 3, 4], k=1)}),
@@ -8143,6 +8174,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "hybrid_rrf_retrieval",
     "stream_bm25_index_maintenance",
     "eval_ann_mrr_lsh",
+    "ann_delete_tombstones",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8176,7 +8208,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_simhash_near_pairs",
     "join_bucketed_colocated",
     "join_semi_anti_customers",
-    "media_binary_stats",
     "media_decode_jpeg",
     "media_decode_png",
     "media_decode_stats",

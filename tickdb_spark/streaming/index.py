@@ -53,12 +53,31 @@ def _read_maintained(
     )
 
 
+def tombstone_filter(
+    index: DataFrame,
+    tombstones: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The DELETE face of the maintained-index lifecycle: index tables
+    are append-only (that is what makes maintenance cheap), so removals
+    — dedup evictions, takedown/right-to-be-forgotten requests — are a
+    TOMBSTONE table the read path anti-joins away. The tombstone side
+    broadcasts (deletions are rare next to the corpus); the physical
+    drop happens at the next :func:`compact_index` with
+    ``tombstones=``, after which the tombstone rows can be retired."""
+    return index.join(
+        F.broadcast(tombstones.select(id_col).distinct()), id_col, "left_anti"
+    )
+
+
 def compact_index(
     spark: SparkSession,
     table_dir: str,
     schema: T.StructType,
     sort_cols: list[str],
     n_files: int = 1,
+    tombstones: DataFrame | None = None,
+    id_col: str = "vec_id",
 ) -> str:
     """Compact a maintained index table's epoch-directory log into a
     single sorted parquet directory — the lifecycle step after build →
@@ -71,11 +90,16 @@ def compact_index(
     Writes to ``<table_dir>_compacted`` and returns that path; the
     caller swaps probes over and retires the log (the maintained dir
     stays the live append target — compaction is an optimization of
-    the READ path, identical rows by construction)."""
+    the READ path, identical rows by construction). With
+    ``tombstones``, deleted ids are dropped PHYSICALLY during the
+    rewrite (:func:`tombstone_filter` semantics) and the tombstone
+    table can be retired afterwards."""
     dest = table_dir.rstrip("/") + "_compacted"
+    df = _read_maintained(spark, table_dir, schema)
+    if tombstones is not None:
+        df = tombstone_filter(df, tombstones, id_col)
     (
-        _read_maintained(spark, table_dir, schema)
-        .repartition(n_files)
+        df.repartition(n_files)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(dest)
