@@ -5622,6 +5622,70 @@ def diag_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diag_lsh_bucket_skew",
+    f"""
+    WITH sig AS MATERIALIZED ({_sim.lsh_signature_table_sql("embeddings")}),
+    occ AS (
+      SELECT table_id, bucket, count(*)::BIGINT AS c
+      FROM sig GROUP BY table_id, bucket
+    ),
+    ranked AS (
+      SELECT table_id, c,
+             ROW_NUMBER() OVER (PARTITION BY table_id ORDER BY c, bucket) AS i,
+             count(*) OVER (PARTITION BY table_id) AS n,
+             SUM(c) OVER (PARTITION BY table_id) AS tot
+      FROM occ
+    )
+    SELECT table_id,
+           CAST(any_value(n) AS BIGINT) AS n_buckets,
+           CAST(any_value(tot) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(SUM((2 * i - n - 1) * c) AS BIGINT) AS gini_num,
+           CAST(SUM((2 * i - n - 1) * c) AS DOUBLE)
+             / (any_value(n) * any_value(tot)) AS gini
+    FROM ranked GROUP BY table_id ORDER BY table_id
+    """,
+    "index-health diagnostic over the STORED LSH signature table: "
+    "per-table bucket occupancy (buckets used, max bucket, exact Gini "
+    "via the diag_key_skew formula over the bucket AGGREGATE) — the "
+    "audit that catches a degenerate plane set (all vectors in few "
+    "buckets => probe candidate sets explode and recall collapses to "
+    "brute force on a hot bucket). Runs on stored small ints only; the "
+    "corpus is never rescanned.",
+)
+def diag_lsh_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    emb = _read(spark, sf_dir, "embeddings")
+    sigs = _materialized_assets("lsh_sigs", sf_dir, _sim.lsh_signature_table(emb))
+    occ = sigs.groupBy("table_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wk = _W.partitionBy("table_id")
+    ranked = occ.select(
+        "table_id",
+        "c",
+        F.row_number().over(wk.orderBy("c", "bucket")).alias("i"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+        F.sum("c").over(wk).alias("tot"),
+    )
+    num = F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c")).cast("long")
+    return (
+        ranked.groupBy("table_id")
+        .agg(
+            F.first("n").cast("long").alias("n_buckets"),
+            F.first("tot").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_bucket"),
+            num.alias("gini_num"),
+            (
+                num.cast("double") / (F.first("n") * F.first("tot")).cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("table_id")
+    )
+
+
+@register(
     "analytics_corpus_datacard",
     r"""
     SELECT source,
@@ -8175,6 +8239,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_bm25_index_maintenance",
     "eval_ann_mrr_lsh",
     "ann_delete_tombstones",
+    "diag_lsh_bucket_skew",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8210,7 +8275,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "join_semi_anti_customers",
     "media_decode_jpeg",
     "media_decode_png",
-    "media_decode_stats",
     "media_feature_extract",
     "media_video_frame_sample",
     "sample_token_budget",
