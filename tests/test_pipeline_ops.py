@@ -2249,3 +2249,35 @@ def test_bm25_by_example_surfaces_near_duplicate_first(spark):
     assert 0 not in set(got.doc_id)  # self excluded
     assert got.doc_id.iloc[0] == 1  # the near-copy wins
     assert 3 not in set(got.doc_id)  # zero shared terms -> not a candidate
+
+
+def test_image_resize_exact_box_means_and_phash_stability(spark):
+    """image_resize: (1) output decodes as a real BMP at target dims;
+    (2) integer-factor downscale of a block-constant image gives the
+    exact block values (box mean, not nearest-neighbor); (3) an exact
+    2x-upscaled image resizes back to the SAME bytes as the original's
+    resize (box means unchanged), so thumbnails dedup against
+    originals; (4) a non-image blob drops."""
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import decode_bmp, encode_bmp
+    from tickdb_spark.operators.multimodal import image_resize
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 255, (8, 8, 3)).astype("uint8")
+    img32 = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)  # 32x32 blocky
+    img64 = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)  # exact 2x of img32
+    rows = [
+        (0, bytearray(encode_bmp(img32))),
+        (1, bytearray(encode_bmp(img64))),
+        (2, bytearray(b"junk not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: r for r in image_resize(df, out_w=8, out_h=8).collect()
+    }
+    assert set(got) == {0, 1}  # junk dropped
+    dec0 = decode_bmp(bytes(got[0].content))
+    assert dec0.shape == (8, 8, 3)
+    assert (dec0 == base).all()  # exact box means recover the blocks
+    assert bytes(got[0].content) == bytes(got[1].content)  # 2x-scale invariant

@@ -1073,3 +1073,60 @@ def image_dhash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "dhash_hi", "dhash_lo"])
 
     return df.mapInPandas(run, schema="media_id long, dhash_hi long, dhash_lo long")
+
+
+def image_resize(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Real image RESIZE as an Arrow-batched transform — the remaining
+    member of the brief's decode / feature-extract / resize /
+    frame-sample quartet: decode each asset (BMP or PNG, the pure-numpy
+    kernels), downscale to ``(out_h, out_w)`` by EXACT box means over
+    the same per-index grid the dHash uses (``lo_i = i * dim // n``;
+    block value = channel sum // pixel count, integer floor — fully
+    deterministic, no float resampling), and re-encode as 24-bit BMP.
+    Returns ``(media_id, content, width, height)``; non-images and
+    assets smaller than the target drop (reject-to-drop, the decode
+    tier's convention).
+
+    Scale: pure per-asset work in ``mapInPandas`` — one Arrow batch in,
+    one out, no shuffle; at 100 TB this is a scan-speed column rewrite.
+    Box means (not nearest-neighbor) make the output usable for
+    fingerprinting: an exact k× box-mean downscale preserves dHash grid
+    cell means, so resized thumbnails dedup against their originals.
+    """
+    m = _codec()
+    decode_bmp, decode_png, encode_bmp = m.decode_bmp, m.decode_png, m.encode_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:2] == b"BM":
+                    img = decode_bmp(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(b)
+                else:
+                    continue
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                h, w = img.shape[:2]
+                if h < out_h or w < out_w:
+                    continue
+                acc = img.astype(np.int64)
+                rb = [r * h // out_h for r in range(out_h)]
+                cb = [c * w // out_w for c in range(out_w)]
+                sums = np.add.reduceat(np.add.reduceat(acc, rb, axis=0), cb, axis=1)
+                rn = np.diff(rb + [h]).astype(np.int64)
+                cn = np.diff(cb + [w]).astype(np.int64)
+                cnt = (rn[:, None] * cn[None, :])[:, :, None]
+                small = (sums // cnt).astype(np.uint8)
+                out.append((int(mid), bytearray(encode_bmp(small)), out_w, out_h))
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "width", "height"]
+            )
+
+    return df.mapInPandas(
+        run, schema="media_id long, content binary, width int, height int"
+    )
