@@ -909,3 +909,32 @@ def test_compact_index_with_tombstones_drops_rows_physically(tmp_path, spark):
     assert sorted(map(tuple, compacted.collect())) == sorted(
         map(tuple, live.collect())
     )
+
+
+def test_maintained_index_schema_evolution_null_backfills(tmp_path, spark):
+    """Epoch-log schema evolution: a maintained table gains a column
+    mid-stream (new epochs carry it, old epochs predate it). Reading
+    the log with the EVOLVED explicit schema must NULL-backfill the old
+    epochs and surface the new values — mergeSchema semantics without a
+    footer-merge pass (the explicit schema IS the merged schema)."""
+    from pyspark.sql import types as T
+
+    from tickdb_spark.streaming.index import _read_maintained
+
+    base = tmp_path / "log"
+    spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, tf long").write.parquet(
+        str(base / "epoch_0")
+    )
+    spark.createDataFrame(
+        [(3, 30, "en")], "doc_id long, tf long, lang string"
+    ).write.parquet(str(base / "epoch_1"))
+
+    evolved = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tf", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    got = {r.doc_id: (r.tf, r.lang) for r in _read_maintained(spark, str(base), evolved).collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (30, "en")}

@@ -932,6 +932,56 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_vwap_daily",
+    """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           CAST(SUM(CAST(floor((value * CAST(json_extract(props, '$.k') AS BIGINT))
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS pv_q,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS volume,
+           CAST(SUM(CAST(floor((value * CAST(json_extract(props, '$.k') AS BIGINT))
+                          * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 / CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS vwap
+    FROM events GROUP BY day_us ORDER BY day_us
+    """,
+    "daily VWAP — the cross-field RATIO-OF-AGGREGATES reducer the "
+    "single-field tick reducers don't cover (finance: volume-weighted "
+    "average price; the volume comes from the semi-structured props "
+    "column, pinned-schema JSON parse, no UDF). Each price*volume "
+    "product is ONE IEEE multiply on identical operands, quantized "
+    "floor(x*1e6+0.5) to BIGINT so the per-day sum is order-independent "
+    "exact; vwap is the same fixed division chain on both engines.",
+)
+def analytics_vwap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    ts_utc = F.timestamp_micros(F.expr("ts div 1000"))
+    pvq = F.expr(
+        "CAST(floor((value * CAST(get_json_object(props, '$.k') AS BIGINT))"
+        " * 1e6 + 0.5) AS BIGINT)"
+    )
+    k = F.from_json(F.col("props"), "k bigint").getItem("k")
+    return (
+        ev.select(
+            F.unix_micros(F.date_trunc("day", ts_utc)).alias("day_us"),
+            pvq.alias("_pvq"),
+            k.alias("_k"),
+        )
+        .groupBy("day_us")
+        .agg(
+            F.sum("_pvq").cast("long").alias("pv_q"),
+            F.sum("_k").cast("long").alias("volume"),
+            (
+                F.sum("_pvq").cast("double")
+                / F.lit(1e6)
+                / F.sum("_k").cast("long").cast("double")
+            ).alias("vwap"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@register(
     "win_running_revenue",
     f"""
     SELECT o_custkey, o_orderkey,
@@ -8240,6 +8290,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_ann_mrr_lsh",
     "ann_delete_tombstones",
     "diag_lsh_bucket_skew",
+    "analytics_vwap_daily",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8274,7 +8325,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "join_bucketed_colocated",
     "join_semi_anti_customers",
     "media_decode_jpeg",
-    "media_decode_png",
     "media_feature_extract",
     "media_video_frame_sample",
     "sample_token_budget",
