@@ -5672,6 +5672,86 @@ def diag_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_curriculum_order",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                      t -> list_contains(['the','a','of','and','to','is','in','that'], t)))
+                  * 100000
+                  // greatest(len(string_split_regex(trim(text), '\s+')), 1)
+                  AS BIGINT) AS q_score
+      FROM documents
+    ),
+    srcidx AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+             count(*) OVER () AS n_src
+      FROM (SELECT DISTINCT source FROM scored)
+    ),
+    ranked AS (
+      SELECT doc_id, source, q_score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q_score DESC, doc_id) AS r
+      FROM scored
+    )
+    SELECT CAST((r.r - 1) * s.n_src + s.sidx AS BIGINT) AS position,
+           r.doc_id, r.source, r.q_score
+    FROM ranked r JOIN srcidx s USING (source)
+    ORDER BY position LIMIT 200
+    """,
+    "curriculum training-order construction: easy-first within each "
+    "source (integer cross-multiply fluency score — stopword hits x "
+    "100000 div tokens, no float ranks), round-robin INTERLEAVED "
+    "across sources (position = (rank-1)*n_sources + source_idx) so no "
+    "source dominates any training window — the data-ordering operator "
+    "curriculum-learning pipelines run after selection and before "
+    "packing. Positions are unique by construction; the LIMIT is "
+    "deterministic.",
+)
+def select_curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(trim(text), '\\\\s+'), "
+            "t -> array_contains(array('the','a','of','and','to','is','in','that'), t)))"
+            " * 100000 div greatest(size(split(trim(text), '\\\\s+')), 1) AS BIGINT)"
+        ).alias("q_score"),
+    )
+    srcidx = (
+        scored.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(_W.orderBy("source")) - 1).alias("sidx"),
+            F.count(F.lit(1)).over(_W.partitionBy()).alias("n_src"),
+        )
+    )
+    ranked = scored.withColumn(
+        "r",
+        F.row_number().over(
+            _W.partitionBy("source").orderBy(F.desc("q_score"), "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(srcidx), "source")
+        .select(
+            ((F.col("r") - 1) * F.col("n_src") + F.col("sidx"))
+            .cast("long")
+            .alias("position"),
+            "doc_id",
+            "source",
+            "q_score",
+        )
+        .orderBy("position")
+        .limit(200)
+    )
+
+
+@register(
     "diag_lsh_bucket_skew",
     f"""
     WITH sig AS MATERIALIZED ({_sim.lsh_signature_table_sql("embeddings")}),
@@ -8291,6 +8371,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "ann_delete_tombstones",
     "diag_lsh_bucket_skew",
     "analytics_vwap_daily",
+    "select_curriculum_order",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8321,7 +8402,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash_fingerprints",
-    "dedup_simhash_near_pairs",
     "join_bucketed_colocated",
     "join_semi_anti_customers",
     "media_decode_jpeg",
