@@ -2281,3 +2281,31 @@ def test_image_resize_exact_box_means_and_phash_stability(spark):
     assert dec0.shape == (8, 8, 3)
     assert (dec0 == base).all()  # exact box means recover the blocks
     assert bytes(got[0].content) == bytes(got[1].content)  # 2x-scale invariant
+
+
+def test_audio_fingerprint_loudness_invariant_and_rejects(spark):
+    """Audio fingerprint: (1) the same waveform at 3x the amplitude
+    fingerprints IDENTICALLY (energy rises/falls survive scaling);
+    (2) a different periodic structure fingerprints differently;
+    (3) too-short clips and non-RIFF blobs drop."""
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import encode_wav
+    from tickdb_spark.operators.multimodal import audio_fingerprint
+
+    def square(n, p, a):
+        i = np.arange(n, dtype=np.int64)
+        return ((a * np.where((i // p) % 2 == 0, 1, -1)) + i % 7).astype("int16")
+
+    rows = [
+        (0, bytearray(encode_wav(square(200, 3, 60)))),
+        (1, bytearray(encode_wav(square(200, 3, 180)))),  # 3x louder
+        (2, bytearray(encode_wav(square(200, 8, 60)))),  # different period
+        (3, bytearray(encode_wav(square(60, 3, 60)))),  # too short (<130)
+        (4, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: (r.dhash_hi, r.dhash_lo) for r in audio_fingerprint(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == got[1]  # loudness-invariant
+    assert got[0] != got[2]  # structure-sensitive

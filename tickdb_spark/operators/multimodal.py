@@ -1130,3 +1130,48 @@ def image_resize(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
     return df.mapInPandas(
         run, schema="media_id long, content binary, width int, height int"
     )
+
+
+AUDIO_FP_FRAME = 2  # samples per energy frame
+AUDIO_FP_BITS = 64  # fingerprint width (needs AUDIO_FP_BITS+1 frames)
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Audio FINGERPRINT over real decoded PCM — the audio twin of the
+    image dHash, completing dedup across all three modalities (text
+    fingerprints, image dHash, now audio): frame the first
+    ``(AUDIO_FP_BITS+1) * AUDIO_FP_FRAME`` samples into 2-sample energy
+    frames (Σ s², integer-exact), and set bit k iff the energy RISES
+    from frame k to k+1 — the energy-envelope shape, which is what
+    survives loudness changes and re-encoding (a scaled copy keeps
+    every rise/fall). Emits ``(media_id, dhash_hi, dhash_lo)`` — the
+    same two-halves layout as ``image_dhash`` ON PURPOSE, so
+    ``dedup.dhash_near_pairs``'s pigeonhole Hamming join works
+    unchanged on audio. Clips shorter than the fingerprint window drop
+    (reject-to-drop)."""
+    decode_wav = _codec().decode_wav
+    need = (AUDIO_FP_BITS + 1) * AUDIO_FP_FRAME
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:4] != b"RIFF":
+                    continue
+                _, ch, samples = decode_wav(b)
+                s = samples.astype(np.int64)
+                if len(s) < need:
+                    continue
+                w = s[:need].reshape(AUDIO_FP_BITS + 1, AUDIO_FP_FRAME)
+                e = (w * w).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.uint64)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                lo = int((bits[:32] * weights[:32]).sum(dtype=np.uint64))
+                hi = int((bits[32:] * weights[:32]).sum(dtype=np.uint64))
+                out.append((int(mid), hi, lo))
+            yield pd.DataFrame(out, columns=["media_id", "dhash_hi", "dhash_lo"])
+
+    return df.mapInPandas(run, schema="media_id long, dhash_hi long, dhash_lo long")

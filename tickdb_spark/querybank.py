@@ -7368,6 +7368,61 @@ def stream_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_fingerprint_pairs",
+    """
+    WITH keys AS (SELECT doc_id AS d FROM documents WHERE doc_id < 180),
+    samples AS (
+      SELECT k.d, i.range AS i,
+             (50 + k.d % 1000)
+               * (CASE WHEN (i.range // (2 + k.d % 9)) % 2 = 0
+                       THEN 1 ELSE -1 END)
+             + i.range % 7 AS s
+      FROM keys k, range(130) i
+    ),
+    frames AS (
+      SELECT d, i // 2 AS f, SUM(s * s)::BIGINT AS e
+      FROM samples GROUP BY d, i // 2
+    ),
+    bits AS (
+      SELECT a.d, a.f AS k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM frames a JOIN frames b ON b.d = a.d AND b.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    sig AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN k >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN k < 32
+                      THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                  AS BIGINT) AS lo
+      FROM bits GROUP BY d
+    )
+    SELECT a.d AS id_a, b.d AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.d < b.d
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+    "audio near-duplicate detection — dedup now covers all three "
+    "modalities (text fingerprints, image dHash, audio): REAL WAV "
+    "decode of 180 planted square-wave clips, 64-bit energy-envelope "
+    "fingerprint (2-sample frame energies, bit k = energy rises k->k+1, "
+    "all integer-exact), Hamming<=3 pairs via the SAME pigeonhole "
+    "block-join machinery as image dHash (the two-halves layout is "
+    "shared on purpose). Clips with the same periodic structure match "
+    "at ANY loudness (amplitude scales energies, rises/falls survive) — "
+    "the oracle replays the planted waveform closed-form and brute-"
+    "forces the bit_count filter.",
+)
+def media_audio_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 180)
+    wavs = _materialized_assets("sigwav180", sf_dir, _mm.plant_signal_wavs(docs))
+    sigs = _mm.audio_fingerprint(wavs)
+    return _dedup.dhash_near_pairs(sigs, max_hamming=3)
+
+
+@register(
     "pipeline_media_curation",
     f"""
     WITH clustered AS MATERIALIZED (
@@ -8372,6 +8427,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "diag_lsh_bucket_skew",
     "analytics_vwap_daily",
     "select_curriculum_order",
+    "media_audio_fingerprint_pairs",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8396,7 +8452,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "win_analytic_suite",
     # (5) r6-era proofs — next-stalest refresh
     "agg_cube_flag_status",
-    "agg_equidepth_scale",
     "agg_rollup_region_nation",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
