@@ -115,9 +115,14 @@ def postings(
     of lexical search state: build it once at ingest, and query-time
     BM25 reads postings for the query terms only (predicate pushdown on
     ``token``), never the raw text."""
+    # spread the docs first: a single-split parquet source would run the
+    # tokenize+explode in ONE task (the single-split gotcha — measured
+    # 2.2 s serialized vs ~0.3 s spread at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     return (
-        docs.select(
+        docs.repartition(par)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.size(toks).cast("long").alias("dl"),
             F.explode(toks).alias("token"),
@@ -146,8 +151,11 @@ def bm25_topk(
     terms = _terms(queries)
     all_terms = sorted({t for _, t in terms})
 
+    # spread the docs first (single-split gotcha: one task otherwise
+    # tokenizes the whole corpus)
+    par = spark.sparkContext.defaultParallelism
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tok = docs.select(
+    tok = docs.repartition(par).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
         F.explode(toks).alias("token"),
@@ -260,8 +268,10 @@ def bm25_topk_by_example(
     broadcast semi-join on the (query-doc-bounded) term set instead of
     a literal IN-list — terms are data here, not plan constants."""
     qids = [int(q) for q in query_ids]
+    par = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tok = docs.select(
+    # spread first (single-split gotcha)
+    tok = docs.repartition(par).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
         F.explode(toks).alias("token"),
