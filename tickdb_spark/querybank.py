@@ -5752,6 +5752,70 @@ def select_curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diag_vocab_drift",
+    r"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS snap,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM tok
+    ),
+    cnt AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+      FROM tok GROUP BY token
+    )
+    SELECT token, a_cnt, b_cnt,
+           CAST(a_cnt * 1000000 // t.na AS BIGINT) AS a_ppm,
+           CAST(b_cnt * 1000000 // t.nb AS BIGINT) AS b_ppm,
+           CAST(a_cnt * 1000000 // t.na - b_cnt * 1000000 // t.nb AS BIGINT)
+             AS delta_ppm
+    FROM cnt, tot t
+    ORDER BY abs(a_cnt * 1000000 // t.na - b_cnt * 1000000 // t.nb) DESC, token
+    LIMIT 20
+    """,
+    "corpus drift monitor: token-frequency drift between two snapshots "
+    "(deterministic doc_id-parity stand-in for consecutive releases) as "
+    "exact ppm deltas — integer division only, no log/PSI float story — "
+    "top-20 drifted tokens tie-broken on the token. The continuous-"
+    "training ops check that catches a source mix shifting or a scraper "
+    "regression BEFORE a model trains on it; one shuffle (token counts "
+    "conditional on snapshot), totals are two scalars.",
+)
+def diag_vocab_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par).select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    na, nb = tok.select(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("long"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("long"),
+    ).first()
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("long").alias("a_cnt"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("long").alias("b_cnt"),
+    )
+    a_ppm = F.expr(f"CAST(a_cnt * 1000000 div {na} AS BIGINT)")
+    b_ppm = F.expr(f"CAST(b_cnt * 1000000 div {nb} AS BIGINT)")
+    out = cnt.select(
+        "token",
+        "a_cnt",
+        "b_cnt",
+        a_ppm.alias("a_ppm"),
+        b_ppm.alias("b_ppm"),
+        (a_ppm - b_ppm).cast("long").alias("delta_ppm"),
+    )
+    return out.orderBy(F.abs(F.col("delta_ppm")).desc(), "token").limit(20)
+
+
+@register(
     "diag_lsh_bucket_skew",
     f"""
     WITH sig AS MATERIALIZED ({_sim.lsh_signature_table_sql("embeddings")}),
@@ -8428,6 +8492,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_vwap_daily",
     "select_curriculum_order",
     "media_audio_fingerprint_pairs",
+    "diag_vocab_drift",
     # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
     "stream_ann_index_maintenance",
     "stream_pq_index_maintenance",
@@ -8454,7 +8519,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_cube_flag_status",
     "agg_rollup_region_nation",
     "dedup_exact_groups",
-    "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash_fingerprints",
     "join_bucketed_colocated",
