@@ -196,5 +196,115 @@ def main() -> None:
     )
 
 
+def wave2() -> None:
+    """1x-8x rows for the wave-3 r10 operators:
+    ``python scripts/bench_r10_ops_scale.py wave2``."""
+    spark = get_spark(
+        app_name="r10_ops_scale2", master="local[32]", shuffle_partitions=32
+    )
+    from bench_analytics_scale import scaled_events
+    from pyspark.sql import Window
+
+    from tickdb_spark.operators import multimodal as mm
+    from tickdb_spark.operators.bm25 import rrf_fuse  # noqa: F401
+    from tickdb_spark.operators.dedup import dhash_near_pairs
+
+    def run(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    scaled_plain_docs(spark, 1).count()
+    scaled_events(spark, 1).count()
+
+    # vwap: f-times events through the JSON parse + quantized agg
+    # (scaled_events drops props — rebuild an equivalent JSON column so
+    # the parse cost is measured too)
+    def vwap(f):
+        ev = scaled_events(spark, f).withColumn(
+            "props",
+            F.concat(
+                F.lit('{"k": '), (F.col("event_id") % 100).cast("string"), F.lit("}")
+            ),
+        )
+        pvq = F.expr(
+            "CAST(floor((value * CAST(get_json_object(props, '$.k') AS BIGINT))"
+            " * 1e6 + 0.5) AS BIGINT)"
+        )
+        k = F.from_json(F.col("props"), "k bigint").getItem("k")
+        return (
+            ev.select(
+                (F.col("ts_us") - F.col("ts_us") % 86_400_000_000).alias("day_us"),
+                pvq.alias("_pvq"),
+                k.alias("_k"),
+            )
+            .groupBy("day_us")
+            .agg(F.sum("_pvq").alias("pv_q"), F.sum("_k").alias("volume"))
+        )
+
+    times = [run(vwap(f)) for f in FACTORS]
+    print(json.dumps({"op": "vwap_daily", "sec": times, "log2_growth": growth(times)}))
+
+    # curriculum: f-times docs through the quality scan + per-source window
+    def curriculum(f):
+        docs = scaled_plain_docs(spark, f).withColumn(
+            "source", (F.col("doc_id") % 5).cast("string")
+        )
+        scored = docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(size(filter(split(trim(text), '\\\\s+'), "
+                "t -> array_contains(array('the','a','of','and','to','is','in','that'), t)))"
+                " * 100000 div greatest(size(split(trim(text), '\\\\s+')), 1) AS BIGINT)"
+            ).alias("q_score"),
+        )
+        return scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("q_score"), "doc_id")
+            ),
+        )
+
+    times = [run(curriculum(f)) for f in FACTORS]
+    print(
+        json.dumps(
+            {"op": "curriculum_order", "sec": times, "log2_growth": growth(times)}
+        )
+    )
+
+    # vocab drift: f-times docs through explode + conditional counts
+    def drift(f):
+        docs = scaled_plain_docs(spark, f)
+        tok = docs.select(
+            (F.col("doc_id") % 2).alias("snap"),
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        return tok.groupBy("token").agg(
+            F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("a_cnt"),
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("b_cnt"),
+        )
+
+    times = [run(drift(f)) for f in FACTORS]
+    print(json.dumps({"op": "vocab_drift", "sec": times, "log2_growth": growth(times)}))
+
+    # audio fingerprint pairs: f x 180 planted wavs, decode + pair join
+    times = []
+    for f in FACTORS:
+        docs = spark.range(180 * f).select(F.col("id").alias("doc_id"))
+        path = os.path.join(tempfile.mkdtemp(prefix=f"sawav{f}_"), "a")
+        mm.plant_signal_wavs(docs).write.parquet(path)
+        wavs = spark.read.parquet(path)
+        times.append(run(dhash_near_pairs(mm.audio_fingerprint(wavs), max_hamming=3)))
+    print(
+        json.dumps(
+            {"op": "audio_fp_pairs", "sec": times, "log2_growth": growth(times)}
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "wave2":
+        wave2()
+    else:
+        main()
