@@ -1148,7 +1148,9 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     same two-halves layout as ``image_dhash`` ON PURPOSE, so
     ``dedup.dhash_near_pairs``'s pigeonhole Hamming join works
     unchanged on audio. Clips shorter than the fingerprint window drop
-    (reject-to-drop)."""
+    (reject-to-drop). Multi-channel PCM is fingerprinted over the
+    interleaved stream (per-frame energy then sums channels — still
+    deterministic; a per-channel variant would downmix first)."""
     decode_wav = _codec().decode_wav
     need = (AUDIO_FP_BITS + 1) * AUDIO_FP_FRAME
 
