@@ -79,6 +79,7 @@ def main() -> int:
     else:
         names = args
     n_red = 0
+    results = {}
     for n in names:
         t0 = time.time()
         try:
@@ -91,6 +92,8 @@ def main() -> int:
                 cols = sorted(sdf.columns)
                 sdf[cols].sort_values(cols).reset_index(drop=True)
                 print(f"{n:42s} rows-only {len(sdf):6d}  {time.time()-t0:5.1f}s")
+                results[n] = {"status": "rows-only", "rows": len(sdf),
+                              "sec": round(time.time() - t0, 1)}
                 continue
             odf = oracle(osql[n])
             cols = sorted(sdf.columns)
@@ -102,10 +105,19 @@ def main() -> int:
                 f"{[(c, s[c].dtype, o[c].dtype) for c in cols]}"
             )
             print(f"{n:42s} GREEN     {len(sdf):6d}  {time.time()-t0:5.1f}s")
+            results[n] = {"status": "GREEN", "rows": len(sdf),
+                          "sec": round(time.time() - t0, 1)}
         except Exception as e:  # noqa: BLE001 — report-and-continue harness
             n_red += 1
             msg = str(e).split("\n")[0][:160]
             print(f"{n:42s} RED  {type(e).__name__}: {msg}")
+            results[n] = {"status": "RED", "err": f"{type(e).__name__}: {msg}"}
+    out = os.environ.get("GATE_REPLICA_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
     print(f"\n{len(names)} entries, {n_red} red")
     return 1 if n_red else 0
 
