@@ -2309,3 +2309,45 @@ def test_audio_fingerprint_loudness_invariant_and_rejects(spark):
     assert set(got) == {0, 1, 2}
     assert got[0] == got[1]  # loudness-invariant
     assert got[0] != got[2]  # structure-sensitive
+
+
+def test_bm25_score_template_bit_identical_cross_engine(spark):
+    """Fuzz the shared _SCORE_TMPL formula text on random integer
+    (tf, df, dl, n, tot) tuples: Spark and DuckDB must produce the
+    IDENTICAL quantized BIGINT — the property the whole BM25 family's
+    hash-stability rests on (every IEEE op runs on bit-identical inputs
+    in the same order because the expression TEXT is shared)."""
+    import random
+
+    import duckdb
+
+    from tickdb_spark.operators.bm25 import _B, _K1, _K1P1, _OMB, _SCORE_TMPL
+
+    rng = random.Random(417)
+    rows = []
+    for _ in range(200):
+        n = rng.randint(2, 10_000_000)
+        df = rng.randint(1, n)
+        tf = rng.randint(1, 500)
+        dl = rng.randint(1, 100_000)
+        tot = rng.randint(n, n * 200)
+        rows.append((tf, df, dl, n, tot))
+
+    exprs = [
+        _SCORE_TMPL.format(
+            tf=tf, df=df, dl=dl, n=n, tot=tot,
+            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+        )
+        for tf, df, dl, n, tot in rows
+    ]
+    got_spark = [
+        r[0]
+        for r in spark.sql(
+            "SELECT * FROM VALUES "
+            + ", ".join(f"({e})" for e in exprs)
+            + " AS t(v)"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [con.execute(f"SELECT {e}").fetchone()[0] for e in exprs]
+    assert got_spark == got_duck
