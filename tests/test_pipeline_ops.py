@@ -2351,3 +2351,45 @@ def test_bm25_score_template_bit_identical_cross_engine(spark):
     con = duckdb.connect()
     got_duck = [con.execute(f"SELECT {e}").fetchone()[0] for e in exprs]
     assert got_spark == got_duck
+
+
+def test_audio_fingerprint_fuzz_vs_scalar_reference(spark):
+    """Fuzz the audio fingerprint kernel against an independent scalar
+    reference: 20 random int16 clips (mixed lengths, signs, silence)
+    round-tripped through encode_wav must fingerprint exactly as the
+    per-sample python loop computes (energy frames + strict rise bits +
+    the two 32-bit halves)."""
+    import numpy as np
+
+    from tickdb_spark.operators.mediacodec import encode_wav
+    from tickdb_spark.operators.multimodal import (
+        AUDIO_FP_BITS,
+        AUDIO_FP_FRAME,
+        audio_fingerprint,
+    )
+
+    rng = np.random.RandomState(23)
+    rows, want = [], {}
+    need = (AUDIO_FP_BITS + 1) * AUDIO_FP_FRAME
+    for mid in range(20):
+        n = rng.randint(need, need + 300)
+        s = rng.randint(-30000, 30000, n).astype("int16")
+        if mid % 5 == 0:
+            s[: need // 2] = 0  # silence prefix: equal energies -> 0 bits
+        rows.append((mid, bytearray(encode_wav(s))))
+        es = []
+        for f in range(AUDIO_FP_BITS + 1):
+            w = s[f * AUDIO_FP_FRAME : (f + 1) * AUDIO_FP_FRAME].astype(object)
+            es.append(sum(int(x) * int(x) for x in w))
+        hi = lo = 0
+        for k in range(AUDIO_FP_BITS):
+            if es[k + 1] > es[k]:
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+        want[mid] = (hi, lo)
+
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: (r.dhash_hi, r.dhash_lo) for r in audio_fingerprint(df).collect()}
+    assert got == want
