@@ -2205,9 +2205,58 @@ def test_cms_join_size_estimate_one_sided_and_exact_when_sparse(spark):
     # 12 distinct keys across 512 buckets: no collisions at depth 0
     assert est == exact
 
+    # Disjoint key sets: any depth with zero overlapping buckets has a
+    # true dot of 0, and the depth spine keeps it visible to min()
+    # (ADVICE r10 — the old inner join dropped empty depths and could
+    # return NULL). 7 vs 50 sparse keys in 512 buckets: no collisions.
     disj_b = spark.createDataFrame([(100 + i,) for i in range(50)], "k long")
     est2, exact2 = cms_join_size_estimate(a, "k", disj_b, "k").first()
-    assert exact2 == 0 and est2 >= 0
+    assert exact2 == 0 and est2 == 0
+
+
+def test_cms_join_estimate_sql_disjoint_matches(spark):
+    """Oracle twin of the disjoint fix: DuckDB returns (0, 0), not NULL."""
+    import duckdb
+
+    from tickdb_spark.operators.sketch import cms_join_size_estimate_sql
+
+    a_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i % 7})" for i in range(210)
+    ) + ") t(k)"
+    b_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({100 + i})" for i in range(50)
+    ) + ") t(k)"
+    got = duckdb.connect().execute(
+        cms_join_size_estimate_sql(a_sql, "k", b_sql, "k")
+    ).fetchall()
+    assert got == [(0, 0)]
+
+
+def test_bm25_sql_escapes_quoted_terms(spark):
+    """A query term containing a single quote must not break the DuckDB
+    oracle text (ADVICE r10); both engines agree on the quoted-term
+    ranking."""
+    import duckdb
+
+    from tickdb_spark.operators.bm25 import bm25_topk, bm25_topk_sql
+
+    rows = [
+        (1, "o'brien wrote code"),
+        (2, "plain text here"),
+        (3, "o'brien again o'brien"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(0, "o'brien code")]
+    got = sorted(map(tuple, bm25_topk(docs, queries, k_top=3).collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t.replace(chr(39), chr(39) * 2)}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = sorted(map(tuple, con.execute(bm25_topk_sql("docs", queries, k_top=3)).fetchall()))
+    assert got == want and got[0][2] == 1  # both quoted-term docs rank, best first
 
 
 def test_rrf_fusion_rewards_cross_ranker_agreement(spark):

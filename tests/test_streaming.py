@@ -938,3 +938,27 @@ def test_maintained_index_schema_evolution_null_backfills(tmp_path, spark):
     )
     got = {r.doc_id: (r.tf, r.lang) for r in _read_maintained(spark, str(base), evolved).collect()}
     assert got == {1: (10, None), 2: (20, None), 3: (30, "en")}
+
+
+def test_stream_bm25_rejects_redelivered_doc(tmp_path, spark):
+    """SUM-merged postings/stats require disjoint batches (ADVICE r10):
+    a doc_id delivered in two landing files must raise, not silently
+    double-count df and the stats deltas."""
+    import pandas as pd
+    import pytest
+
+    from tickdb_spark.streaming.index import stream_bm25_index_maintenance
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha beta", "beta gamma", "gamma delta"]}
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.iloc[:2].to_parquet(landing / "b0.parquet", index=False)
+    pdf.iloc[1:].to_parquet(landing / "b1.parquet", index=False)  # doc 2 twice
+
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    with pytest.raises(ValueError, match="more than one micro-batch"):
+        stream_bm25_index_maintenance(
+            spark, str(landing), str(tmp_path / "state"), docs.schema
+        )

@@ -212,8 +212,12 @@ def bm25_topk_sql(
     """DuckDB twin: same filtered-explode shape, same ``_SCORE_TMPL``
     formula text, same quantized BIGINT sum and tie-break."""
     terms = _terms(queries)
-    all_terms = ", ".join(f"'{t}'" for t in sorted({t for _, t in terms}))
-    qvals = ", ".join(f"({q}, '{t}')" for q, t in terms)
+    # SQL-escape the interpolated terms (ADVICE r10): a term containing a
+    # single quote would otherwise break the oracle query text — and terms
+    # can come from data (by-example queries), not just plan constants.
+    esc = lambda t: t.replace("'", "''")
+    all_terms = ", ".join(f"'{esc(t)}'" for t in sorted({t for _, t in terms}))
+    qvals = ", ".join(f"({q}, '{esc(t)}')" for q, t in terms)
     toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
     score = _SCORE_TMPL.format(
         tf="t.tf", df="d.df", dl="t.dl", n="s.n_docs", tot="s.tot",

@@ -526,6 +526,16 @@ def cms_join_size_estimate(
         .groupBy("depth")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
     )
+    # A depth with NO overlapping buckets has a true dot of 0 (which
+    # certifies exact_rows == 0) but vanishes from the inner join; left
+    # join from the depth spine with dot defaulted to 0 so min() sees it
+    # (ADVICE r10 — previously est_rows came back NULL / overestimated).
+    spine = a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    dots = spine.join(dots, "depth", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
+    )
     est = dots.agg(F.min("dot").cast("long").alias("est_rows"))
     ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
     cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
@@ -570,7 +580,11 @@ def cms_join_size_estimate_sql(
       SELECT a.depth, SUM(a.cnt * b.cnt) AS dot
       FROM cms_a a JOIN cms_b b USING (depth, bucket) GROUP BY a.depth
     ),
-    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM dots),
+    dots_full AS (
+      SELECT COALESCE(d.dot, 0) AS dot
+      FROM range({depth}) s LEFT JOIN dots d ON d.depth = s.range
+    ),
+    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM dots_full),
     exact AS (
       SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS exact_rows
       FROM (SELECT v, count(*) AS c FROM a_items GROUP BY v) ca

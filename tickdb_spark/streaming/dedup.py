@@ -66,9 +66,14 @@ def stream_dedup_ingest(
     kept_dir = os.path.join(work_dir, "kept")
     fp_dir = os.path.join(work_dir, "fingerprints")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
+    # Derive the kept-table read schema from the LANDING schema's id
+    # field (ADVICE r10): pinning LongType here would silently misread
+    # the kept files if the landing id type ever changes — the two
+    # schemas must agree by construction, not by parallel edits.
+    landing_schema = batch_schema(id_col, text_col)
     kept_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType(), False),
+            landing_schema[id_col],
             T.StructField("content_hash", T.StringType(), False),
         ]
     )

@@ -385,6 +385,8 @@ _BM25_STATS_SCHEMA = T.StructType(
     ]
 )
 
+_DOCID_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
 
 def stream_bm25_index_maintenance(
     spark: SparkSession,
@@ -398,11 +400,18 @@ def stream_bm25_index_maintenance(
     each micro-batch of new documents explodes to its postings
     ``(token, doc_id, tf, dl)`` (``operators/bm25.postings``, the
     at-rest shape of text search state) plus a one-row stats delta
-    ``(n_docs, total_dl)``. Batches hold DISJOINT documents, so both
-    are exact under concatenation: postings rows are per-(doc, term)
-    facts, and the stats merge law is SUM (a third merge law in the
-    face family, next to replace-idempotent signatures and max-merge
-    HLL registers). Writes are idempotent per epoch.
+    ``(n_docs, total_dl)``. PRECONDITION: batches hold DISJOINT
+    documents (each doc_id delivered exactly once across the stream) —
+    only then are both exact under concatenation: postings rows are
+    per-(doc, term) facts, and the stats merge law is SUM (a third
+    merge law in the face family, next to replace-idempotent signatures
+    and max-merge HLL registers). Writes are idempotent per epoch
+    (crash-rerun of an epoch overwrites its own subdir), which covers
+    checkpoint-level redelivery; a SOURCE that redelivers a doc under a
+    new epoch would silently double-count df and the stats deltas, so
+    the handler also logs each batch's doc_ids and the read path raises
+    on any doc_id seen in two epochs (ADVICE r10) instead of returning
+    a corrupt index.
 
     Returns ``(postings, n_docs, total_dl)`` — what a query-time BM25
     probe (``bm25.bm25_topk_from_index``) consumes; the raw corpus is
@@ -411,11 +420,13 @@ def stream_bm25_index_maintenance(
 
     post_dir = os.path.join(work_dir, "postings")
     stats_dir = os.path.join(work_dir, "bm25_stats")
+    doc_dir = os.path.join(work_dir, "bm25_doc_ids")
     ckpt_dir = os.path.join(work_dir, "checkpoint_bm25")
     spark.createDataFrame([], _POSTING_SCHEMA).write.mode("ignore").parquet(post_dir)
     spark.createDataFrame([], _BM25_STATS_SCHEMA).write.mode("ignore").parquet(
         stats_dir
     )
+    spark.createDataFrame([], _DOCID_SCHEMA).write.mode("ignore").parquet(doc_dir)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         _postings(batch, text_col, id_col).write.mode("overwrite").parquet(
@@ -428,6 +439,10 @@ def stream_bm25_index_maintenance(
         ).write.mode("overwrite").parquet(
             os.path.join(stats_dir, f"epoch_{epoch_id}")
         )
+        # disjointness evidence: one 8-byte row per doc (NOT per posting)
+        batch.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(doc_dir, f"epoch_{epoch_id}"))
 
     q = (
         spark.readStream.schema(schema)
@@ -439,6 +454,25 @@ def stream_bm25_index_maintenance(
         .start()
     )
     q.awaitTermination()
+    # Invariant check (cheap: one agg over the doc-id log, an 8-byte
+    # column with one row per document — never the postings table): a
+    # doc_id delivered in two epochs means the SUM merge law
+    # double-counted df/n_docs/total_dl, so fail loudly.
+    dup = (
+        _read_maintained(spark, doc_dir, _DOCID_SCHEMA)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"stream_bm25_index_maintenance: doc_id {dup[0]['doc_id']} was "
+            "delivered in more than one micro-batch; the postings/stats SUM "
+            "merge requires disjoint batches (dedup upstream or key the "
+            "landing files by doc_id)"
+        )
     stats = (
         _read_maintained(spark, stats_dir, _BM25_STATS_SCHEMA)
         .agg(
