@@ -2442,3 +2442,58 @@ def test_audio_fingerprint_fuzz_vs_scalar_reference(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r.media_id: (r.dhash_hi, r.dhash_lo) for r in audio_fingerprint(df).collect()}
     assert got == want
+
+
+def test_bottomk_quantile_sketch_parity_accuracy_merge_and_plan(spark):
+    """Bottom-k quantile sketch: (1) Spark == DuckDB twin bit-for-bit;
+    (2) estimated ranks land within sampling error of the targets;
+    (3) the sample state MERGES (union of shard samples, keep k
+    smallest == global sample — the KMV law on rows); (4) the build
+    plans as TakeOrderedAndProject, never a data-wide sort/window."""
+    from functools import reduce
+
+    import duckdb
+
+    from tickdb_spark.operators.sketch import (
+        bottomk_quantile_sketch,
+        bottomk_quantile_sketch_sql,
+        bottomk_sample,
+    )
+    from tickdb_spark.plans import physical_plan
+
+    src = "/root/testdata/sf0.01/events.parquet"
+    ev = spark.read.parquet(src)
+    got = sorted(map(tuple, bottomk_quantile_sketch(ev, "event_id", "value").collect()))
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            bottomk_quantile_sketch_sql(
+                f"SELECT * FROM read_parquet('{src}')", "event_id", "value"
+            )
+        )
+        .fetchall()
+    )
+    assert got == want and len(got) == 3
+
+    # rank accuracy: est_value's true rank within sampling error of the
+    # target (k=1024 -> sigma ~ sqrt(p(1-p)/k) <= 16 permille; allow 4
+    # sigma — the sf0.01 event_id draw sits at -3.5 sigma on p50)
+    n = ev.count()
+    for p, est, m in got:
+        true_rank = 1000 * ev.where(F.col("value") <= est).count() // n
+        assert abs(true_rank - p) <= 64, (p, est, true_rank)
+
+    # merge law: 4 disjoint shard samples union-merge to the global one
+    glob = bottomk_sample(ev, "event_id", "value", 256)
+    shards = [
+        bottomk_sample(ev.where(F.col("event_id") % 4 == i), "event_id", "value", 256)
+        for i in range(4)
+    ]
+    merged = (
+        reduce(lambda a, b: a.unionAll(b), shards).orderBy("_h", "_key").limit(256)
+    )
+    assert sorted(map(tuple, glob.collect())) == sorted(map(tuple, merged.collect()))
+
+    # plan: per-task bottom-k merge, no global Sort/Window in the build
+    plan = physical_plan(bottomk_sample(ev, "event_id", "value"))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -8451,6 +8451,27 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _domainmix.doremi_domain_weights(docs).orderBy("domain")
 
 
+@register(
+    "agg_quantile_sketch_bottomk",
+    _sketch.bottomk_quantile_sketch_sql(
+        "SELECT * FROM events", "event_id", "value"
+    ),
+    "bottom-k quantile sketch: the RANK member of the mergeable sketch "
+    "family (HLL counts / CMS frequencies / KMV similarity). A "
+    "deterministic hash-uniform row sample — keep the k=1024 rows with "
+    "smallest 60-bit md5 key hash — then p50/p90/p99 read off the "
+    "sample's order statistics by pure integer rank selection "
+    "(1 + p(m-1) div 1000). Plans as TakeOrderedAndProject: per-task "
+    "bottom-k partials merge, no data-wide sort or window; the sample "
+    "is mergeable state (union, keep k smallest — same law as KMV). "
+    "The estimate is a SELECTED raw value, not arithmetic — hash-exact "
+    "cross-engine; rank error ~1/sqrt(k) asserted vs exact in tests",
+)
+def agg_quantile_sketch_bottomk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return _sketch.bottomk_quantile_sketch(ev, "event_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8461,78 +8482,71 @@ def select_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r9 head (rotation per VERDICT r8 ask #7): leads with the 15 entries
-#: NEW in r9 (never sampled by construction), then the 10 entries whose
-#: CODE changed in r9 and need re-proof (the approx-sketch to_json
-#: canonicalizer fix; the layout integer-div and HLL rho-clamp ADVICE
-#: fixes; the five per-series windows pinned past AQE byte-coalescing;
-#: the PMI/AUC extraction refactor), then the 6 STALEST proofs (r4-era,
-#: the VERDICT list — tpch_q1 doubling as the creep family's driver-side
-#: evidence), and fills the remaining 19 slots with r5-era proofs
-#: (that cohort minus tick_point_get — every bench run's warm-up
-#: action — win_analytic_suite, tick_bucket_year, tick_bucket_month_sum,
-#: agg_value_histogram, tick_bucket_week_sum,
-#: agg_multi_distinct_stringagg, stream_windowed_bucket_agg,
-#: stream_session_windows, rangejoin_click_attribution,
-#: decontaminate_neardup_eval, and asof_purchase_last_click). tests/test_registry_head.py
-#: enforces the rotation rule mechanically.
+#: r11 head: leads with the entries NEW in r11 (never sampled by
+#: construction), then the entries whose CODE changed in r11 and need
+#: re-proof (the ADVICE r10 fixes: depth-spine join-size estimate,
+#: BM25 oracle quote escaping + redelivery guard, derived kept schema
+#: in the dedup stream), then the 30 STALEST proofs (the full r6-era
+#: cohort — after the r10 rotation these are the oldest driver rows in
+#: the ledger), and fills the remaining slots with the stalest r7-era
+#: proofs. tests/test_registry_head.py enforces the rotation rule
+#: mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (1) NEW in r10 — never sampled by construction
-    "stream_ivf_cell_maintenance",
-    "stream_decontam_gram_maintenance",
-    "text_bm25_retrieval",
+    # (1) NEW in r11 — never sampled by construction
+    "agg_quantile_sketch_bottomk",
+    # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
-    "stream_phash_index_maintenance",
-    "hybrid_rrf_retrieval",
+    "text_bm25_retrieval",
     "stream_bm25_index_maintenance",
-    "eval_ann_mrr_lsh",
-    "ann_delete_tombstones",
-    "diag_lsh_bucket_skew",
-    "analytics_vwap_daily",
-    "select_curriculum_order",
-    "media_audio_fingerprint_pairs",
-    "diag_vocab_drift",
-    # (2) red in r9 (landing-file dtype mismatch, fixed) — re-proof REQUIRED
-    "stream_ann_index_maintenance",
-    "stream_pq_index_maintenance",
-    # (3) code changed in r10 — re-proof required
-    "eval_dedup_recall_lsh",
-    "decontaminate_train_vs_eval",
-    "stream_hll_maintenance",
+    "hybrid_rrf_retrieval",
     "stream_dedup_ingest",
-    "select_doremi_domain_weights",
-    # (4) stalest driver proof (r5) — rotation refresh
-    "agg_multi_distinct_stringagg",
-    "agg_value_histogram",
-    "asof_purchase_last_click",
-    "decontaminate_neardup_eval",
-    "rangejoin_click_attribution",
-    "stream_session_windows",
-    "stream_windowed_bucket_agg",
-    "tick_bucket_month_sum",
-    "tick_bucket_week_sum",
-    "tick_bucket_year",
-    "tick_point_get",
-    "win_analytic_suite",
-    # (5) r6-era proofs — next-stalest refresh
-    "agg_cube_flag_status",
-    "agg_rollup_region_nation",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_fingerprints",
-    "join_bucketed_colocated",
-    "join_semi_anti_customers",
-    "media_decode_jpeg",
-    "media_feature_extract",
-    "media_video_frame_sample",
-    "sample_token_budget",
-    "scalar_function_battery",
-    "setop_all_multiset_variants",
-    "sim_ann_topk_bruteforce",
-    "sim_cosine_neardup_pairs",
-    "text_bpe_tokenize",
-    "text_bpe_train_merges",
+    # (3) stalest driver proof (r6 cohort, complete) — rotation refresh
+    "agg_equidepth_scale",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_near_pairs",
+    "join_full_outer_nation_parties",
+    "media_binary_stats",
+    "media_decode_png",
+    "media_decode_stats",
+    "pivot_qty_by_status",
+    "setop_nation_coverage",
+    "sim_ann_topk_lsh",
+    "text_bigram_familiarity",
+    "text_langid_fingerprint",
+    "text_pii_scrub",
+    "text_quality_metrics",
+    "text_repetition_metrics",
+    "tick_bucket_5min_routed",
+    "tick_gapfill_multiseries",
+    "tick_rollup_day_agg",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_revenue_forecast",
+    "trend_series_ols_slope",
+    "unpivot_lineitem_metrics",
+    "win_running_revenue",
+    "win_top3_orders_per_priority",
+    "win_trailing_7day_revenue",
+    # (4) r7-era proofs — next-stalest refresh (fills to 50)
+    "analytics_cohort_retention",
+    "analytics_funnel_steps",
+    "analytics_sessionize",
+    "analytics_user_click_view_corr",
+    "asof_tolerance_attribution",
+    "decontaminate_bloom_prefilter",
+    "dedup_cluster_components",
+    "dedup_cluster_retention",
+    "dedup_exact_normalized",
+    "graph_triangle_counts",
+    "media_audio_features",
+    "media_decode_progressive",
+    "media_decode_robust",
+    "media_exif_metadata",
 ]
 
 
