@@ -2497,3 +2497,73 @@ def test_bottomk_quantile_sketch_parity_accuracy_merge_and_plan(spark):
     # plan: per-task bottom-k merge, no global Sort/Window in the build
     plan = physical_plan(bottomk_sample(ev, "event_id", "value"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_canonical_url_battery_cross_engine(spark):
+    """URL canonicalization: messy variants collapse, tracking params
+    strip, surviving params sort, ports/fragments/trailing slashes
+    drop — and the DuckDB twin agrees byte-for-byte on every case."""
+    import duckdb
+
+    from tickdb_spark.functions.web import canonical_url, canonical_url_sql
+
+    cases = [
+        ("https://WWW.Example.com:443/a/b/?utm_source=x&z=2&a=1#frag",
+         "https://example.com/a/b?a=1&z=2"),
+        ("HTTP://example.COM:80/a", "http://example.com/a"),
+        ("https://example.com/a", "https://example.com/a"),
+        ("https://example.com/a?fbclid=abc", "https://example.com/a"),
+        ("https://example.com/a?gclid=1&id=7", "https://example.com/a?id=7"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com:8080/a", "https://example.com:8080/a"),
+        ("https://example.com/a?z=1&utm_a=x&b=2&utm_b=y",
+         "https://example.com/a?b=2&z=1"),
+        ("https://www.example.com/a///", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    want = [w for _, w in cases]
+    assert got == want, list(zip(got, want))
+
+    con = duckdb.connect()
+    vals = ", ".join("('" + u.replace("'", "''") + "')" for u, _ in cases)
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('url')} FROM (VALUES {vals}) t(url)"
+        ).fetchall()
+    ]
+    assert duck == want, list(zip(duck, want))
+
+
+def test_url_dedup_collapses_variants_and_rollup_blocks_hosts(spark):
+    """url_dedup elects the min-id keeper across mess variants of the
+    same page; domain_rollup drops blocklisted hosts pre-shuffle and
+    counts post-dedup pages."""
+    from tickdb_spark.functions.web import domain_rollup, url_dedup
+
+    rows = [
+        (1, "https://WWW.Site.com/p?utm_source=a", 100),
+        (2, "https://site.com/p", 150),            # dup of 1
+        (3, "https://site.com:443/p/", 200),       # dup of 1
+        (4, "https://site.com/q?b=2&a=1", 10),
+        (5, "https://site.com/q?a=1&b=2", 20),     # dup of 4 (param order)
+        (6, "https://blocked.com/x", 999),
+        (7, "http://site.com/p", 50),              # scheme differs: NOT a dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    d = {r.canon_url: (r.keeper_id, r.dup_count) for r in url_dedup(df, "url", "doc_id").collect()}
+    assert d["https://site.com/p"] == (1, 3)
+    assert d["https://site.com/q?a=1&b=2"] == (4, 2)
+    assert d["http://site.com/p"] == (7, 1)
+    assert d["https://blocked.com/x"] == (6, 1)
+
+    roll = {
+        r.host: (r.n_docs, r.n_pages, r.total_chars)
+        for r in domain_rollup(
+            df, "url", "doc_id", "n_chars", blocked_hosts=["blocked.com"]
+        ).collect()
+    }
+    assert "blocked.com" not in roll
+    assert roll["site.com"] == (6, 3, 530)  # 3 pages: https p, https q, http p

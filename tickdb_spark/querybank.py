@@ -8472,6 +8472,99 @@ def agg_quantile_sketch_bottomk_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return _sketch.bottomk_quantile_sketch(ev, "event_id", "value")
 
 
+from tickdb_spark.functions import web as _web  # noqa: E402
+
+#: Deterministic messy-URL derivation over documents — ONE formula text
+#: shared verbatim between Spark (F.expr) and the DuckDB oracle, so the
+#: curation operators are what the gate tests, not the fixture. Four
+#: mess classes: uppercase www + utm + fragment / explicit :443 +
+#: trailing slash / http with :80 and no query / plain www duplicate.
+#: doc_ids congruent mod 455 (= lcm of the host/page/id moduli) in the
+#: https classes {0,1,3} collapse to one canonical URL.
+_WEB_URL_EXPR = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'https://WWW.Site-' || CAST(doc_id % 7 AS STRING) "
+    "|| '.example.com/docs/page-' || CAST(doc_id % 13 AS STRING) "
+    "|| '?utm_source=feed&id=' || CAST(doc_id % 5 AS STRING) || '#frag' "
+    "WHEN 1 THEN 'https://site-' || CAST(doc_id % 7 AS STRING) "
+    "|| '.example.com:443/docs/page-' || CAST(doc_id % 13 AS STRING) "
+    "|| '/?id=' || CAST(doc_id % 5 AS STRING) || '&utm_campaign=x' "
+    "WHEN 2 THEN 'HTTP://Site-' || CAST(doc_id % 7 AS STRING) "
+    "|| '.example.com:80/docs/page-' || CAST(doc_id % 13 AS STRING) "
+    "ELSE 'https://www.site-' || CAST(doc_id % 7 AS STRING) "
+    "|| '.example.com/docs/page-' || CAST(doc_id % 13 AS STRING) "
+    "|| '?id=' || CAST(doc_id % 5 AS STRING) END"
+)
+
+
+@register(
+    "web_url_canonical_dedup",
+    f"""
+    WITH urls AS (
+      SELECT doc_id, {_WEB_URL_EXPR} AS url FROM documents
+    )
+    SELECT {_web.canonical_url_sql('url')} AS canon_url,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS dup_count
+    FROM urls GROUP BY 1
+    """,
+    "web-corpus curation: canonical-URL exact dedup. URLs arrive messy "
+    "(case-shifted scheme/host, www. prefixes, explicit default ports, "
+    "tracking params, fragments, trailing slashes, shuffled param "
+    "order); canonicalization is pure codegen string/regexp/array ops "
+    "(functions/web.py — every regexp inside the Java∩RE2 subset, param "
+    "sort via array_sort==list_sort), then one hash groupBy on the "
+    "canonical key elects min-id keepers — the same never-all-pairs "
+    "shape as exact_dedup_groups. The planted mess classes collapse "
+    "https variants of the same page across doc_ids ≡ mod 455",
+)
+def web_url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WEB_URL_EXPR).alias("url")
+    )
+    return _web.url_dedup(docs, "url", "doc_id")
+
+
+@register(
+    "web_domain_rollup",
+    f"""
+    WITH urls AS (
+      SELECT doc_id, n_chars, {_WEB_URL_EXPR} AS url FROM documents
+    ),
+    keyed AS (
+      SELECT {_web.url_host_sql('url')} AS host,
+             {_web.canonical_url_sql('url')} AS canon,
+             n_chars
+      FROM urls
+    )
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_pages,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM keyed
+    WHERE host NOT IN ('site-3.example.com', 'site-5.example.com')
+    GROUP BY host
+    """,
+    "host-level governance rollup with blocklist filtering: per host "
+    "(lowercased, www-stripped, default-port-dropped), total docs, "
+    "distinct canonical pages (the post-dedup count) and total chars — "
+    "after dropping blocklisted hosts BEFORE the aggregate shuffle "
+    "(literal predicate here; broadcast anti-join for file-backed "
+    "lists). The per-domain quality/volume table every crawl curation "
+    "pipeline keeps",
+)
+def web_domain_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_WEB_URL_EXPR).alias("url")
+    )
+    return _web.domain_rollup(
+        docs,
+        "url",
+        "doc_id",
+        "n_chars",
+        blocked_hosts=["site-3.example.com", "site-5.example.com"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8495,6 +8588,8 @@ def agg_quantile_sketch_bottomk_q(spark: SparkSession, sf_dir: str) -> DataFrame
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r11 — never sampled by construction
     "agg_quantile_sketch_bottomk",
+    "web_url_canonical_dedup",
+    "web_domain_rollup",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8545,8 +8640,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "graph_triangle_counts",
     "media_audio_features",
     "media_decode_progressive",
-    "media_decode_robust",
-    "media_exif_metadata",
 ]
 
 
