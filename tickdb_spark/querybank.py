@@ -8565,6 +8565,55 @@ def web_domain_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_index_schema_evolution",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text, lang,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS cnt
+      FROM documents WHERE doc_id % 25 = 1
+    )
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+           CASE WHEN rn <= 2 * ((cnt + 3) // 4) THEN NULL ELSE lang END
+             AS lang
+    FROM d
+    """,
+    "schema evolution of a MAINTAINED table — the lifecycle face after "
+    "build/maintain/delete/compact: a per-doc stats log gains a lang "
+    "column mid-stream (the producer ships it from landing file 3 of "
+    "4; two stream runs over one checkpoint = the restart pattern). "
+    "Old epoch dirs physically lack the column; reading the epoch log "
+    "with the EVOLVED explicit schema NULL-backfills them — mergeSchema "
+    "semantics with no footer-merge pass and no epoch rewrite. The "
+    "oracle states the contract directly: first-half docs NULL, "
+    "second-half docs carry lang",
+)
+def stream_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import stream_docstats_maintenance as _sds
+
+    work = _tempfile.mkdtemp(prefix="tickdb_schevo_stream_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 1)
+    v1 = docs.select("doc_id", "text")
+    v2 = docs.select("doc_id", "text", "lang")
+    pdf = v2.orderBy("doc_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    state = _os.path.join(work, "state")
+    for k in range(2):  # producer v1: no lang column yet
+        part = pdf.iloc[k * step : (k + 1) * step][["doc_id", "text"]]
+        _write_landing(part, v1.schema, _os.path.join(landing, f"b{k}.parquet"), base + k)
+    _sds(spark, landing, state, v1.schema)
+    for k in range(2, 4):  # producer v2: lang ships
+        part = pdf.iloc[k * step : (k + 1) * step]
+        _write_landing(part, v2.schema, _os.path.join(landing, f"b{k}.parquet"), base + k)
+    return _sds(spark, landing, state, v2.schema)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8590,6 +8639,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_quantile_sketch_bottomk",
     "web_url_canonical_dedup",
     "web_domain_rollup",
+    "stream_index_schema_evolution",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8639,7 +8689,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_exact_normalized",
     "graph_triangle_counts",
     "media_audio_features",
-    "media_decode_progressive",
 ]
 
 

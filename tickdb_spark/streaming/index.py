@@ -540,3 +540,74 @@ def stream_hll_maintenance(
     return log.groupBy(*group_cols, "bucket").agg(
         F.max("register").cast("long").alias("register")
     )
+
+
+# --- schema evolution of a maintained table --------------------------------
+
+_DOCSTATS_V1 = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ]
+)
+
+_DOCSTATS_V2 = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def stream_docstats_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Schema EVOLUTION of a maintained table — the lifecycle face after
+    build/maintain/delete/compact: a per-doc stats log gains a column
+    mid-stream. The handler writes ``(doc_id, n_tokens)`` and, once the
+    upstream producer starts shipping it (the landing schema carries a
+    ``lang`` field), ``(doc_id, n_tokens, lang)`` — so older epoch dirs
+    physically lack the column. The read side passes the EVOLVED schema
+    to the explicit-schema epoch-log reader: parquet NULL-backfills the
+    missing column for old epochs (mergeSchema semantics without the
+    footer-merge pass — the evolved schema IS the merged schema, and no
+    epoch rewrite ever happens). Call once per producer version over
+    the same checkpoint: the file source resumes at the first new file,
+    exactly the restart pattern of every other face.
+
+    Returns the maintained log read with the evolved (v2) schema."""
+    stats_dir = os.path.join(work_dir, "doc_stats")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_docstats")
+    spark.createDataFrame([], _DOCSTATS_V2).write.mode("ignore").parquet(stats_dir)
+    has_lang = "lang" in schema.fieldNames()
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        cols = [
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+        ]
+        if has_lang:
+            cols.append(F.col("lang"))
+        batch.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(stats_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_maintained(spark, stats_dir, _DOCSTATS_V2)
