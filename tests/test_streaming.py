@@ -962,3 +962,29 @@ def test_stream_bm25_rejects_redelivered_doc(tmp_path, spark):
         stream_bm25_index_maintenance(
             spark, str(landing), str(tmp_path / "state"), docs.schema
         )
+
+
+def test_stream_quantile_sketch_equals_batch_sample(tmp_path, spark):
+    """Quantile maintenance face: the union-merged epoch samples equal
+    the batch-built bottom-k sample over the same rows regardless of
+    how rows split across landing files (merge law on rows)."""
+    from tickdb_spark.operators.sketch import bottomk_sample
+    from tickdb_spark.streaming.index import stream_quantile_sketch_maintenance
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "value")
+    )
+    pdf = ev.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # adversarial split: round-robin by id, NOT contiguous ranges
+    for i in range(3):
+        pdf[pdf.event_id % 3 == i].to_parquet(landing / f"b{i}.parquet", index=False)
+
+    got = stream_quantile_sketch_maintenance(
+        spark, str(landing), str(tmp_path / "state"), ev.schema,
+        "event_id", "value", k=512,
+    )
+    want = bottomk_sample(ev, "event_id", "value", k=512)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

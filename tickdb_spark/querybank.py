@@ -8614,6 +8614,40 @@ def stream_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sds(spark, landing, state, v2.schema)
 
 
+@register(
+    "stream_quantile_sketch_maintenance",
+    _sketch.bottomk_quantile_sketch_sql(
+        "SELECT * FROM events", "event_id", "value"
+    ),
+    "quantile face of the maintenance family (the 9th, next to dedup "
+    "fingerprints / LSH sigs / PQ codes / HLL registers / IVF cells / "
+    "decontam grams / phash prints / BM25 postings): each micro-batch "
+    "appends its own bottom-k sample epoch, the read path union-merges "
+    "by keeping the k smallest hashes again — the KMV merge law on "
+    "rows, so the maintained sketch equals the batch-built one over "
+    "the same rows and the oracle IS the batch entry's SQL. Monitoring "
+    "p50/p90/p99 over a growing corpus costs O(batch) per batch; the "
+    "corpus is never rescanned",
+)
+def stream_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import stream_quantile_sketch_maintenance as _sqm
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sbk_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    pdf = ev.orderBy("event_id").toPandas()
+    step = (len(pdf) + 3) // 4
+    base = 1_600_000_000
+    for k in range(4):
+        part = pdf.iloc[k * step : (k + 1) * step]
+        _write_landing(part, ev.schema, _os.path.join(landing, f"b{k}.parquet"), base + k)
+    sample = _sqm(
+        spark, landing, _os.path.join(work, "state"), ev.schema, "event_id", "value"
+    )
+    return _sketch.bottomk_quantiles(sample)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8640,6 +8674,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "web_url_canonical_dedup",
     "web_domain_rollup",
     "stream_index_schema_evolution",
+    "stream_quantile_sketch_maintenance",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8688,7 +8723,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_cluster_retention",
     "dedup_exact_normalized",
     "graph_triangle_counts",
-    "media_audio_features",
 ]
 
 

@@ -611,3 +611,63 @@ def stream_docstats_maintenance(
     )
     q.awaitTermination()
     return _read_maintained(spark, stats_dir, _DOCSTATS_V2)
+
+
+# --- streaming quantile-sketch maintenance ---------------------------------
+
+_BKSAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("_h", T.LongType(), False),
+        T.StructField("_key", T.LongType(), False),
+        T.StructField("_v", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_quantile_sketch_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    key_col: str,
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Quantile face of the maintenance family (the 9th): each
+    micro-batch writes its own bottom-k sample
+    (``operators/sketch.bottomk_sample`` — the k rows with smallest
+    60-bit key hash), and the read path union-merges the epoch samples
+    by keeping the k smallest again — the KMV merge law on rows, so the
+    maintained sketch EQUALS the batch-built one over the same rows
+    (the oracle). Monitoring quantiles over a growing corpus costs
+    O(batch) per batch + a k-row merge at read time; the corpus is
+    never rescanned. State: ≤ k rows per epoch, 24 bytes each.
+
+    Returns the merged k-row sample; feed to
+    ``operators/sketch.bottomk_quantiles`` for estimates."""
+    from tickdb_spark.operators.sketch import bottomk_sample
+
+    smp_dir = os.path.join(work_dir, "bk_samples")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_bk")
+    spark.createDataFrame([], _BKSAMPLE_SCHEMA).write.mode("ignore").parquet(smp_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        bottomk_sample(batch, key_col, value_col, k).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(smp_dir, f"epoch_{epoch_id}"))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        _read_maintained(spark, smp_dir, _BKSAMPLE_SCHEMA)
+        .orderBy("_h", "_key")
+        .limit(k)
+    )
