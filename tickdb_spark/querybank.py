@@ -8648,6 +8648,73 @@ def stream_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.bottomk_quantiles(sample)
 
 
+#: Shared bin formula for the numeric drift monitor — identical text on
+#: both engines: one IEEE division of a raw double by an exact power-of-
+#: representable constant, floor, clamp. 24 fixed-width bins cover the
+#: events.value range at every SF (open-topped last bin).
+_DRIFT_BIN = "LEAST(CAST(floor(value / 25) AS BIGINT), 23)"
+
+
+@register(
+    "diag_numeric_drift",
+    f"""
+    WITH binned AS (
+      SELECT event_id % 2 AS snap, {_DRIFT_BIN} AS bin
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM binned
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, a_cnt, b_cnt,
+           CAST(a_cnt * 1000000 // t.na AS BIGINT) AS a_ppm,
+           CAST(b_cnt * 1000000 // t.nb AS BIGINT) AS b_ppm,
+           CAST(abs(a_cnt * t.nb - b_cnt * t.na) AS BIGINT) AS l1_num,
+           CAST(abs(a_cnt * t.nb - b_cnt * t.na) AS DOUBLE) / (t.na * t.nb)
+             AS l1_contrib
+    FROM cnt, tot t
+    """,
+    "numeric distribution drift monitor (PSI-shaped, no logs): "
+    "events.value binned by a shared closed form (floor(v/25) clamped "
+    "to 24 bins), per-bin counts for two snapshots (event_id-parity "
+    "stand-in for consecutive releases), drift as exact integer ppm "
+    "deltas plus the L1 numerator |a·Nb − b·Na| as a BIGINT — total "
+    "variation distance is Σ l1_contrib / 2, each contribution ONE "
+    "IEEE division of exact integers. Pairs with diag_vocab_drift "
+    "(tokens) to cover both modalities of release-to-release drift; "
+    "one shuffle on 24 bins, totals are two scalars",
+)
+def diag_numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("snap"), F.expr(_DRIFT_BIN).alias("bin")
+    )
+    na, nb = ev.select(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("long"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("long"),
+    ).first()
+    cnt = ev.groupBy("bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("long").alias("a_cnt"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("long").alias("b_cnt"),
+    )
+    l1 = F.abs(F.col("a_cnt") * F.lit(int(nb)) - F.col("b_cnt") * F.lit(int(na)))
+    return cnt.select(
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        F.expr(f"CAST(a_cnt * 1000000 div {na} AS BIGINT)").alias("a_ppm"),
+        F.expr(f"CAST(b_cnt * 1000000 div {nb} AS BIGINT)").alias("b_ppm"),
+        l1.cast("long").alias("l1_num"),
+        (l1.cast("double") / F.lit(float(int(na) * int(nb)))).alias("l1_contrib"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8675,6 +8742,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "web_domain_rollup",
     "stream_index_schema_evolution",
     "stream_quantile_sketch_maintenance",
+    "diag_numeric_drift",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8722,7 +8790,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_cluster_components",
     "dedup_cluster_retention",
     "dedup_exact_normalized",
-    "graph_triangle_counts",
 ]
 
 
