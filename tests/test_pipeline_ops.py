@@ -2567,3 +2567,52 @@ def test_url_dedup_collapses_variants_and_rollup_blocks_hosts(spark):
     }
     assert "blocked.com" not in roll
     assert roll["site.com"] == (6, 3, 530)  # 3 pages: https p, https q, http p
+
+
+def test_hard_negative_mining_excludes_same_label_ranks_closest(spark):
+    """Planted geometry: the query's nearest vector shares its label
+    (an easy positive — must be EXCLUDED); a slightly-farther
+    different-label vector is the hardest negative and must rank 1.
+    Output parity with the DuckDB twin on the same rows."""
+    import duckdb
+    import numpy as np
+
+    from tickdb_spark.operators.similarity import (
+        EMB_DIM,
+        hard_negative_mining,
+        hard_negative_mining_sql,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(EMB_DIM).astype("float32")
+
+    def jitter(eps, seed):
+        # seeds offset from base's RandomState(3): seed 3 would replay
+        # base's own draw and make the vector collinear with the query
+        r = np.random.RandomState(100 + seed).randn(EMB_DIM).astype("float32")
+        v = base + eps * r
+        return [float(x) for x in v]
+
+    rows = [
+        (0, jitter(0.0, 0), 7),     # query, label 7
+        (1, jitter(0.02, 1), 7),    # nearest, SAME label -> excluded
+        (2, jitter(0.05, 2), 3),    # hardest negative -> rnk 1
+        (3, jitter(0.5, 3), 3),
+        (4, [float(x) for x in rng.randn(EMB_DIM).astype("float32")], 5),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negative_mining(emb, [0], k=3).collect()
+    assert [r.neighbor_id for r in got][0] == 2
+    assert all(r.neighbor_label != r.query_label for r in got)
+    assert 1 not in {r.neighbor_id for r in got}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {v}::FLOAT[], {l})" for i, v, l in rows
+        )
+        + ") t(vec_id, embedding, label)"
+    )
+    want = con.execute(hard_negative_mining_sql("embeddings", [0], k=3)).fetchall()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -1378,3 +1378,145 @@ def jl_topk_rerank_sql(
     SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, exact_q
     FROM ranked WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op: for each query
+# vector, the most-similar corpus vectors with a DIFFERENT label. Those
+# near-miss negatives are what embedding/reranker training wants next to
+# the positives (high-cosine same-label pairs are easy; high-cosine
+# different-label pairs carry the gradient signal).
+#
+# Scale shape = the stored-signature multi-table LSH probe: candidates
+# come from bucket-equality joins against the ingest-time signature
+# table, and the label EXCLUSION runs on the candidate set BEFORE the
+# exact rescore — same-label candidates never pay the cosine. The label
+# column rides the broadcast query table + the candidate join; the
+# corpus is never scanned per query.
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k hardest negatives per query: LSH candidates (any-table
+    bucket share, distinct-ed), same-label candidates dropped before
+    scoring, exact cosine rescore, ties on neighbor id. Returns
+    ``(query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rnk)``."""
+    sig = (
+        signatures
+        if signatures is not None
+        else lsh_signature_table(emb, id_col, vec_col)
+    )
+    labels = emb.select(F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl"))
+    q_sig = sig.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        sig.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
+        .join(F.broadcast(q_sig), ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_lbl = labels.select(
+        F.col("_lid").alias("query_id"), F.col("_lbl").alias("query_label")
+    ).where(F.col("query_id").isin(query_ids))
+    n_lbl = labels.select(
+        F.col("_lid").alias("neighbor_id"), F.col("_lbl").alias("neighbor_label")
+    )
+    # label exclusion BEFORE the cosine: negatives only reach the rescore
+    filtered = (
+        cand.join(n_lbl, "neighbor_id")
+        .join(F.broadcast(q_lbl), "query_id")
+        .where(F.col("neighbor_label") != F.col("query_label"))
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    qvecs = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cvecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        filtered.repartition(par)
+        .join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def hard_negative_mining_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    table_planes: list[list[list[float]]] | None = None,
+) -> str:
+    """DuckDB twin: same inline bucket expansion, same label exclusion
+    before the (identical fold-order) cosine, same tie-break."""
+    tp = TABLE_PLANES if table_planes is None else table_planes
+    ids = ", ".join(str(i) for i in query_ids)
+    per_table = " UNION ALL ".join(
+        f"SELECT {id_col}, {t} AS table_id, "
+        f"{bucket_expr(vec_col, sql=True, planes=p)} AS bucket FROM {table}"
+        for t, p in enumerate(tp)
+    )
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    return f"""
+    WITH bucketed AS ({per_table}),
+    qb AS (SELECT {id_col} AS query_id, table_id, bucket FROM bucketed
+           WHERE {id_col} IN ({ids})),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.{id_col} AS neighbor_id
+      FROM bucketed b JOIN qb USING (table_id, bucket)
+      WHERE qb.query_id <> b.{id_col}
+    ),
+    filtered AS (
+      SELECT cand.query_id, ql.{label_col} AS query_label,
+             cand.neighbor_id, nl.{label_col} AS neighbor_label
+      FROM cand
+      JOIN {table} ql ON cand.query_id = ql.{id_col}
+      JOIN {table} nl ON cand.neighbor_id = nl.{id_col}
+      WHERE ql.{label_col} <> nl.{label_col}
+    ),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+          WHERE {id_col} IN ({ids})),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec FROM {table}),
+    scored AS (
+      SELECT f.query_id, f.query_label, f.neighbor_id, f.neighbor_label,
+             {cos} AS cosine
+      FROM filtered f JOIN q ON f.query_id = q.query_id
+                      JOIN c ON f.neighbor_id = c.neighbor_id
+    ), ranked AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rnk
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """

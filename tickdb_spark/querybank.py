@@ -8715,6 +8715,24 @@ def diag_numeric_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "select_hard_negatives",
+    _sim.hard_negative_mining_sql("embeddings", [0, 1, 2, 3, 4], k=5),
+    "hard-negative mining for contrastive training: per query vector, "
+    "the top-5 most-similar corpus vectors with a DIFFERENT label — "
+    "the near-miss negatives that carry the gradient signal next to "
+    "the positives. Candidates come from the stored multi-table LSH "
+    "signature probe (bucket-equality joins, never a corpus scan per "
+    "query) and the label exclusion runs on the candidate set BEFORE "
+    "the exact fold-order cosine rescore — same-label candidates never "
+    "pay the cosine. Labels ride broadcast joins",
+)
+def select_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    sigs = _materialized_assets("lsh_sigs", sf_dir, _sim.lsh_signature_table(emb))
+    return _sim.hard_negative_mining(emb, [0, 1, 2, 3, 4], k=5, signatures=sigs)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8743,6 +8761,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_index_schema_evolution",
     "stream_quantile_sketch_maintenance",
     "diag_numeric_drift",
+    "select_hard_negatives",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8789,7 +8808,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
-    "dedup_exact_normalized",
 ]
 
 
