@@ -2616,3 +2616,32 @@ def test_hard_negative_mining_excludes_same_label_ranks_closest(spark):
     )
     want = con.execute(hard_negative_mining_sql("embeddings", [0], k=3)).fetchall()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_boilerplate_detection_and_removal(spark):
+    """Planted site template: the shared nav/footer lines surface as
+    boilerplate for their host (and only there), removal strips exactly
+    them preserving content order, and an all-template doc comes back
+    empty rather than missing."""
+    from tickdb_spark.functions.web import boilerplate_lines, remove_boilerplate
+
+    rows = [
+        (1, "a.com", "nav menu | real content one | footer"),
+        (2, "a.com", "nav menu | other words here | footer"),
+        (3, "a.com", "nav menu | third doc body | footer"),
+        (4, "a.com", "nav menu | footer"),              # all template
+        (5, "b.com", "nav menu | b content"),           # 1/1 docs on b.com
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    bp = {(r.host, r.line) for r in boilerplate_lines(df, "host", "doc_id", "text").collect()}
+    assert ("a.com", "nav menu") in bp and ("a.com", "footer") in bp
+    assert ("a.com", "real content one") not in bp
+    # b.com: every line is in 100% of its single doc -> both flagged
+    assert ("b.com", "nav menu") in bp and ("b.com", "b content") in bp
+
+    out = {r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_dropped)
+           for r in remove_boilerplate(df, "host", "doc_id", "text").collect()}
+    assert out[1] == ("real content one", 1, 2)
+    assert out[2] == ("other words here", 1, 2)
+    assert out[4] == ("", 0, 2)           # all-template doc: empty, present
+    assert len(out) == 5

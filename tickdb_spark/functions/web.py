@@ -170,3 +170,186 @@ def domain_rollup(
         F.countDistinct("canon").alias("n_pages"),
         F.sum("_sz").cast("long").alias("total_chars"),
     )
+
+
+# --- boilerplate detection / removal ---------------------------------------
+#
+# CCNet-style site-template removal: a line repeated across MANY documents
+# of the same host (nav menus, cookie banners, footers) is boilerplate,
+# not content — the curation step between URL dedup and quality filtering.
+# Detection is per-(host, line) document counts against per-host totals
+# with an integer cross-multiply threshold (no float fractions); removal
+# anti-joins the (small, template-sized) boilerplate set back against the
+# exploded lines and reassembles documents in original line order. At
+# 100 TB: one explode + two keyed aggregates, the boilerplate table
+# broadcasts (site templates are tiny next to the corpus).
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    sep: str = " | ",
+    min_frac_ppm: int = 500_000,
+) -> DataFrame:
+    """Per-host boilerplate lines: lines present in ≥ min_frac_ppm
+    (parts-per-million of the host's docs — integer cross-multiply,
+    ``n_line·10^6 ≥ ppm·n_host``). Returns
+    ``(host, line, n_docs_line, n_docs_host)``."""
+    import re as _re
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), _re.escape(sep))).alias("line"),
+    ).distinct()  # a line twice in one doc counts once
+    per_line = lines.groupBy("host", "line").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_line")
+    )
+    per_host = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs_host")
+    )
+    return (
+        per_line.join(F.broadcast(per_host), "host")
+        .where(
+            F.col("n_docs_line") * F.lit(1_000_000)
+            >= F.lit(int(min_frac_ppm)) * F.col("n_docs_host")
+        )
+    )
+
+
+def boilerplate_lines_sql(
+    src_sql: str,
+    host_expr: str,
+    id_expr: str,
+    text_expr: str,
+    sep: str = " | ",
+    min_frac_ppm: int = 500_000,
+) -> str:
+    """DuckDB twin: same explode/distinct/count/cross-multiply."""
+    sep_lit = sep.replace("'", "''")
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT {host_expr} AS host, {id_expr} AS _id, {text_expr} AS _txt
+      FROM ({src_sql})
+    ),
+    lines AS (
+      SELECT DISTINCT host, _id, unnest(string_split(_txt, '{sep_lit}')) AS line
+      FROM src
+    ),
+    per_line AS (
+      SELECT host, line, CAST(count(*) AS BIGINT) AS n_docs_line
+      FROM lines GROUP BY host, line
+    ),
+    per_host AS (
+      SELECT host, CAST(count(DISTINCT _id) AS BIGINT) AS n_docs_host
+      FROM src GROUP BY host
+    )
+    SELECT l.host, l.line, l.n_docs_line, h.n_docs_host
+    FROM per_line l JOIN per_host h USING (host)
+    WHERE l.n_docs_line * 1000000 >= {int(min_frac_ppm)} * h.n_docs_host
+    """
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    sep: str = " | ",
+    min_frac_ppm: int = 500_000,
+) -> DataFrame:
+    """Documents with boilerplate lines removed, original line order
+    preserved: ``(id, host, clean_text, n_lines_kept, n_lines_dropped)``.
+    The boilerplate set broadcasts into the anti-join; reassembly sorts
+    each doc's surviving (pos, line) pairs — a per-doc array, never a
+    data-wide window."""
+    import re as _re
+
+    bp = boilerplate_lines(df, host_col, id_col, text_col, sep, min_frac_ppm)
+    exploded = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+    )
+    kept = exploded.join(
+        F.broadcast(bp.select("host", "line")), ["host", "line"], "left_anti"
+    )
+    n_all = exploded.groupBy("host", "_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_all")
+    )
+    clean = kept.groupBy("host", "_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    return (
+        n_all.join(clean, ["host", "_id"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "host",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_all") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
+def remove_boilerplate_sql(
+    src_sql: str,
+    host_expr: str,
+    id_expr: str,
+    text_expr: str,
+    id_name: str,
+    sep: str = " | ",
+    min_frac_ppm: int = 500_000,
+) -> str:
+    """DuckDB twin: same boilerplate set, positional unnest, ordered
+    string_agg reassembly."""
+    sep_lit = sep.replace("'", "''")
+    bp = boilerplate_lines_sql(
+        src_sql, host_expr, id_expr, text_expr, sep, min_frac_ppm
+    )
+    return f"""
+    WITH bp AS MATERIALIZED ({bp}),
+    src2 AS MATERIALIZED (
+      SELECT {host_expr} AS host, {id_expr} AS _id, {text_expr} AS _txt
+      FROM ({src_sql})
+    ),
+    exploded AS (
+      SELECT host, _id,
+             unnest(string_split(_txt, '{sep_lit}')) AS line,
+             generate_subscripts(string_split(_txt, '{sep_lit}'), 1) AS pos
+      FROM src2
+    ),
+    kept AS (
+      SELECT e.* FROM exploded e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bp WHERE bp.host = e.host AND bp.line = e.line
+      )
+    ),
+    n_all AS (
+      SELECT host, _id, CAST(count(*) AS BIGINT) AS n_all
+      FROM exploded GROUP BY host, _id
+    ),
+    clean AS (
+      SELECT host, _id,
+             string_agg(line, '{sep_lit}' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY host, _id
+    )
+    SELECT a._id AS {id_name}, a.host,
+           COALESCE(c.clean_text, '') AS clean_text,
+           COALESCE(c.n_lines_kept, 0) AS n_lines_kept,
+           CAST(a.n_all - COALESCE(c.n_lines_kept, 0) AS BIGINT)
+             AS n_lines_dropped
+    FROM n_all a LEFT JOIN clean c USING (host, _id)
+    """

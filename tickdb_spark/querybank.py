@@ -8733,6 +8733,60 @@ def select_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.hard_negative_mining(emb, [0, 1, 2, 3, 4], k=5, signatures=sigs)
 
 
+#: Planted site-template derivation: every doc of a source carries the
+#: same two header "lines" (nav/footer boilerplate) ahead of its real
+#: text — ONE formula text shared verbatim with the oracle, so the
+#: detector/removal operators are what the gate tests.
+_BP_TEXT_EXPR = (
+    "'home login search | nav about contact ' || source || ' | ' || text"
+)
+
+
+@register(
+    "web_boilerplate_lines",
+    _web.boilerplate_lines_sql(
+        f"SELECT doc_id, source, {_BP_TEXT_EXPR} AS text2 FROM documents",
+        "source",
+        "doc_id",
+        "text2",
+    ),
+    "CCNet-style boilerplate detection: a line repeated across >= 50% "
+    "of a host's documents (nav menus, cookie banners, footers) is site "
+    "template, not content. Per-(host, line) doc counts vs per-host "
+    "totals with an integer cross-multiply threshold (no float "
+    "fractions); one explode + two keyed aggregates. The planted "
+    "per-source header lines (100% of docs) must all surface",
+)
+def web_boilerplate_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_BP_TEXT_EXPR).alias("text2")
+    )
+    return _web.boilerplate_lines(docs, "source", "doc_id", "text2")
+
+
+@register(
+    "web_boilerplate_removal",
+    _web.remove_boilerplate_sql(
+        f"SELECT doc_id, source, {_BP_TEXT_EXPR} AS text2 FROM documents",
+        "source",
+        "doc_id",
+        "text2",
+        id_name="doc_id",
+    ),
+    "boilerplate REMOVAL: the detected per-host template set (tiny — "
+    "broadcasts) anti-joins the positionally exploded lines and each "
+    "document reassembles from its surviving (pos, line) pairs in "
+    "original order — a per-doc array sort, never a data-wide window. "
+    "Emits clean_text + kept/dropped line counts per doc; docs whose "
+    "every line is template come back empty, not missing",
+)
+def web_boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_BP_TEXT_EXPR).alias("text2")
+    )
+    return _web.remove_boilerplate(docs, "source", "doc_id", "text2")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8762,6 +8816,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_quantile_sketch_maintenance",
     "diag_numeric_drift",
     "select_hard_negatives",
+    "web_boilerplate_lines",
+    "web_boilerplate_removal",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8806,8 +8862,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_user_click_view_corr",
     "asof_tolerance_attribution",
     "decontaminate_bloom_prefilter",
-    "dedup_cluster_components",
-    "dedup_cluster_retention",
 ]
 
 
