@@ -714,3 +714,103 @@ def bottomk_quantile_sketch_sql(
     JOIN ranked r ON r.rnk = 1 + (p.permille * (s.m - 1)) // 1000
     ORDER BY permille
     """
+
+
+def bottomk_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group bottom-k row sample: ``(grp, _h, _key, _v)``, ≤ k rows
+    per group — the grouped twin of :func:`bottomk_sample` (same hash,
+    same merge law per group). The rank-≤-k filter compiles to Spark's
+    WindowGroupLimit: per-task partial top-k per group, no full
+    per-group sort materializes. Groups are the scale-out axis."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("grp").orderBy("_h", "_key")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            h.alias("_h"),
+            F.col(key_col).cast("long").alias("_key"),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_quantiles_grouped(
+    sample: DataFrame,
+    permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Per-group quantiles from the grouped sample:
+    ``(grp, permille, est_value, sample_size)`` — the same pure integer
+    rank selection per group; every window here runs over ≤ k rows per
+    group by construction."""
+    from pyspark.sql import Window
+
+    spark = sample.sparkSession
+    sized = sample.withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    ranked = sized.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("grp").orderBy("_v", "_key")),
+    )
+    perms = F.broadcast(
+        spark.createDataFrame([(int(p),) for p in permille], "permille long")
+    )
+    return ranked.join(
+        perms, F.col("rnk") == 1 + F.expr("(permille * (m - 1)) div 1000")
+    ).select(
+        "grp",
+        "permille",
+        F.col("_v").alias("est_value"),
+        F.col("m").cast("long").alias("sample_size"),
+    )
+
+
+def bottomk_quantile_sketch_grouped_sql(
+    src_sql: str,
+    group_expr: str,
+    key_expr: str,
+    value_expr: str,
+    k: int = 256,
+    permille: tuple[int, ...] = (500, 900, 990),
+) -> str:
+    """DuckDB twin of the grouped sketch: identical hash, per-group
+    rank-≤-k selection, identical integer rank formula."""
+    pvals = ", ".join(f"({int(p)})" for p in permille)
+    return f"""
+    WITH hashed AS (
+      SELECT {group_expr} AS grp,
+             CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS _h,
+             CAST({key_expr} AS BIGINT) AS _key, {value_expr} AS _v
+      FROM ({src_sql})
+    ),
+    sample AS MATERIALIZED (
+      SELECT grp, _h, _key, _v FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp ORDER BY _h, _key) AS _rn
+        FROM hashed
+      ) WHERE _rn <= {k}
+    ),
+    ranked AS (
+      SELECT grp, _v, _key,
+             count(*) OVER (PARTITION BY grp) AS m,
+             row_number() OVER (PARTITION BY grp ORDER BY _v, _key) AS rnk
+      FROM sample
+    ),
+    perms(permille) AS (VALUES {pvals})
+    SELECT r.grp, CAST(p.permille AS BIGINT) AS permille, r._v AS est_value,
+           CAST(r.m AS BIGINT) AS sample_size
+    FROM ranked r JOIN perms p
+      ON r.rnk = 1 + (p.permille * (r.m - 1)) // 1000
+    """

@@ -8787,6 +8787,26 @@ def web_boilerplate_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _web.remove_boilerplate(docs, "source", "doc_id", "text2")
 
 
+@register(
+    "agg_quantile_sketch_grouped",
+    _sketch.bottomk_quantile_sketch_grouped_sql(
+        "SELECT * FROM events", "event_type", "event_id", "value"
+    ),
+    "per-group bottom-k quantile sketch: the grouped twin of the "
+    "global sketch — per event_type, p50/p90/p99 off a k=256 "
+    "hash-uniform row sample; the rank<=k filter compiles to "
+    "WindowGroupLimit (per-task partial top-k per group, no full "
+    "per-group sort), groups are the scale-out axis, and the per-group "
+    "samples merge by the same keep-k-smallest law. The per-key "
+    "latency/size dashboard shape at 100 TB: state is k rows per "
+    "group regardless of group size",
+)
+def agg_quantile_sketch_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    sample = _sketch.bottomk_sample_grouped(ev, "event_type", "event_id", "value")
+    return _sketch.bottomk_quantiles_grouped(sample)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -8818,6 +8838,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "select_hard_negatives",
     "web_boilerplate_lines",
     "web_boilerplate_removal",
+    "agg_quantile_sketch_grouped",
     # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
     "diag_join_size_estimate",
     "text_bm25_retrieval",
@@ -8861,7 +8882,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_sessionize",
     "analytics_user_click_view_corr",
     "asof_tolerance_attribution",
-    "decontaminate_bloom_prefilter",
 ]
 
 
