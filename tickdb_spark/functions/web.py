@@ -47,10 +47,20 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host with ``www.`` prefix and default port stripped."""
-    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
-    return F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""), r":(80|443)$", ""
+    """Lowercased host: userinfo (``user:pass@``) stripped BEFORE
+    lowercasing (credentials never reach canonical keys or rollups),
+    ``www.`` prefix stripped, and only the scheme's OWN default port
+    dropped (``:80`` for http, ``:443`` for https — ``http://h:443/``
+    keeps its port; it is a different origin)."""
+    scheme = url_scheme(url)
+    hostport = F.lower(
+        F.regexp_replace(F.regexp_extract(url, _HOSTPORT_RE, 1), r"^[^/?#@]*@", "")
+    )
+    nowww = F.regexp_replace(hostport, r"^www\.", "")
+    return (
+        F.when(scheme == "http", F.regexp_replace(nowww, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(nowww, r":443$", ""))
+        .otherwise(nowww)
     )
 
 
@@ -86,10 +96,16 @@ def canonical_url(url: Column) -> Column:
 
 
 def url_host_sql(expr: str) -> str:
-    hostport = f"lower(regexp_extract({expr}, '{_HOSTPORT_RE}', 1))"
+    scheme = f"lower(regexp_extract({expr}, '{_SCHEME_RE}', 1))"
+    hostport = (
+        f"lower(regexp_replace(regexp_extract({expr}, '{_HOSTPORT_RE}', 1), "
+        f"'^[^/?#@]*@', ''))"
+    )
+    nowww = f"regexp_replace({hostport}, '^www\\.', '')"
     return (
-        f"regexp_replace(regexp_replace({hostport}, '^www\\.', ''), "
-        f"':(80|443)$', '')"
+        f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({nowww}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({nowww}, ':443$', '') "
+        f"ELSE {nowww} END)"
     )
 
 

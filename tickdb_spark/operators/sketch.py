@@ -650,8 +650,12 @@ def bottomk_quantiles(
     from pyspark.sql import Window
 
     spark = sample.sparkSession
-    sized = sample.crossJoin(
-        F.broadcast(sample.agg(F.count(F.lit(1)).alias("m")))
+    # m via count-over-window (as the grouped variant does), NOT a
+    # crossJoin with sample.agg(count): a second reference to the sample
+    # plan re-executes the full-input TakeOrderedAndProject scan per
+    # query (r9 lesson — count aggregates are plans, not values).
+    sized = sample.withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
     )
     ranked = sized.withColumn(
         "rnk", F.row_number().over(Window.orderBy("_v", "_key"))
