@@ -801,3 +801,33 @@ def test_join_size_estimate_never_joins_the_inputs(spark):
         + count_op(df, "BroadcastNestedLoopJoin")
     )
     assert n_joins <= 4, n_joins
+
+
+def test_boilerplate_detection_shuffles_hashes_not_text(spark):
+    """Boilerplate detection must never shuffle raw line text: every
+    hashpartitioning clause keys on (host, _id, _lh) BIGINT/key columns
+    only. Line strings only appear exemplar-side, joined back from the
+    tiny surviving template set via a broadcast semi-filter."""
+    import re
+
+    from tickdb_spark.functions.web import (
+        boilerplate_lines,
+        detect_boilerplate_hashes,
+    )
+    from tickdb_spark.plans import physical_plan
+
+    df = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .selectExpr("doc_id", "source", "text AS text2")
+    )
+    frames = [
+        detect_boilerplate_hashes(df, "source", "doc_id", "text2"),
+        boilerplate_lines(df, "source", "doc_id", "text2"),
+    ]
+    saw_clause = 0
+    for frame in frames:
+        plan = physical_plan(frame)
+        for clause in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            saw_clause += 1
+            assert "line#" not in clause and "text" not in clause, clause
+    assert saw_clause >= 3  # detection distinct + count aggs actually planned

@@ -199,6 +199,14 @@ def domain_rollup(
 # exploded lines and reassembles documents in original line order. At
 # 100 TB: one explode + two keyed aggregates, the boilerplate table
 # broadcasts (site templates are tiny next to the corpus).
+#
+# Detection shuffles HASHES, never raw text (the repo-wide substring-dedup
+# discipline): lines collapse to a 60-bit md5 prefix pre-shuffle, counting
+# groups on (host, hash), and the exemplar line text joins back ONLY for
+# the tiny surviving template set (broadcast semi-filter — non-template
+# lines never shuffle as strings). Two distinct same-host lines sharing a
+# 60-bit prefix would merge (P ≈ n²/2^61 per host — negligible at any
+# real per-host line-template cardinality).
 
 
 def boilerplate_lines(
@@ -212,26 +220,71 @@ def boilerplate_lines(
     """Per-host boilerplate lines: lines present in ≥ min_frac_ppm
     (parts-per-million of the host's docs — integer cross-multiply,
     ``n_line·10^6 ≥ ppm·n_host``). Returns
-    ``(host, line, n_docs_line, n_docs_host)``."""
+    ``(host, line, n_docs_line, n_docs_host)``. Raw line text never
+    shuffles corpus-wide — see the module comment."""
+    surviving = detect_boilerplate_hashes(
+        df, host_col, id_col, text_col, sep, min_frac_ppm
+    ).localCheckpoint(eager=False)
+    # ^ referenced twice below (exemplar semi-filter + final join); the
+    # checkpoint pins the tiny template set so the detection aggregate
+    # runs once (r9 lesson: count/filter aggregates are plans, not values)
+    exploded = _exploded_lines(df, host_col, id_col, text_col, sep)
+    exemplar = (
+        exploded.withColumn("_lh", _line_hash(F.col("line")))
+        .join(
+            F.broadcast(surviving.select("host", "_lh")), ["host", "_lh"], "left_semi"
+        )
+        .groupBy("host", "_lh")
+        .agg(F.min("line").alias("line"))
+    )
+    return surviving.join(exemplar, ["host", "_lh"]).select(
+        "host", "line", "n_docs_line", "n_docs_host"
+    )
+
+
+def _line_hash(col: Column) -> Column:
+    """60-bit md5 prefix of the line — the detection shuffle key."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _exploded_lines(
+    df: DataFrame, host_col: str, id_col: str, text_col: str, sep: str
+) -> DataFrame:
     import re as _re
 
-    lines = df.select(
+    return df.select(
         F.col(host_col).alias("host"),
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), _re.escape(sep))).alias("line"),
-    ).distinct()  # a line twice in one doc counts once
-    per_line = lines.groupBy("host", "line").agg(
+    )
+
+
+def detect_boilerplate_hashes(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    sep: str = " | ",
+    min_frac_ppm: int = 500_000,
+) -> DataFrame:
+    """The hash-keyed detection core: ``(host, _lh, n_docs_line,
+    n_docs_host)`` for lines over the threshold. Every shuffle here
+    carries ``(host, _id, _lh)`` BIGINT/key columns only — plan-pinned
+    in tests (no raw-text grouping key anywhere)."""
+    hashed = (
+        _exploded_lines(df, host_col, id_col, text_col, sep)
+        .select("host", "_id", _line_hash(F.col("line")).alias("_lh"))
+        .distinct()  # a line twice in one doc counts once
+    )
+    per_line = hashed.groupBy("host", "_lh").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_line")
     )
     per_host = df.groupBy(F.col(host_col).alias("host")).agg(
         F.countDistinct(id_col).cast("long").alias("n_docs_host")
     )
-    return (
-        per_line.join(F.broadcast(per_host), "host")
-        .where(
-            F.col("n_docs_line") * F.lit(1_000_000)
-            >= F.lit(int(min_frac_ppm)) * F.col("n_docs_host")
-        )
+    return per_line.join(F.broadcast(per_host), "host").where(
+        F.col("n_docs_line") * F.lit(1_000_000)
+        >= F.lit(int(min_frac_ppm)) * F.col("n_docs_host")
     )
 
 
@@ -243,28 +296,42 @@ def boilerplate_lines_sql(
     sep: str = " | ",
     min_frac_ppm: int = 500_000,
 ) -> str:
-    """DuckDB twin: same explode/distinct/count/cross-multiply."""
+    """DuckDB twin: same hash-keyed counting (identical 60-bit md5
+    prefix), same cross-multiply, same exemplar join-back."""
     sep_lit = sep.replace("'", "''")
     return f"""
     WITH src AS MATERIALIZED (
       SELECT {host_expr} AS host, {id_expr} AS _id, {text_expr} AS _txt
       FROM ({src_sql})
     ),
-    lines AS (
-      SELECT DISTINCT host, _id, unnest(string_split(_txt, '{sep_lit}')) AS line
-      FROM src
+    lines AS MATERIALIZED (
+      SELECT host, _id, line,
+             CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS _lh
+      FROM (
+        SELECT host, _id, unnest(string_split(_txt, '{sep_lit}')) AS line
+        FROM src
+      )
     ),
     per_line AS (
-      SELECT host, line, CAST(count(*) AS BIGINT) AS n_docs_line
-      FROM lines GROUP BY host, line
+      SELECT host, _lh, CAST(count(DISTINCT _id) AS BIGINT) AS n_docs_line
+      FROM lines GROUP BY host, _lh
     ),
     per_host AS (
       SELECT host, CAST(count(DISTINCT _id) AS BIGINT) AS n_docs_host
       FROM src GROUP BY host
+    ),
+    surviving AS MATERIALIZED (
+      SELECT l.host, l._lh, l.n_docs_line, h.n_docs_host
+      FROM per_line l JOIN per_host h USING (host)
+      WHERE l.n_docs_line * 1000000 >= {int(min_frac_ppm)} * h.n_docs_host
+    ),
+    exemplar AS (
+      SELECT l.host, l._lh, min(l.line) AS line
+      FROM lines l JOIN surviving s ON s.host = l.host AND s._lh = l._lh
+      GROUP BY l.host, l._lh
     )
-    SELECT l.host, l.line, l.n_docs_line, h.n_docs_host
-    FROM per_line l JOIN per_host h USING (host)
-    WHERE l.n_docs_line * 1000000 >= {int(min_frac_ppm)} * h.n_docs_host
+    SELECT s.host, e.line, s.n_docs_line, s.n_docs_host
+    FROM surviving s JOIN exemplar e ON e.host = s.host AND e._lh = s._lh
     """
 
 
