@@ -2652,3 +2652,34 @@ def test_boilerplate_detection_and_removal(spark):
     assert out[2] == ("other words here", 1, 2)
     assert out[4] == ("", 0, 2)           # all-template doc: empty, present
     assert len(out) == 5
+
+
+def test_hard_negative_mining_bulk_path_matches_literal_and_avoids_hof(spark):
+    """The DataFrame-query (production mining) path must emit rows
+    bit-identical to the literal-list path while scoring pairs in Arrow
+    batches: the plan shows MapInPandas and NO per-pair HOF cosine fold
+    (zip_with/aggregate) — the interpreted-lambda cliff at 10^6+ pairs."""
+    from tests.conftest import SF_CORRECT
+    from tickdb_spark.operators.similarity import (
+        hard_negative_mining,
+        lsh_signature_table,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    q_df = emb.where(F.col("vec_id") % 40 == 0).select("vec_id")
+    qids = [r.vec_id for r in q_df.collect()]
+    assert len(qids) >= 10
+
+    # stored signatures, as production mining runs (ingest-time state);
+    # the checkpoint stands in for the parquet signature table so the
+    # scoring plan is inspected alone
+    sigs = lsh_signature_table(emb).localCheckpoint(eager=False)
+    lit = hard_negative_mining(emb, qids, k=5, signatures=sigs)
+    bulk = hard_negative_mining(emb, q_df, k=5, signatures=sigs)
+    plan = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan
+    # the literal path keeps the expression fold (fine at literal volume)
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" in lit_plan and "MapInPandas" not in lit_plan
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bulk.collect()))

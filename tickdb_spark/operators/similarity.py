@@ -1396,9 +1396,52 @@ def jl_topk_rerank_sql(
 # ---------------------------------------------------------------------------
 
 
+def _score_pairs_vectorized(
+    paired: DataFrame, qvec_col: str, cvec_col: str
+) -> DataFrame:
+    """Exact pair-aligned cosine over Arrow batches: the vectorized
+    left-associative dimension fold (0.0-seeded accumulators, raw
+    division) — the ``cosine_neardup_pairs`` tile rescore applied to an
+    explicit pair list. Emits the input columns minus the vectors plus
+    ``cosine``, bit-identical to ``F.expr(cosine_expr(qvec, cvec))``
+    (same fold order, same IEEE ops), but Arrow-batched instead of a
+    per-row interpreted HOF lambda."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+
+    keep = [c for c in paired.columns if c not in (qvec_col, cvec_col)]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in paired.schema
+        if f.name in keep
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf[qvec_col].to_numpy()).astype("float64")
+            Bm = np.vstack(pdf[cvec_col].to_numpy()).astype("float64")
+            m = A.shape[0]
+            dot = np.zeros(m)
+            na = np.zeros(m)
+            nb = np.zeros(m)
+            for i in range(A.shape[1]):
+                dot += A[:, i] * Bm[:, i]
+                na += A[:, i] * A[:, i]
+                nb += Bm[:, i] * Bm[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            out = pdf[keep].copy()
+            out["cosine"] = cos
+            yield out
+
+    return paired.mapInPandas(score, f"{fields}, cosine double")
+
+
 def hard_negative_mining(
     emb: DataFrame,
-    query_ids: list[int],
+    query_ids: "list[int] | DataFrame",
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1409,46 +1452,80 @@ def hard_negative_mining(
     bucket share, distinct-ed), same-label candidates dropped before
     scoring, exact cosine rescore, ties on neighbor id. Returns
     ``(query_id, query_label, neighbor_id, neighbor_label, cosine,
-    rnk)``."""
+    rnk)``.
+
+    ``query_ids`` may be a literal id list (ad-hoc probes: query frames
+    broadcast, the rescore is the shared fold-order cosine expression —
+    fine at literal-list volume) or a single-column **DataFrame**
+    (production mining, where the whole training set is the query set):
+    query frames then join hash-partitioned, and the rescore runs as an
+    Arrow-batched ``mapInPandas`` vectorized left-associative dimension
+    fold — bit-identical values to the expression path (same 0.0-seeded
+    fold order, same raw division), but never the per-pair interpreted
+    HOF-lambda cliff at 10^6+ candidate pairs (CLAUDE.md perf gotchas;
+    the ``cosine_neardup_pairs`` tile kernel's rescore, pair-aligned)."""
+    bulk = isinstance(query_ids, DataFrame)
     sig = (
         signatures
         if signatures is not None
         else lsh_signature_table(emb, id_col, vec_col)
     )
+
+    if bulk:
+        q_ids = query_ids.select(
+            F.col(query_ids.columns[0]).cast("long").alias("query_id")
+        )
+        _q_filter = lambda df, col: df.join(  # noqa: E731
+            q_ids.select(F.col("query_id").alias(col)), col, "left_semi"
+        )
+        _maybe_bcast = lambda df: df  # noqa: E731 — query side can be huge
+    else:
+        ids = [int(i) for i in query_ids]
+        _q_filter = lambda df, col: df.where(F.col(col).isin(ids))  # noqa: E731
+        _maybe_bcast = F.broadcast
+
     labels = emb.select(F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl"))
-    q_sig = sig.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), "table_id", "bucket"
+    q_sig = _q_filter(
+        sig.select(F.col(id_col).alias("query_id"), "table_id", "bucket"),
+        "query_id",
     )
     cand = (
         sig.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
-        .join(F.broadcast(q_sig), ["table_id", "bucket"])
+        .join(_maybe_bcast(q_sig), ["table_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q_lbl = labels.select(
-        F.col("_lid").alias("query_id"), F.col("_lbl").alias("query_label")
-    ).where(F.col("query_id").isin(query_ids))
+    q_lbl = _q_filter(
+        labels.select(
+            F.col("_lid").alias("query_id"), F.col("_lbl").alias("query_label")
+        ),
+        "query_id",
+    )
     n_lbl = labels.select(
         F.col("_lid").alias("neighbor_id"), F.col("_lbl").alias("neighbor_label")
     )
     # label exclusion BEFORE the cosine: negatives only reach the rescore
     filtered = (
         cand.join(n_lbl, "neighbor_id")
-        .join(F.broadcast(q_lbl), "query_id")
+        .join(_maybe_bcast(q_lbl), "query_id")
         .where(F.col("neighbor_label") != F.col("query_label"))
     )
     par = emb.sparkSession.sparkContext.defaultParallelism
-    qvecs = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    qvecs = _q_filter(
+        emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "query_id",
     )
     cvecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
+    paired = (
         filtered.repartition(par)
         .join(cvecs, "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
+        .join(_maybe_bcast(qvecs), "query_id")
     )
+    if bulk:
+        scored = _score_pairs_vectorized(paired, "qvec", "cvec")
+    else:
+        scored = paired.withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -1469,17 +1546,23 @@ def hard_negative_mining(
 
 def hard_negative_mining_sql(
     table: str,
-    query_ids: list[int],
+    query_ids: list[int] | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
     table_planes: list[list[list[float]]] | None = None,
+    query_where: str | None = None,
 ) -> str:
     """DuckDB twin: same inline bucket expansion, same label exclusion
-    before the (identical fold-order) cosine, same tie-break."""
+    before the (identical fold-order) cosine, same tie-break. The query
+    set is either a literal id list or a predicate (``query_where``, the
+    twin of the bulk DataFrame path)."""
     tp = TABLE_PLANES if table_planes is None else table_planes
-    ids = ", ".join(str(i) for i in query_ids)
+    if query_where is not None:
+        qpred = query_where
+    else:
+        qpred = f"{id_col} IN ({', '.join(str(i) for i in query_ids)})"
     per_table = " UNION ALL ".join(
         f"SELECT {id_col}, {t} AS table_id, "
         f"{bucket_expr(vec_col, sql=True, planes=p)} AS bucket FROM {table}"
@@ -1489,7 +1572,7 @@ def hard_negative_mining_sql(
     return f"""
     WITH bucketed AS ({per_table}),
     qb AS (SELECT {id_col} AS query_id, table_id, bucket FROM bucketed
-           WHERE {id_col} IN ({ids})),
+           WHERE {qpred}),
     cand AS (
       SELECT DISTINCT qb.query_id, b.{id_col} AS neighbor_id
       FROM bucketed b JOIN qb USING (table_id, bucket)
@@ -1504,7 +1587,7 @@ def hard_negative_mining_sql(
       WHERE ql.{label_col} <> nl.{label_col}
     ),
     q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
-          WHERE {id_col} IN ({ids})),
+          WHERE {qpred}),
     c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec FROM {table}),
     scored AS (
       SELECT f.query_id, f.query_label, f.neighbor_id, f.neighbor_label,

@@ -8733,6 +8733,25 @@ def select_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.hard_negative_mining(emb, [0, 1, 2, 3, 4], k=5, signatures=sigs)
 
 
+@register(
+    "select_hard_negatives_bulk",
+    _sim.hard_negative_mining_sql("embeddings", k=5, query_where="vec_id % 40 = 0"),
+    "BULK hard-negative mining — the production shape, where the query "
+    "set is a DataFrame (the whole training set), not a literal list: "
+    "query frames join hash-partitioned (never forced broadcast) and "
+    "the exact rescore runs as an Arrow-batched mapInPandas vectorized "
+    "left-assoc fold — bit-identical cosines to the expression path, "
+    "never the per-pair interpreted HOF-lambda cliff at 10^6+ pairs. "
+    "Candidates still come from the stored LSH signature probe with "
+    "label exclusion before any cosine",
+)
+def select_hard_negatives_bulk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    sigs = _materialized_assets("lsh_sigs", sf_dir, _sim.lsh_signature_table(emb))
+    qset = emb.where(F.col("vec_id") % 40 == 0).select("vec_id")
+    return _sim.hard_negative_mining(emb, qset, k=5, signatures=sigs)
+
+
 #: Planted site-template derivation: every doc of a source carries the
 #: same two header "lines" (nav/footer boilerplate) ahead of its real
 #: text — ONE formula text shared verbatim with the oracle, so the
@@ -8828,6 +8847,8 @@ def agg_quantile_sketch_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame
 #: mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
+    # (0) NEW in r12 — never sampled by construction
+    "select_hard_negatives_bulk",
     # (1) NEW in r11 — never sampled by construction
     "agg_quantile_sketch_bottomk",
     "web_url_canonical_dedup",
@@ -8881,7 +8902,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_funnel_steps",
     "analytics_sessionize",
     "analytics_user_click_view_corr",
-    "asof_tolerance_attribution",
 ]
 
 
