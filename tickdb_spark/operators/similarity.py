@@ -121,6 +121,17 @@ TABLE_PLANES = [
 ]
 
 
+
+def _sorted_display(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a k-per-query display-sized result WITHOUT a
+    range exchange: a final ``orderBy`` plans a range-partitioning sort
+    whose sampling pass re-executes the (window-topped) child subtree —
+    the whole candidate/rescore pipeline would run twice. One merged
+    partition + in-partition sort gives the same order; outputs here
+    are ≤ k·|queries| rows, so the merge is free."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def ann_topk_bruteforce(
     emb: DataFrame,
     query_ids: list[int],
@@ -153,7 +164,7 @@ def ann_topk_bruteforce(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
-        .orderBy("query_id", "rnk")
+        .transform(_sorted_display, "query_id", "rnk")
     )
 
 
@@ -291,7 +302,7 @@ def ann_topk_int8(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
-        .orderBy("query_id", "rnk")
+        .transform(_sorted_display, "query_id", "rnk")
     )
 
 
@@ -370,7 +381,7 @@ def ann_topk_lsh(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
-        .orderBy("query_id", "rnk")
+        .transform(_sorted_display, "query_id", "rnk")
     )
 
 
@@ -573,7 +584,7 @@ def ann_topk_lsh_multitable(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
-        .orderBy("query_id", "rnk")
+        .transform(_sorted_display, "query_id", "rnk")
     )
 
 
@@ -939,7 +950,7 @@ def ann_topk_ivf(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
-        .orderBy("query_id", "rnk")
+        .transform(_sorted_display, "query_id", "rnk")
     )
 
 
@@ -1540,7 +1551,7 @@ def hard_negative_mining(
             F.round("cosine", 6).alias("cosine"),
             "rnk",
         )
-        .orderBy("query_id", "rnk")
+        .transform(_sorted_display, "query_id", "rnk")
     )
 
 
