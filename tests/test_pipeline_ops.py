@@ -2683,3 +2683,22 @@ def test_hard_negative_mining_bulk_path_matches_literal_and_avoids_hof(spark):
     lit_plan = lit._jdf.queryExecution().executedPlan().toString()
     assert "zip_with" in lit_plan and "MapInPandas" not in lit_plan
     assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bulk.collect()))
+
+
+def test_pmi_shuffled_fallback_hash_equal_above_vocab_ceiling(spark):
+    """Above PMI_BROADCAST_VOCAB_CEILING the unigram joins must plan as
+    shuffled (no broadcast of a 10^7-token table), emitting rows
+    bit-identical to the broadcast path."""
+    from tests.conftest import SF_CORRECT
+    from tickdb_spark.querybank import pmi_collocations
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    small = pmi_collocations(docs)
+    big = pmi_collocations(docs, est_vocab=10**8)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # both unigram joins shuffled; only the two 1-row totals broadcast
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 0
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in small_plan
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))

@@ -4741,13 +4741,21 @@ def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_read(spark, sf_dir, "documents"))
 
 
-def pmi_collocations(docs: DataFrame) -> DataFrame:
+#: Above this many distinct tokens the unigram table stops being a safe
+#: broadcast (10^7 tokens ≈ multi-GB with strings) and the PMI joins
+#: switch to shuffled hash joins — same result, no driver memory bet.
+PMI_BROADCAST_VOCAB_CEILING = 10_000_000
+
+
+def pmi_collocations(docs: DataFrame, est_vocab: int | None = None) -> DataFrame:
     """PMI-lift collocation mining over any ``(text)`` frame — shared by
     the gate entry and scripts/bench_analytics_scale.py (scaling rows,
-    VERDICT r8 ask #6). Broadcast unigram joins: the table is
-    vocab-bounded, and the measured growth + ceiling note live in
-    BASELINE.md — above ~10^7 distinct tokens swap the two broadcast
-    joins for shuffled hash joins (same result, no driver memory bet)."""
+    VERDICT r8 ask #6). The unigram table is vocab-bounded and joins
+    broadcast by default; pass the corpus' (estimated) distinct-token
+    count as ``est_vocab`` and above ``PMI_BROADCAST_VOCAB_CEILING`` the
+    two unigram joins plan as shuffled hash joins instead (hash-equal
+    output, plan-pinned in tests). The two 1-row totals always
+    broadcast. Measured growth + the ceiling rationale: BASELINE.md r9."""
     spark = docs.sparkSession
     # single-split parquet would serialize both explode+agg branches onto
     # one task (CLAUDE.md perf note) — spread the doc stream up front
@@ -4772,10 +4780,15 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
     nbt = bgc.agg(F.sum("c12").cast("bigint").alias("nb"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    if est_vocab is not None and est_vocab > PMI_BROADCAST_VOCAB_CEILING:
+        # the shuffle_hash hint also blocks a stats-driven auto-broadcast
+        u1, u2 = u1.hint("shuffle_hash"), u2.hint("shuffle_hash")
+    else:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     scored = (
         bgc.where(F.col("c12") >= 3)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(nbt))
         .withColumn(
