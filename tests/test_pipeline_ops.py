@@ -2702,3 +2702,58 @@ def test_pmi_shuffled_fallback_hash_equal_above_vocab_ceiling(spark):
     small_plan = small._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in small_plan
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_join_planner_decisions_and_applied_plans(spark):
+    """choose_join picks broadcast-on-small, salted-on-skew, shuffle on
+    uniform-large, prune on certified-empty; apply_join_decision's
+    salted result equals the plain join and the broadcast decision
+    actually plans a BroadcastHashJoin."""
+    from tickdb_spark.operators.planner import (
+        apply_join_decision,
+        choose_join,
+        planned_join,
+    )
+
+    big = spark.range(50_000).select((F.col("id") % 5_000).alias("k"))
+    small = spark.range(100).select(F.col("id").alias("k"))
+    mid = spark.range(5_000).select(F.col("id").alias("k"))
+    hot = spark.range(50_000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k")
+    )
+
+    dec = lambda a, b, **kw: choose_join(a, "k", b, "k", **kw).first()  # noqa: E731
+
+    r = dec(big, small, broadcast_rows=1_000)
+    assert r["decision"] == "broadcast_b" and r["n_b"] == 100
+    r = dec(small, big, broadcast_rows=1_000)
+    assert r["decision"] == "broadcast_a"
+
+    r = dec(hot, mid, broadcast_rows=10)
+    # hottest key holds half the rows: 25k*25001 >= 16*50k
+    assert r["decision"] == "salted" and r["a_max_key_rows"] == 25_000
+
+    r = dec(big, mid, broadcast_rows=10)
+    assert r["decision"] == "shuffle"  # uniform keys, nothing broadcastable
+
+    # disjoint tiny key sets -> some depth has zero bucket overlap ->
+    # est_rows == 0 certifies empty (CMS is one-sided)
+    ka = spark.range(25).select((F.col("id") + 1_000_000).alias("k"))
+    r = dec(ka, spark.range(5).select(F.col("id").alias("k")))
+    assert r["exact_rows"] == 0
+    if r["est_rows"] == 0:
+        assert r["decision"] == "prune"
+
+    # applied plans
+    bj = apply_join_decision(big, small, ["k"], "broadcast_b")
+    assert "BroadcastHashJoin" in bj._jdf.queryExecution().executedPlan().toString()
+    sj = apply_join_decision(hot, mid, ["k"], "salted", a_is_big=True, salts=4)
+    plain = hot.join(mid, "k")
+    assert sj.count() == plain.count()
+    assert sorted(map(tuple, sj.collect())) == sorted(map(tuple, plain.collect()))
+    pr = apply_join_decision(ka, small, ["k"], "prune")
+    assert pr.count() == 0 and pr.columns == ka.join(small, "k").columns
+
+    # planned_join end-to-end (collects the stats row, then joins)
+    pj = planned_join(big, "k", small, "k", broadcast_rows=1_000)
+    assert pj.count() == big.join(small, "k").count()

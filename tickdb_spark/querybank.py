@@ -5684,6 +5684,72 @@ def diag_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.cms_join_size_estimate(ev, "user_id", orders, "o_custkey")
 
 
+from tickdb_spark.operators import planner as _planner  # noqa: E402
+
+#: Hot-key derivation for the planner's salted scenario — ONE formula
+#: text shared verbatim with the oracle.
+_HOTKEY_EXPR = "CASE WHEN event_id % 10 < 3 THEN 0 ELSE event_id END"
+
+#: (pair label, spark-side builder args, oracle args) for the decision
+#: table. broadcast_rows tuned per pair so all four strategies appear
+#: at gate scale.
+_PLANNER_PAIRS_SQL = " UNION ALL ".join(
+    f"SELECT '{label}' AS pair, * FROM ({_planner.choose_join_sql(a_sql, a_expr, b_sql, b_expr, broadcast_rows=br)})"
+    for label, a_sql, a_expr, b_sql, b_expr, br in [
+        ("lineitem_part", "SELECT l_partkey FROM lineitem", "l_partkey",
+         "SELECT p_partkey FROM part", "p_partkey", 10_000),
+        ("lineitem_orders", "SELECT l_orderkey FROM lineitem", "l_orderkey",
+         "SELECT o_orderkey FROM orders", "o_orderkey", 10_000),
+        ("events_hot_part", f"SELECT ({_HOTKEY_EXPR}) AS hk FROM events", "hk",
+         "SELECT p_partkey FROM part", "p_partkey", 1_000),
+        ("nation_shift_region", "SELECT n_nationkey + 1000000 AS nk FROM nation",
+         "nk", "SELECT r_regionkey FROM region", "r_regionkey", 100_000),
+    ]
+)
+
+
+@register(
+    "diag_join_planner",
+    _PLANNER_PAIRS_SQL + " ORDER BY pair",
+    "the CLOSED planner loop: choose_join consumes the CMS join-size "
+    "estimate + per-side key-skew stats and emits an actual strategy "
+    "per table pair — broadcast (small side), salted (hot key >= 16x "
+    "the mean on the bigger side), shuffle (uniform large), prune "
+    "(CMS est_rows=0 CERTIFIES empty, since the sketch is one-sided). "
+    "All decision inputs are exact integers and the CASE text is "
+    "shared verbatim with the oracle; apply_join_decision executes "
+    "the choice (tests pin salted==plain-join equality and the "
+    "broadcast physical plan). Four pairs cover all four strategies",
+)
+def diag_join_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").select("p_partkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    ev_hot = _read(spark, sf_dir, "events").select(F.expr(_HOTKEY_EXPR).alias("hk"))
+    nation = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 1_000_000).alias("nk")
+    )
+    region = _read(spark, sf_dir, "region").select("r_regionkey")
+    pairs = [
+        ("lineitem_part",
+         _planner.choose_join(li.select("l_partkey"), "l_partkey", part,
+                              "p_partkey", broadcast_rows=10_000)),
+        ("lineitem_orders",
+         _planner.choose_join(li.select("l_orderkey"), "l_orderkey", orders,
+                              "o_orderkey", broadcast_rows=10_000)),
+        ("events_hot_part",
+         _planner.choose_join(ev_hot, "hk", part, "p_partkey",
+                              broadcast_rows=1_000)),
+        ("nation_shift_region",
+         _planner.choose_join(nation, "nk", region, "r_regionkey")),
+    ]
+    out = None
+    for label, d in pairs:
+        labeled = d.select(F.lit(label).alias("pair"), "*")
+        out = labeled if out is None else out.unionByName(labeled)
+    return out
+
+
 @register(
     "select_curriculum_order",
     r"""
@@ -8862,6 +8928,7 @@ def agg_quantile_sketch_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r12 — never sampled by construction
     "select_hard_negatives_bulk",
+    "diag_join_planner",
     # (1) NEW in r11 — never sampled by construction
     "agg_quantile_sketch_bottomk",
     "web_url_canonical_dedup",
@@ -8914,7 +8981,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_cohort_retention",
     "analytics_funnel_steps",
     "analytics_sessionize",
-    "analytics_user_click_view_corr",
 ]
 
 
