@@ -988,3 +988,146 @@ def test_stream_quantile_sketch_equals_batch_sample(tmp_path, spark):
     )
     want = bottomk_sample(ev, "event_id", "value", k=512)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_quantile_face_tombstones_and_compaction(tmp_path, spark):
+    """Delete + compact lifecycle for the quantile-sketch face (the two
+    faces the other seven already cover): tombstoned keys vanish from
+    the filtered view, compact_index(tombstones=...) drops them
+    PHYSICALLY into one file, quantile estimates over the compacted
+    sample equal the estimates over the filtered log, and the filtered
+    sample is still a valid bottom-k' sample of the survivors (any
+    survivor outside it hashes above every retained row per epoch)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.sketch import bottomk_quantiles
+    from tickdb_spark.streaming.index import (
+        _BKSAMPLE_SCHEMA,
+        compact_index,
+        stream_quantile_sketch_maintenance,
+        tombstone_filter,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(300)
+    )
+    pdf = ev.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pdf.iloc[:150].to_parquet(landing / "b0.parquet", index=False)
+    pdf.iloc[150:].to_parquet(landing / "b1.parquet", index=False)
+    work = str(tmp_path / "state")
+    merged = stream_quantile_sketch_maintenance(
+        spark, str(landing), work, ev.schema, "event_id", "value", k=64
+    )
+
+    tomb = ev.where(F.col("event_id") % 5 == 3).select(
+        F.col("event_id").alias("_key")
+    )
+    dead = {r._key for r in tomb.collect()}
+    smp_dir = str(tmp_path / "state" / "bk_samples")
+    live_log = tombstone_filter(
+        spark.read.schema(_BKSAMPLE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(smp_dir),
+        tomb,
+        "_key",
+    )
+    dest = compact_index(
+        spark, smp_dir, _BKSAMPLE_SCHEMA, ["_h", "_key"],
+        tombstones=tomb, id_col="_key",
+    )
+    compacted = spark.read.parquet(dest)
+    assert {r._key for r in compacted.collect()}.isdisjoint(dead)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, live_log.collect())
+    )
+    n_log = len(glob.glob(smp_dir + "/**/*.parquet", recursive=True))
+    n_comp = len(glob.glob(dest + "/*.parquet"))
+    assert n_comp == 1 < n_log
+
+    # probe equality: quantiles off the compacted merged sample == off
+    # the filtered log (same k-row state either way)
+    probe_a = bottomk_quantiles(
+        compacted.orderBy("_h", "_key").limit(64)
+    ).collect()
+    probe_b = bottomk_quantiles(
+        live_log.orderBy("_h", "_key").limit(64)
+    ).collect()
+    assert sorted(map(tuple, probe_a)) == sorted(map(tuple, probe_b))
+    assert len(probe_a) == 3
+
+
+def test_docstats_face_tombstones_and_compaction(tmp_path, spark):
+    """Delete + compact lifecycle for the docstats (schema-evolution)
+    face: tombstoned docs vanish physically, the compacted log reads
+    back with the evolved schema (old epochs still NULL-backfilled),
+    and the surviving rows equal the stats batch-built over survivors."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.streaming.index import (
+        _DOCSTATS_V2,
+        compact_index,
+        stream_docstats_maintenance,
+        tombstone_filter,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    pdf = docs.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "state")
+    v1_schema = docs.schema
+
+    # producer v1 ships (doc_id, text); run the stream
+    pdf.iloc[:30].to_parquet(landing / "b0.parquet", index=False)
+    stream_docstats_maintenance(spark, str(landing), work, v1_schema)
+    # producer v2 adds lang; SAME landing + checkpoint, second run
+    # resumes at the new file (the restart pattern)
+    v2 = pdf.iloc[30:].copy()
+    v2["lang"] = "en"
+    v2.to_parquet(landing / "b1.parquet", index=False)
+    v2_schema = spark.createDataFrame(v2).schema
+    stats = stream_docstats_maintenance(spark, str(landing), work, v2_schema)
+
+    tomb = docs.where(F.col("doc_id") % 4 == 1).select("doc_id")
+    dead = {r.doc_id for r in tomb.collect()}
+    stats_dir = str(tmp_path / "state" / "doc_stats")
+    filtered = tombstone_filter(stats, tomb, "doc_id")
+    dest = compact_index(
+        spark, stats_dir, _DOCSTATS_V2, ["doc_id"],
+        tombstones=tomb, id_col="doc_id",
+    )
+    compacted = spark.read.parquet(dest)
+    assert {r.doc_id for r in compacted.collect()}.isdisjoint(dead)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, filtered.collect())
+    )
+    n_log = len(glob.glob(stats_dir + "/**/*.parquet", recursive=True))
+    assert len(glob.glob(dest + "/*.parquet")) == 1 < n_log
+
+    # surviving rows == batch-built stats over survivors (v1 docs NULL
+    # lang, v2 docs 'en')
+    survivors = docs.join(tomb, "doc_id", "left_anti")
+    want = survivors.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.when(F.col("doc_id").isin([int(i) for i in pdf.iloc[30:]["doc_id"]]), "en")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("lang"),
+    )
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, want.collect())
+    )
