@@ -34,6 +34,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tickdb_spark.schema import TICKS_SCHEMA, ns_to_ts, parse_time_ns
 
@@ -119,6 +120,7 @@ def read_ticks(
     db_path: str,
     dedup: bool | None = None,
     as_of_seq: int | None = None,
+    evolved_fields: "T.StructType | None" = None,
 ) -> DataFrame:
     """Canonical LWW view of a database's ticks.
 
@@ -137,9 +139,26 @@ def read_ticks(
     truncation point raises) and ``delete_range`` physically removes
     rows (deletes are not versioned — the reference has no versioned
     delete either).
+
+    ``evolved_fields`` is SCHEMA EVOLUTION for the warehouse (the
+    docstats-face pattern applied to the main ticks table): later
+    batches may append extra top-level columns; reading with the
+    evolved explicit schema NULL-backfills partitions written before
+    the column existed — mergeSchema semantics with no footer-merge
+    pass and no partition rewrite. Evolved columns ride the LWW
+    resolution (they belong to the winning row).
     """
     path = os.path.join(db_path, TICKS_DIR)
-    df = spark.read.parquet(path)
+    extra: list[str] = []
+    if evolved_fields is not None:
+        extra = list(evolved_fields.fieldNames())
+        evolved = T.StructType(
+            list(TICKS_SCHEMA.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in evolved_fields.fields]
+        )
+        df = spark.read.schema(evolved).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if as_of_seq is not None:
         truncated_at = _read_meta(db_path).get("history_from_seq", 0)
         if as_of_seq < truncated_at:
@@ -151,12 +170,18 @@ def read_ticks(
     if dedup is None:
         dedup = not _read_meta(db_path).get("clean", False)
     if not dedup:
-        return df.select("series", "ts", "ts_utc", "value")
-    latest = F.max_by(F.struct("ts_utc", "value"), "ingest_seq").alias("r")
+        return df.select("series", "ts", "ts_utc", "value", *extra)
+    latest = F.max_by(F.struct("ts_utc", "value", *extra), "ingest_seq").alias("r")
     return (
         df.groupBy("series", "ts")
         .agg(latest)
-        .select("series", "ts", F.col("r.ts_utc").alias("ts_utc"), F.col("r.value").alias("value"))
+        .select(
+            "series",
+            "ts",
+            F.col("r.ts_utc").alias("ts_utc"),
+            F.col("r.value").alias("value"),
+            *[F.col(f"r.{c}").alias(c) for c in extra],
+        )
     )
 
 

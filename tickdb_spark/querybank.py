@@ -3668,6 +3668,75 @@ def tick_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVO_WH_CACHE: dict[str, str] = {}
+
+#: v2-producer source tag — ONE formula text shared with the oracle.
+_EVO_SRC_EXPR = "CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END"
+
+
+def _evolution_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Warehouse whose SECOND batch ships a new top-level column: batch
+    0 writes all events as v1 ticks (its partitions physically lack
+    ``src``); batch 1 re-keys the click rows to series 'evolved' with
+    ``src`` attached — the schema-evolution fixture for read_ticks."""
+    if sf_dir not in _EVO_WH_CACHE:
+        db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_gate_whevo_"), "db")
+        _os.makedirs(db_path)
+        _append_batch(db_path, events_as_ticks(spark, sf_dir).drop("ts_raw"))
+        v2 = _read_events(spark, sf_dir).where(F.col("event_type") == "click").select(
+            F.lit("evolved").alias("series"),
+            F.col("ts"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts_utc"),
+            F.create_map(F.lit("value"), F.col("value")).alias("value"),
+            F.expr(_EVO_SRC_EXPR).alias("src"),
+        )
+        _append_batch(db_path, v2)
+        _EVO_WH_CACHE[sf_dir] = db_path
+    return _EVO_WH_CACHE[sf_dir]
+
+
+@register(
+    "tick_schema_evolution",
+    f"""
+    WITH unioned AS (
+      SELECT event_type AS series, CAST(NULL AS VARCHAR) AS src, value
+      FROM events
+      UNION ALL
+      SELECT 'evolved', {_EVO_SRC_EXPR}, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT series, src, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum
+    FROM unioned GROUP BY series, src
+    """,
+    "schema evolution of the MAIN ticks warehouse (the docstats-face "
+    "pattern promoted to the primary table): a later batch ships a new "
+    "top-level src column, older (series, dt) partitions physically "
+    "lack it, and read_ticks(evolved_fields=...) reads the whole table "
+    "with the evolved explicit schema — old partitions NULL-backfill, "
+    "no footer-merge pass, no partition rewrite, and the evolved "
+    "column rides the LWW max_by resolution. Oracle states the "
+    "contract declaratively: v1 rows NULL src, v2 rows tagged",
+)
+def tick_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.ingest import read_ticks as _read_ticks
+
+    db_path = _evolution_warehouse(spark, sf_dir)
+    t = _read_ticks(
+        spark,
+        db_path,
+        evolved_fields=_T.StructType([_T.StructField("src", _T.StringType())]),
+    )
+    return t.groupBy("series", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.element_at("value", F.lit("value")).cast(DEC))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
 @register(
     "tick_snapshot_diff",
     f"""
@@ -8929,6 +8998,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r12 — never sampled by construction
     "select_hard_negatives_bulk",
     "diag_join_planner",
+    "tick_schema_evolution",
     # (1) NEW in r11 — never sampled by construction
     "agg_quantile_sketch_bottomk",
     "web_url_canonical_dedup",
@@ -8980,7 +9050,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (4) r7-era proofs — next-stalest refresh (fills to 50)
     "analytics_cohort_retention",
     "analytics_funnel_steps",
-    "analytics_sessionize",
 ]
 
 
