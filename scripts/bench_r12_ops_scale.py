@@ -1,0 +1,130 @@
+"""Scaling curves for the round-12 operators/fixes at 1x/2x/4x/8x:
+hash-keyed boilerplate detection+removal, bulk hard-negative mining
+(queries as the scaled axis), and the join planner's stats pass.
+
+The 100-TB question per op:
+- boilerplate:      detection now shuffles (host, _id, 60-bit hash)
+                    only; exemplar text joins back from the tiny
+                    surviving template set — wall should track the
+                    explode (~linear), with NO raw-text shuffle term.
+- hard_neg_bulk:    corpus fixed, QUERY set scaled 1x-8x — candidates
+                    grow ∝ queries (bucket-equality probe) and the
+                    mapInPandas rescore is Arrow-batched, so wall
+                    should be ≤ linear in queries.
+- join_planner:     two sketch builds + two per-key aggregates —
+                    linear in the bigger input, join never runs.
+
+    python scripts/bench_r12_ops_scale.py
+
+One JSON line per op with [1x, 2x, 4x, 8x] seconds and log2 growth.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench_analytics_scale import scaled_embeddings  # noqa: E402
+from bench_text_ops_scale import scaled_events, scaled_plain_docs  # noqa: E402
+from tickdb_spark.session import get_spark  # noqa: E402
+
+FACTORS = (1, 2, 4, 8)
+
+
+def growth(times):
+    return [
+        round(math.log2(times[i + 1] / times[i]), 2) for i in range(len(times) - 1)
+    ]
+
+
+def _run(df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="r12_ops_scale", master="local[32]", shuffle_partitions=32
+    )
+    from tickdb_spark.functions.web import boilerplate_lines, remove_boilerplate
+    from tickdb_spark.operators.planner import choose_join
+    from tickdb_spark.operators.similarity import (
+        hard_negative_mining,
+        lsh_signature_table,
+    )
+
+    scaled_events(spark, 1).count()  # warm input caches
+    scaled_plain_docs(spark, 1).count()
+    scaled_embeddings(spark, 1).count()
+
+    # boilerplate detection + removal over f-times docs (r12: hash-keyed
+    # shuffles; same planted per-source template as the gate)
+    def planted(f):
+        return scaled_plain_docs(spark, f).select(
+            "doc_id",
+            (F.col("doc_id") % 16).cast("string").alias("host"),
+            F.concat(
+                F.lit("home login search | nav about contact "),
+                (F.col("doc_id") % 16).cast("string"),
+                F.lit(" | "),
+                F.col("text"),
+            ).alias("text2"),
+        )
+
+    times = [
+        _run(boilerplate_lines(planted(f), "host", "doc_id", "text2"))
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "boilerplate_detect_hashkey", "sec": times,
+                      "log2_growth": growth(times)}))
+    times = [
+        _run(remove_boilerplate(planted(f), "host", "doc_id", "text2"))
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "boilerplate_removal_hashkey", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # bulk hard negatives: corpus FIXED at 8x, query DataFrame scaled
+    # 1x-8x (25/50/100/200 queries); signatures are untimed ingest state
+    emb = scaled_embeddings(spark, 8).withColumn(
+        "label", (F.col("vec_id") % 16).cast("int")
+    )
+    sigs = lsh_signature_table(emb).localCheckpoint()  # untimed ingest
+    emb = emb.localCheckpoint()
+    n_vec = emb.count()
+    times = []
+    for f in FACTORS:
+        step = max(1, n_vec // (25 * f))
+        qset = emb.where(F.col("vec_id") % step == 0).select("vec_id")
+        times.append(
+            _run(hard_negative_mining(emb, qset, k=5, signatures=sigs))
+        )
+    print(json.dumps({"op": "hard_negatives_bulk_queries", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # join planner stats pass: f-times events vs fixed orders-sized side
+    orders = scaled_events(spark, 1).select("event_id")
+    times = [
+        _run(
+            choose_join(
+                scaled_events(spark, f).select("event_id"), "event_id",
+                orders, "event_id",
+            )
+        )
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "join_planner_stats", "sec": times,
+                      "log2_growth": growth(times)}))
+
+
+if __name__ == "__main__":
+    main()

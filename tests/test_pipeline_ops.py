@@ -2757,3 +2757,47 @@ def test_join_planner_decisions_and_applied_plans(spark):
     # planned_join end-to-end (collects the stats row, then joins)
     pj = planned_join(big, "k", small, "k", broadcast_rows=1_000)
     assert pj.count() == big.join(small, "k").count()
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup component gets the SAME split (the
+    component representative's), singletons keep their plain
+    split_assign fate, and at least one planted cluster demonstrates
+    the leak plain id-hash splitting would have caused (members whose
+    id-hash splits disagree)."""
+    from tickdb_spark.operators.sampling import leakage_safe_split, split_assign
+
+    n = 400
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # clusters of 4 over the first half: (0,1,2,3), (8,9,10,11), ...
+    pairs = (
+        spark.range(n // 2)
+        .where((F.col("id") % 8 < 3) )
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = leakage_safe_split(docs, "doc_id", pairs, splits).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_comp.values())
+
+    plain = {
+        r.doc_id: r.split
+        for r in split_assign(docs, "doc_id", splits).collect()
+    }
+    grouped = {r.doc_id: (r.component, r.split) for r in out}
+    # representative's plain split == the group's split; singletons match
+    for d, (comp, sp) in grouped.items():
+        assert plain[comp] == sp
+        if comp == d and all(grouped[x][0] != comp for x in grouped if x != d):
+            assert plain[d] == sp
+    # the counterfactual leak actually exists in this fixture
+    leaked = [
+        comp
+        for comp, members in
+        {c: [d for d, (cc, _) in grouped.items() if cc == c]
+         for c in by_comp}.items()
+        if len({plain[m] for m in members}) > 1
+    ]
+    assert leaked, "fixture should contain at least one would-leak cluster"

@@ -161,6 +161,61 @@ def split_assign_sql(table: str, id_col: str, splits: list[tuple[str, float]]) -
     return f"SELECT *, {case} AS split FROM {table}"
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: list[tuple[str, float]],
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate documents move
+    as ONE unit. Plain :func:`split_assign` hashes the doc id, so two
+    near-dups can land in train and test — eval contamination built
+    into the split itself. Here every doc's split comes from the
+    id-hash of its near-dup COMPONENT representative (min doc id in
+    the connected component over ``pairs``; singletons represent
+    themselves), so a whole duplicate cluster lands in one split.
+    Membership stays deterministic and rerun-stable; incremental
+    corpus growth only moves a doc if its cluster gains an older
+    member (i.e. its representative changes).
+
+    Scale shape: components run over the pair graph only (never the
+    corpus); the split itself is a pure projection of the component id.
+    Returns ``(id_col, component, split)``."""
+    from tickdb_spark.operators.cluster import connected_components
+
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src_col=src_col, dst_col=dst_col
+    )
+    return split_assign(
+        comp.select(F.col("id").alias(id_col), "component"), "component", splits
+    )
+
+
+def leakage_safe_split_sql(
+    pairs_sql: str,
+    table: str,
+    id_col: str,
+    splits: list[tuple[str, float]],
+) -> str:
+    """DuckDB twin: recursive-CTE transitive closure → min-id component
+    per node → the SAME split CASE applied to the component id."""
+    comp = f"""(WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT {id_col}::BIGINT, {id_col}::BIGINT FROM {table}
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS {id_col}, min(v) AS component FROM reach GROUP BY u)"""
+    return split_assign_sql(comp, "component", splits)
+
+
 def token_budget_sample(
     df: DataFrame, strata_col: str, id_col: str, token_col: str, budget: int
 ) -> DataFrame:

@@ -5152,6 +5152,34 @@ def dedup_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
 
 
+_LSS_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+@register(
+    "sample_leakage_safe_split",
+    _sampling.leakage_safe_split_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5),
+        "documents",
+        "doc_id",
+        _LSS_SPLITS,
+    )
+    + " ORDER BY doc_id",
+    "LEAKAGE-SAFE train/val/test split: plain id-hash splitting puts "
+    "near-duplicates on both sides of the train/test boundary — eval "
+    "contamination built into the split. Here the split hashes the "
+    "near-dup COMPONENT representative (min id over the ngram-Jaccard "
+    "τ=0.5 connected component; singletons = self), so whole duplicate "
+    "clusters move as one unit. Components run over the pair graph "
+    "only; the split is a pure projection of the component id — "
+    "deterministic, rerun-stable, engine-independent. Oracle replays "
+    "the recursive-CTE closure + the identical split CASE",
+)
+def sample_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _sampling.leakage_safe_split(docs, "doc_id", pairs, _LSS_SPLITS)
+
+
 @register(
     "sample_hash_deterministic",
     _sampling.hash_sample_sql(
@@ -8995,61 +9023,59 @@ def agg_quantile_sketch_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame
 #: mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (0) NEW in r12 — never sampled by construction
+    # (1) NEW in r12 — never sampled by construction
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
-    # (1) NEW in r11 — never sampled by construction
-    "agg_quantile_sketch_bottomk",
-    "web_url_canonical_dedup",
-    "web_domain_rollup",
-    "stream_index_schema_evolution",
-    "stream_quantile_sketch_maintenance",
-    "diag_numeric_drift",
-    "select_hard_negatives",
-    "web_boilerplate_lines",
-    "web_boilerplate_removal",
-    "agg_quantile_sketch_grouped",
-    # (2) code changed in r11 (ADVICE r10 fixes) — re-proof required
-    "diag_join_size_estimate",
-    "text_bm25_retrieval",
-    "stream_bm25_index_maintenance",
-    "hybrid_rrf_retrieval",
-    "stream_dedup_ingest",
-    # (3) stalest driver proof (r6 cohort, complete) — rotation refresh
-    "agg_equidepth_scale",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_near_pairs",
-    "join_full_outer_nation_parties",
-    "media_binary_stats",
-    "media_decode_png",
-    "media_decode_stats",
-    "pivot_qty_by_status",
-    "setop_nation_coverage",
-    "sim_ann_topk_lsh",
-    "text_bigram_familiarity",
-    "text_langid_fingerprint",
-    "text_pii_scrub",
-    "text_quality_metrics",
-    "text_repetition_metrics",
-    "tick_bucket_5min_routed",
-    "tick_gapfill_multiseries",
-    "tick_rollup_day_agg",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_revenue",
-    "tpch_q6_revenue_forecast",
-    "trend_series_ols_slope",
-    "unpivot_lineitem_metrics",
-    "win_running_revenue",
-    "win_top3_orders_per_priority",
-    "win_trailing_7day_revenue",
-    # (4) r7-era proofs — next-stalest refresh (fills to 50)
-    "analytics_cohort_retention",
-    "analytics_funnel_steps",
+    "sample_leakage_safe_split",
+    # (2) stalest driver proof (r7 cohort, complete — 39 entries)
+    "decontaminate_bloom_prefilter",
+    "dedup_cluster_components",
+    "dedup_cluster_retention",
+    "dedup_exact_normalized",
+    "graph_triangle_counts",
+    "media_audio_features",
+    "media_decode_progressive",
+    "media_decode_robust",
+    "media_exif_metadata",
+    "media_scene_cuts",
+    "profile_lineitem_columns",
+    "rangejoin_interval_overlap",
+    "sim_embedding_l2norm",
+    "sim_semantic_dedup",
+    "sim_semantic_dedup_ivf",
+    "sim_semantic_dedup_trained",
+    "source_schema_evolution",
+    "stream_rollup_maintenance",
+    "stream_stream_leftouter_join",
+    "text_lexical_diversity",
+    "text_quality_perceptron",
+    "tick_downsample_m4",
+    "tick_time_travel",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trend_holt_linear_forecast",
+    "udtf_token_freqs",
+    # (3) next-stalest (r8 cohort, first 8 — fills to 50)
+    "agg_cms_token_counts",
+    "agg_corr_covar_moments",
+    "agg_equidepth_histogram",
+    "agg_percentiles_by_priority",
+    "analytics_time_to_convert",
+    "asof_forward_next_view",
+    "dedup_incremental_vs_corpus",
 ]
 
 
