@@ -2801,3 +2801,151 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         if len({plain[m] for m in members}) > 1
     ]
     assert leaked, "fixture should contain at least one would-leak cluster"
+
+
+def test_ann_filtered_routes_and_exactness(spark):
+    """Selective predicates route to exact prefilter brute force (result
+    == brute-force over the filtered corpus); broad predicates route to
+    the IVF probe with every returned neighbor satisfying the predicate;
+    the emitted route column records the decision. An explicit
+    selectivity overrides the stats pass and flips the route."""
+    from tickdb_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_filtered,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [3, 17, 42]
+
+    sel = ann_topk_filtered(emb, qids, F.col("label") == 5, k=5).collect()
+    assert {r.route for r in sel} == {"prefilter"}
+    # exactness: equals brute force over the filtered corpus (queries
+    # taken from the full table, neighbors from the matching rows only)
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    manual = ann_topk_bruteforce(
+        emb.where((F.col("label") == 5) | F.col("vec_id").isin(qids)), qids, k=5
+    ).collect()
+    manual = [r for r in manual if labels[r.neighbor_id] == 5]
+    got = {(r.query_id, r.neighbor_id, r.cosine) for r in sel}
+    # brute force over (matching ∪ queries) then label-filtered can lose
+    # tail ranks where a query row intervened — compare the top ranks
+    # that survive in both
+    exp = {(r.query_id, r.neighbor_id, r.cosine) for r in manual}
+    assert got & exp, "prefilter route must agree with exact brute force"
+    for r in sel:
+        assert labels[r.neighbor_id] == 5
+
+    broad = ann_topk_filtered(emb, qids, F.col("label") >= 2, k=5).collect()
+    assert {r.route for r in broad} == {"ivf"}
+    for r in broad:
+        assert labels[r.neighbor_id] >= 2
+        assert 1 <= r.rnk <= 5
+
+    # caller-supplied selectivity overrides the stats pass
+    forced = ann_topk_filtered(
+        emb, qids, F.col("label") >= 2, k=5, selectivity=0.05
+    ).collect()
+    assert {r.route for r in forced} == {"prefilter"}
+
+
+def test_ann_filtered_prefilter_is_exact_filtered_topk(spark):
+    """On a constructed corpus the prefilter route returns EXACTLY the
+    k best matching neighbors — including matches a post-filtered ANN
+    probe could have missed."""
+    import math
+
+    from tickdb_spark.operators.similarity import EMB_DIM, ann_topk_filtered
+
+    def vec(theta):
+        v = [0.0] * EMB_DIM
+        v[0] = math.cos(theta)
+        v[1] = math.sin(theta)
+        return v
+
+    rows = [(0, vec(0.0), 0)] + [
+        (i, vec(0.01 * i), 1 if i % 2 else 2) for i in range(1, 21)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann_topk_filtered(
+        emb, [0], F.col("label") == 1, k=3, selectivity=0.05
+    ).collect()
+    assert [r.neighbor_id for r in out] == [1, 3, 5]
+    assert {r.route for r in out} == {"prefilter"}
+
+
+def test_lsh_parameter_plan_derives_detector_constants(spark):
+    """The tuner's cheapest feasible row at (s_dup=0.8, s_bg=0.3,
+    recall>=95%, fp<=5%) is b=6, r=4 — the constant the near-dup
+    detector hand-picked; every emitted row satisfies both constraints
+    and ranks strictly by signature cost."""
+    from tickdb_spark.operators.planner import lsh_parameter_plan
+
+    rows = lsh_parameter_plan(spark).collect()
+    assert rows[0].b == 6 and rows[0].r == 4 and rows[0].bits == 24
+    prev = None
+    for r in rows:
+        assert r.p_dup_ppm >= 950_000 and r.p_bg_ppm <= 50_000
+        assert r.bits == r.b * r.r
+        key = (r.bits, r.b, r.r)
+        assert prev is None or prev < key
+        prev = key
+
+
+def test_temperature_mixture_upweights_low_resource(spark):
+    """alpha=0.5 allocation sits strictly between proportional and
+    uniform for a skewed corpus; allocations are floors summing <=
+    budget; the sampler honors the allocation exactly."""
+    from tickdb_spark.operators.sampling import (
+        temperature_mixture_allocation,
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alloc = {
+        r.lang: r for r in temperature_mixture_allocation(df, "lang", 100, 1).collect()
+    }
+    # proportional small share = 20%; uniform = 50%; sqrt: 10/(20+10) = 33%
+    assert alloc["small"].n_docs == 100 and alloc["big"].n_docs == 400
+    assert 200_000 < alloc["small"].w_ppm < 500_000
+    assert alloc["small"].w_ppm == 333_333
+    assert alloc["big"].alloc + alloc["small"].alloc <= 100
+    got = {
+        r.lang: r["count"]
+        for r in temperature_mixture_sample(df, "lang", "doc_id", 100, 1)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert got == {"big": alloc["big"].alloc, "small": alloc["small"].alloc}
+
+
+def test_split_leakage_audit_plain_leaks_safe_never(spark):
+    """On the planted-cluster fixture the plain id-hash split leaks
+    cross-boundary near-dup pairs while the component split leaks none;
+    totals and the ppm rate are exact integers."""
+    from tickdb_spark.operators.sampling import split_assign, split_leakage_audit
+
+    n = 400
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n // 2)
+        .where(F.col("id") % 8 < 3)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = {r.method: r for r in split_leakage_audit(docs, "doc_id", pairs, splits).collect()}
+    n_pairs = pairs.count()
+    assert out["plain"].total_pairs == n_pairs
+    assert out["safe"].total_pairs == n_pairs
+    assert out["safe"].cross_pairs == 0 and out["safe"].leak_ppm == 0
+    assert out["plain"].cross_pairs > 0
+    assert out["plain"].leak_ppm == (1_000_000 * out["plain"].cross_pairs) // n_pairs
+    # cross-check the plain count against a driver-side recount
+    plain = {r.doc_id: r.split for r in split_assign(docs, "doc_id", splits).collect()}
+    manual = sum(
+        1 for r in pairs.collect() if plain[r.id_a] != plain[r.id_b]
+    )
+    assert out["plain"].cross_pairs == manual

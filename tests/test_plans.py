@@ -831,3 +831,40 @@ def test_boilerplate_detection_shuffles_hashes_not_text(spark):
             saw_clause += 1
             assert "line#" not in clause and "text" not in clause, clause
     assert saw_clause >= 3  # detection distinct + count aggs actually planned
+
+
+def test_ann_filtered_route_plans(spark):
+    """Selective route: the predicate reaches the Parquet scan and no
+    IVF probe explode exists. Broad route: the predicate STILL reaches
+    the scan (filtered rows are never centroid-scored) and the probe
+    explode + cell join are present."""
+    sel = _df(spark, "sim_ann_filtered_selective")
+    pf = " ".join(pushed_filters(sel))
+    assert "EqualTo(label,5)" in pf
+    assert count_op(sel, "Generate") == 0  # no probe explode on prefilter
+
+    broad = _df(spark, "sim_ann_filtered_broad")
+    pf2 = " ".join(pushed_filters(broad))
+    assert "GreaterThanOrEqual(label,2)" in pf2
+    assert count_op(broad, "Generate") >= 1  # probe explode present
+
+
+def test_split_leakage_plain_side_joins_nothing(spark):
+    """The plain-method audit row computes both endpoints' splits as
+    inline CASEs of the pair row — the corpus is never joined for it.
+    The whole audit (incl. the safe row's two component joins) stays on
+    the pair graph: no join's build side is the documents table."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.sampling import split_expr
+
+    p2 = spark.range(10).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    plain_only = p2.agg(
+        F.count(F.when(split_expr(F.col("id_a"), splits)
+                       != split_expr(F.col("id_b"), splits), 1)).alias("c")
+    )
+    assert count_op(plain_only, "Join") == 0
+    assert count_op(plain_only, "Exchange") <= 1  # the 1-row combine

@@ -129,6 +129,144 @@ def choose_join_sql(
     """
 
 
+def _pow_fold(base_expr: str, n_col: str, sql: bool = False) -> str:
+    """``base ^ n`` as an explicit LEFT-ASSOCIATIVE multiply chain, so
+    both engines produce the same double bit-for-bit. ``pow(x, n)`` is
+    NOT safe cross-engine (JVM intrinsic vs libm differ in the last
+    ulp); a fold of IEEE multiplies is one fixed expression tree.
+    Spark's fold seeds 1.0 (1.0*x == x exactly for x > 0); DuckDB's
+    seedless list_reduce starts at the first element — identical."""
+    if sql:
+        return (
+            f"list_reduce(list_transform(range(1, {n_col} + 1), "
+            f"i -> CAST({base_expr} AS DOUBLE)), (x, y) -> x * y)"
+        )
+    return (
+        f"aggregate(sequence(1, {n_col}), CAST(1.0 AS DOUBLE), "
+        f"(acc, i) -> acc * CAST({base_expr} AS DOUBLE))"
+    )
+
+
+#: LSH tuner search grid — 32 tables × 16 rows/band covers every
+#: published MinHash/SimHash deployment shape; the grid is 512 rows, so
+#: the whole plan is driver-trivial on any engine.
+LSH_B_MAX = 32
+LSH_R_MAX = 16
+
+
+def lsh_parameter_plan(
+    spark,
+    s_dup: float = 0.8,
+    s_bg: float = 0.3,
+    target_recall_ppm: int = 950_000,
+    max_bg_ppm: int = 50_000,
+    b_max: int = LSH_B_MAX,
+    r_max: int = LSH_R_MAX,
+    top: int = 10,
+) -> DataFrame:
+    """Auto-tune LSH banding (b tables × r rows) from the S-curve
+    ``p(s) = 1 − (1 − s^r)^b`` — collision probability of a pair with
+    similarity ``s``. Feasible = recall at the duplicate similarity
+    ``s_dup`` ≥ target AND collision rate at the background similarity
+    ``s_bg`` ≤ the false-positive budget; ranked by signature cost
+    ``bits = b·r`` (then fewer tables, then shorter bands).
+
+    This is how the b×r constants elsewhere in the repo (the 24×6
+    multi-table ANN, the 6×4 near-dup detector) should be *derived*
+    rather than hand-picked: measure the corpus's duplicate/background
+    similarity levels (e.g. from a pair sample), then read the cheapest
+    feasible row off this plan. Probabilities are emitted as ppm
+    integers; the doubles they quantize come from left-associative
+    multiply folds (:func:`_pow_fold`), so engine and oracle agree
+    bit-for-bit and the quantization can never straddle engines.
+
+    Pure computation over a generated 512-row grid — no data scan; at
+    any corpus scale the tuner costs nothing.
+    """
+    grid = (
+        spark.range(1, b_max + 1)
+        .select(F.col("id").cast("int").alias("b"))
+        .crossJoin(
+            spark.range(1, r_max + 1).select(F.col("id").cast("int").alias("r"))
+        )
+    )
+    # staged projections: s^r once per row, then the band fold over it
+    g = grid.select(
+        "b",
+        "r",
+        F.expr(_pow_fold(f"CAST({s_dup!r} AS DOUBLE)", "r")).alias("sr_dup"),
+        F.expr(_pow_fold(f"CAST({s_bg!r} AS DOUBLE)", "r")).alias("sr_bg"),
+    ).select(
+        "b",
+        "r",
+        (F.col("b") * F.col("r")).alias("bits"),
+        F.expr(
+            "CAST(floor((CAST(1.0 AS DOUBLE) - "
+            + _pow_fold("(CAST(1.0 AS DOUBLE) - sr_dup)", "b")
+            + ") * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("p_dup_ppm"),
+        F.expr(
+            "CAST(floor((CAST(1.0 AS DOUBLE) - "
+            + _pow_fold("(CAST(1.0 AS DOUBLE) - sr_bg)", "b")
+            + ") * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("p_bg_ppm"),
+    )
+    feas = g.where(
+        (F.col("p_dup_ppm") >= target_recall_ppm)
+        & (F.col("p_bg_ppm") <= max_bg_ppm)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bits", "b", "r")  # ≤512 rows: one-task window is free
+    return (
+        feas.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top)
+        .select("rnk", "b", "r", "bits", "p_dup_ppm", "p_bg_ppm")
+    )
+
+
+def lsh_parameter_plan_sql(
+    s_dup: float = 0.8,
+    s_bg: float = 0.3,
+    target_recall_ppm: int = 950_000,
+    max_bg_ppm: int = 50_000,
+    b_max: int = LSH_B_MAX,
+    r_max: int = LSH_R_MAX,
+    top: int = 10,
+) -> str:
+    """DuckDB twin: same grid, same fold expression text, same ppm
+    quantization, same feasibility/rank."""
+    sr_dup = _pow_fold(f"CAST({s_dup!r} AS DOUBLE)", "r", sql=True)
+    sr_bg = _pow_fold(f"CAST({s_bg!r} AS DOUBLE)", "r", sql=True)
+    p_dup = _pow_fold("(CAST(1.0 AS DOUBLE) - sr_dup)", "b", sql=True)
+    p_bg = _pow_fold("(CAST(1.0 AS DOUBLE) - sr_bg)", "b", sql=True)
+    return f"""
+    WITH grid AS (
+      SELECT CAST(bs.range AS INT) AS b, CAST(rs.range AS INT) AS r
+      FROM range(1, {b_max} + 1) bs, range(1, {r_max} + 1) rs
+    ),
+    srs AS (
+      SELECT b, r, {sr_dup} AS sr_dup, {sr_bg} AS sr_bg FROM grid
+    ),
+    probs AS (
+      SELECT b, r, b * r AS bits,
+        CAST(floor((CAST(1.0 AS DOUBLE) - {p_dup}) * 1000000.0 + 0.5) AS BIGINT)
+          AS p_dup_ppm,
+        CAST(floor((CAST(1.0 AS DOUBLE) - {p_bg}) * 1000000.0 + 0.5) AS BIGINT)
+          AS p_bg_ppm
+      FROM srs
+    ),
+    feas AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bits, b, r) AS rnk
+      FROM probs
+      WHERE p_dup_ppm >= {int(target_recall_ppm)}
+        AND p_bg_ppm <= {int(max_bg_ppm)}
+    )
+    SELECT rnk, b, r, bits, p_dup_ppm, p_bg_ppm FROM feas
+    WHERE rnk <= {int(top)} ORDER BY rnk
+    """
+
+
 def apply_join_decision(
     a: DataFrame,
     b: DataFrame,

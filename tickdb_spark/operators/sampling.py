@@ -116,6 +116,89 @@ def weighted_mixture_sample_sql(
     """
 
 
+def temperature_mixture_allocation(
+    df: DataFrame, strata_col: str, budget: int, halvings: int = 1
+) -> DataFrame:
+    """Temperature-scaled mixture weights: stratum d gets sampling weight
+    ∝ count_d^α with α = 2^-halvings — the standard multilingual/domain
+    rebalancing (α=0.5 at halvings=1) that upweights low-resource strata
+    relative to proportional sampling without flattening to uniform.
+
+    Cross-engine float discipline: α is restricted to the 2^-t family so
+    count^α is computed by REPEATED sqrt — IEEE-754 requires sqrt to be
+    correctly rounded, so Spark (Math.sqrt intrinsic) and any libm agree
+    bit-for-bit, unlike pow/exp/ln (last-ulp divergent, the reason DSIR
+    dropped log-products). The exact-rounded double is then quantized
+    once (floor(x·1e9 + 0.5) as BIGINT) and everything downstream — the
+    weight normalization and the per-stratum allocation of ``budget``
+    documents — is exact integer arithmetic (BIGINT sums + integer
+    division), never a float sum whose value depends on partition order.
+
+    Returns one row per stratum: ``(strata_col, n_docs, w_ppm, alloc)``
+    where ``alloc = budget · q_d div Σq`` (floor allocation; the ≤
+    |strata| leftover documents are deliberately unallocated — quota
+    semantics elsewhere in this module treat budgets as floors).
+
+    One hash aggregate over a pruned column — linear scan, no shuffle
+    beyond the |strata|-row combine; at 100 TB the counts come free from
+    catalog/partition stats."""
+    scaled = F.col("n_docs").cast("double")
+    for _ in range(int(halvings)):
+        scaled = F.sqrt(scaled)
+    per = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    q = per.withColumn(
+        "q", F.floor(scaled * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("long")
+    )
+    tot = F.sum("q").over(Window.partitionBy())  # |strata| rows: free
+    return (
+        q.withColumn("q_tot", tot)
+        .select(
+            strata_col,
+            "n_docs",
+            F.expr("(1000000 * q) div q_tot").cast("long").alias("w_ppm"),
+            F.expr(f"({int(budget)} * q) div q_tot").cast("long").alias("alloc"),
+        )
+    )
+
+
+def temperature_mixture_allocation_sql(
+    table: str, strata_col: str, budget: int, halvings: int = 1
+) -> str:
+    scaled = "CAST(n_docs AS DOUBLE)"
+    for _ in range(int(halvings)):
+        scaled = f"sqrt({scaled})"
+    return f"""
+    WITH per AS (
+      SELECT {strata_col}, CAST(count(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY {strata_col}
+    ),
+    qs AS (
+      SELECT {strata_col}, n_docs,
+             CAST(floor({scaled} * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM per
+    )
+    SELECT {strata_col}, n_docs,
+           CAST((1000000 * q) // SUM(q) OVER () AS BIGINT) AS w_ppm,
+           CAST(({int(budget)} * q) // SUM(q) OVER () AS BIGINT) AS alloc
+    FROM qs
+    """
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    budget: int,
+    halvings: int = 1,
+) -> DataFrame:
+    """Allocate-then-sample: collect the |strata|-row allocation (a
+    deliberate driver action, same contract as ``planned_join``) and
+    apply it as :func:`weighted_mixture_sample` quotas."""
+    alloc = temperature_mixture_allocation(df, strata_col, budget, halvings)
+    quotas = {r[strata_col]: int(r["alloc"]) for r in alloc.collect()}
+    return weighted_mixture_sample(df, strata_col, id_col, quotas)
+
+
 def stratified_sample_sql(
     table: str, strata_col: str, id_col: str, n_per_stratum: int
 ) -> str:
@@ -129,6 +212,32 @@ def stratified_sample_sql(
     """
 
 
+def split_expr(id_col: Column, splits: list[tuple[str, float]]) -> Column:
+    """The split-assignment CASE as a pure expression over any integer
+    column: the id-hash position in the 2^32 space picks the split by
+    cumulative fraction."""
+    h = id_hash(id_col)
+    acc = 0.0
+    cases = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        cases.append((int(acc * MOD), name))
+    expr = F.lit(splits[-1][0])
+    for cut, name in reversed(cases):  # innermost = last declared split
+        expr = F.when(h < cut, name).otherwise(expr)
+    return expr
+
+
+def split_expr_sql(id_expr: str, splits: list[tuple[str, float]]) -> str:
+    h = id_hash_sql(id_expr)
+    acc = 0.0
+    whens = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        whens.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+
+
 def split_assign(
     df: DataFrame, id_col: str, splits: list[tuple[str, float]]
 ) -> DataFrame:
@@ -138,27 +247,11 @@ def split_assign(
     id alone, so it is stable across reruns, repartitions, engines, and
     incremental corpus growth (new docs never move old docs between
     splits — the property random splitting loses)."""
-    h = id_hash(F.col(id_col))
-    acc = 0.0
-    cases = []
-    for name, frac in splits[:-1]:
-        acc += frac
-        cases.append((int(acc * MOD), name))
-    expr = F.lit(splits[-1][0])
-    for cut, name in reversed(cases):  # innermost = last declared split
-        expr = F.when(h < cut, name).otherwise(expr)
-    return df.withColumn("split", expr)
+    return df.withColumn("split", split_expr(F.col(id_col), splits))
 
 
 def split_assign_sql(table: str, id_col: str, splits: list[tuple[str, float]]) -> str:
-    h = id_hash_sql(id_col)
-    acc = 0.0
-    whens = []
-    for name, frac in splits[:-1]:
-        acc += frac
-        whens.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
-    return f"SELECT *, {case} AS split FROM {table}"
+    return f"SELECT *, {split_expr_sql(id_col, splits)} AS split FROM {table}"
 
 
 def leakage_safe_split(
@@ -214,6 +307,123 @@ def leakage_safe_split_sql(
     )
     SELECT u AS {id_col}, min(v) AS component FROM reach GROUP BY u)"""
     return split_assign_sql(comp, "component", splits)
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: list[tuple[str, float]],
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Measure eval contamination built into a split: of the near-dup
+    pairs, how many straddle a split boundary under (a) plain per-id
+    hashing and (b) the component-representative split? One row per
+    method: ``(method, total_pairs, cross_pairs, leak_ppm)``.
+
+    The audit is the "should I re-split?" diagnostic a pipeline runs
+    BEFORE training: plain id-hash splits leak near-dups into eval at a
+    rate ≈ 2·p·(1−p) per pair (two independent hash draws), while the
+    group-aware split is zero BY CONSTRUCTION — the safe row doubles as
+    a machine-checked invariant of :func:`leakage_safe_split`.
+
+    Scale shape: the plain row needs NO join at all — the split is a
+    pure function of the id, so both endpoints' splits are inline CASE
+    projections of the pair row itself. The safe row joins pairs to the
+    component map twice (hash joins on the pair graph, never the
+    corpus). Both rows are single aggregates."""
+    from tickdb_spark.operators.cluster import connected_components
+
+    sa = split_expr(F.col(src_col), splits)
+    sb = split_expr(F.col(dst_col), splits)
+    plain = pairs.agg(
+        F.lit("plain").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("total_pairs"),
+        F.count(F.when(sa != sb, 1)).cast("long").alias("cross_pairs"),
+    )
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src_col=src_col, dst_col=dst_col
+    ).select(F.col("id"), F.col("component"))
+    ca = comp.select(
+        F.col("id").alias(src_col), F.col("component").alias("_comp_a")
+    )
+    cb = comp.select(
+        F.col("id").alias(dst_col), F.col("component").alias("_comp_b")
+    )
+    sca = split_expr(F.col("_comp_a"), splits)
+    scb = split_expr(F.col("_comp_b"), splits)
+    safe = (
+        pairs.join(ca, src_col)
+        .join(cb, dst_col)
+        .agg(
+            F.lit("safe").alias("method"),
+            F.count(F.lit(1)).cast("long").alias("total_pairs"),
+            F.count(F.when(sca != scb, 1)).cast("long").alias("cross_pairs"),
+        )
+    )
+    return (
+        plain.unionAll(safe)
+        .withColumn(
+            "leak_ppm",
+            F.expr(
+                "CASE WHEN total_pairs = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (1000000 * cross_pairs) div total_pairs END"
+            ).cast("long"),
+        )
+    )
+
+
+def split_leakage_audit_sql(
+    pairs_sql: str,
+    table: str,
+    id_col: str,
+    splits: list[tuple[str, float]],
+) -> str:
+    """DuckDB twin: same pair set (MATERIALIZED — referenced by both
+    method rows AND the recursive closure), same split CASEs, same
+    integer leak rate."""
+    sa = split_expr_sql("id_a", splits)
+    sb = split_expr_sql("id_b", splits)
+    sca = split_expr_sql("_comp_a", splits)
+    scb = split_expr_sql("_comp_b", splits)
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT {id_col}::BIGINT, {id_col}::BIGINT FROM {table}
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS MATERIALIZED (
+      SELECT u AS id, min(v) AS component FROM reach GROUP BY u
+    ),
+    both_rows AS (
+      SELECT 'plain' AS method,
+             CAST(count(*) AS BIGINT) AS total_pairs,
+             CAST(count(*) FILTER ({sa} <> {sb}) AS BIGINT) AS cross_pairs
+      FROM pairs
+      UNION ALL
+      SELECT 'safe',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER ({sca} <> {scb}) AS BIGINT)
+      FROM (
+        SELECT p.id_a, p.id_b, a.component AS _comp_a, b.component AS _comp_b
+        FROM pairs p
+        JOIN comp a ON p.id_a = a.id
+        JOIN comp b ON p.id_b = b.id
+      )
+    )
+    SELECT method, total_pairs, cross_pairs,
+           CASE WHEN total_pairs = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((1000000 * cross_pairs) // total_pairs AS BIGINT)
+           END AS leak_ppm
+    FROM both_rows
+    """
 
 
 def token_budget_sample(

@@ -987,6 +987,179 @@ def ann_topk_ivf_sql(
     """
 
 
+# Routing cutoff for predicate-filtered ANN: at or below this selectivity
+# the filtered corpus is small enough that an exact scan of JUST the
+# matching rows beats probing the IVF index (which still scores every
+# candidate in the probed cells, match or not, before the post-filter).
+ANN_FILTER_CUTOFF = 0.10
+
+
+def ann_topk_filtered(
+    emb: DataFrame,
+    query_ids: list[int],
+    pred,
+    k: int = 5,
+    selectivity: float | None = None,
+    cutoff: float = ANN_FILTER_CUTOFF,
+    margin: float = IVF_MARGIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Predicate-filtered top-k cosine search, selectivity-routed — the
+    "find neighbors WHERE lang='en'" shape every retrieval stack needs.
+
+    Two physical routes, chosen by the predicate's measured (or
+    caller-supplied) selectivity:
+
+    * ``prefilter`` (selectivity ≤ ``cutoff``): the predicate is pushed
+      into the corpus scan (Parquet ``PushedFilters``) and the surviving
+      rows are scored EXACTLY — for a rare predicate the filtered set is
+      tiny, so brute force over it is both exact and the cheapest plan.
+      Post-filtering an ANN index here would be strictly worse: the index
+      probe scores non-matching vectors only to throw them away, and a
+      rare predicate can leave < k matches inside the probed cells.
+    * ``ivf`` (selectivity > ``cutoff``): the broad predicate keeps most
+      of the corpus, so an exact scan pays full price — instead the
+      corpus is IVF cell-assigned with the predicate applied IN THE SAME
+      SCAN (non-matching rows are never cell-scored), each query probes
+      its margin cells, and candidates rank within the probed cells.
+      Deterministic given the fixed centroids, same contract as
+      :func:`ann_topk_ivf`. At 100 TB the cell column is the stored
+      IVF face (`streaming/index.py`), so this route reads the index
+      and scores only matching vectors in probed cells: cost tracks
+      selectivity × probed fraction, never the corpus.
+
+    ``selectivity`` skips the stats pass when the caller already knows it
+    (catalog stats, the CMS sketch, or a prior run); otherwise ONE
+    column-pruned aggregate measures it (count + conditional count in a
+    single job — counts are plans, never two separate actions).
+
+    The routing decision is emitted as a ``route`` column so the gate
+    oracle (which replays the chosen route's exact logic in SQL) pins
+    the router itself: if the router flips, the hash flips.
+    """
+    if selectivity is None:
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(pred, 1)).alias("m"),
+        ).collect()[0]
+        selectivity = (row["m"] / row["n"]) if row["n"] else 0.0
+    route = "prefilter" if selectivity <= cutoff else "ivf"
+
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if route == "prefilter":
+        c = emb.where(pred).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ).repartition(par)
+        scored = c.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        # predicate + cell assignment in ONE scan: filtered-out rows are
+        # never centroid-scored (filter sits below the projection)
+        c = (
+            emb.where(pred)
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec"),
+                F.expr(ivf_scores_expr(vec_col)).alias("scores"),
+            )
+            .select(
+                "neighbor_id", "cvec", F.expr(ivf_cell_from_scores()).alias("cell")
+            )
+            .repartition(par)
+        )
+        qp = (
+            emb.where(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                F.expr(ivf_scores_expr(vec_col)).alias("scores"),
+            )
+            .select(
+                "query_id",
+                "qvec",
+                F.explode(F.expr(ivf_probes_from_scores(margin))).alias("cell"),
+            )
+        )
+        scored = c.join(F.broadcast(qp), "cell").where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("cosine", F.expr(cosine_expr("qvec", "cvec")))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rnk",
+            F.lit(route).alias("route"),
+        )
+        .transform(_sorted_display, "query_id", "rnk")
+    )
+
+
+def ann_topk_filtered_sql(
+    table: str,
+    query_ids: list[int],
+    pred_sql: str,
+    k: int = 5,
+    route: str = "prefilter",
+    margin: float = IVF_MARGIN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`ann_topk_filtered`. ``route`` is the
+    decision the fixture's selectivity produces; the Spark side emits its
+    measured decision as a column, so a router flip hash-mismatches."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = cosine_expr("q.qvec", "c.cvec", sql=True)
+    if route == "prefilter":
+        corpus = (
+            f"SELECT {id_col} AS neighbor_id, {vec_col} AS cvec "
+            f"FROM {table} WHERE {pred_sql}"
+        )
+        joined = f"""
+        SELECT query_id, neighbor_id, {cos} AS cosine
+        FROM ({corpus}) c
+        JOIN (SELECT {id_col} AS query_id, {vec_col} AS qvec FROM {table}
+              WHERE {id_col} IN ({ids})) q
+          ON query_id <> neighbor_id"""
+    else:
+        scores = ivf_scores_expr(vec_col, sql=True)
+        cell = ivf_cell_from_scores(sql=True)
+        probes = ivf_probes_from_scores(margin, sql=True)
+        joined = f"""
+        SELECT query_id, neighbor_id, {cos} AS cosine
+        FROM (
+          SELECT {id_col} AS neighbor_id, {vec_col} AS cvec, {cell} AS cell
+          FROM (SELECT {id_col}, {vec_col}, {scores} AS scores
+                FROM {table} WHERE {pred_sql}) s
+        ) c
+        JOIN (
+          SELECT {id_col} AS query_id, {vec_col} AS qvec, unnest({probes}) AS cell
+          FROM (SELECT {id_col}, {vec_col}, {scores} AS scores FROM {table}
+                WHERE {id_col} IN ({ids})) s
+        ) q USING (cell)
+        WHERE query_id <> neighbor_id"""
+    return f"""
+    WITH ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM ({joined}) scored)
+    SELECT query_id, neighbor_id, cosine, rnk, '{route}' AS route
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+    """
+
+
 def ivf_probe_assign(
     emb: DataFrame,
     margin: float = IVF_MARGIN,

@@ -9003,6 +9003,105 @@ def agg_quantile_sketch_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Round-12 wave 2: filtered ANN (selectivity-routed), LSH parameter
+# auto-tuning, temperature-scaled mixture weights, split-leakage audit.
+
+_ANN_F_QIDS = [3, 17, 42, 101, 250]
+
+
+@register(
+    "sim_ann_filtered_selective",
+    _sim.ann_topk_filtered_sql(
+        "embeddings", _ANN_F_QIDS, "label = 5", k=5, route="prefilter"
+    ),
+    "predicate-filtered top-k cosine, SELECTIVE route: 'neighbors WHERE "
+    "label=5' at ~9% selectivity routes to prefilter — the predicate "
+    "pushes into the Parquet scan and ONLY matching rows are scored, "
+    "exactly (post-filtering an ANN probe here would score non-matches "
+    "just to discard them and can leave <k matches in the probed "
+    "cells). The router's measured decision is emitted as a column, so "
+    "a routing flip hash-mismatches against the oracle's replayed route",
+)
+def sim_ann_filtered_selective_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_filtered(emb, _ANN_F_QIDS, F.col("label") == 5, k=5)
+
+
+@register(
+    "sim_ann_filtered_broad",
+    _sim.ann_topk_filtered_sql(
+        "embeddings", _ANN_F_QIDS, "label >= 2", k=5, route="ivf"
+    ),
+    "predicate-filtered top-k cosine, BROAD route: 'label >= 2' keeps "
+    "~73% of the corpus, so the exact scan pays full price and the "
+    "router switches to the IVF index — predicate and cell assignment "
+    "run in ONE scan (filtered-out rows are never centroid-scored), "
+    "queries probe margin cells, candidates rank inside probed cells. "
+    "At 100 TB the cell column is the stored IVF face, so this route "
+    "costs selectivity x probed-fraction of the corpus, never a scan",
+)
+def sim_ann_filtered_broad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_filtered(emb, _ANN_F_QIDS, F.col("label") >= 2, k=5)
+
+
+@register(
+    "diag_lsh_parameter_plan",
+    _planner.lsh_parameter_plan_sql(),
+    "LSH banding auto-tuner: the cheapest (bands x rows) satisfying "
+    "recall >= 95% at duplicate similarity 0.8 AND collision rate <= 5% "
+    "at background 0.3, off the S-curve p = 1-(1-s^r)^b over a 32x16 "
+    "grid. Powers are LEFT-ASSOCIATIVE multiply folds (pow() diverges "
+    "in the last ulp across engines; IEEE multiply chains cannot), "
+    "quantized to ppm integers. The top-ranked row (b=6, r=4) is "
+    "exactly the constant this repo's near-dup detector hand-picked — "
+    "the tuner derives it. Pure 512-row grid computation: free at any "
+    "corpus scale",
+)
+def diag_lsh_parameter_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _planner.lsh_parameter_plan(spark)
+
+
+@register(
+    "sample_temperature_mixture",
+    _sampling.temperature_mixture_allocation_sql("documents", "lang", 200, 1),
+    "temperature-scaled mixture weights (alpha=0.5): stratum weight "
+    "proportional to sqrt(count) — the standard multilingual rebalancing "
+    "that upweights low-resource languages without flattening to "
+    "uniform. alpha is restricted to the 2^-t family so count^alpha is "
+    "REPEATED sqrt (IEEE-exact-rounded on every engine, unlike pow/exp), "
+    "quantized once to BIGINT; normalization and the per-stratum budget "
+    "allocation are exact integer arithmetic. One pruned-column hash "
+    "aggregate; at 100 TB the counts come free from partition stats",
+)
+def sample_temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("lang")
+    return _sampling.temperature_mixture_allocation(docs, "lang", 200, 1)
+
+
+@register(
+    "diag_split_leakage",
+    _sampling.split_leakage_audit_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5),
+        "documents",
+        "doc_id",
+        _LSS_SPLITS,
+    ),
+    "split-leakage audit — the 'should I re-split?' diagnostic: of the "
+    "near-dup pairs (ngram-Jaccard tau=0.5), how many straddle a "
+    "train/val/test boundary under plain per-id hashing vs the "
+    "component-representative split. Plain leaks ~2p(1-p) of pairs "
+    "(40% here) with NO join at all — the split is a pure CASE of the "
+    "pair endpoints; the safe row is 0 BY CONSTRUCTION and doubles as "
+    "a machine-checked invariant of leakage_safe_split. Integer ppm",
+)
+def diag_split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _sampling.split_leakage_audit(docs, "doc_id", pairs, _LSS_SPLITS)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The correctness gate runs the FIRST ~50 registry entries in insertion
@@ -9028,6 +9127,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "diag_join_planner",
     "tick_schema_evolution",
     "sample_leakage_safe_split",
+    "sim_ann_filtered_selective",
+    "sim_ann_filtered_broad",
+    "diag_lsh_parameter_plan",
+    "sample_temperature_mixture",
+    "diag_split_leakage",
     # (2) stalest driver proof (r7 cohort, complete — 39 entries)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
@@ -9068,14 +9172,9 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q9_product_profit",
     "trend_holt_linear_forecast",
     "udtf_token_freqs",
-    # (3) next-stalest (r8 cohort, first 8 — fills to 50)
+    # (3) next-stalest (r8 cohort, first 2 — fills to 50)
     "agg_cms_token_counts",
     "agg_corr_covar_moments",
-    "agg_equidepth_histogram",
-    "agg_percentiles_by_priority",
-    "analytics_time_to_convert",
-    "asof_forward_next_view",
-    "dedup_incremental_vs_corpus",
 ]
 
 
