@@ -125,6 +125,103 @@ def main() -> None:
     print(json.dumps({"op": "join_planner_stats", "sec": times,
                       "log2_growth": growth(times)}))
 
+    # filtered ANN, both routes, corpus scaled 1x-8x, 5 fixed queries.
+    # selective: label==5 (~6%) -> prefilter exact; broad: label>=2
+    # (~87% of the 16-label corpus) -> IVF probe. Selectivity passed in
+    # (production reads it from stats) so the timed plan is the search.
+    from tickdb_spark.operators.similarity import ann_topk_filtered
+
+    qids = [0, 16, 32, 48, 64]
+    for name, pred, selv in [
+        ("ann_filtered_prefilter", F.col("label") == 5, 0.0625),
+        ("ann_filtered_ivf", F.col("label") >= 2, 0.875),
+    ]:
+        times = [
+            _run(
+                ann_topk_filtered(
+                    scaled_embeddings(spark, f).withColumn(
+                        "label", (F.col("vec_id") % 16).cast("int")
+                    ),
+                    qids,
+                    pred,
+                    k=5,
+                    selectivity=selv,
+                )
+            )
+            for f in FACTORS
+        ]
+        print(json.dumps({"op": name, "sec": times,
+                          "log2_growth": growth(times)}))
+
+    # split-leakage audit over f-times docs: pair detection dominates
+    # (the audit itself is two aggregates + two pair-graph joins)
+    from tickdb_spark.operators.dedup import ngram_jaccard_pairs
+    from tickdb_spark.operators.sampling import split_leakage_audit
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    times = []
+    for f in FACTORS:
+        docs = scaled_plain_docs(spark, f)
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+        times.append(
+            _run(split_leakage_audit(docs, "doc_id", pairs, splits))
+        )
+    print(json.dumps({"op": "split_leakage_audit", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # temperature mixture allocation: one pruned-column hash aggregate
+    from tickdb_spark.operators.sampling import temperature_mixture_allocation
+
+    times = [
+        _run(
+            temperature_mixture_allocation(
+                scaled_plain_docs(spark, f).select(
+                    (F.col("doc_id") % 20).cast("string").alias("lang")
+                ),
+                "lang",
+                10_000,
+                1,
+            )
+        )
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "temperature_mixture_alloc", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # RAG chunk retrieval over f-times docs, 3 fixed queries: the
+    # filtered chunk-token explode should keep growth ~linear
+    from tickdb_spark.operators.bm25 import rag_chunk_topk
+
+    rqs = [(1, "hash join strategy"), (2, "stream window aggregate"),
+           (3, "vector scan filter")]
+    times = [
+        _run(
+            rag_chunk_topk(
+                scaled_plain_docs(spark, f), rqs, k_top=5,
+                window=32, stride=24,
+            )
+        )
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "rag_chunk_topk", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # novelty: corpus scaled 1x-8x vs FIXED 1x reference (the broadcast
+    # side stays constant — growth must track the corpus scan alone)
+    from tickdb_spark.operators.decontam import novelty_report
+
+    ref = scaled_plain_docs(spark, 1).localCheckpoint()
+    times = [
+        _run(
+            novelty_report(
+                scaled_plain_docs(spark, f), ref, "text", "doc_id", 8
+            )
+        )
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "novelty_report", "sec": times,
+                      "log2_growth": growth(times)}))
+
 
 if __name__ == "__main__":
     main()

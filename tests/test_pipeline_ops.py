@@ -2949,3 +2949,62 @@ def test_split_leakage_audit_plain_leaks_safe_never(spark):
         1 for r in pairs.collect() if plain[r.id_a] != plain[r.id_b]
     )
     assert out["plain"].cross_pairs == manual
+
+
+def test_rag_chunk_topk_surfaces_buried_passage_and_dedups_docs(spark):
+    """Chunk-granular BM25 finds a relevant passage buried late in a
+    long document (doc-level length normalization would punish it),
+    returns at most one chunk per (query, doc), and the winning chunk's
+    text actually contains the query terms."""
+    from tickdb_spark.operators.bm25 import rag_chunk_topk
+
+    filler = " ".join(f"w{i}" for i in range(90))
+    rows = [
+        # doc 1: long, the relevant passage only in its LAST window
+        (1, filler + " needle needle needle haystack search"),
+        # doc 2: short, one mention
+        (2, "a needle here " + " ".join(f"x{i}" for i in range(10))),
+        # doc 3: no match
+        (3, "nothing relevant at all " + " ".join(f"y{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rag_chunk_topk(
+        docs, [(7, "needle haystack")], k_top=5, window=32, stride=24
+    ).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 has no query term
+    assert out[0].rnk == 1 and out[0].doc_id == 1
+    assert "needle" in out[0].chunk_text and "haystack" in out[0].chunk_text
+    assert out[0].chunk_id > 0  # the buried (non-first) window won
+    # one chunk per doc even though doc 1 has needle-bearing overlap chunks
+    assert len({r.doc_id for r in out}) == len(out)
+
+
+def test_novelty_report_extremes_and_short_docs(spark):
+    """Exact copy of a reference doc scores 0 novelty; disjoint content
+    scores 1e6; a doc too short to form one 8-gram shingles to its full
+    text (one gram), so short exact copies still register as seen."""
+    from tickdb_spark.operators.decontam import novelty_report
+
+    ref_text = " ".join(f"r{i}" for i in range(20))
+    rows = [
+        (1, ref_text),                                   # exact copy
+        (2, " ".join(f"n{i}" for i in range(20))),       # fully novel
+        (3, ref_text + " " + " ".join(f"m{i}" for i in range(13))),  # mixed
+        (4, "too short"),       # < 8 words: one whole-text shingle, novel
+        (5, ref_text[:11]),     # "r0 r1 r2 r3" — short PREFIX, still novel
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100, ref_text), (101, "too short")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in novelty_report(docs, ref, "text", "doc_id", 8).collect()}
+    assert out[1].novelty_ppm == 0 and out[1].total_grams == 13
+    assert out[2].novelty_ppm == 1_000_000
+    assert 0 < out[3].novelty_ppm < 1_000_000
+    # 33 words -> 26 grams; the 13 grams fully inside ref's 20-word
+    # prefix are seen, the 13 straddling/after are novel
+    assert (out[3].total_grams, out[3].novel_grams) == (26, 13)
+    # short doc = one whole-text gram; doc 4's text IS a ref doc's
+    # whole-text shingle ("too short" < 8 words on the ref side too)
+    assert (out[4].total_grams, out[4].novel_grams, out[4].novelty_ppm) == (1, 0, 0)
+    assert (out[5].total_grams, out[5].novelty_ppm) == (1, 1_000_000)

@@ -401,3 +401,172 @@ def rrf_fuse(
         .where(F.col("rnk") <= k_top)
         .select("q_id", F.col("rnk").cast("long").alias("rnk"), "doc_id", "rrf_score")
     )
+
+
+def rag_chunk_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k_top: int = 5,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG retrieval at CHUNK granularity with per-document dedup — the
+    end-to-end shape a retrieval-augmented pipeline actually serves:
+    documents split into overlapping token chunks
+    (:func:`functions.text.chunk_sliding`), each chunk scored as its own
+    BM25 unit (chunk-local tf/dl, chunk-level df — long documents can't
+    hide a relevant passage in their length normalization), then ONE
+    best chunk per (query, document) so k results are k DISTINCT
+    documents, each represented by its best passage.
+
+    Returns ``(q_id, rnk, doc_id, chunk_id, score, chunk_text)``.
+
+    Exactness: every chunk is scored (no candidate truncation before
+    the per-doc dedup), both windows are row_number with id tie-breaks,
+    and the score is the repo's quantized rational-idf BM25 — fully
+    SQL-replayable. Scale shape: the chunk token explode is filtered to
+    query terms BEFORE any shuffle, so scoring traffic is |matching
+    (chunk, term)| rows; the windows partition by query. Only ids and
+    integers cross shuffles — the winning chunks' text joins back at
+    the end from a second chunk pass over the (pushdown-pruned) text
+    column; at 100 TB the chunk table is stored at ingest (the
+    postings pattern) and both passes read it, not the raw corpus."""
+    from tickdb_spark.functions.text import chunk_sliding
+
+    spark = docs.sparkSession
+    terms = _terms(queries)
+    all_terms = sorted({t for _, t in terms})
+    par = spark.sparkContext.defaultParallelism
+
+    chunks = chunk_sliding(
+        docs.repartition(par), text_col, id_col, window, stride
+    )
+    toks = F.split(F.trim(F.lower(F.col("chunk_text"))), r"\s+")
+    tok = chunks.select(
+        F.col(id_col).alias("doc_id"),
+        "chunk_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    # chunk-corpus stats (stored at ingest in production, inline here)
+    n_chunks, tot = chunks.select(
+        F.count(F.lit(1)).cast("long"),
+        F.sum(F.size(toks)).cast("long"),
+    ).first()
+
+    tf = (
+        tok.where(F.col("token").isin(all_terms))
+        .groupBy("doc_id", "chunk_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = spark.createDataFrame(terms, "q_id long, token string")
+    score_q = F.expr(
+        _SCORE_TMPL.format(
+            tf="tf", df="df", dl="dl", n=n_chunks, tot=tot,
+            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qt), "token")
+        .groupBy("q_id", "doc_id", "chunk_id")
+        .agg(F.sum(score_q).cast("long").alias("score_q"))
+    )
+    w_doc = Window.partitionBy("q_id", "doc_id").orderBy(
+        F.desc("score_q"), "chunk_id"
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("score_q"), "doc_id")
+    best = (
+        scored.withColumn("_cr", F.row_number().over(w_doc))
+        .where(F.col("_cr") == 1)
+        .withColumn("rnk", F.row_number().over(w_q))
+        .where(F.col("rnk") <= k_top)
+    )
+    return (
+        best.join(
+            chunks.select(
+                F.col(id_col).alias("doc_id"), "chunk_id", "chunk_text"
+            ),
+            ["doc_id", "chunk_id"],
+        )
+        .select(
+            "q_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            "chunk_id",
+            (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
+            "chunk_text",
+        )
+    )
+
+
+def rag_chunk_topk_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    k_top: int = 5,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`rag_chunk_topk`: chunk_sliding_sql composed
+    under the same filtered explode, score template, and double window."""
+    from tickdb_spark.functions.text import chunk_sliding_sql
+
+    terms = _terms(queries)
+    esc = lambda t: t.replace("'", "''")
+    all_terms = ", ".join(f"'{esc(t)}'" for t in sorted({t for _, t in terms}))
+    qvals = ", ".join(f"({q}, '{esc(t)}')" for q, t in terms)
+    chunks = chunk_sliding_sql(table, text_col, id_col, window, stride)
+    toks = "string_split_regex(trim(lower(chunk_text)), '\\s+')"
+    score = _SCORE_TMPL.format(
+        tf="t.tf", df="d.df", dl="t.dl", n="s.n_chunks", tot="s.tot",
+        k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+    )
+    return f"""
+    WITH chunks AS MATERIALIZED ({chunks}),
+    tok AS (
+      SELECT {id_col} AS doc_id, chunk_id, len({toks})::BIGINT AS dl,
+             unnest({toks}) AS token
+      FROM chunks
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_chunks, sum(len({toks}))::BIGINT AS tot
+      FROM chunks
+    ),
+    qt(q_id, token) AS (VALUES {qvals}),
+    tf AS (
+      SELECT doc_id, chunk_id, token, count(*)::BIGINT AS tf,
+             max(dl)::BIGINT AS dl
+      FROM tok WHERE token IN ({all_terms})
+      GROUP BY doc_id, chunk_id, token
+    ),
+    dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT q.q_id, t.doc_id, t.chunk_id, SUM({score})::BIGINT AS score_q
+      FROM tf t JOIN dfreq d USING (token) JOIN qt q USING (token), s
+      GROUP BY q.q_id, t.doc_id, t.chunk_id
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id, doc_id
+                                   ORDER BY score_q DESC, chunk_id) AS _cr
+      FROM scored
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, chunk_id, score_q,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_q DESC, doc_id) AS rnk
+      FROM best WHERE _cr = 1
+    )
+    SELECT r.q_id, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id, r.chunk_id,
+           CAST(r.score_q AS DOUBLE) / 1e9 AS score, c.chunk_text
+    FROM ranked r JOIN chunks c
+      ON r.doc_id = c.{id_col} AND r.chunk_id = c.chunk_id
+    WHERE r.rnk <= {k_top}
+    """

@@ -107,6 +107,96 @@ def contamination_report_sql(
     """
 
 
+def novelty_report(
+    docs: DataFrame,
+    reference: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    ref_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    inverse of :func:`contamination_report` and the "does this shard add
+    anything new?" curation signal: of a doc's distinct n-grams, the
+    fraction absent from the reference's gram set. Near-zero novelty =
+    redundant with what the model has already seen (candidate to drop
+    or downweight); high novelty = new content. Returns
+    ``(id, total_grams, novel_grams, novelty_ppm)`` for every doc —
+    texts shorter than n words shingle to the full text (the
+    ``word_ngrams`` convention: every doc has at least one gram, so
+    exact short-doc copies still register as seen).
+
+    Same scale shape as contamination: the reference gram set broadcasts
+    (or arrives as the stored/maintained gram table via ``ref_grams``),
+    the corpus streams through one scan, and the rate is exact integer
+    arithmetic (never a float fraction)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tg = _gram_hashes(docs.repartition(par), text_col, id_col, n)
+    rg = (
+        ref_grams.select("gram")
+        if ref_grams is not None
+        else _gram_hashes(reference, text_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    # one aggregate computes both counts: total distinct grams (word_ngrams
+    # dedups per doc) and how many hit the reference set (left join keeps
+    # the miss rows with NULL marker)
+    stats = (
+        tg.join(F.broadcast(rg.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_grams"),
+            (F.count(F.lit(1)) - F.count("_hit")).cast("long").alias("novel_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("total_grams", F.lit(0)).cast("long").alias("total_grams"),
+            F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+            F.expr(
+                "CASE WHEN coalesce(total_grams, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (1000000 * novel_grams) div total_grams END"
+            ).cast("long").alias("novelty_ppm"),
+        )
+    )
+
+
+def novelty_report_sql(
+    docs_sql: str, ref_sql: str, text_col: str, id_col: str, n: int = 8
+) -> str:
+    """DuckDB twin; both inputs are full SELECTs yielding
+    (id_col, text_col)."""
+    grams = word_ngrams_sql(text_col, n)
+
+    def hashes(src: str) -> str:
+        return (
+            f"SELECT id, CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)"
+            f" AS gram FROM (SELECT {id_col} AS id, unnest({grams}) AS gram"
+            f" FROM ({src}))"
+        )
+
+    return f"""
+    WITH tg AS ({hashes(docs_sql)}),
+    rg AS (SELECT DISTINCT gram, 1 AS _hit FROM ({hashes(ref_sql)})),
+    stats AS (
+      SELECT tg.id, count(*)::BIGINT AS total_grams,
+             (count(*) - count(rg._hit))::BIGINT AS novel_grams
+      FROM tg LEFT JOIN rg USING (gram) GROUP BY tg.id
+    )
+    SELECT d.{id_col} AS id,
+           COALESCE(s.total_grams, 0)::BIGINT AS total_grams,
+           COALESCE(s.novel_grams, 0)::BIGINT AS novel_grams,
+           CASE WHEN COALESCE(s.total_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((1000000 * s.novel_grams) // s.total_grams AS BIGINT)
+           END AS novelty_ppm
+    FROM ({docs_sql}) d LEFT JOIN stats s ON s.id = d.{id_col}
+    """
+
+
 def contamination_report_bloom(
     train: DataFrame,
     eval_set: DataFrame,

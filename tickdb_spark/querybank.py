@@ -9101,6 +9101,61 @@ def diag_split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.split_leakage_audit(docs, "doc_id", pairs, _LSS_SPLITS)
 
 
+_RAG_QUERIES = [
+    (1, "hash join strategy"),
+    (2, "stream window aggregate"),
+    (3, "vector scan filter"),
+]
+
+
+@register(
+    "text_rag_chunk_retrieval",
+    _bm25.rag_chunk_topk_sql(
+        "documents", _RAG_QUERIES, k_top=5, window=32, stride=24
+    ),
+    "RAG retrieval at CHUNK granularity with per-document dedup: docs "
+    "split into overlapping token chunks, each chunk BM25-scored as its "
+    "own unit (chunk-local tf/dl — long docs can't bury a relevant "
+    "passage in their length normalization), one best chunk per "
+    "(query, doc), then top-5 DISTINCT docs per query, each repped by "
+    "its best passage. Every chunk is scored (no pre-dedup candidate "
+    "truncation), so the result is exact and fully SQL-replayable; "
+    "only ids and integers cross shuffles — winning chunk text joins "
+    "back at the end. At 100 TB the chunk table is stored at ingest "
+    "(the postings pattern)",
+)
+def text_rag_chunk_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _bm25.rag_chunk_topk(docs, _RAG_QUERIES, k_top=5, window=32, stride=24)
+
+
+@register(
+    "decontam_novelty_report",
+    _decontam.novelty_report_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+        "text",
+        "doc_id",
+        8,
+    )
+    + " ORDER BY id",
+    "per-document n-gram NOVELTY vs a reference corpus — the inverse "
+    "of the contamination report and the 'does this shard add anything "
+    "new?' curation signal: fraction (ppm, exact integers) of a doc's "
+    "distinct 8-grams absent from the reference gram set. Near-dups of "
+    "reference docs score ~0; short docs report 0/0/0, present not "
+    "missing. Reference grams broadcast (or arrive as the maintained "
+    "gram table); the corpus streams through one scan",
+)
+def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    # no final orderBy: a range exchange's sampling pass would re-run
+    # the gram-hash subtree (r9 lesson); driver/parity sort pre-hash
+    return _decontam.novelty_report(train, ref, "text", "doc_id", 8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9132,6 +9187,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "diag_lsh_parameter_plan",
     "sample_temperature_mixture",
     "diag_split_leakage",
+    "text_rag_chunk_retrieval",
+    "decontam_novelty_report",
     # (2) stalest driver proof (r7 cohort, complete — 39 entries)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
@@ -9172,9 +9229,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q9_product_profit",
     "trend_holt_linear_forecast",
     "udtf_token_freqs",
-    # (3) next-stalest (r8 cohort, first 2 — fills to 50)
-    "agg_cms_token_counts",
-    "agg_corr_covar_moments",
 ]
 
 
