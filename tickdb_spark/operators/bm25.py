@@ -440,9 +440,13 @@ def rag_chunk_topk(
     all_terms = sorted({t for _, t in terms})
     par = spark.sparkContext.defaultParallelism
 
+    # the chunk frame is referenced three times (token explode, the
+    # stats action, the winning-text join-back) — truncate lineage so
+    # the chunk build runs once; at 100 TB this is the stored chunk
+    # table, so the checkpoint stands in for the ingest-time write
     chunks = chunk_sliding(
         docs.repartition(par), text_col, id_col, window, stride
-    )
+    ).localCheckpoint(eager=False)
     toks = F.split(F.trim(F.lower(F.col("chunk_text"))), r"\s+")
     tok = chunks.select(
         F.col(id_col).alias("doc_id"),

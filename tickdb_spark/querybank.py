@@ -9166,15 +9166,13 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r11 head: leads with the entries NEW in r11 (never sampled by
-#: construction), then the entries whose CODE changed in r11 and need
-#: re-proof (the ADVICE r10 fixes: depth-spine join-size estimate,
-#: BM25 oracle quote escaping + redelivery guard, derived kept schema
-#: in the dedup stream), then the 30 STALEST proofs (the full r6-era
-#: cohort — after the r10 rotation these are the oldest driver rows in
-#: the ledger), and fills the remaining slots with the stalest r7-era
-#: proofs. tests/test_registry_head.py enforces the rotation rule
-#: mechanically.
+#: r12 head: leads with the 11 entries NEW in r12 (never sampled by
+#: construction — the 4 wave-1 additions plus filtered ANN both routes,
+#: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
+#: retrieval, and the novelty report), then the complete 39-entry
+#: r7-stalest cohort (the oldest driver rows in the evidence ledger
+#: after the r10/r11 rotations). tests/test_registry_head.py enforces
+#: the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r12 — never sampled by construction
