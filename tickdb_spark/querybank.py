@@ -9012,19 +9012,26 @@ _ANN_F_QIDS = [3, 17, 42, 101, 250]
 @register(
     "sim_ann_filtered_selective",
     _sim.ann_topk_filtered_sql(
-        "embeddings", _ANN_F_QIDS, "label = 5", k=5, route="prefilter"
+        "embeddings",
+        _ANN_F_QIDS,
+        "label = 5 AND vec_id % 2 = 0",
+        k=5,
+        route="prefilter",
     ),
-    "predicate-filtered top-k cosine, SELECTIVE route: 'neighbors WHERE "
-    "label=5' at ~9% selectivity routes to prefilter — the predicate "
-    "pushes into the Parquet scan and ONLY matching rows are scored, "
-    "exactly (post-filtering an ANN probe here would score non-matches "
-    "just to discard them and can leave <k matches in the probed "
-    "cells). The router's measured decision is emitted as a column, so "
-    "a routing flip hash-mismatches against the oracle's replayed route",
+    "predicate-filtered top-k cosine, SELECTIVE route: a ~5% predicate "
+    "routes to prefilter — the predicate pushes into the Parquet scan "
+    "and ONLY matching rows are scored, exactly (post-filtering an ANN "
+    "probe here would score non-matches just to discard them and can "
+    "leave <k matches in the probed cells). The router's measured "
+    "decision is emitted as a column, so a routing flip hash-mismatches "
+    "against the oracle's replayed route. (The fixture predicate sits "
+    "well clear of the 10% cutoff at EVERY testdata SF — plain label=5 "
+    "measured 10.2% at sf0.001 and correctly flipped the router)",
 )
 def sim_ann_filtered_selective_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return _sim.ann_topk_filtered(emb, _ANN_F_QIDS, F.col("label") == 5, k=5)
+    pred = (F.col("label") == 5) & (F.col("vec_id") % 2 == 0)
+    return _sim.ann_topk_filtered(emb, _ANN_F_QIDS, pred, k=5)
 
 
 @register(
