@@ -59,8 +59,9 @@ def _decision_case(broadcast_rows: int, skew_factor: int) -> str:
       ELSE 'shuffle' END"""
 
 
-def _side_stats(df: DataFrame, col: str, prefix: str) -> DataFrame:
-    per_key = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+def _side_stats(per_key: DataFrame, prefix: str) -> DataFrame:
+    """Side stats from a ``sketch.key_counts`` frame (shared with the
+    CMS build and the exact product — one scan per side)."""
     return per_key.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias(f"n_{prefix}"),
         F.count(F.lit(1)).cast("long").alias(f"{prefix}_keys"),
@@ -82,12 +83,26 @@ def choose_join(
     b_max_key_rows, est_rows, exact_rows, decision)``. All inputs to
     ``decision`` are exact integers; ``est_rows`` comes from the CMS
     inner product (never the materialized join). Each single-row stat
-    frame broadcasts into the combine."""
+    frame broadcasts into the combine.
+
+    Each input is scanned ONCE: the per-key count frame
+    (``sketch.key_counts``, lineage-truncated — it feeds the side
+    stats, the CMS sketch, and the exact product, three references)
+    is everything the planner needs; counters and counts are
+    bit-identical to the row-level builds."""
+    from tickdb_spark.operators.sketch import key_counts
+
+    ka = key_counts(a, a_col).localCheckpoint(eager=False)
+    kb = key_counts(b, b_col).localCheckpoint(eager=False)
     stats = (
-        _side_stats(a, a_col, "a")
-        .crossJoin(F.broadcast(_side_stats(b, b_col, "b")))
+        _side_stats(ka, "a")
+        .crossJoin(F.broadcast(_side_stats(kb, "b")))
         .crossJoin(
-            F.broadcast(cms_join_size_estimate(a, a_col, b, b_col, depth, width))
+            F.broadcast(
+                cms_join_size_estimate(
+                    a, a_col, b, b_col, depth, width, a_keys=ka, b_keys=kb
+                )
+            )
         )
     )
     return stats.withColumn(

@@ -244,6 +244,42 @@ def cms_build(
     )
 
 
+def key_counts(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact per-key counts ``(k, c)`` — the one-scan aggregate that
+    side stats, the CMS sketch, AND the exact join size all derive
+    from (see :func:`cms_join_size_estimate` / ``planner.choose_join``:
+    sharing this frame replaces three scans per side with one)."""
+    return df.groupBy(F.col(value_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_build_from_key_counts(
+    kc: DataFrame, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build the sketch from a :func:`key_counts` frame instead of raw
+    rows: counter values are BIT-IDENTICAL to :func:`cms_build` (each
+    counter is a sum of integer key counts either way) but the explode
+    runs over |keys| rows, not |rows|."""
+    hashes = _cms_hashes("k", depth, width)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("depth"), hh.alias("bucket"))
+            for i, hh in enumerate(hashes)
+        ]
+    )
+    return (
+        kc.select(F.explode(pairs).alias("p"), F.col("c"))
+        .select(
+            F.col("p.depth").alias("depth"),
+            F.col("p.bucket").alias("bucket"),
+            "c",
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     queries: DataFrame,
@@ -514,13 +550,26 @@ def cms_join_size_estimate(
     b_col: str,
     depth: int = 4,
     width: int = 512,
+    a_keys: DataFrame | None = None,
+    b_keys: DataFrame | None = None,
 ) -> DataFrame:
     """One row ``(est_rows, exact_rows)``: the CMS inner-product
     estimate of ``|a ⋈ b|`` on the given key columns next to the exact
     size (computed from per-key counts — Σ cA(k)·cB(k), never the
-    materialized join). est ≥ exact always."""
-    sa = cms_build(a, a_col, depth, width).withColumnRenamed("cnt", "cnt_a")
-    sb = cms_build(b, b_col, depth, width).withColumnRenamed("cnt", "cnt_b")
+    materialized join). est ≥ exact always.
+
+    ``a_keys``/``b_keys`` accept pre-aggregated :func:`key_counts`
+    frames (``planner.choose_join`` shares them with its side stats —
+    one scan per side instead of three); the sketch counters and both
+    row counts are bit-identical either way."""
+    ka = a_keys if a_keys is not None else key_counts(a, a_col)
+    kb = b_keys if b_keys is not None else key_counts(b, b_col)
+    sa = cms_build_from_key_counts(ka, depth, width).withColumnRenamed(
+        "cnt", "cnt_a"
+    )
+    sb = cms_build_from_key_counts(kb, depth, width).withColumnRenamed(
+        "cnt", "cnt_b"
+    )
     dots = (
         sa.join(sb, ["depth", "bucket"])
         .groupBy("depth")
@@ -537,12 +586,14 @@ def cms_join_size_estimate(
         F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
     )
     est = dots.agg(F.min("dot").cast("long").alias("est_rows"))
-    ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
-    cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
-    exact = ca.join(cb, "k").agg(
-        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
-        .cast("long")
-        .alias("exact_rows")
+    exact = (
+        ka.select("k", F.col("c").alias("ca"))
+        .join(kb.select("k", F.col("c").alias("cb")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
+        )
     )
     return est.crossJoin(F.broadcast(exact))
 
