@@ -222,6 +222,45 @@ def main() -> None:
     print(json.dumps({"op": "novelty_report", "sec": times,
                       "log2_growth": growth(times)}))
 
+    # incremental CC face: 3 landing batches of f-times pairs (chains
+    # then a merging batch). Per-batch cost should track the merge
+    # frontier (∝ pairs), with the stream/iteration machinery as a
+    # fixed floor — NOT the pair history.
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from tickdb_spark.streaming.index import (
+        PAIR_SCHEMA,
+        stream_component_maintenance,
+    )
+
+    times = []
+    for f in FACTORS:
+        n = 500 * f
+        b1 = pd.DataFrame({"id_a": range(0, n, 10)}).assign(
+            id_b=lambda x: x.id_a + 1
+        )
+        b2 = b1.assign(id_a=b1.id_a + 1, id_b=b1.id_a + 2)
+        b3 = pd.DataFrame({"id_a": range(2, n, 20)}).assign(
+            id_b=lambda x: x.id_a + 10
+        )
+        work = tempfile.mkdtemp(prefix="scc_scale_")
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        for k, part in enumerate((b1, b2, b3)):
+            p = os.path.join(landing, f"pairs_{k}.parquet")
+            part.astype("int64").to_parquet(p, index=False)
+            os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+        t0 = time.perf_counter()
+        stream_component_maintenance(
+            spark, landing, os.path.join(work, "state")
+        ).write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"op": "stream_cc_maintenance", "sec": times,
+                      "log2_growth": growth(times)}))
+
 
 if __name__ == "__main__":
     main()

@@ -1131,3 +1131,113 @@ def test_docstats_face_tombstones_and_compaction(tmp_path, spark):
     assert sorted(map(tuple, compacted.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_component_maintenance_merges_across_batches(tmp_path, spark):
+    """Incremental CC face: chains built in earlier batches merge when a
+    later batch links them — the final label table equals batch min-id
+    connected components over the UNION of all pairs ever landed; a
+    restart over the same checkpoint resumes and incorporates new
+    landing files incrementally."""
+    import os as _os
+
+    import pandas as pd
+
+    from tickdb_spark.operators.cluster import connected_components
+    from tickdb_spark.streaming.index import stream_component_maintenance
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        [(1, 2), (10, 11), (100, 101)],   # two chains + an isolated pair
+        [(2, 3), (11, 12)],               # extend both chains
+        [(3, 10)],                        # MERGE the two chains
+    ]
+    for i, rows in enumerate(batches):
+        p = landing / f"b{i}.parquet"
+        pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64").to_parquet(
+            p, index=False
+        )
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    got = stream_component_maintenance(
+        spark, str(landing), str(tmp_path / "state")
+    )
+    labels = {r.id: r.component for r in got.collect()}
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 100: 100, 101: 100,
+    }
+
+    # restart with a NEW landing file that merges the isolated pair in
+    all_pairs = [p for b in batches for p in b] + [(12, 100)]
+    p = landing / "b3.parquet"
+    pd.DataFrame([(12, 100)], columns=["id_a", "id_b"]).astype("int64").to_parquet(
+        p, index=False
+    )
+    _os.utime(p, (1_700_000_003, 1_700_000_003))
+    got2 = stream_component_maintenance(
+        spark, str(landing), str(tmp_path / "state")
+    )
+    labels2 = {r.id: r.component for r in got2.collect()}
+    # oracle: batch CC over the union of every pair ever landed
+    nodes = spark.createDataFrame(
+        [(i,) for i in sorted({x for pr in all_pairs for x in pr})], "id long"
+    )
+    edges = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    want = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert labels2 == want
+    assert labels2[100] == 1  # the late merge relabeled the isolated pair
+
+
+def test_component_face_tombstones_and_compaction(tmp_path, spark):
+    """Lifecycle parity with the other nine faces: compacting the label
+    log (epoch column retained) preserves latest-per-id labels, and a
+    tombstoned id disappears from probes while its old component
+    survives for the remaining members."""
+    import os as _os
+
+    import pandas as pd
+
+    from tickdb_spark.streaming.index import (
+        _LABEL_SCHEMA,
+        _current_labels,
+        _read_maintained,
+        compact_index,
+        stream_component_maintenance,
+        tombstone_filter,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [[(1, 2), (10, 11)], [(2, 3)], [(3, 10)]]
+    for i, rows in enumerate(batches):
+        p = landing / f"b{i}.parquet"
+        pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64").to_parquet(
+            p, index=False
+        )
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    got = stream_component_maintenance(spark, str(landing), str(tmp_path / "state"))
+    want = {r.id: r.component for r in got.collect()}
+    assert want == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+    lbl_dir = str(tmp_path / "state" / "components")
+    # tombstone id=11 (takedown): gone from the probe, others keep labels
+    ts = spark.createDataFrame([(11,)], "id long")
+    probe = _current_labels(
+        tombstone_filter(
+            _read_maintained(spark, lbl_dir, _LABEL_SCHEMA), ts, id_col="id"
+        )
+    )
+    after = {r.id: r.component for r in probe.collect()}
+    assert 11 not in after and after[10] == 1
+
+    # compaction: one sorted file, identical latest-per-id labels
+    dest = compact_index(
+        spark, lbl_dir, _LABEL_SCHEMA,
+        sort_cols=["component", "id"], tombstones=ts, id_col="id",
+    )
+    compacted = _current_labels(spark.read.schema(_LABEL_SCHEMA).parquet(dest))
+    assert {r.id: r.component for r in compacted.collect()} == after

@@ -9163,6 +9163,73 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontam.novelty_report(train, ref, "text", "doc_id", 8)
 
 
+@register(
+    "stream_component_maintenance",
+    """
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+      WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2, doc_id + 12 FROM documents WHERE doc_id % 20 = 0
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT id_a AS id FROM pairs
+      UNION SELECT id_b FROM pairs
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS id, min(v) AS component FROM reach GROUP BY u ORDER BY id
+    """,
+    "the 10th maintained face: INCREMENTAL connected components — the "
+    "dedup-cluster label table kept current as near-dup PAIRS stream "
+    "in (3 landing batches: two chain-builders, then a batch that "
+    "MERGES chains built in earlier epochs). Per batch the handler "
+    "relabels only the touched components (new pairs + their members' "
+    "label edges — cost scales with the merge frontier, never the "
+    "corpus or the pair history); epoch-idempotent LWW label log. "
+    "Final labels == batch min-id CC over the UNION of all pairs ever "
+    "landed — the recursive-CTE oracle states exactly that",
+)
+def stream_component_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import (
+        PAIR_SCHEMA,
+        stream_component_maintenance,
+    )
+
+    ids = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .toPandas()["doc_id"]
+    )
+    import pandas as _pd
+
+    b1 = _pd.DataFrame(
+        {"id_a": [d for d in ids if d % 10 == 0]}
+    ).assign(id_b=lambda x: x.id_a + 1)
+    b2 = b1.assign(id_a=b1.id_a + 1, id_b=b1.id_a + 2)
+    b3 = _pd.DataFrame(
+        {"id_a": [d + 2 for d in ids if d % 20 == 0]}
+    ).assign(id_b=lambda x: x.id_a + 10)
+    work = _tempfile.mkdtemp(prefix="tickdb_scc_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k, part in enumerate((b1, b2, b3)):
+        p = _os.path.join(landing, f"pairs_{k}.parquet")
+        _write_landing(part.astype("int64"), PAIR_SCHEMA, p, base + k)
+    return stream_component_maintenance(spark, landing, _os.path.join(work, "state"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9194,7 +9261,10 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "diag_split_leakage",
     "text_rag_chunk_retrieval",
     "decontam_novelty_report",
-    # (2) stalest driver proof (r7 cohort, complete — 39 entries)
+    "stream_component_maintenance",
+    # (2) stalest driver proof (r7 cohort — 38 of 39; udtf_token_freqs
+    # rotated out to keep the head at 50 with the 12 never-sampled
+    # r12 entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9233,7 +9303,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "trend_holt_linear_forecast",
-    "udtf_token_freqs",
 ]
 
 
