@@ -9163,6 +9163,84 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontam.novelty_report(train, ref, "text", "doc_id", 8)
 
 
+def _xsplit_contam_sql() -> str:
+    """Cross-split contamination, one method per row: train-split docs
+    sharing >= 1 8-gram with test-split docs, under the plain id-hash
+    split vs the component (leakage-safe) split."""
+    plain = _sampling.split_assign_sql(
+        "(SELECT doc_id, text FROM documents)", "doc_id", _LSS_SPLITS
+    )
+    pairs = _dedup.ngram_jaccard_pairs_sql(
+        "documents", "text", "doc_id", threshold=0.5
+    )
+    safe = _sampling.leakage_safe_split_sql(pairs, "documents", "doc_id", _LSS_SPLITS)
+    rows = []
+    for method, split_sql in (("plain", plain), ("safe", safe)):
+        if method == "plain":
+            train = f"SELECT doc_id, text FROM ({split_sql}) WHERE split = 'train'"
+            evl = f"SELECT doc_id, text FROM ({split_sql}) WHERE split = 'test'"
+        else:
+            train = (
+                f"SELECT d.doc_id, d.text FROM documents d JOIN ({split_sql}) s"
+                f" USING (doc_id) WHERE s.split = 'train'"
+            )
+            evl = (
+                f"SELECT d.doc_id, d.text FROM documents d JOIN ({split_sql}) s"
+                f" USING (doc_id) WHERE s.split = 'test'"
+            )
+        rep = _decontam.contamination_report_sql(train, evl, "text", "doc_id", 8)
+        rows.append(
+            f"""SELECT '{method}' AS method,
+                  CAST(count(*) AS BIGINT) AS n_train,
+                  CAST(count(*) FILTER (contaminated) AS BIGINT) AS n_contaminated,
+                  CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST((1000000 * count(*) FILTER (contaminated))
+                                 // count(*) AS BIGINT) END AS contam_ppm
+               FROM ({rep})"""
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "diag_cross_split_contamination",
+    _xsplit_contam_sql(),
+    "cross-split contamination audit: how many TRAIN-split docs share "
+    ">= 1 8-gram with TEST-split docs, under the plain id-hash split vs "
+    "the leakage-safe component split — the end-to-end eval-hygiene "
+    "number the split-leakage pair audit approximates. The safe split "
+    "moves whole near-dup clusters across the boundary, so its "
+    "contamination can only come from sub-threshold (tau<0.5) gram "
+    "overlap, never from near-dups straddling the split. Exact integer "
+    "ppm; same gram/broadcast shape as the decontamination operators",
+)
+def diag_cross_split_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    plain = _sampling.split_assign(docs, "doc_id", _LSS_SPLITS)
+    safe_lbl = _sampling.leakage_safe_split(docs, "doc_id", pairs, _LSS_SPLITS)
+    safe = docs.join(safe_lbl.select("doc_id", "split"), "doc_id")
+    out = None
+    for method, frame in (("plain", plain), ("safe", safe)):
+        train = frame.where(F.col("split") == "train").select("doc_id", "text")
+        evl = frame.where(F.col("split") == "test").select("doc_id", "text")
+        rep = _decontam.contamination_report(train, evl, "text", "doc_id", 8)
+        row = rep.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.count(F.when(F.col("contaminated"), 1))
+            .cast("long")
+            .alias("n_contaminated"),
+        ).withColumn(
+            "contam_ppm",
+            F.expr(
+                "CASE WHEN n_train = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (1000000 * n_contaminated) div n_train END"
+            ).cast("long"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 @register(
     "stream_component_maintenance",
     """
@@ -9262,9 +9340,10 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_rag_chunk_retrieval",
     "decontam_novelty_report",
     "stream_component_maintenance",
-    # (2) stalest driver proof (r7 cohort — 38 of 39; udtf_token_freqs
-    # rotated out to keep the head at 50 with the 12 never-sampled
-    # r12 entries, which always take priority)
+    "diag_cross_split_contamination",
+    # (2) stalest driver proof (r7 cohort — 37 of 39; udtf_token_freqs
+    # and trend_holt_linear_forecast rotated out to keep the head at 50
+    # with the 13 never-sampled r12 entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9302,7 +9381,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "trend_holt_linear_forecast",
 ]
 
 
