@@ -3008,3 +3008,37 @@ def test_novelty_report_extremes_and_short_docs(spark):
     # whole-text shingle ("too short" < 8 words on the ref side too)
     assert (out[4].total_grams, out[4].novel_grams, out[4].novelty_ppm) == (1, 0, 0)
     assert (out[5].total_grams, out[5].novelty_ppm) == (1, 1_000_000)
+
+
+def test_rag_from_index_bit_equals_inline_and_reads_index_only(spark):
+    """The stored-index RAG query path returns bit-identical rows to the
+    inline path over the same chunks, and its plan contains NO chunk
+    build (no posexplode Generate) — only reads of the stored tables
+    with the query-term predicate pushed down."""
+    from tickdb_spark.functions.text import chunk_sliding
+    from tickdb_spark.operators.bm25 import (
+        rag_chunk_postings,
+        rag_chunk_topk,
+        rag_chunk_topk_from_index,
+    )
+    from tickdb_spark.plans import count_op, pushed_filters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = [(1, "merge batch order"), (2, "slow customer scan")]
+    inline = rag_chunk_topk(docs, qs, k_top=5, window=32, stride=24).collect()
+
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="rag_idx_")
+    chunk_sliding(docs.repartition(4), "text", "doc_id", 32, 24).select(
+        "doc_id", "chunk_id", "chunk_text"
+    ).write.parquet(base + "/chunks")
+    chunks = spark.read.parquet(base + "/chunks")
+    rag_chunk_postings(chunks).write.parquet(base + "/postings")
+    postings = spark.read.parquet(base + "/postings")
+
+    out = rag_chunk_topk_from_index(chunks, postings, qs, k_top=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, inline))
+    assert count_op(out, "Generate") == 0  # no chunk build, no explode
+    pf = " ".join(pushed_filters(out))
+    assert "token" in pf  # query-term predicate reaches the postings scan

@@ -574,3 +574,97 @@ def rag_chunk_topk_sql(
       ON r.doc_id = c.{id_col} AND r.chunk_id = c.chunk_id
     WHERE r.rnk <= {k_top}
     """
+
+
+def rag_chunk_postings(
+    chunks: DataFrame,
+) -> DataFrame:
+    """The AT-REST postings of a chunk table (:func:`functions.text.
+    chunk_sliding` output): one row per (doc, chunk, term) —
+    ``(token, doc_id, chunk_id, tf, dl)``. Built ONCE at ingest next to
+    the chunk table; query-time RAG retrieval then reads postings for
+    the query terms only (predicate pushdown on ``token``) and never
+    touches raw text — the chunk-granular twin of :func:`postings`."""
+    par = chunks.sparkSession.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.lower(F.col("chunk_text"))), r"\s+")
+    return (
+        chunks.repartition(par)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("doc_id", "chunk_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .select("token", "doc_id", "chunk_id", "tf", "dl")
+    )
+
+
+def rag_chunk_topk_from_index(
+    chunks: DataFrame,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    k_top: int = 5,
+) -> DataFrame:
+    """Query-time RAG chunk retrieval over the STORED chunk table +
+    chunk postings — the production shape :func:`rag_chunk_topk`'s
+    docstring promises: the raw corpus is never touched, the only scans
+    are the postings table with the query-term predicate pushed into it
+    (cost = |postings of the query terms|, not the corpus) and the
+    chunk table for (a) two stored-stats aggregates over pruned columns
+    and (b) the winning passages' text join-back. Row-for-row and
+    BIT-for-bit equal to the inline path over the same rows: same
+    quantized score template, same per-doc dedup and tie-breaks."""
+    spark = chunks.sparkSession
+    terms = _terms(queries)
+    all_terms = sorted({t for _, t in terms})
+    # stored corpus stats (computed at ingest in production; two exact
+    # BIGINTs from pruned columns here — chunk_text's token count is
+    # exactly the inline tokenizer's dl, so tot matches bit-for-bit)
+    toks = F.split(F.trim(F.lower(F.col("chunk_text"))), r"\s+")
+    n_chunks, tot = chunks.select(
+        F.count(F.lit(1)).cast("long"),
+        F.sum(F.size(toks)).cast("long"),
+    ).first()
+
+    tf = postings.where(F.col("token").isin(all_terms)).select(
+        "doc_id", "chunk_id", "token", "tf", "dl"
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = spark.createDataFrame(terms, "q_id long, token string")
+    score_q = F.expr(
+        _SCORE_TMPL.format(
+            tf="tf", df="df", dl="dl", n=n_chunks, tot=tot,
+            k1=_K1, k1p1=_K1P1, b=_B, omb=_OMB,
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qt), "token")
+        .groupBy("q_id", "doc_id", "chunk_id")
+        .agg(F.sum(score_q).cast("long").alias("score_q"))
+    )
+    w_doc = Window.partitionBy("q_id", "doc_id").orderBy(
+        F.desc("score_q"), "chunk_id"
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("score_q"), "doc_id")
+    best = (
+        scored.withColumn("_cr", F.row_number().over(w_doc))
+        .where(F.col("_cr") == 1)
+        .withColumn("rnk", F.row_number().over(w_q))
+        .where(F.col("rnk") <= k_top)
+    )
+    return best.join(
+        chunks.select("doc_id", "chunk_id", "chunk_text"), ["doc_id", "chunk_id"]
+    ).select(
+        "q_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "doc_id",
+        "chunk_id",
+        (F.col("score_q").cast("double") / F.lit(1e9)).alias("score"),
+        "chunk_text",
+    )

@@ -9163,6 +9163,47 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontam.novelty_report(train, ref, "text", "doc_id", 8)
 
 
+_RAG_IDX_QUERIES = [
+    (1, "merge batch order"),
+    (2, "slow customer scan"),
+    (3, "key value group"),
+]
+
+
+@register(
+    "text_rag_chunk_from_index",
+    _bm25.rag_chunk_topk_sql(
+        "documents", _RAG_IDX_QUERIES, k_top=5, window=32, stride=24
+    ),
+    "RAG chunk retrieval over the STORED chunk table + chunk postings "
+    "— the production query path the inline entry's docstring promises: "
+    "the raw corpus is never touched; the only scans are the postings "
+    "parquet with the query-term predicate pushed into it (cost = "
+    "|postings of the query terms|, not the corpus) and the chunk "
+    "table for stored stats + the winning passages' text join-back. "
+    "BIT-equal to the inline path over the same rows (same quantized "
+    "score template, dedup, tie-breaks) — the oracle replays the "
+    "inline derivation and must hash-match the index-served result",
+)
+def text_rag_chunk_from_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.functions.text import chunk_sliding
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = _materialized_assets(
+        "rag_chunks",
+        sf_dir,
+        chunk_sliding(docs.repartition(8), "text", "doc_id", 32, 24).select(
+            "doc_id", "chunk_id", "chunk_text"
+        ),
+    )
+    postings = _materialized_assets(
+        "rag_chunk_postings", sf_dir, _bm25.rag_chunk_postings(chunks)
+    )
+    return _bm25.rag_chunk_topk_from_index(
+        chunks, postings, _RAG_IDX_QUERIES, k_top=5
+    )
+
+
 def _xsplit_contam_sql() -> str:
     """Cross-split contamination, one method per row: train-split docs
     sharing >= 1 8-gram with test-split docs, under the plain id-hash
@@ -9341,9 +9382,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "decontam_novelty_report",
     "stream_component_maintenance",
     "diag_cross_split_contamination",
-    # (2) stalest driver proof (r7 cohort — 37 of 39; udtf_token_freqs
-    # and trend_holt_linear_forecast rotated out to keep the head at 50
-    # with the 13 never-sampled r12 entries, which always take priority)
+    "text_rag_chunk_from_index",
+    # (2) stalest driver proof (r7 cohort — 36 of 39; udtf_token_freqs,
+    # trend_holt_linear_forecast and tpch_q9_product_profit rotated out
+    # to keep the head at 50 with the 14 never-sampled r12 entries,
+    # which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9380,7 +9423,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 ]
 
 
