@@ -3042,3 +3042,173 @@ def test_rag_from_index_bit_equals_inline_and_reads_index_only(spark):
     assert count_op(out, "Generate") == 0  # no chunk build, no explode
     pf = " ".join(pushed_filters(out))
     assert "token" in pf  # query-term predicate reaches the postings scan
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy linkage (SymSpell deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_link_covers_all_edit1_cases_and_stays_equi_join(spark):
+    from tickdb_spark.operators.linkage import fuzzy_link
+    from tickdb_spark.plans import count_op
+
+    clean = spark.createDataFrame(
+        [("table",), ("chair",), ("lamp",)], ["w"]
+    )
+    dirty = spark.createDataFrame(
+        [
+            ("tabl",),   # deletion typo
+            ("chxir",),  # substitution typo
+            ("lampp",),  # insertion typo
+            ("lamp",),   # exact (distance 0)
+            ("zzz",),    # no match within distance 1
+        ],
+        ["noisy"],
+    )
+    out = fuzzy_link(dirty, clean, "noisy", "w")
+    got = {(r["noisy"], r["w"]): r["edit_dist"] for r in out.collect()}
+    assert got == {
+        ("tabl", "table"): 1,
+        ("chxir", "chair"): 1,
+        ("lampp", "lamp"): 1,
+        ("lamp", "lamp"): 0,
+    }
+    # Blocking is an equi-join on deletion keys — never a nested loop.
+    assert count_op(out, "CartesianProduct") == 0
+    assert count_op(out, "BroadcastNestedLoopJoin") == 0
+
+
+def test_fuzzy_link_rejects_radius_above_one(spark):
+    from tickdb_spark.operators.linkage import fuzzy_link, fuzzy_link_sql
+
+    df = spark.createDataFrame([("x",)], ["w"])
+    with pytest.raises(ValueError):
+        fuzzy_link(df, df, "w", "w", max_dist=2)
+    with pytest.raises(ValueError):
+        fuzzy_link_sql("a", "b", "w", "w", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_intervals_and_asof_lookup(spark):
+    from tickdb_spark.operators.scd2 import scd2_asof_lookup, scd2_history
+
+    log = spark.createDataFrame(
+        [
+            (1, "A", 1, 10),
+            (1, "A", 2, 11),  # same value → same run
+            (1, "B", 5, 12),
+            (1, "A", 9, 13),  # value returns → NEW run (not merged with run 1)
+            (2, "C", 3, 14),
+        ],
+        ["user_id", "seg", "ts", "row_id"],
+    )
+    hist = scd2_history(log, "user_id", "seg", "ts", "row_id")
+    rows = {
+        (r["user_id"], r["valid_from"]): (r["seg"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    }
+    assert rows == {
+        (1, 1): ("A", 5, 0),
+        (1, 5): ("B", 9, 0),
+        (1, 9): ("A", None, 1),
+        (2, 3): ("C", None, 1),
+    }
+    facts = spark.createDataFrame(
+        [(1, 6, "f1"), (1, 9, "f2"), (1, 0, "f3")], ["user_id", "ts", "fact"]
+    )
+    looked = {
+        r["fact"]: r["seg"]
+        for r in scd2_asof_lookup(hist, facts, "user_id", "ts").collect()
+    }
+    # ts=6 falls in the B interval [5,9); ts=9 opens the current A run;
+    # ts=0 predates history → NULL attribute, fact row preserved.
+    assert looked == {"f1": "B", "f2": "A", "f3": None}
+
+
+def test_scd2_tie_break_is_deterministic(spark):
+    from tickdb_spark.operators.scd2 import scd2_history
+
+    # Two changes at the SAME timestamp: row_id must decide the order.
+    log = spark.createDataFrame(
+        [(1, "X", 5, 1), (1, "Y", 5, 2)], ["user_id", "seg", "ts", "row_id"]
+    )
+    hist = scd2_history(log, "user_id", "seg", "ts", "row_id").collect()
+    cur = {r["seg"]: r["is_current"] for r in hist}
+    assert cur == {"X": 0, "Y": 1}
+
+
+# ---------------------------------------------------------------------------
+# Lag autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_lag_autocorrelation_alternating_series_is_anti_then_pro(spark):
+    from tickdb_spark.operators.timeseries import lag_autocorrelation
+
+    rows = [("s", i, i, 1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["series", "ts", "id", "v"])
+    out = {
+        r["lag"]: r
+        for r in lag_autocorrelation(
+            df, "series", "ts", "id", "v", lags=(1, 2)
+        ).collect()
+    }
+    # A perfect ±1 alternation: lag-1 pairs are exactly anti-correlated,
+    # lag-2 pairs exactly correlated — and |r| = 1 means num² == den_x·den_y.
+    assert out[1]["acf"] == pytest.approx(-1.0)
+    assert out[2]["acf"] == pytest.approx(1.0)
+    for k in (1, 2):
+        r = out[k]
+        assert r["num"] * r["num"] == r["den_x"] * r["den_y"]
+        assert r["n"] == 40 - k
+
+
+def test_lag_autocorrelation_overflow_guard_errors_not_wraps(spark):
+    from tickdb_spark.operators.timeseries import lag_autocorrelation
+
+    df = spark.createDataFrame(
+        [("s", 0, 0, 1e12), ("s", 1, 1, 2e12)], ["series", "ts", "id", "v"]
+    )
+    with pytest.raises(Exception, match="overflow-safe bound"):
+        lag_autocorrelation(df, "series", "ts", "id", "v", lags=(1,)).collect()
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_setops_exact_below_k_and_estimator_within_bounds(spark):
+    from tickdb_spark.operators.sketch import kmv_set_cardinalities, kmv_sketch
+
+    # Small sets (< k combined): the union was fully enumerated, every
+    # estimate must be EXACT.
+    small = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (3, 4)],
+        ["grp", "v"],
+    )
+    sk = kmv_sketch(small, "grp", "v", k=64)
+    row = kmv_set_cardinalities(sk, k=64).collect()[0]
+    assert (row["est_union"], row["est_intersect"]) == (4, 1)
+    assert (row["est_only_a"], row["est_only_b"]) == (2, 1)
+
+    # Large overlapping ranges: estimator path (kmv_size == k), estimates
+    # within generous 4σ-ish KMV error (rel err ~ 1/sqrt(k-1) ≈ 12.6%).
+    big = spark.createDataFrame(
+        [("a", v) for v in range(300)] + [("b", v) for v in range(200, 500)],
+        ["grp", "v"],
+    )
+    sk = kmv_sketch(big, "grp", "v", k=64)
+    row = kmv_set_cardinalities(sk, k=64).collect()[0]
+    assert row["kmv_size"] == 64
+    assert abs(row["est_union"] - 500) <= 250
+    assert abs(row["est_intersect"] - 100) <= 125
+    # Internal consistency: the three disjoint parts partition the union
+    # estimate up to integer-division truncation (≤ 3 units).
+    parts = row["est_intersect"] + row["est_only_a"] + row["est_only_b"]
+    assert 0 <= row["est_union"] - parts <= 3

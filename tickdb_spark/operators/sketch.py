@@ -869,3 +869,156 @@ def bottomk_quantile_sketch_grouped_sql(
     FROM ranked r JOIN perms p
       ON r.rnk = 1 + (p.permille * (r.m - 1)) // 1000
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation cardinalities — the sketch algebra on top of the
+# per-group KMV sketches: estimate |A ∪ B|, |A ∩ B|, |A \ B|, |B \ A|
+# from the two k-min sets ALONE (Beyer et al., SIGMOD 2007; the theta-
+# sketch estimator family). The audience-overlap / segment-sizing
+# question answered without ever touching the underlying sets.
+#
+# Estimator discipline (cross-engine bit-stability): the union estimate
+# is the classic (k−1)/h_k read over the combined sketch — computed as
+# floor((k−1) · 2^60 / h_k) where (k−1)·2^60 is EXACT in a double (≤ 8
+# significant bits) and int64→double for h_k is the hardware correctly-
+# rounded conversion, so the one divide + floor is bit-identical on any
+# engine. When the combined sketch holds fewer than k hashes the union
+# was fully enumerated — the estimate IS the exact count. The subset
+# estimates scale est_union by the sketch-member fractions in pure
+# BIGINT arithmetic ((cnt · est_union) // k_eff — non-negative, so
+# Spark div == DuckDB //).
+# ---------------------------------------------------------------------------
+
+#: The 60-bit hash space size as an exact double literal.
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_set_cardinalities(
+    sketches: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """All-pairs set-operation cardinality estimates from per-group KMV
+    sketches (``kmv_sketch`` output). Returns per pair a < b:
+    ``(grp_a, grp_b, kmv_size, common, only_a, only_b, est_union,
+    est_intersect, est_only_a, est_only_b)`` — counts over the combined
+    k-min sketch plus the scaled estimates, all BIGINT."""
+    from pyspark.sql import Window
+
+    a = sketches.select(
+        F.col("grp").alias("grp_a"), F.col("h").alias("h"), F.lit(1).alias("in_a")
+    )
+    b = sketches.select(
+        F.col("grp").alias("grp_b"), F.col("h").alias("h"), F.lit(1).alias("in_b")
+    )
+    pairs = (
+        sketches.select(F.col("grp").alias("grp_a"))
+        .distinct()
+        .crossJoin(sketches.select(F.col("grp").alias("grp_b")).distinct())
+        .where(F.col("grp_a") < F.col("grp_b"))
+    )
+    left = pairs.join(a, "grp_a").select("grp_a", "grp_b", "h", "in_a")
+    right = pairs.join(b, "grp_b").select("grp_a", "grp_b", "h", "in_b")
+    member = left.join(right, ["grp_a", "grp_b", "h"], "full").select(
+        "grp_a",
+        "grp_b",
+        "h",
+        F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+        F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    top = member.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = top.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("kmv_size"),
+        F.max("h").alias("_hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("common"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("only_a"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("long").alias("only_b"),
+    )
+    est_union = F.when(
+        F.col("kmv_size") < k, F.col("kmv_size")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1) * _KMV_SPACE) / F.col("_hk").cast("double")
+        ).cast("long")
+    )
+    stats = agg.withColumn("est_union", est_union)
+    scaled = lambda cnt: F.call_function(  # noqa: E731
+        "div", F.col(cnt) * F.col("est_union"), F.col("kmv_size")
+    )
+    return stats.select(
+        "grp_a",
+        "grp_b",
+        "kmv_size",
+        "common",
+        "only_a",
+        "only_b",
+        "est_union",
+        scaled("common").alias("est_intersect"),
+        scaled("only_a").alias("est_only_a"),
+        scaled("only_b").alias("est_only_b"),
+    )
+
+
+def kmv_set_cardinalities_sql(
+    items_sql: str,
+    group_col: str,
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin: identical hash, k-min windows, combine, and the same
+    exact-double union estimate + BIGINT subset scaling."""
+    num = float(k - 1) * _KMV_SPACE
+    return f"""
+    WITH hashes AS MATERIALIZED (
+      SELECT DISTINCT {group_col} AS grp,
+             CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM ({items_sql})
+    ),
+    sk AS MATERIALIZED (
+      SELECT grp, h FROM (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashes
+      ) WHERE rn <= {k}
+    ),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b
+      FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+      WHERE a.grp < b.grp
+    ),
+    member2 AS (
+      SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.grp_a, p.grp_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.grp = p.grp_a
+        UNION ALL
+        SELECT p.grp_a, p.grp_b, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.grp = p.grp_b
+      ) GROUP BY grp_a, grp_b, h
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT m.*, ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+        FROM member2 m
+      ) WHERE rn <= {k}
+    ),
+    agg AS (
+      SELECT grp_a, grp_b,
+             CAST(count(*) AS BIGINT) AS kmv_size,
+             CAST(MAX(h) AS BIGINT) AS _hk,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS common,
+             CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS only_a,
+             CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS only_b
+      FROM top GROUP BY grp_a, grp_b
+    ),
+    est AS (
+      SELECT *, CASE WHEN kmv_size < {k} THEN kmv_size
+                     ELSE CAST(floor({num!r} / CAST(_hk AS DOUBLE)) AS BIGINT)
+                END AS est_union
+      FROM agg
+    )
+    SELECT grp_a, grp_b, kmv_size, common, only_a, only_b, est_union,
+           (common * est_union) // kmv_size AS est_intersect,
+           (only_a * est_union) // kmv_size AS est_only_a,
+           (only_b * est_union) // kmv_size AS est_only_b
+    FROM est
+    """

@@ -1309,3 +1309,158 @@ def lttb_downsample_sql(
     UNION ALL
     SELECT series, ts, value FROM pts WHERE n <= {n_out}
     """
+
+
+def lag_autocorrelation(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    scale: int = 100,
+    max_n: int = 32768,
+) -> DataFrame:
+    """Per-series lag-k serial correlation (the ACF read as Pearson r of
+    the ``(x_t, x_{t+k})`` pair set — Box–Jenkins diagnostics: is the
+    series momentum-driven, mean-reverting, or white?).
+
+    Cross-engine float discipline (CLAUDE.md): values quantize to
+    ``floor(v*scale + 0.5)`` BIGINT; all five sufficient statistics
+    (``n, Σx, Σy, Σxy, Σx², Σy²``) are exact integer sums, the Pearson
+    numerator/denominators are exact BIGINT expressions, and the only
+    float ops are two correctly-rounded sqrts, one multiply, one divide
+    — bit-identical on any engine.
+
+    Overflow contract (the zscore lesson — Spark longs WRAP, DuckDB
+    raises): ``n·Σxy`` is bounded by ``(n·q_max)²``, so we require
+    ``|q| <= floor(sqrt(2^63-1)) / max_n`` per row (checked via
+    ``assert_true``, an ERROR never a wrapped answer) and ``n <= max_n``
+    per (series, lag) (checked post-aggregate). Defaults allow |value|
+    up to ~9.2e2 at scale=100 with 32k points per series; larger series
+    need a coarser ``scale`` or finer series keys.
+
+    Scale shape: ONE window exchange on the series key produces every
+    lag column (same partitioning for all k), the long-form stack is a
+    projection, and the (series, lag) aggregate is map-side combinable.
+    State is six BIGINTs per (series, lag) — no data-wide sort, no
+    second shuffle (the agg rides the window's hash distribution).
+
+    Returns ``(series, lag, n, num, den_x, den_y, acf)``.
+    """
+    qbound = int((2**63 - 1) ** 0.5) // max_n
+    q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    q = F.when(
+        F.assert_true(
+            F.abs(q) <= qbound,
+            F.concat(
+                F.lit(
+                    f"lag_autocorrelation: |value*{scale}| exceeds the "
+                    f"overflow-safe bound {qbound} for max_n={max_n}: "
+                ),
+                F.col(value_col).cast("string"),
+            ),
+        ).isNull(),
+        q,
+    )
+    w = Window.partitionBy(series_col).orderBy(ts_col, id_col)
+    d = _series_parallel(df, series_col).withColumn("_q", q)
+    for k in lags:
+        d = d.withColumn(f"_y{k}", F.lead("_q", k).over(w))
+    stacked = d.select(
+        F.col(series_col).alias("series"),
+        F.col("_q").alias("_x"),
+        F.expr(
+            "stack("
+            + str(len(lags))
+            + ", "
+            + ", ".join(f"{k}L, _y{k}" for k in lags)
+            + ") AS (lag, _y)"
+        ),
+    ).where(F.col("_y").isNotNull())
+    agg = stacked.groupBy("series", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    agg = agg.where(
+        F.assert_true(
+            F.col("n") <= max_n,
+            F.lit(f"lag_autocorrelation: series exceeds max_n={max_n} points"),
+        ).isNull()
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den_x = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den_y = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return agg.select(
+        "series",
+        "lag",
+        "n",
+        num.alias("num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("acf"),
+    )
+
+
+def lag_autocorrelation_sql(
+    rel: str,
+    series_col: str,
+    ts_expr: str,
+    id_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    scale: int = 100,
+) -> str:
+    """DuckDB twin: identical quantization, lead windows, integer
+    sufficient statistics, and the same two-sqrt final expression.
+    DuckDB SUM(BIGINT) returns HUGEINT — every sum is cast back to
+    BIGINT (the house rule), keeping both engines on int64."""
+    leads = ",\n             ".join(
+        f"lead(_q, {k}) OVER w AS _y{k}" for k in lags
+    )
+    stacked = "\n      UNION ALL\n      ".join(
+        f"SELECT series, CAST({k} AS BIGINT) AS lag, _x, _y{k} AS _y FROM lagged"
+        for k in lags
+    )
+    return f"""
+    WITH q AS (
+      SELECT {series_col} AS series, {ts_expr} AS _ts, {id_col} AS _id,
+             CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS _q
+      FROM {rel}
+    ),
+    lagged AS (
+      SELECT series, _q AS _x,
+             {leads}
+      FROM q
+      WINDOW w AS (PARTITION BY series ORDER BY _ts, _id)
+    ),
+    stacked AS (
+      {stacked}
+    ),
+    agg AS (
+      SELECT series, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(_x) AS BIGINT) AS _sx,
+             CAST(SUM(_y) AS BIGINT) AS _sy,
+             CAST(SUM(_x * _y) AS BIGINT) AS _sxy,
+             CAST(SUM(_x * _x) AS BIGINT) AS _sxx,
+             CAST(SUM(_y * _y) AS BIGINT) AS _syy
+      FROM stacked WHERE _y IS NOT NULL
+      GROUP BY series, lag
+    )
+    SELECT series, lag, n,
+           CAST(n * _sxy - _sx * _sy AS BIGINT) AS num,
+           CAST(n * _sxx - _sx * _sx AS BIGINT) AS den_x,
+           CAST(n * _syy - _sy * _sy AS BIGINT) AS den_y,
+           CAST(n * _sxy - _sx * _sy AS DOUBLE)
+             / (sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
+                * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE))) AS acf
+    FROM agg
+    """

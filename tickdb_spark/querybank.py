@@ -9350,6 +9350,151 @@ def stream_component_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Round-12 wave 2: fuzzy linkage, SCD2 history, lag autocorrelation,
+# KMV set-operation estimates.
+# ---------------------------------------------------------------------------
+
+from tickdb_spark.operators import linkage as _linkage  # noqa: E402
+from tickdb_spark.operators import scd2 as _scd2  # noqa: E402
+
+#: Deterministic planted-typo position for the linkage fixture: delete
+#: the character at 1 + len(w) % 3 — always within the word, varies by
+#: length so all three edit-case geometries (head/mid deletions) occur.
+_FUZZ_NOISY = (
+    "concat(substring(w, 1, (1 + length(w) % 3) - 1), "
+    "substring(w, (1 + length(w) % 3) + 1, 1000000))"
+)
+
+
+@register(
+    "link_fuzzy_vocab",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    vocab AS MATERIALIZED (
+      SELECT token AS w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE length(token) >= 3 GROUP BY token
+    ),
+    dirty AS MATERIALIZED (
+      SELECT DISTINCT substr(w, 1, (1 + length(w) % 3) - 1)
+               || substr(w, (1 + length(w) % 3) + 1, 1000000) AS noisy
+      FROM vocab
+    ),
+    links AS ({_linkage.fuzzy_link_sql("dirty", "vocab", "noisy", "w")})
+    SELECT l.noisy, l.w AS matched, l.edit_dist, v.tf AS matched_tf
+    FROM links l JOIN vocab v ON v.w = l.w
+    """,
+    "fuzzy record linkage / spelling-variant mining via SymSpell "
+    "deletion-neighborhood blocking: a planted-typo registry (each vocab "
+    "word with one deterministic char deleted) links back to the corpus "
+    "vocabulary through an EQUI-JOIN on deletion keys ({s} ∪ "
+    "deletions1(s) — provably complete for edit distance 1), then the "
+    "exact integer levenshtein verifies candidates. No cross join can "
+    "appear: candidates are confined to shared-key buckets (a property "
+    "of the language, not corpus size), the verify is codegen. The "
+    "all-pairs alternative is O(V²) distance calls — unrunnable at "
+    "crawl-vocabulary scale",
+)
+def link_fuzzy_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    # The vocab feeds three subtrees (dirty derivation, clean side, tf
+    # join-back) — truncate lineage so the corpus explode runs once.
+    vocab = (
+        tok.where(F.length("token") >= 3)
+        .groupBy(F.col("token").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dirty = vocab.select(F.expr(_FUZZ_NOISY).alias("noisy")).distinct()
+    links = _linkage.fuzzy_link(dirty, vocab.select("w"), "noisy", "w")
+    return links.join(vocab, "w").select(
+        "noisy",
+        F.col("w").alias("matched"),
+        "edit_dist",
+        F.col("tf").alias("matched_tf"),
+    )
+
+
+@register(
+    "warehouse_scd2_history",
+    f"""
+    WITH log AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    hist AS ({_scd2.scd2_history_sql("log", "user_id", "event_type", "ts_us", "event_id")})
+    SELECT user_id, event_type, valid_from, valid_to, is_current FROM hist
+    """,
+    "SCD type-2 dimension history build (the other half of the "
+    "reference's LWW type-1 upsert policy): the per-user event_type "
+    "change log collapses to interval rows (valid_from µs, valid_to µs, "
+    "is_current) via the canonical gaps-and-islands plan — lag change "
+    "flag, running-sum run ids, per-run collapse, lead to close "
+    "intervals. Every window is PARTITION BY user_id (state = one key's "
+    "rows); all three window steps share ONE exchange and the groupBy "
+    "rides the same hash distribution. Ties broken on event_id on both "
+    "engines",
+)
+def warehouse_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    )
+    return _scd2.scd2_history(ev, "user_id", "event_type", "ts_us", "event_id")
+
+
+@register(
+    "tick_autocorrelation",
+    _ts.lag_autocorrelation_sql(
+        "events", "event_type", "ts", "event_id", "value", (1, 2, 3), 100
+    ),
+    "per-series lag-k serial correlation (ACF diagnostics: momentum vs "
+    "mean-reversion vs white noise), k ∈ {1,2,3}: values quantized to "
+    "BIGINT (floor(v·100+0.5)), the six sufficient statistics exact "
+    "integer sums (overflow-guarded — Spark longs wrap, so assert_true "
+    "makes a breach an ERROR), Pearson numerator/denominators exact "
+    "BIGINTs, and the only float ops two correctly-rounded sqrts + one "
+    "multiply + one divide — bit-identical cross-engine. ONE series-key "
+    "exchange feeds all three lag windows and the map-side-combinable "
+    "aggregate",
+)
+def tick_autocorrelation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.lag_autocorrelation(
+        ev, "event_type", "ts", "event_id", "value", (1, 2, 3), 100
+    )
+
+
+@register(
+    "sketch_kmv_setops",
+    _sketch.kmv_set_cardinalities_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id", 64
+    ),
+    "KMV set-operation cardinality estimates (Beyer et al. 2007 / the "
+    "theta-sketch algebra): |A∪B|, |A∩B|, |A\\\\B|, |B\\\\A| for every "
+    "event-type audience pair from the 64-min sketches ALONE — the "
+    "segment-overlap sizing question without touching the sets. Union "
+    "estimate (k−1)·2^60/h_k computed with an exactly-representable "
+    "double numerator + one divide + floor (bit-stable); sketches "
+    "smaller than k mean the union was fully enumerated and the "
+    "estimate IS exact; subset estimates scale by sketch fractions in "
+    "pure BIGINT division. Sketch state is 64 rows/group at ANY corpus "
+    "size",
+)
+def sketch_kmv_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    sk = _sketch.kmv_sketch(ev, "event_type", "user_id", k=64)
+    return _sketch.kmv_set_cardinalities(sk, k=64)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
 # The correctness gate runs the FIRST ~50 registry entries in insertion
@@ -9359,16 +9504,22 @@ def stream_component_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFram
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 11 entries NEW in r12 (never sampled by
-#: construction — the 4 wave-1 additions plus filtered ANN both routes,
+#: r12 head: leads with the 18 entries NEW in r12 (never sampled by
+#: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
-#: retrieval, and the novelty report), then the complete 39-entry
-#: r7-stalest cohort (the oldest driver rows in the evidence ledger
-#: after the r10/r11 rotations). tests/test_registry_head.py enforces
-#: the rotation rule mechanically.
+#: retrieval + index path, the novelty report, component maintenance,
+#: contamination audit, and the 4 wave-2 additions: fuzzy linkage,
+#: SCD2 history, lag ACF, KMV set ops), then the r7-stalest cohort
+#: (the oldest driver rows in the evidence ledger after the r10/r11
+#: rotations — 32 of 39 fit alongside the never-sampled tier).
+#: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r12 — never sampled by construction
+    "link_fuzzy_vocab",
+    "warehouse_scd2_history",
+    "tick_autocorrelation",
+    "sketch_kmv_setops",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -9383,10 +9534,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 36 of 39; udtf_token_freqs,
-    # trend_holt_linear_forecast and tpch_q9_product_profit rotated out
-    # to keep the head at 50 with the 14 never-sampled r12 entries,
-    # which always take priority)
+    # (2) stalest driver proof (r7 cohort — 32 of 39; udtf_token_freqs,
+    # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
+    # wave-2 additions — tpch_q2/q7/q8/q22 rotated out to keep the head
+    # at 50 with the 18 never-sampled r12 entries, which always take
+    # priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9419,10 +9571,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
 ]
 
 
