@@ -154,6 +154,76 @@ def main() -> None:
     print(json.dumps({"op": "kmv_setops_groups", "sec": times,
                       "log2_growth": growth(times)}))
 
+    # ---- wave 3 ----
+    from pyspark.sql import Window
+
+    from tickdb_spark.operators.timeseries import cross_correlation
+
+    # Markov transitions: users scale, per-user history fixed — one
+    # user-key window + a 25-row aggregate
+    def markov(ev):
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        seq = ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        return (
+            seq.where(F.col("next_type").isNotNull())
+            .groupBy("prev_type", "next_type")
+            .count()
+        )
+
+    times = [_run(markov(scaled_user_events(spark, f))) for f in FACTORS]
+    print(json.dumps({"op": "markov_transitions_users", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # Sequence match: same axis — two lead windows + a codegen predicate
+    def seq_match(ev):
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        gap = 86_400_000_000
+        seq = ev.select(
+            "user_id",
+            F.col("event_type").alias("e0"),
+            F.col("ts_us").alias("t0"),
+            F.lead("event_type", 1).over(w).alias("e1"),
+            F.lead("ts_us", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("e2"),
+            F.lead("ts_us", 2).over(w).alias("t2"),
+        )
+        return (
+            seq.where(
+                (F.col("e0") == "view")
+                & (F.col("e1") == "click")
+                & (F.col("e2") == "purchase")
+                & (F.col("t1") - F.col("t0") <= gap)
+                & (F.col("t2") - F.col("t1") <= gap)
+            )
+            .groupBy("user_id")
+            .count()
+        )
+
+    times = [_run(seq_match(scaled_user_events(spark, f))) for f in FACTORS]
+    print(json.dumps({"op": "sequence_match_users", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # Cross-correlation: series scale (5f series → C(5f,2) pairs over a
+    # FIXED bucket spine; the join input is the per-bucket aggregate,
+    # |series|·|buckets| rows, corpus-independent)
+    times = [
+        _run(
+            cross_correlation(
+                scaled_events(spark, f).select(
+                    "event_type", (F.col("ts_us") * 1000).alias("ts_ns"), "value"
+                ),
+                "event_type", "ts_ns", "value",
+                bucket_ns=3_600_000_000_000, scale=10,
+            )
+        )
+        for f in FACTORS
+    ]
+    print(json.dumps({"op": "cross_correlation_series", "sec": times,
+                      "log2_growth": growth(times)}))
+
 
 if __name__ == "__main__":
     main()

@@ -3212,3 +3212,96 @@ def test_kmv_setops_exact_below_k_and_estimator_within_bounds(spark):
     # estimate up to integer-division truncation (≤ 3 units).
     parts = row["est_intersect"] + row["est_only_a"] + row["est_only_b"]
     assert 0 <= row["est_union"] - parts <= 3
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions, sequence match, cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_ppm_rows(spark):
+    from tickdb_spark.querybank import REGISTRY
+
+    # Tiny controlled log via a temp view is overkill — drive the
+    # window+agg shape directly.
+    from pyspark.sql import Window
+
+    log = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b")],
+        ["user_id", "ts", "event_type"],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = log.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    cnt = {
+        (r["prev_type"], r["next_type"]): r["cnt"]
+        for r in seq.groupBy("prev_type", "next_type").count().withColumnRenamed("count", "cnt").collect()
+    }
+    # transitions: u1 a->b, b->a, u2 a->b  (never across users)
+    assert cnt == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_sequence_match_requires_consecutive_and_gap(spark):
+    from pyspark.sql import Window
+
+    us = 1_000_000
+    hour = 3600 * us
+    rows = [
+        # user 1: view->click->purchase back-to-back (MATCH)
+        (1, 0 * hour, 1, "view"),
+        (1, 1 * hour, 2, "click"),
+        (1, 2 * hour, 3, "purchase"),
+        # user 2: pattern broken by an intervening event (NO match)
+        (2, 0 * hour, 4, "view"),
+        (2, 1 * hour, 5, "error"),
+        (2, 2 * hour, 6, "click"),
+        (2, 3 * hour, 7, "purchase"),
+        # user 3: consecutive but the second gap exceeds 24 h (NO match)
+        (3, 0 * hour, 8, "view"),
+        (3, 1 * hour, 9, "click"),
+        (3, 30 * hour, 10, "purchase"),
+    ]
+    log = spark.createDataFrame(rows, ["user_id", "t_us", "event_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gap = 86_400_000_000
+    seq = log.select(
+        "user_id",
+        F.col("event_type").alias("e0"),
+        F.col("t_us").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("t_us", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead("t_us", 2).over(w).alias("t2"),
+    )
+    matched = seq.where(
+        (F.col("e0") == "view")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+        & (F.col("t1") - F.col("t0") <= gap)
+        & (F.col("t2") - F.col("t1") <= gap)
+    )
+    assert [r["user_id"] for r in matched.collect()] == [1]
+
+
+def test_cross_correlation_perfect_and_anti(spark):
+    from tickdb_spark.operators.timeseries import cross_correlation
+
+    minute = 60_000_000_000
+    rows = []
+    for i in range(30):
+        rows.append(("x", i * minute, float(i)))
+        rows.append(("y", i * minute, float(2 * i + 5)))   # corr(x,y) = +1
+        rows.append(("z", i * minute, float(100 - 3 * i)))  # corr(x,z) = -1
+    df = spark.createDataFrame(rows, ["series", "ts", "v"])
+    out = {
+        (r["series_a"], r["series_b"]): r
+        for r in cross_correlation(df, "series", "ts", "v", bucket_ns=minute).collect()
+    }
+    assert out[("x", "y")]["corr"] == pytest.approx(1.0)
+    assert out[("x", "z")]["corr"] == pytest.approx(-1.0)
+    assert out[("y", "z")]["corr"] == pytest.approx(-1.0)
+    for r in out.values():
+        assert r["n"] == 30
+        assert r["num"] * r["num"] == r["den_x"] * r["den_y"]  # |r| = 1 exactly

@@ -1464,3 +1464,145 @@ def lag_autocorrelation_sql(
                 * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE))) AS acf
     FROM agg
     """
+
+
+def cross_correlation(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_ns: int = 60_000_000_000,
+    scale: int = 10,
+    max_n: int = 1 << 17,
+) -> DataFrame:
+    """All-pairs cross-series Pearson correlation over time-aligned
+    buckets (the co-movement matrix: which metrics move together —
+    pairs with :func:`lag_autocorrelation`, which answers the same
+    question within one series).
+
+    Alignment is division-free: each (series, bucket) is represented by
+    its MIN quantized value — a SELECTED exact integer, not an average,
+    so both engines agree bit-for-bit. Pairs align by an equi-join on
+    the bucket id; the correlation uses the same exact-BIGINT sufficient
+    statistics + two-sqrt finish as ``lag_autocorrelation`` (and the
+    same overflow contract: ``|q| <= floor(sqrt(2^63-1)) / max_n``
+    checked per row, aligned-bucket count checked post-aggregate).
+
+    Scale shape: one hash aggregate to (series, bucket) — map-side
+    combinable, output |series|·|buckets| rows regardless of corpus
+    size — then a bucket-key equi-join confined to same-bucket rows and
+    one (series_a, series_b) aggregate. Nothing downstream of the first
+    aggregate ever sees raw points.
+
+    Returns ``(series_a, series_b, n, num, den_x, den_y, corr)``.
+    """
+    qbound = int((2**63 - 1) ** 0.5) // max_n
+    q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    q = F.when(
+        F.assert_true(
+            F.abs(q) <= qbound,
+            F.concat(
+                F.lit(
+                    f"cross_correlation: |value*{scale}| exceeds the "
+                    f"overflow-safe bound {qbound} for max_n={max_n}: "
+                ),
+                F.col(value_col).cast("string"),
+            ),
+        ).isNull(),
+        q,
+    )
+    per_bucket = (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.call_function("div", F.col(ts_col).cast("long"), F.lit(bucket_ns)).alias(
+                "bucket"
+            ),
+            q.alias("_q"),
+        )
+        .groupBy("series", "bucket")
+        .agg(F.min("_q").alias("_q"))
+        # Referenced twice (both join sides) — truncate lineage so the
+        # corpus scan + aggregate run ONCE (the multiply-referenced-
+        # subtree rule; same fix as the pair-detector/triangle case).
+        .localCheckpoint(eager=False)
+    )
+    a = per_bucket.select(
+        F.col("series").alias("series_a"), "bucket", F.col("_q").alias("_x")
+    )
+    b = per_bucket.select(
+        F.col("series").alias("series_b"), "bucket", F.col("_q").alias("_y")
+    )
+    joined = a.join(b, "bucket").where(F.col("series_a") < F.col("series_b"))
+    agg = joined.groupBy("series_a", "series_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    agg = agg.where(
+        F.assert_true(
+            F.col("n") <= max_n,
+            F.lit(f"cross_correlation: aligned buckets exceed max_n={max_n}"),
+        ).isNull()
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den_x = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den_y = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return agg.select(
+        "series_a",
+        "series_b",
+        "n",
+        num.alias("num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("corr"),
+    )
+
+
+def cross_correlation_sql(
+    rel: str,
+    series_col: str,
+    ts_ns_expr: str,
+    value_col: str,
+    bucket_ns: int = 60_000_000_000,
+    scale: int = 10,
+) -> str:
+    """DuckDB twin: same quantization, min-representative buckets,
+    bucket equi-join, BIGINT statistics, and two-sqrt finish."""
+    return f"""
+    WITH per_bucket AS MATERIALIZED (
+      SELECT {series_col} AS series,
+             ({ts_ns_expr}) // {bucket_ns} AS bucket,
+             MIN(CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)) AS _q
+      FROM {rel}
+      GROUP BY series, bucket
+    ),
+    joined AS (
+      SELECT a.series AS series_a, b.series AS series_b, a._q AS _x, b._q AS _y
+      FROM per_bucket a JOIN per_bucket b USING (bucket)
+      WHERE a.series < b.series
+    ),
+    agg AS (
+      SELECT series_a, series_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(_x) AS BIGINT) AS _sx,
+             CAST(SUM(_y) AS BIGINT) AS _sy,
+             CAST(SUM(_x * _y) AS BIGINT) AS _sxy,
+             CAST(SUM(_x * _x) AS BIGINT) AS _sxx,
+             CAST(SUM(_y * _y) AS BIGINT) AS _syy
+      FROM joined GROUP BY series_a, series_b
+    )
+    SELECT series_a, series_b, n,
+           CAST(n * _sxy - _sx * _sy AS BIGINT) AS num,
+           CAST(n * _sxx - _sx * _sx AS BIGINT) AS den_x,
+           CAST(n * _syy - _sy * _sy AS BIGINT) AS den_y,
+           CAST(n * _sxy - _sx * _sy AS DOUBLE)
+             / (sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
+                * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE))) AS corr
+    FROM agg
+    """

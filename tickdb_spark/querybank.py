@@ -9494,6 +9494,134 @@ def sketch_kmv_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.kmv_set_cardinalities(sk, k=64)
 
 
+@register(
+    "analytics_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS transitions
+      FROM seq WHERE next_type IS NOT NULL GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, transitions,
+           CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS row_total,
+           CAST(transitions * 1000000
+                // SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS prob_ppm
+    FROM cnt
+    """,
+    "event-type Markov transition matrix (behavioral modeling / "
+    "synthetic-journey generation input): per user the NEXT event via "
+    "one lead window, transition counts via one map-combinable "
+    "aggregate, row-normalized probabilities as exact integer ppm via a "
+    "window over the 25-row matrix itself (never a second corpus pass "
+    "or a rejoin). One user-key exchange + one tiny aggregate",
+)
+def analytics_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    cnt = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("transitions"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    row_total = F.sum("transitions").over(w_row).cast("long")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        row_total.alias("row_total"),
+        F.call_function("div", F.col("transitions") * F.lit(1_000_000), row_total)
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+#: Max within-step gap for the sequence matcher: 24 h in µs.
+_SEQ_GAP_US = 86_400_000_000
+
+
+@register(
+    "analytics_sequence_match",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e0, epoch_us(ts) AS t0,
+             lead(event_type, 1) OVER w AS e1, lead(epoch_us(ts), 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS e2, lead(epoch_us(ts), 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(t0) AS BIGINT) AS first_match_us
+    FROM seq
+    WHERE e0 = 'view' AND e1 = 'click' AND e2 = 'purchase'
+      AND t1 - t0 <= {_SEQ_GAP_US} AND t2 - t1 <= {_SEQ_GAP_US}
+    GROUP BY user_id
+    """,
+    "consecutive event-sequence detection (MATCH_RECOGNIZE-lite): per "
+    "user, occurrences of the STRICTLY CONSECUTIVE pattern view → click "
+    "→ purchase with each step within 24 h of the previous — the "
+    "session-journey matcher the funnel entry (first-occurrence times) "
+    "cannot express. Two lead windows over ONE user-key exchange turn "
+    "pattern matching into a codegen row predicate; no self-joins, no "
+    "per-user collect. Gaps are integer µs arithmetic",
+)
+def analytics_sequence_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("ts div 1000")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e0"),
+        t.alias("t0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead(t, 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead(t, 2).over(w).alias("t2"),
+    )
+    matched = seq.where(
+        (F.col("e0") == "view")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+        & (F.col("t1") - F.col("t0") <= _SEQ_GAP_US)
+        & (F.col("t2") - F.col("t1") <= _SEQ_GAP_US)
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("t0").cast("long").alias("first_match_us"),
+    )
+
+
+@register(
+    "tick_cross_correlation",
+    _ts.cross_correlation_sql(
+        "events", "event_type", "epoch_ns(ts)", "value", 3_600_000_000_000, 10
+    ),
+    "all-pairs cross-series Pearson correlation over hour-aligned "
+    "buckets (the co-movement matrix; pairs with tick_autocorrelation "
+    "for the within-series view): each (series, bucket) repped by its "
+    "MIN quantized value — a SELECTED exact integer, division-free — "
+    "then a bucket equi-join over the tiny aggregate (|series|·|buckets| "
+    "rows, corpus-independent) and the same exact-BIGINT statistics + "
+    "two-sqrt finish as the ACF. Raw points are seen exactly once",
+)
+def tick_cross_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _ts.cross_correlation(
+        ev, "event_type", "ts", "value", bucket_ns=3_600_000_000_000, scale=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9504,15 +9632,17 @@ def sketch_kmv_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 18 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 21 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
-#: contamination audit, and the 4 wave-2 additions: fuzzy linkage,
-#: SCD2 history, lag ACF, KMV set ops), then the r7-stalest cohort
-#: (the oldest driver rows in the evidence ledger after the r10/r11
-#: rotations — 32 of 39 fit alongside the never-sampled tier).
-#: tests/test_registry_head.py enforces the rotation rule mechanically.
+#: contamination audit, the 4 wave-2 additions: fuzzy linkage, SCD2
+#: history, lag ACF, KMV set ops, and the 3 wave-3 additions: Markov
+#: transitions, sequence match, cross-correlation), then the
+#: r7-stalest cohort (the oldest driver rows in the evidence ledger
+#: after the r10/r11 rotations — 29 of 39 fit alongside the
+#: never-sampled tier). tests/test_registry_head.py enforces the
+#: rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r12 — never sampled by construction
@@ -9520,6 +9650,9 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "warehouse_scd2_history",
     "tick_autocorrelation",
     "sketch_kmv_setops",
+    "analytics_markov_transitions",
+    "analytics_sequence_match",
+    "tick_cross_correlation",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -9534,11 +9667,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 32 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 29 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
-    # wave-2 additions — tpch_q2/q7/q8/q22 rotated out to keep the head
-    # at 50 with the 18 never-sampled r12 entries, which always take
-    # priority)
+    # wave-2/3 additions — tpch_q2/q7/q8/q22 and tpch_q19/q20/q21
+    # rotated out to keep the head at 50 with the 21 never-sampled r12
+    # entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9568,9 +9701,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
 ]
 
 
