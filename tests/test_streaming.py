@@ -1241,3 +1241,127 @@ def test_component_face_tombstones_and_compaction(tmp_path, spark):
     )
     compacted = _current_labels(spark.read.schema(_LABEL_SCHEMA).parquet(dest))
     assert {r.id: r.component for r in compacted.collect()} == after
+
+
+def test_stream_scd2_maintenance_out_of_order_batches(tmp_path, spark):
+    """Incremental SCD2 face: a LATE event that lands inside an
+    already-collapsed run must SPLIT it and resume the old value after —
+    only replaying the touched users' stored event log gets this right
+    (interval-only state discards the interior events that prove the
+    resumption). Final view must equal batch-built scd2_history over
+    the union of all landed events; a restart resumes incrementally."""
+    import os as _os
+
+    import pandas as pd
+
+    from tickdb_spark.operators.scd2 import scd2_history
+    from tickdb_spark.streaming.index import (
+        SCD2_EVENT_SCHEMA,
+        stream_scd2_maintenance,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cols = ["user_id", "event_type", "ts_us", "event_id"]
+    batches = [
+        [(1, "A", 10, 1), (1, "A", 40, 2), (1, "B", 80, 3)],
+        [(1, "C", 30, 4)],               # LATE: splits the A run
+        [(2, "X", 5, 5), (1, "D", 90, 6)],
+    ]
+
+    def _land(i, rows):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=cols)
+        for c in ("user_id", "ts_us", "event_id"):
+            pdf[c] = pdf[c].astype("int64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    for i, rows in enumerate(batches):
+        _land(i, rows)
+
+    got = stream_scd2_maintenance(spark, str(landing), str(tmp_path / "state"))
+    view = {
+        (r.user_id, r.valid_from): (r.event_type, r.valid_to, r.is_current)
+        for r in got.collect()
+    }
+    assert view == {
+        (1, 10): ("A", 30, 0),
+        (1, 30): ("C", 40, 0),   # the late event split the A run...
+        (1, 40): ("A", 80, 0),   # ...and A resumes from the interior event
+        (1, 80): ("B", 90, 0),
+        (1, 90): ("D", None, 1),
+        (2, 5): ("X", None, 1),
+    }
+
+    # restart: another late event for user 2 + a brand-new user
+    _land(3, [(2, "Y", 3, 7), (3, "Z", 1, 8)])
+    got2 = stream_scd2_maintenance(spark, str(landing), str(tmp_path / "state"))
+    all_rows = [r for b in batches for r in b] + [(2, "Y", 3, 7), (3, "Z", 1, 8)]
+    want_df = scd2_history(
+        spark.createDataFrame(all_rows, cols),
+        "user_id", "event_type", "ts_us", "event_id",
+    )
+    want = {
+        (r.user_id, r.valid_from): (r.event_type, r.valid_to, r.is_current)
+        for r in want_df.collect()
+    }
+    got2_map = {
+        (r.user_id, r.valid_from): (r.event_type, r.valid_to, r.is_current)
+        for r in got2.collect()
+    }
+    assert got2_map == want
+    assert got2_map[(2, 3)] == ("Y", 5, 0)  # late event opened user 2's history
+
+
+def test_scd2_face_tombstones_and_compaction(tmp_path, spark):
+    """Lifecycle parity with the other ten faces: a tombstoned user
+    (the right-to-be-forgotten unit) disappears from probes; compacting
+    the history log (epoch retained) preserves the current view."""
+    import os as _os
+
+    import pandas as pd
+
+    from tickdb_spark.streaming.index import (
+        SCD2_HIST_SCHEMA,
+        _read_maintained,
+        compact_index,
+        scd2_current_history,
+        stream_scd2_maintenance,
+        tombstone_filter,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cols = ["user_id", "event_type", "ts_us", "event_id"]
+    batches = [[(1, "A", 10, 1), (2, "X", 5, 2)], [(1, "B", 20, 3)]]
+    for i, rows in enumerate(batches):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=cols)
+        for c in ("user_id", "ts_us", "event_id"):
+            pdf[c] = pdf[c].astype("int64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream_scd2_maintenance(spark, str(landing), str(tmp_path / "state"))
+
+    hist_dir = str(tmp_path / "state" / "scd2_history")
+    ts = spark.createDataFrame([(2,)], "user_id long")
+    probe = scd2_current_history(
+        tombstone_filter(
+            _read_maintained(spark, hist_dir, SCD2_HIST_SCHEMA), ts,
+            id_col="user_id",
+        )
+    )
+    after = {(r.user_id, r.valid_from): r.event_type for r in probe.collect()}
+    assert after == {(1, 10): "A", (1, 20): "B"}  # user 2 gone
+
+    dest = compact_index(
+        spark, hist_dir, SCD2_HIST_SCHEMA,
+        sort_cols=["user_id", "valid_from"], tombstones=ts, id_col="user_id",
+    )
+    compacted = scd2_current_history(
+        spark.read.schema(SCD2_HIST_SCHEMA).parquet(dest)
+    )
+    assert {
+        (r.user_id, r.valid_from): r.event_type for r in compacted.collect()
+    } == after

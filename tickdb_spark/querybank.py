@@ -9622,6 +9622,56 @@ def tick_cross_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_scd2_maintenance",
+    f"""
+    WITH log AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id < 30
+    ),
+    hist AS ({_scd2.scd2_history_sql("log", "user_id", "event_type", "ts_us", "event_id")})
+    SELECT user_id, event_type, valid_from, valid_to, is_current FROM hist
+    """,
+    "the 11th maintained face: INCREMENTAL SCD2 — dimension history "
+    "kept current as change events stream in. The face stores the "
+    "per-user EVENT log (intervals alone cannot absorb out-of-order "
+    "arrivals — a late event must split an already-collapsed run) and "
+    "per batch rebuilds intervals for ONLY the touched users, "
+    "key-granular LWW epoch dirs, own-epoch-exclusion crash rule. The "
+    "fixture splits events round-robin by event_id (every batch is "
+    "out-of-order vs the log by construction); the oracle is the "
+    "batch-built scd2 over the union of all landed events — the "
+    "maintained view must equal it regardless of arrival order",
+)
+def stream_scd2_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.streaming.index import (
+        SCD2_EVENT_SCHEMA,
+        stream_scd2_maintenance,
+    )
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_id",
+        )
+    )
+    pdf = ev.toPandas()
+    work = _tempfile.mkdtemp(prefix="tickdb_scd2_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k in range(3):
+        part = pdf[pdf.event_id % 3 == k]
+        _write_landing(
+            part, SCD2_EVENT_SCHEMA, _os.path.join(landing, f"ev_{k}.parquet"), base + k
+        )
+    return stream_scd2_maintenance(spark, landing, _os.path.join(work, "state"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9632,17 +9682,17 @@ def tick_cross_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 21 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 22 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
 #: contamination audit, the 4 wave-2 additions: fuzzy linkage, SCD2
-#: history, lag ACF, KMV set ops, and the 3 wave-3 additions: Markov
-#: transitions, sequence match, cross-correlation), then the
-#: r7-stalest cohort (the oldest driver rows in the evidence ledger
-#: after the r10/r11 rotations — 29 of 39 fit alongside the
-#: never-sampled tier). tests/test_registry_head.py enforces the
-#: rotation rule mechanically.
+#: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
+#: transitions, sequence match, cross-correlation, and the SCD2
+#: maintenance face), then the r7-stalest cohort (the oldest driver
+#: rows in the evidence ledger after the r10/r11 rotations — 28 of 39
+#: fit alongside the never-sampled tier). tests/test_registry_head.py
+#: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r12 — never sampled by construction
@@ -9653,6 +9703,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_markov_transitions",
     "analytics_sequence_match",
     "tick_cross_correlation",
+    "stream_scd2_maintenance",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -9667,11 +9718,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 29 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 28 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
-    # wave-2/3 additions — tpch_q2/q7/q8/q22 and tpch_q19/q20/q21
-    # rotated out to keep the head at 50 with the 21 never-sampled r12
-    # entries, which always take priority)
+    # wave-2/3 additions — tpch_q2/q7/q8/q22, tpch_q19/q20/q21 and
+    # tpch_q16 rotated out to keep the head at 50 with the 22
+    # never-sampled r12 entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9700,7 +9751,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
 ]
 
 

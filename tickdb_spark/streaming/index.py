@@ -800,3 +800,136 @@ def stream_component_maintenance(
     )
     q.awaitTermination()
     return _current_labels(_read_maintained(spark, lbl_dir, _LABEL_SCHEMA))
+
+
+# --- streaming SCD2 dimension-history maintenance ---------------------------
+
+SCD2_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+    ]
+)
+
+_SCD2_LOG_SCHEMA = T.StructType(
+    list(SCD2_EVENT_SCHEMA.fields) + [T.StructField("epoch", T.LongType(), False)]
+)
+
+SCD2_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("valid_from", T.LongType(), False),
+        T.StructField("valid_to", T.LongType(), True),
+        T.StructField("is_current", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+
+def scd2_current_history(hist: DataFrame) -> DataFrame:
+    """Resolve the epoch log to the current view: an epoch rewrites the
+    ENTIRE history of the users it touched, so per user the newest
+    epoch's rows win wholesale (key-granular LWW — unlike the CC face's
+    row-granular labels)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        hist.withColumn("_mx", F.max("epoch").over(w))
+        .where(F.col("epoch") == F.col("_mx"))
+        .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+    )
+
+
+def stream_scd2_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+) -> DataFrame:
+    """The 11th maintained face: INCREMENTAL SCD2 — the type-2 dimension
+    history (``operators/scd2.py``) kept current as attribute-change
+    events stream in, so "value as of the fact's timestamp" joins never
+    rebuild history over the full change feed.
+
+    Two maintained tables (both epoch-dir idempotent logs):
+
+    - the per-user EVENT log — the face's stored state. Intervals alone
+      cannot absorb OUT-OF-ORDER arrivals (a late event must split an
+      already-collapsed run whose interior events were discarded);
+      replaying the touched users' own events is the only rebuild that
+      is correct under any arrival order, and it is bounded by those
+      users' history, never the corpus.
+    - the HISTORY table — per batch, the handler rebuilds intervals for
+      ONLY the batch's users (prior events of touched users ∪ batch
+      events → ``scd2_history``) and overwrites them wholesale in its
+      epoch dir. Read path: per user the newest epoch wins
+      (:func:`scd2_current_history`).
+
+    Crash rule (the dedup-face discipline): the handler reads every
+    committed epoch EXCEPT its own, so a re-run after a partial write
+    never consumes its own partial state. Both writes are idempotent
+    per-epoch overwrites, safe in any order.
+
+    Invariant (what the oracle checks): after the stream drains, the
+    current view equals ``scd2_history`` batch-built over the UNION of
+    all landed events — regardless of how changes were split or
+    reordered across batches.
+
+    Scale shape: per-batch cost ∝ |batch| + |touched users' history|
+    (dimension histories are short by nature); untouched users are
+    never read or rewritten. Lifecycle: tombstones at user granularity
+    (``tombstone_filter(id_col="user_id")`` — the right-to-be-forgotten
+    unit) and ``compact_index`` on either log (epoch column preserved,
+    LWW resolution unchanged). Returns the maintained current view."""
+    from tickdb_spark.operators.scd2 import scd2_history
+
+    ev_dir = os.path.join(work_dir, "scd2_events")
+    hist_dir = os.path.join(work_dir, "scd2_history")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_scd2")
+    spark.createDataFrame([], _SCD2_LOG_SCHEMA).write.mode("ignore").parquet(ev_dir)
+    spark.createDataFrame([], SCD2_HIST_SCHEMA).write.mode("ignore").parquet(hist_dir)
+
+    def _committed_events(s: SparkSession, own_epoch: int) -> DataFrame:
+        dirs = [
+            os.path.join(ev_dir, d)
+            for d in sorted(os.listdir(ev_dir))
+            if d.startswith("epoch_") and d != f"epoch_{own_epoch}"
+        ]
+        if not dirs:
+            return s.createDataFrame([], _SCD2_LOG_SCHEMA)
+        return s.read.schema(_SCD2_LOG_SCHEMA).parquet(*dirs)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        cols = ["user_id", "event_type", "ts_us", "event_id"]
+        new = batch.select(*cols).localCheckpoint()
+        touched = new.select("user_id").distinct()
+        prior = (
+            _committed_events(s, epoch_id)
+            .join(F.broadcast(touched), "user_id")
+            .select(*cols)
+        )
+        hist = scd2_history(
+            prior.unionAll(new), "user_id", "event_type", "ts_us", "event_id"
+        )
+        hist.withColumn("epoch", F.lit(int(epoch_id)).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(hist_dir, f"epoch_{epoch_id}"))
+        new.withColumn("epoch", F.lit(int(epoch_id)).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ev_dir, f"epoch_{epoch_id}"))
+
+    q = (
+        spark.readStream.schema(SCD2_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return scd2_current_history(_read_maintained(spark, hist_dir, SCD2_HIST_SCHEMA))
