@@ -9672,6 +9672,115 @@ def stream_scd2_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_scd2_maintenance(spark, landing, _os.path.join(work, "state"))
 
 
+@register(
+    "diag_embedding_drift",
+    """
+    WITH comp AS (
+      SELECT vec_id % 2 AS snap, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS q
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    )
+    SELECT dim,
+           CAST(SUM(CASE WHEN snap = 0 THEN q ELSE 0 END) AS BIGINT) AS a_sum,
+           CAST(SUM(CASE WHEN snap = 1 THEN q ELSE 0 END) AS BIGINT) AS b_sum,
+           CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+           CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+           CAST(abs(SUM(CASE WHEN snap = 0 THEN q ELSE 0 END)
+                    * SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN snap = 1 THEN q ELSE 0 END)
+                    * SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+             AS l1_num,
+           CAST(abs(SUM(CASE WHEN snap = 0 THEN q ELSE 0 END)
+                    * SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN snap = 1 THEN q ELSE 0 END)
+                    * SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+             / (SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)) AS mean_delta
+    FROM comp GROUP BY dim
+    """,
+    "embedding drift monitor — the THIRD drift modality next to "
+    "diag_vocab_drift (tokens) and diag_numeric_drift (values): per "
+    "dimension, the mean-vector delta between two snapshots "
+    "(vec_id-parity stand-in for consecutive embedding-model releases) "
+    "— catches silent encoder regressions/normalization changes before "
+    "ANN quality decays. Components quantized to BIGINT (float32→double "
+    "exact, one multiply, floor); per-dim sums exact integer; the mean "
+    "delta |a_sum·nb − b_sum·na| is an exact BIGINT numerator with ONE "
+    "final division. One posexplode + one map-combinable aggregate, 64 "
+    "rows out at any corpus size",
+)
+def diag_embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "snap",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    a_sum = F.sum(F.when(F.col("snap") == 0, F.col("q")).otherwise(F.lit(0)))
+    b_sum = F.sum(F.when(F.col("snap") == 1, F.col("q")).otherwise(F.lit(0)))
+    a_n = F.sum(F.when(F.col("snap") == 0, F.lit(1)).otherwise(F.lit(0)))
+    b_n = F.sum(F.when(F.col("snap") == 1, F.lit(1)).otherwise(F.lit(0)))
+    l1 = F.abs(a_sum * b_n - b_sum * a_n)
+    return comp.groupBy("dim").agg(
+        a_sum.cast("long").alias("a_sum"),
+        b_sum.cast("long").alias("b_sum"),
+        a_n.cast("long").alias("a_n"),
+        b_n.cast("long").alias("b_n"),
+        l1.cast("long").alias("l1_num"),
+        (l1.cast("double") / (a_n * b_n)).alias("mean_delta"),
+    )
+
+
+@register(
+    "warehouse_scd2_asof",
+    f"""
+    WITH log AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id < 30
+    ),
+    hist AS ({_scd2.scd2_history_sql("log", "user_id", "event_type", "ts_us", "event_id")})
+    SELECT f.user_id, f.event_id, f.ts_us,
+           h.event_type AS seg_in_force, h.valid_from
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+          FROM events WHERE user_id < 30 AND event_type = 'purchase') f
+    LEFT JOIN hist h
+      ON h.user_id = f.user_id AND h.valid_from <= f.ts_us
+     AND (h.valid_to IS NULL OR f.ts_us < h.valid_to)
+    """,
+    "the SCD2 read path: join facts (purchases) to the attribute value "
+    "IN FORCE at the fact's timestamp — interval containment on an "
+    "equi-key, so Spark plans user_id as the join key with the interval "
+    "bounds as a post-join filter; the history side is dimension-sized "
+    "(broadcastable). The question LWW type-1 cannot answer: what was "
+    "this user's state WHEN the fact happened, not what is it now",
+)
+def warehouse_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).where(F.col("user_id") < 30)
+    log = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    )
+    hist = _scd2.scd2_history(log, "user_id", "event_type", "ts_us", "event_id")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return _scd2.scd2_asof_lookup(hist, facts, "user_id", "ts_us").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.col("event_type").alias("seg_in_force"),
+        "valid_from",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9682,17 +9791,18 @@ def stream_scd2_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 22 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 24 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
 #: contamination audit, the 4 wave-2 additions: fuzzy linkage, SCD2
 #: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
-#: transitions, sequence match, cross-correlation, and the SCD2
-#: maintenance face), then the r7-stalest cohort (the oldest driver
-#: rows in the evidence ledger after the r10/r11 rotations — 28 of 39
-#: fit alongside the never-sampled tier). tests/test_registry_head.py
-#: enforces the rotation rule mechanically.
+#: transitions, sequence match, cross-correlation, the SCD2
+#: maintenance face, embedding drift, and the SCD2 as-of lookup), then
+#: the r7-stalest cohort (the oldest driver rows in the evidence
+#: ledger after the r10/r11 rotations — 26 of 39 fit alongside the
+#: never-sampled tier). tests/test_registry_head.py enforces the
+#: rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r12 — never sampled by construction
@@ -9704,6 +9814,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_sequence_match",
     "tick_cross_correlation",
     "stream_scd2_maintenance",
+    "diag_embedding_drift",
+    "warehouse_scd2_asof",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -9718,11 +9830,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 28 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 26 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
-    # wave-2/3 additions — tpch_q2/q7/q8/q22, tpch_q19/q20/q21 and
-    # tpch_q16 rotated out to keep the head at 50 with the 22
-    # never-sampled r12 entries, which always take priority)
+    # wave-2/3 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/q15
+    # rotated out to keep the head at 50 with the 24 never-sampled r12
+    # entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9749,8 +9861,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
 ]
 
 
