@@ -3305,3 +3305,78 @@ def test_cross_correlation_perfect_and_anti(spark):
     for r in out.values():
         assert r["n"] == 30
         assert r["num"] * r["num"] == r["den_x"] * r["den_y"]  # |r| = 1 exactly
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations + multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_dq_checks_exact_counts_and_ri_null_fk(spark):
+    from tickdb_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, None, "A"),     # null value
+            (3, 99.0, "B"),     # out of range
+            (3, 5.0, "zz"),     # dup key + bad code
+        ],
+        ["k", "v", "code"],
+    )
+    rep = dq.run_checks(
+        df,
+        "t",
+        [
+            dq.not_null("v_not_null", "v"),
+            dq.in_range("v_in_0_50", "v", 0, 50),
+            dq.accepted_values("code_ok", "code", ("A", "B")),
+        ],
+        uniques=[("k_unique", ["k"])],
+    )
+    rows = {r["check_name"]: r for r in rep.collect()}
+    assert rows["v_not_null"]["violations"] == 1
+    # null v violates the range check too (range requires NOT NULL)
+    assert rows["v_in_0_50"]["violations"] == 2
+    assert rows["code_ok"]["violations"] == 1
+    assert rows["k_unique"]["violations"] == 1
+    assert all(r["total"] == 4 for r in rows.values())
+    assert rows["code_ok"]["violation_ppm"] == 250_000
+    assert rows["code_ok"]["passed"] == 0
+
+    # RI: unmatched fk AND null fk both count as orphans
+    child = spark.createDataFrame([(1,), (2,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    ri = dq.ri_check(child, "fk", parent, "pk", "t", "fk_in_parent").collect()[0]
+    assert (ri["violations"], ri["total"], ri["passed"]) == (2, 3, 0)
+
+
+def test_multitouch_attribution_credits_sum_to_million(spark):
+    from tickdb_spark.querybank import REGISTRY, _MTA_WINDOW_US
+    from tickdb_spark.operators.rangejoin import point_in_interval_join
+    from pyspark.sql import Window
+
+    day = 86_400_000_000
+    # purchase at t=10d; clicks at 4d/6d/9d (in window), 2d (outside)
+    purchases = spark.createDataFrame(
+        [(100, 1, 10 * day)], ["purchase_id", "user_id", "p_us"]
+    ).withColumn("w_start", F.col("p_us") - F.lit(_MTA_WINDOW_US))
+    clicks = spark.createDataFrame(
+        [(11, 1, 4 * day), (12, 1, 6 * day), (13, 1, 9 * day), (14, 1, 2 * day)],
+        ["click_id", "user_id", "c_us"],
+    )
+    j = point_in_interval_join(
+        clicks, purchases, ["user_id"], "c_us", "w_start", "p_us", bucket_ns=day
+    )
+    w = Window.partitionBy("purchase_id")
+    w_rk = Window.partitionBy("purchase_id").orderBy("c_us", "click_id")
+    n = F.count(F.lit(1)).over(w)
+    rk = F.row_number().over(w_rk)
+    credit = F.call_function("div", F.lit(1_000_000), n) + F.when(
+        rk <= F.lit(1_000_000) % n, F.lit(1)
+    ).otherwise(F.lit(0))
+    out = j.select("click_id", credit.cast("long").alias("credit_ppm")).collect()
+    got = {r["click_id"]: r["credit_ppm"] for r in out}
+    # 2d click excluded; remainder (10^6 % 3 = 1) goes to the EARLIEST
+    assert got == {11: 333_334, 12: 333_333, 13: 333_333}
+    assert sum(got.values()) == 1_000_000

@@ -9781,6 +9781,190 @@ def warehouse_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tickdb_spark.operators import dq as _dq  # noqa: E402
+
+_DQ_LINEITEM_CHECKS = [
+    ("l_quantity_not_null", "CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END"),
+    (
+        "l_quantity_in_1_50",
+        "CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1 "
+        "AND l_quantity <= 50 THEN 0 ELSE 1 END",
+    ),
+    (
+        "l_quantity_le_25",
+        "CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1 "
+        "AND l_quantity <= 25 THEN 0 ELSE 1 END",
+    ),
+    (
+        "l_returnflag_accepted",
+        "CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END",
+    ),
+    (
+        "l_linestatus_only_open",
+        "CASE WHEN l_linestatus IN ('O') THEN 0 ELSE 1 END",
+    ),
+]
+
+_DQ_ORDERS_CHECKS = [
+    ("o_custkey_not_null", "CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END"),
+    (
+        "o_totalprice_positive",
+        "CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0 "
+        "AND o_totalprice <= 1000000000 THEN 0 ELSE 1 END",
+    ),
+]
+
+
+@register(
+    "dq_expectation_report",
+    f"""
+    SELECT * FROM (
+    {_dq.run_checks_sql("lineitem", "lineitem", _DQ_LINEITEM_CHECKS,
+                        [("lineitem_line_unique", ["l_orderkey", "l_linenumber"])])}
+    )
+    UNION ALL
+    SELECT * FROM (
+    {_dq.run_checks_sql("orders", "orders", _DQ_ORDERS_CHECKS,
+                        [("o_orderkey_unique", ["o_orderkey"])])}
+    )
+    UNION ALL
+    SELECT * FROM (
+    {_dq.ri_check_sql("orders", "o_custkey", "customer", "c_custkey",
+                      "orders", "o_custkey_in_customer")}
+    )
+    UNION ALL
+    SELECT * FROM (
+    {_dq.ri_check_sql("lineitem", "l_orderkey", "orders", "o_orderkey",
+                      "lineitem", "l_orderkey_in_orders")}
+    )
+    """,
+    "data-quality expectation suite (the Deequ/dbt-test family): "
+    "not-null, range, accepted-values, composite uniqueness, and "
+    "referential integrity over lineitem/orders/customer — every "
+    "row-level check on a table FUSED into one conditional aggregate "
+    "(one scan per table no matter how many checks ride it; uniqueness "
+    "in the same aggregate as count vs count-distinct), RI as anti-join "
+    "counts (parent key set deduped + broadcastable, never a correlated "
+    "probe). Mixed fixture: passing checks AND deliberately-failing "
+    "ones (qty<=25, linestatus-only-O) prove exact violation counting; "
+    "every number is BIGINT, ppm is integer division",
+)
+def dq_expectation_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    li_checks = [
+        _dq.not_null("l_quantity_not_null", "l_quantity"),
+        _dq.in_range("l_quantity_in_1_50", "l_quantity", 1, 50),
+        _dq.in_range("l_quantity_le_25", "l_quantity", 1, 25),
+        _dq.accepted_values("l_returnflag_accepted", "l_returnflag", ("A", "N", "R")),
+        _dq.accepted_values("l_linestatus_only_open", "l_linestatus", ("O",)),
+    ]
+    o_checks = [
+        _dq.not_null("o_custkey_not_null", "o_custkey"),
+        _dq.in_range("o_totalprice_positive", "o_totalprice", 0, 1_000_000_000),
+    ]
+    return (
+        _dq.run_checks(
+            li, "lineitem", li_checks,
+            [("lineitem_line_unique", ["l_orderkey", "l_linenumber"])],
+        )
+        .unionAll(
+            _dq.run_checks(
+                orders, "orders", o_checks, [("o_orderkey_unique", ["o_orderkey"])]
+            )
+        )
+        .unionAll(
+            _dq.ri_check(
+                orders, "o_custkey", cust, "c_custkey", "orders",
+                "o_custkey_in_customer",
+            )
+        )
+        .unionAll(
+            _dq.ri_check(
+                li, "l_orderkey", orders, "o_orderkey", "lineitem",
+                "l_orderkey_in_orders",
+            )
+        )
+    )
+
+
+#: Multi-touch lookback window: 7 days in µs; one-day join buckets.
+_MTA_WINDOW_US = 7 * 86_400_000_000
+_MTA_BUCKET_US = 86_400_000_000
+
+
+@register(
+    "analytics_multitouch_attribution",
+    f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.purchase_id, p.user_id, c.click_id, c.c_us
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_us >= p.p_us - {_MTA_WINDOW_US} AND c.c_us < p.p_us
+    )
+    SELECT purchase_id, user_id, click_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_clicks,
+           CAST(1000000 // count(*) OVER w
+                + CASE WHEN row_number() OVER
+                         (PARTITION BY purchase_id ORDER BY c_us, click_id)
+                       <= 1000000 % count(*) OVER w
+                       THEN 1 ELSE 0 END AS BIGINT) AS credit_ppm
+    FROM j WINDOW w AS (PARTITION BY purchase_id)
+    """,
+    "multi-touch attribution (linear model): every click in the 7 days "
+    "BEFORE a purchase shares the conversion credit equally — exact "
+    "integer ppm with the division remainder granted to the EARLIEST "
+    "clicks (credits per purchase always sum to exactly 10^6; "
+    "deterministic tie-break on click id). The interval join is the "
+    "bucket-expansion equi-join (operators/rangejoin.py — day buckets, "
+    "≤8 per purchase window), never a nested loop; credit math is one "
+    "purchase-key window pass. Complements rangejoin_click_attribution "
+    "(post-purchase aggregate) with the per-touch credit rows a "
+    "marketing pipeline joins spend against",
+)
+def analytics_multitouch_attribution_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from tickdb_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("p_us"),
+    ).withColumn("w_start", F.col("p_us") - F.lit(_MTA_WINDOW_US))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("c_us"),
+    )
+    j = point_in_interval_join(
+        clicks, purchases, ["user_id"], "c_us", "w_start", "p_us",
+        bucket_ns=_MTA_BUCKET_US,
+    )
+    w = Window.partitionBy("purchase_id")
+    w_rk = Window.partitionBy("purchase_id").orderBy("c_us", "click_id")
+    n = F.count(F.lit(1)).over(w)
+    rk = F.row_number().over(w_rk)
+    credit = F.call_function("div", F.lit(1_000_000), n) + F.when(
+        rk <= F.lit(1_000_000) % n, F.lit(1)
+    ).otherwise(F.lit(0))
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        n.cast("long").alias("n_clicks"),
+        credit.cast("long").alias("credit_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9791,16 +9975,17 @@ def warehouse_scd2_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 24 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 26 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
 #: contamination audit, the 4 wave-2 additions: fuzzy linkage, SCD2
 #: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
 #: transitions, sequence match, cross-correlation, the SCD2
-#: maintenance face, embedding drift, and the SCD2 as-of lookup), then
-#: the r7-stalest cohort (the oldest driver rows in the evidence
-#: ledger after the r10/r11 rotations — 26 of 39 fit alongside the
+#: maintenance face, embedding drift, the SCD2 as-of lookup, the DQ
+#: expectation suite, and multi-touch attribution), then the
+#: r7-stalest cohort (the oldest driver rows in the evidence ledger
+#: after the r10/r11 rotations — 24 of 39 fit alongside the
 #: never-sampled tier). tests/test_registry_head.py enforces the
 #: rotation rule mechanically.
 
@@ -9816,6 +10001,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_scd2_maintenance",
     "diag_embedding_drift",
     "warehouse_scd2_asof",
+    "dq_expectation_report",
+    "analytics_multitouch_attribution",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -9830,11 +10017,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 26 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 24 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
-    # wave-2/3 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/q15
-    # rotated out to keep the head at 50 with the 24 never-sampled r12
-    # entries, which always take priority)
+    # wave-2/3 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/q15/
+    # q13/q11 rotated out to keep the head at 50 with the 26
+    # never-sampled r12 entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -9859,8 +10046,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_downsample_m4",
     "tick_time_travel",
     "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
 ]
 
 
