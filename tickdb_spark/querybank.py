@@ -9965,6 +9965,59 @@ def analytics_multitouch_attribution_q(
     )
 
 
+@register(
+    "analytics_rfm_scores",
+    f"""
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, last_us, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_us, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+    FROM rfm
+    """,
+    "RFM customer scoring (recency / frequency / monetary quintiles — "
+    "the classic segmentation table): one filtered per-user aggregate "
+    "(monetary through DECIMAL, exact and order-independent), then "
+    "ntile(5) per axis with user_id tie-breaks so bucket boundaries are "
+    "deterministic on both engines. Scale note: the global windows run "
+    "over the USER AGGREGATE (dimension-sized — the event corpus never "
+    "sees a window); at extreme user counts the quintile thresholds "
+    "come from the bottom-k quantile sketch (sketch.bottomk_quantiles) "
+    "instead of ntile — same output contract",
+)
+def analytics_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    rfm = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts div 1000")).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+    )
+    return rfm.select(
+        "user_id",
+        "last_us",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("last_us", "user_id"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "user_id"))
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -9975,7 +10028,7 @@ def analytics_multitouch_attribution_q(
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 26 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 27 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
@@ -9983,9 +10036,9 @@ def analytics_multitouch_attribution_q(
 #: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
 #: transitions, sequence match, cross-correlation, the SCD2
 #: maintenance face, embedding drift, the SCD2 as-of lookup, the DQ
-#: expectation suite, and multi-touch attribution), then the
-#: r7-stalest cohort (the oldest driver rows in the evidence ledger
-#: after the r10/r11 rotations — 24 of 39 fit alongside the
+#: expectation suite, multi-touch attribution, and RFM scoring), then
+#: the r7-stalest cohort (the oldest driver rows in the evidence
+#: ledger after the r10/r11 rotations — 23 of 39 fit alongside the
 #: never-sampled tier). tests/test_registry_head.py enforces the
 #: rotation rule mechanically.
 
@@ -10003,6 +10056,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "warehouse_scd2_asof",
     "dq_expectation_report",
     "analytics_multitouch_attribution",
+    "analytics_rfm_scores",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -10017,10 +10071,10 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 24 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 23 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
-    # wave-2/3 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/q15/
-    # q13/q11 rotated out to keep the head at 50 with the 26
+    # wave-2/3/4 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/
+    # q15/q13/q11/q10 rotated out to keep the head at 50 with the 27
     # never-sampled r12 entries, which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
@@ -10045,7 +10099,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_quality_perceptron",
     "tick_downsample_m4",
     "tick_time_travel",
-    "tpch_q10_returned_items",
 ]
 
 
