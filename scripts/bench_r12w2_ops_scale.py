@@ -224,6 +224,102 @@ def main() -> None:
     print(json.dumps({"op": "cross_correlation_series", "sec": times,
                       "log2_growth": growth(times)}))
 
+    # ---- wave 4 ----
+    from tickdb_spark.operators import dq
+
+    # DQ: rows scale — the fused aggregate should track the scan, one
+    # pass regardless of the 5-check battery
+    def dq_report(ev):
+        checks = [
+            dq.not_null("v_not_null", "value"),
+            dq.in_range("v_in_0_600", "value", 0, 600),
+            dq.in_range("v_le_50", "value", 0, 50),
+            dq.accepted_values(
+                "etype_ok", "event_type",
+                tuple(f"{t}_{k}" for t in ("click", "view", "purchase",
+                                           "signup", "error") for k in range(8)),
+            ),
+        ]
+        return dq.run_checks(
+            ev, "events", checks, [("event_unique", ["event_id"])]
+        )
+
+    times = [_run(dq_report(scaled_events(spark, f))) for f in FACTORS]
+    print(json.dumps({"op": "dq_checks_rows", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # multi-touch: users scale (purchases AND clicks both grow ∝ f,
+    # per-user click density fixed → join output grows ∝ f, never f²)
+    from tickdb_spark.operators.rangejoin import point_in_interval_join
+
+    def mta(ev):
+        day = 86_400_000_000
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts_us").alias("p_us"),
+        ).withColumn("w_start", F.col("p_us") - F.lit(7 * day))
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts_us").alias("c_us"),
+        )
+        j = point_in_interval_join(
+            clicks, purchases, ["user_id"], "c_us", "w_start", "p_us",
+            bucket_ns=day,
+        )
+        w = Window.partitionBy("purchase_id")
+        w_rk = Window.partitionBy("purchase_id").orderBy("c_us", "click_id")
+        n = F.count(F.lit(1)).over(w)
+        rk = F.row_number().over(w_rk)
+        credit = F.call_function("div", F.lit(1_000_000), n) + F.when(
+            rk <= F.lit(1_000_000) % n, F.lit(1)
+        ).otherwise(F.lit(0))
+        return j.select(
+            "purchase_id", "click_id", credit.cast("long").alias("credit_ppm")
+        )
+
+    times = [_run(mta(scaled_user_events_with_value(spark, f))) for f in FACTORS]
+    print(json.dumps({"op": "multitouch_users", "sec": times,
+                      "log2_growth": growth(times)}))
+
+    # RFM: users scale — the global ntile windows see only the per-user
+    # aggregate (dimension-sized)
+    def rfm(ev):
+        agg = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+            F.max("ts_us").cast("long").alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("m"),
+        )
+        return agg.select(
+            "user_id",
+            F.ntile(5).over(Window.orderBy("last_us", "user_id")).alias("r"),
+            F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("fq"),
+            F.ntile(5).over(Window.orderBy("m", "user_id")).alias("mq"),
+        )
+
+    times = [_run(rfm(scaled_user_events_with_value(spark, f))) for f in FACTORS]
+    print(json.dumps({"op": "rfm_users", "sec": times,
+                      "log2_growth": growth(times)}))
+
+
+def scaled_user_events_with_value(spark, factor: int):
+    """Like scaled_user_events but keeps the value column (for RFM) —
+    users grow with f, per-user history fixed."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    copies = spark.range(factor).select(F.col("id").alias("k"))
+    return (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") * factor + F.col("k")).alias("event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            (F.col("user_id") + F.col("k") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(32)
+    )
+
 
 if __name__ == "__main__":
     main()
