@@ -3380,3 +3380,25 @@ def test_multitouch_attribution_credits_sum_to_million(spark):
     # 2d click excluded; remainder (10^6 % 3 = 1) goes to the EARLIEST
     assert got == {11: 333_334, 12: 333_333, 13: 333_333}
     assert sum(got.values()) == 1_000_000
+
+
+def test_dq_run_checks_is_one_fused_scan(spark):
+    """The Deequ property: N row-level checks + a uniqueness check on
+    one table cost ONE scan + ONE aggregate pass, not a query per
+    expectation."""
+    from tickdb_spark.operators import dq
+    from tickdb_spark.plans import count_op
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rep = dq.run_checks(
+        li,
+        "lineitem",
+        [
+            dq.not_null("a", "l_quantity"),
+            dq.in_range("b", "l_quantity", 1, 50),
+            dq.accepted_values("c", "l_returnflag", ("A", "N", "R")),
+        ],
+        uniques=[("u", ["l_orderkey", "l_linenumber"])],
+    )
+    assert count_op(rep, "Scan parquet") == 1
+    rep.collect()  # and it runs
