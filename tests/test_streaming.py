@@ -1365,3 +1365,81 @@ def test_scd2_face_tombstones_and_compaction(tmp_path, spark):
     assert {
         (r.user_id, r.valid_from): r.event_type for r in compacted.collect()
     } == after
+
+
+def test_stream_dq_maintenance_additive_and_restart(tmp_path, spark):
+    """DQ face: per-batch fused counters summed across epochs equal the
+    batch-built report over all landed rows (row-level checks are
+    exactly additive); restart resumes incrementally; compacting the
+    counter log preserves the merged report."""
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from tickdb_spark.operators import dq
+    from tickdb_spark.streaming.index import (
+        DQ_COUNTER_SCHEMA,
+        _read_maintained,
+        compact_index,
+        dq_counters_report,
+        stream_dq_maintenance,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    batches = [
+        [(1, 10.0), (2, None)],     # one null
+        [(3, 99.0)],                # one out-of-range
+        [(4, 5.0), (5, 20.0)],      # clean
+    ]
+
+    def _land(i, rows):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=["id", "v"])
+        pdf["id"] = pdf["id"].astype("int64")
+        pdf["v"] = pdf["v"].astype("float64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    for i, rows in enumerate(batches):
+        _land(i, rows)
+
+    checks = [
+        dq.not_null("v_not_null", "v"),
+        dq.in_range("v_in_0_50", "v", 0, 50),
+    ]
+    got = stream_dq_maintenance(
+        spark, str(landing), str(tmp_path / "state"), schema, checks, table="t"
+    )
+    rows = {r["check_name"]: (r["violations"], r["total"], r["passed"])
+            for r in got.collect()}
+    assert rows == {"v_not_null": (1, 5, 0), "v_in_0_50": (2, 5, 0)}
+
+    # restart with one more landing file: counters extend, never recount
+    _land(3, [(6, -1.0)])
+    got2 = stream_dq_maintenance(
+        spark, str(landing), str(tmp_path / "state"), schema, checks, table="t"
+    )
+    rows2 = {r["check_name"]: (r["violations"], r["total"])
+             for r in got2.collect()}
+    assert rows2 == {"v_not_null": (1, 6), "v_in_0_50": (3, 6)}
+
+    # compaction preserves the merged report
+    ctr_dir = str(tmp_path / "state" / "dq_counters")
+    dest = compact_index(
+        spark, ctr_dir, DQ_COUNTER_SCHEMA, sort_cols=["check_name", "epoch"]
+    )
+    rep = dq_counters_report(
+        spark.read.schema(DQ_COUNTER_SCHEMA).parquet(dest), "t"
+    )
+    assert {
+        r["check_name"]: (r["violations"], r["total"]) for r in rep.collect()
+    } == rows2

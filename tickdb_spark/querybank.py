@@ -10018,6 +10018,85 @@ def analytics_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SDQ_CHECKS_SQL = [
+    ("value_not_null", "CASE WHEN value IS NULL THEN 1 ELSE 0 END"),
+    (
+        "value_in_0_600",
+        "CASE WHEN value IS NOT NULL AND value >= 0 AND value <= 600 "
+        "THEN 0 ELSE 1 END",
+    ),
+    (
+        "value_le_50",
+        "CASE WHEN value IS NOT NULL AND value >= 0 AND value <= 50 "
+        "THEN 0 ELSE 1 END",
+    ),
+    (
+        "etype_accepted",
+        "CASE WHEN event_type IN ('click', 'view', 'purchase', 'signup', "
+        "'error') THEN 0 ELSE 1 END",
+    ),
+]
+
+
+@register(
+    "stream_dq_maintenance",
+    _dq.run_checks_sql(
+        "(SELECT * FROM events WHERE user_id < 50)", "events_stream",
+        _SDQ_CHECKS_SQL,
+    ),
+    "the 12th maintained face: CONTINUOUS data-quality monitoring (the "
+    "Deequ incremental-metrics pattern) — each micro-batch runs the "
+    "FUSED check aggregate over the batch only and appends |checks| "
+    "counter rows per epoch; the report view SUMs across epochs "
+    "(row-level check counts are per-row flag sums, exactly "
+    "batch-additive), so the maintained report equals run_checks over "
+    "every row ever landed with the corpus never rescanned. Scope is "
+    "row-level checks by contract (uniqueness/RI are not additive — "
+    "they run at compaction or ride the HLL face). State per epoch is "
+    "bytes, not data",
+)
+def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.streaming.index import stream_dq_maintenance
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.col("user_id") < 50)
+        .select("event_id", "event_type", "value")
+    )
+    pdf = ev.toPandas()
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("event_type", _T.StringType(), False),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    work = _tempfile.mkdtemp(prefix="tickdb_sdq_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k in range(3):
+        part = pdf[pdf.event_id % 3 == k]
+        _write_landing(
+            part, schema, _os.path.join(landing, f"ev_{k}.parquet"), base + k
+        )
+    checks = [
+        _dq.not_null("value_not_null", "value"),
+        _dq.in_range("value_in_0_600", "value", 0, 600),
+        _dq.in_range("value_le_50", "value", 0, 50),
+        _dq.accepted_values(
+            "etype_accepted", "event_type",
+            ("click", "view", "purchase", "signup", "error"),
+        ),
+    ]
+    return stream_dq_maintenance(
+        spark, landing, _os.path.join(work, "state"), schema, checks,
+        table="events_stream",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -10028,7 +10107,7 @@ def analytics_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 27 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 28 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
@@ -10036,11 +10115,11 @@ def analytics_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
 #: transitions, sequence match, cross-correlation, the SCD2
 #: maintenance face, embedding drift, the SCD2 as-of lookup, the DQ
-#: expectation suite, multi-touch attribution, and RFM scoring), then
-#: the r7-stalest cohort (the oldest driver rows in the evidence
-#: ledger after the r10/r11 rotations — 23 of 39 fit alongside the
-#: never-sampled tier). tests/test_registry_head.py enforces the
-#: rotation rule mechanically.
+#: expectation suite, multi-touch attribution, RFM scoring, and the
+#: streaming DQ face), then the r7-stalest cohort (the oldest driver
+#: rows in the evidence ledger after the r10/r11 rotations — 22 of 39
+#: fit alongside the never-sampled tier).
+#: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (1) NEW in r12 — never sampled by construction
@@ -10057,6 +10136,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dq_expectation_report",
     "analytics_multitouch_attribution",
     "analytics_rfm_scores",
+    "stream_dq_maintenance",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -10071,11 +10151,12 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 23 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 22 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
     # wave-2/3/4 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/
-    # q15/q13/q11/q10 rotated out to keep the head at 50 with the 27
-    # never-sampled r12 entries, which always take priority)
+    # q15/q13/q11/q10 and tick_time_travel rotated out to keep the head
+    # at 50 with the 28 never-sampled r12 entries, which always take
+    # priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -10098,7 +10179,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_lexical_diversity",
     "text_quality_perceptron",
     "tick_downsample_m4",
-    "tick_time_travel",
 ]
 
 

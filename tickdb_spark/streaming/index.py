@@ -933,3 +933,98 @@ def stream_scd2_maintenance(
     )
     q.awaitTermination()
     return scd2_current_history(_read_maintained(spark, hist_dir, SCD2_HIST_SCHEMA))
+
+
+# --- streaming data-quality counter maintenance ------------------------------
+
+DQ_COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("check_name", T.StringType(), False),
+        T.StructField("violations", T.LongType(), False),
+        T.StructField("total", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+
+def dq_counters_report(counters: DataFrame, table: str) -> DataFrame:
+    """Resolve the counter log to the report shape ``run_checks``
+    emits: per check, SUM across epochs (row-level check counts are
+    pure per-row flag sums, so per-batch counters are exactly
+    additive), verdict and ppm recomputed from the merged sums."""
+    merged = counters.groupBy("check_name").agg(
+        F.sum("violations").cast("long").alias("violations"),
+        F.sum("total").cast("long").alias("total"),
+    )
+    ppm = F.call_function(
+        "div", F.col("violations") * F.lit(1_000_000), F.col("total")
+    )
+    return merged.select(
+        F.lit(table).alias("table_name"),
+        "check_name",
+        "violations",
+        "total",
+        F.when(F.col("violations") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("passed"),
+        ppm.cast("long").alias("violation_ppm"),
+    )
+
+
+def stream_dq_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    checks,
+    table: str = "stream",
+) -> DataFrame:
+    """The 12th maintained face: CONTINUOUS data-quality monitoring —
+    the Deequ incremental-metrics pattern. Each micro-batch runs the
+    fused check aggregate (``operators/dq.run_checks`` — one scan of
+    the BATCH, however many checks ride it) and appends one counter row
+    per check to an epoch-dir log; the report view SUMs across epochs,
+    so the maintained report equals ``run_checks`` batch-built over
+    every row ever landed — the corpus is never rescanned, per-batch
+    cost is one pass over the batch, and the stored state is
+    |checks| rows per epoch (bytes, not data).
+
+    Scope (honest contract): row-level checks only — their counts are
+    per-row flag sums and therefore exactly batch-additive. Uniqueness
+    and referential integrity are NOT additive (a later batch can
+    create a duplicate of, or a parent for, an earlier row); those run
+    at compaction time or ride the maintained distinct sketches (the
+    HLL face). Idempotence: per-epoch overwrite, same as every face;
+    no own-state read, so no crash-exclusion subtlety. Lifecycle:
+    ``compact_index`` on the counter log (sort by (check_name, epoch))
+    — tombstones don't apply to aggregate counters (the retraction
+    unit is an epoch directory). Returns the merged report."""
+    from tickdb_spark.operators.dq import run_checks
+
+    ctr_dir = os.path.join(work_dir, "dq_counters")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_dq")
+    spark.createDataFrame([], DQ_COUNTER_SCHEMA).write.mode("ignore").parquet(ctr_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        rep = run_checks(batch, table, checks)
+        rep.select(
+            "check_name",
+            "violations",
+            "total",
+            F.lit(int(epoch_id)).cast("long").alias("epoch"),
+        ).write.mode("overwrite").parquet(os.path.join(ctr_dir, f"epoch_{epoch_id}"))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dq_counters_report(
+        _read_maintained(spark, ctr_dir, DQ_COUNTER_SCHEMA), table
+    )
