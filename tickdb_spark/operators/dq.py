@@ -121,6 +121,9 @@ def ri_check(
     orphans = child.join(
         parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
     )
+    # The crossJoin (plans as a nested-loop join) pairs two SINGLE-ROW
+    # aggregate frames — 1×1 at any corpus size; the data-sized work is
+    # the anti-join above and the count scans.
     one = child.agg(F.count(F.lit(1)).cast("long").alias("total")).crossJoin(
         orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
     )

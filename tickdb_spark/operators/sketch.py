@@ -911,6 +911,10 @@ def kmv_set_cardinalities(
     b = sketches.select(
         F.col("grp").alias("grp_b"), F.col("h").alias("h"), F.lit(1).alias("in_b")
     )
+    # all-pairs of GROUPS, not of data: the crossJoin (a nested-loop
+    # plan) runs over the distinct group lists — |groups|² rows, never
+    # corpus-sized; everything downstream touches only sketch rows
+    # (≤ 2k per pair). Same deliberate shape as kmv_pairwise_jaccard.
     pairs = (
         sketches.select(F.col("grp").alias("grp_a"))
         .distinct()
