@@ -10097,6 +10097,66 @@ def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_skipgram_counts",
+    r"""
+    WITH t AS MATERIALIZED (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+    ),
+    pairs AS (
+      SELECT toks[i] AS w, toks[i+1] AS ctx, CAST(1 AS BIGINT) AS dist
+      FROM t, LATERAL unnest(generate_series(1, len(toks)-1)) AS u(i)
+      UNION ALL
+      SELECT toks[i], toks[i+2], CAST(2 AS BIGINT)
+      FROM t, LATERAL unnest(generate_series(1, len(toks)-2)) AS u(i)
+    )
+    SELECT w, ctx, dist, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY w, ctx, dist
+    """,
+    "skip-gram co-occurrence counts (the word2vec/GloVe training-data "
+    "prep primitive): (word, context, distance) counts for contexts at "
+    "offsets +1 and +2 — ordered pairs so direction is preserved, "
+    "distance kept as a column so callers apply their own 1/d "
+    "weighting. One corpus pass builds both offset sets from the token "
+    "ARRAY by position arithmetic (no self-join on positions, no "
+    "window); the aggregate is map-side combinable and vocab²-bounded, "
+    "tiny vs the corpus. At 100 TB this is one explode-shaped "
+    "projection + one hash aggregate",
+)
+def text_skipgram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = (
+        docs.select(toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        # both offset projections read this frame — one corpus scan
+        .localCheckpoint(eager=False)
+    )
+    d1 = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1), i -> "
+                "struct(element_at(toks, i) AS w, element_at(toks, i+1) AS ctx))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.ctx", F.lit(1).cast("long").alias("dist"))
+    d2 = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-2), i -> "
+                "struct(element_at(toks, i) AS w, element_at(toks, i+2) AS ctx))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.ctx", F.lit(2).cast("long").alias("dist"))
+    return (
+        d1.unionAll(d2)
+        .groupBy("w", "ctx", "dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -10107,7 +10167,7 @@ def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 28 entries NEW in r12 (never sampled by
+#: r12 head: leads with the 29 entries NEW in r12 (never sampled by
 #: construction — the 4 wave-1 additions, filtered ANN both routes,
 #: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
 #: retrieval + index path, the novelty report, component maintenance,
@@ -10115,10 +10175,10 @@ def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
 #: transitions, sequence match, cross-correlation, the SCD2
 #: maintenance face, embedding drift, the SCD2 as-of lookup, the DQ
-#: expectation suite, multi-touch attribution, RFM scoring, and the
-#: streaming DQ face), then the r7-stalest cohort (the oldest driver
-#: rows in the evidence ledger after the r10/r11 rotations — 22 of 39
-#: fit alongside the never-sampled tier).
+#: expectation suite, multi-touch attribution, RFM scoring, the
+#: streaming DQ face, and skip-gram counts), then the r7-stalest
+#: cohort (the oldest driver rows in the evidence ledger after the
+#: r10/r11 rotations — 21 of 39 fit alongside the never-sampled tier).
 #: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -10137,6 +10197,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_multitouch_attribution",
     "analytics_rfm_scores",
     "stream_dq_maintenance",
+    "text_skipgram_counts",
     "select_hard_negatives_bulk",
     "diag_join_planner",
     "tick_schema_evolution",
@@ -10151,12 +10212,12 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_component_maintenance",
     "diag_cross_split_contamination",
     "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 22 of 39; udtf_token_freqs,
+    # (2) stalest driver proof (r7 cohort — 21 of 39; udtf_token_freqs,
     # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
     # wave-2/3/4 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/
-    # q15/q13/q11/q10 and tick_time_travel rotated out to keep the head
-    # at 50 with the 28 never-sampled r12 entries, which always take
-    # priority)
+    # q15/q13/q11/q10, tick_time_travel and tick_downsample_m4 rotated
+    # out to keep the head at 50 with the 29 never-sampled r12 entries,
+    # which always take priority)
     "decontaminate_bloom_prefilter",
     "dedup_cluster_components",
     "dedup_cluster_retention",
@@ -10178,7 +10239,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_stream_leftouter_join",
     "text_lexical_diversity",
     "text_quality_perceptron",
-    "tick_downsample_m4",
 ]
 
 
