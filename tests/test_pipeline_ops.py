@@ -3402,3 +3402,46 @@ def test_dq_run_checks_is_one_fused_scan(spark):
     )
     assert count_op(rep, "Scan parquet") == 1
     rep.collect()  # and it runs
+
+
+def test_sequence_match_operator_generalizes(spark):
+    """The CEP-shape operator: arbitrary step predicates (type AND
+    value thresholds), consecutive-only semantics, gap bounds, and one
+    exchange for all leads."""
+    from tickdb_spark.operators.sequence import sequence_match
+    from tickdb_spark.plans import count_op
+
+    rows = [
+        # user 1: view(v=5) -> click(v=50) -> purchase  (MATCH)
+        (1, 10, 1, "view", 5.0),
+        (1, 20, 2, "click", 50.0),
+        (1, 30, 3, "purchase", 1.0),
+        # user 2: click value too LOW for the predicate (NO match)
+        (2, 10, 4, "view", 5.0),
+        (2, 20, 5, "click", 3.0),
+        (2, 30, 6, "purchase", 1.0),
+        # user 3: right steps but gap > 15 between steps 2,3 (NO match)
+        (3, 10, 7, "view", 5.0),
+        (3, 20, 8, "click", 50.0),
+        (3, 99, 9, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "t", "eid", "etype", "v"])
+    out = sequence_match(
+        df, "user_id", "t", "eid",
+        steps=[
+            F.col("etype") == "view",
+            (F.col("etype") == "click") & (F.col("v") >= 10),
+            F.col("etype") == "purchase",
+        ],
+        max_gap=15,
+    )
+    # plan first: after an action AQE's formatted plan appends the
+    # "Initial Plan" section and every operator counts twice
+    assert count_op(out, "Exchange") == 1  # all leads share one window
+    got = [(r["user_id"], list(r["step_ts"])) for r in out.collect()]
+    assert got == [(1, [10, 20, 30])]
+    # single-step degenerates to a filter; empty steps is an error
+    one = sequence_match(df, "user_id", "t", "eid", [F.col("etype") == "view"])
+    assert one.count() == 3
+    with pytest.raises(ValueError):
+        sequence_match(df, "user_id", "t", "eid", [])

@@ -9577,28 +9577,29 @@ _SEQ_GAP_US = 86_400_000_000
     "per-user collect. Gaps are integer µs arithmetic",
 )
 def analytics_sequence_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = F.expr("ts div 1000")
-    seq = ev.select(
+    from tickdb_spark.operators.sequence import sequence_match
+
+    ev = _read_events(spark, sf_dir).select(
         "user_id",
-        F.col("event_type").alias("e0"),
-        t.alias("t0"),
-        F.lead("event_type", 1).over(w).alias("e1"),
-        F.lead(t, 1).over(w).alias("t1"),
-        F.lead("event_type", 2).over(w).alias("e2"),
-        F.lead(t, 2).over(w).alias("t2"),
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
     )
-    matched = seq.where(
-        (F.col("e0") == "view")
-        & (F.col("e1") == "click")
-        & (F.col("e2") == "purchase")
-        & (F.col("t1") - F.col("t0") <= _SEQ_GAP_US)
-        & (F.col("t2") - F.col("t1") <= _SEQ_GAP_US)
+    m = sequence_match(
+        ev,
+        "user_id",
+        "ts_us",
+        "event_id",
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        max_gap=_SEQ_GAP_US,
     )
-    return matched.groupBy("user_id").agg(
+    return m.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
-        F.min("t0").cast("long").alias("first_match_us"),
+        F.min(F.element_at("step_ts", 1)).cast("long").alias("first_match_us"),
     )
 
 
