@@ -3445,3 +3445,22 @@ def test_sequence_match_operator_generalizes(spark):
     assert one.count() == 3
     with pytest.raises(ValueError):
         sequence_match(df, "user_id", "t", "eid", [])
+
+
+def test_bloom_reduced_join_identical_even_at_high_fpr(spark):
+    """Bloom reduction can never drop a matching row (no false
+    negatives); even a deliberately tiny bitmap (huge FPR) only lets
+    more rows through to the exact join — output identical."""
+    from tickdb_spark.operators.planner import bloom_reduced_join
+
+    big = spark.createDataFrame([(i, i * 10) for i in range(200)], ["k", "v"])
+    small = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(0, 200, 7)], ["k", "name"]
+    )
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    got = sorted(map(tuple, bloom_reduced_join(big, small, "k").collect()))
+    assert got == want
+    tiny = sorted(
+        map(tuple, bloom_reduced_join(big, small, "k", m_bits=64).collect())
+    )
+    assert tiny == want

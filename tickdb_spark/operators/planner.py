@@ -334,3 +334,108 @@ def planned_join(
     return apply_join_decision(
         a, b, [a_col], row["decision"], row["n_a"] >= row["n_b"], salts, how
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-reduced join — the semi-join-reduction strategy next to
+# broadcast/salted/shuffle/prune: when the small side is too big to
+# broadcast as ROWS but its KEY SET fits a fixed bitmap, ship a Bloom
+# filter (m_bits/8 bytes regardless of key count) and prefilter the big
+# side BEFORE its shuffle. No false negatives, so the exact join removes
+# the ~FPR survivors and the OUTPUT IS IDENTICAL to the plain join —
+# only the shuffle volume changes (at 1% FPR and 10% true-match rate the
+# big side's shuffle shrinks ~9×). The same trick Spark's runtime
+# bloom-filter join injects; here it is explicit, deterministic, and
+# composable with `choose_join` (callers pick it when `est_rows` says
+# shuffle but the small side's distinct-key count is bitmap-sized).
+# Hashing mirrors operators/decontam.contamination_report_bloom
+# (splitmix64-style numpy uint64 mixing over a shared 60-bit key hash).
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(vals, k_hashes: int, mask):
+    import numpy as np
+
+    g = vals.astype("uint64")
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(k_hashes):
+            x = g + np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            out.append(x & mask)
+    return out
+
+
+def bloom_reduced_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """INNER-join ``big`` to ``small`` on ``key`` with a Bloom semi-join
+    reduction of the big side. Output is row-identical to
+    ``big.join(small, key)``; the bitmap only prunes big-side rows that
+    cannot match. Bitmap built distributed (per-partition OR, driver
+    OR-merge — bounded by partitions × m_bits/8 bytes); probe is an
+    Arrow-batched vectorized pandas UDF over the shared 60-bit key
+    hash; the exact join is a shuffled hash join of the SURVIVORS."""
+    import numpy as np
+    import pandas as pd
+
+    from tickdb_spark.operators.sketch import value_hash_60
+
+    words = m_bits // 64
+    mask_v = m_bits - 1
+
+    keys = small.select(value_hash_60(F.col(key)).alias("_h")).distinct()
+
+    def _build(batches):
+        import numpy as np
+
+        bits = np.zeros(words, dtype="uint64")
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            for pos in _bloom_positions(
+                pdf["_h"].to_numpy(), k_hashes, np.uint64(mask_v)
+            ):
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(6)).astype("int64"),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        if seen:
+            yield pd.DataFrame({"w": bits.view("int64")})
+
+    parts = keys.mapInPandas(_build, "w long").toPandas()
+    bitmap = np.zeros(words, dtype="uint64")
+    for s in range(0, len(parts), words):
+        bitmap |= parts["w"].to_numpy()[s : s + words].view("uint64")
+    bc = big.sparkSession.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def probe(hs):
+        import numpy as np
+
+        b = bc.value
+        g = hs.to_numpy()
+        ok = np.ones(len(g), dtype=bool)
+        for pos in _bloom_positions(g, k_hashes, np.uint64(mask_v)):
+            ok &= (
+                b[(pos >> np.uint64(6)).astype("int64")]
+                >> (pos & np.uint64(63))
+                & np.uint64(1)
+            ).astype(bool)
+        import pandas as pd
+
+        return pd.Series(ok)
+
+    survivors = big.withColumn("_h", value_hash_60(F.col(key))).where(
+        probe(F.col("_h"))
+    ).drop("_h")
+    return survivors.join(small.hint("shuffle_hash"), key)
