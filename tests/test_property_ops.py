@@ -108,3 +108,116 @@ def test_kmv_setops_exact_below_k_property(spark, a, b):
     assert r["est_intersect"] == len(a & b)
     assert r["est_only_a"] == len(a - b)
     assert r["est_only_b"] == len(b - a)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-500, max_value=500, allow_nan=False, width=32),
+        min_size=8, max_size=40,
+    )
+)
+def test_lag_autocorrelation_matches_numpy_reference(spark, vals):
+    """The integer-statistics Pearson equals a float64 numpy Pearson of
+    the SAME quantized series to ~1e-9 (the quantization is shared; the
+    only divergence left is float summation order, bounded well below
+    any analytic use)."""
+    import numpy as np
+
+    from tickdb_spark.operators.timeseries import lag_autocorrelation
+
+    rows = [("s", i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["series", "ts", "id", "v"])
+    out = {
+        r["lag"]: r
+        for r in lag_autocorrelation(
+            df, "series", "ts", "id", "v", lags=(1, 2)
+        ).collect()
+    }
+    q = np.floor(np.array(vals, dtype="float64") * 100 + 0.5)
+    for k in (1, 2):
+        x, y = q[:-k], q[k:]
+        den = np.sqrt(((x - x.mean()) ** 2).sum() * ((y - y.mean()) ** 2).sum())
+        if den == 0:
+            # constant side: correlation undefined → NULL on both engines
+            assert out[k]["acf"] is None
+            assert out[k]["den_x"] == 0 or out[k]["den_y"] == 0
+            continue
+        ref = ((x - x.mean()) * (y - y.mean())).sum() / den
+        assert out[k]["acf"] == pytest.approx(ref, abs=1e-9)
+        assert out[k]["n"] == len(x)
+
+
+step_ev_st = st.tuples(
+    st.integers(min_value=1, max_value=2),            # key
+    st.sampled_from(["view", "click", "purchase"]),   # type
+    st.integers(min_value=0, max_value=30),           # ts
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(log=st.lists(step_ev_st, min_size=1, max_size=25), gap=st.integers(2, 10))
+def test_sequence_match_equals_python_scan(spark, log, gap):
+    """The lead-compiled matcher equals a direct python scan over the
+    (ts, row_id)-ordered per-key stream, gaps included."""
+    from tickdb_spark.operators.sequence import sequence_match
+
+    rows = [(k, e, t, i) for i, (k, e, t) in enumerate(log)]
+    df = spark.createDataFrame(rows, ["k", "etype", "t", "rid"])
+    out = sequence_match(
+        df, "k", "t", "rid",
+        steps=[
+            F.col("etype") == "view",
+            F.col("etype") == "click",
+            F.col("etype") == "purchase",
+        ],
+        max_gap=gap,
+    )
+    got = sorted((r["k"], list(r["step_ts"])) for r in out.collect())
+    want = []
+    for k in {r[0] for r in rows}:
+        seq = sorted([r for r in rows if r[0] == k], key=lambda r: (r[2], r[3]))
+        for i in range(len(seq) - 2):
+            e = seq[i : i + 3]
+            if (
+                [x[1] for x in e] == ["view", "click", "purchase"]
+                and e[1][2] - e[0][2] <= gap
+                and e[2][2] - e[1][2] <= gap
+            ):
+                want.append((k, [x[2] for x in e]))
+    assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.one_of(st.none(), st.floats(min_value=-10, max_value=110,
+                                           allow_nan=False)),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_dq_counts_equal_pandas_reference(spark, rows):
+    """Fused-aggregate violation counts equal a direct pandas count —
+    nulls, boundary values, and duplicate keys included."""
+    from tickdb_spark.operators import dq
+
+    df = spark.createDataFrame(rows, "k long, v double")
+    rep = {
+        r["check_name"]: (r["violations"], r["total"])
+        for r in dq.run_checks(
+            df, "t",
+            [dq.not_null("nn", "v"), dq.in_range("rng", "v", 0, 100)],
+            uniques=[("uq", ["k"])],
+        ).collect()
+    }
+    n = len(rows)
+    nn = sum(1 for _, v in rows if v is None)
+    rng = sum(1 for _, v in rows if v is None or not (0 <= v <= 100))
+    uq = n - len({k for k, _ in rows})
+    assert rep == {"nn": (nn, n), "rng": (rng, n), "uq": (uq, n)}

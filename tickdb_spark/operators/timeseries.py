@@ -1395,6 +1395,16 @@ def lag_autocorrelation(
     num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     den_x = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     den_y = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    # A constant side (zero variance after quantization) makes the
+    # correlation UNDEFINED: emit NULL explicitly — under ANSI mode the
+    # bare division would ERROR the whole query (hypothesis-found), and
+    # DuckDB's 0/0 NaN would hash-diverge; NULL is the one value both
+    # engines state identically.
+    acf = F.when(
+        (den_x > 0) & (den_y > 0),
+        num.cast("double")
+        / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))),
+    )
     return agg.select(
         "series",
         "lag",
@@ -1402,10 +1412,7 @@ def lag_autocorrelation(
         num.alias("num"),
         den_x.alias("den_x"),
         den_y.alias("den_y"),
-        (
-            num.cast("double")
-            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
-        ).alias("acf"),
+        acf.alias("acf"),
     )
 
 
@@ -1459,9 +1466,11 @@ def lag_autocorrelation_sql(
            CAST(n * _sxy - _sx * _sy AS BIGINT) AS num,
            CAST(n * _sxx - _sx * _sx AS BIGINT) AS den_x,
            CAST(n * _syy - _sy * _sy AS BIGINT) AS den_y,
-           CAST(n * _sxy - _sx * _sy AS DOUBLE)
-             / (sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
-                * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE))) AS acf
+           CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0
+                THEN CAST(n * _sxy - _sx * _sy AS DOUBLE)
+                     / (sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
+                        * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE)))
+           END AS acf
     FROM agg
     """
 
@@ -1550,6 +1559,13 @@ def cross_correlation(
     num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     den_x = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     den_y = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    # constant side → correlation undefined → NULL (same rationale and
+    # cross-engine contract as lag_autocorrelation)
+    corr = F.when(
+        (den_x > 0) & (den_y > 0),
+        num.cast("double")
+        / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))),
+    )
     return agg.select(
         "series_a",
         "series_b",
@@ -1557,10 +1573,7 @@ def cross_correlation(
         num.alias("num"),
         den_x.alias("den_x"),
         den_y.alias("den_y"),
-        (
-            num.cast("double")
-            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
-        ).alias("corr"),
+        corr.alias("corr"),
     )
 
 
@@ -1601,8 +1614,10 @@ def cross_correlation_sql(
            CAST(n * _sxy - _sx * _sy AS BIGINT) AS num,
            CAST(n * _sxx - _sx * _sx AS BIGINT) AS den_x,
            CAST(n * _syy - _sy * _sy AS BIGINT) AS den_y,
-           CAST(n * _sxy - _sx * _sy AS DOUBLE)
-             / (sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
-                * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE))) AS corr
+           CASE WHEN n * _sxx - _sx * _sx > 0 AND n * _syy - _sy * _sy > 0
+                THEN CAST(n * _sxy - _sx * _sy AS DOUBLE)
+                     / (sqrt(CAST(n * _sxx - _sx * _sx AS DOUBLE))
+                        * sqrt(CAST(n * _syy - _sy * _sy AS DOUBLE)))
+           END AS corr
     FROM agg
     """
