@@ -100,20 +100,45 @@ def main() -> None:
     timings["rollup_build_cascade"] = round(min(rollup_reps), 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    common = {
+        "metric": "query_bank_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "sf": float(sf) if sf else None,
+        "ingest_points_per_sec": round(n_points / ingest_sec),
+        # per-rep wall times, so a box stall is visible in the
+        # artifact itself (this host spans 86k-234k pts/s for
+        # the same code; the MIN is the number that reflects it)
+        "ingest_rep_secs": ingest_reps,
+        "rollup_rep_secs": rollup_reps,
+    }
+    # Full per-query map first (the permanent record; ~10 KB with 250+
+    # entries), THEN a compact final line. The driver keeps only the tail
+    # of stdout, so with a single huge line the leading "metric"/"value"
+    # fields were truncated away and every BENCH_r*.json since r1 recorded
+    # "parsed": null. The final line stays well under the tail window:
+    # totals + a fixed headline subset of per-query times.
+    print(json.dumps({**common, "queries": timings}))
+    headline = [
+        "tick_point_get",
+        "tick_range_scan",
+        "tick_bucket_day_count_avg",
+        "tick_rollup_day_agg",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q21_waiting_suppliers",
+        "dedup_minhash_lsh_pairs",
+        "sim_ann_topk_bruteforce",
+        "text_c4_quality_filter",
+        "ingest_events_warehouse",
+        "rollup_build_cascade",
+    ]
     print(
         json.dumps(
             {
-                "metric": "query_bank_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "ingest_points_per_sec": round(n_points / ingest_sec),
-                # per-rep wall times, so a box stall is visible in the
-                # artifact itself (this host spans 86k-234k pts/s for
-                # the same code; the MIN is the number that reflects it)
-                "ingest_rep_secs": ingest_reps,
-                "rollup_rep_secs": rollup_reps,
+                **common,
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "n_queries": len(timings),
             }
         )
     )

@@ -475,3 +475,151 @@ def test_snapshot_diff_classifies_all_three_changes(tmp_path, spark):
     assert vals[t0 + 2] == (None, {"v": 3.0})
     # identical snapshots diff to empty
     assert snapshot_diff(spark, db, 1, 1).count() == 0
+
+
+def _crash_after(monkeypatch_ctx, module_obj, attr, n, exc_msg):
+    """Patch module_obj.attr so the (n+1)-th call raises — crash injection."""
+    real = getattr(module_obj, attr)
+    calls = {"k": 0}
+
+    def wrapper(*a, **kw):
+        if calls["k"] >= n:
+            raise RuntimeError(exc_msg)
+        calls["k"] += 1
+        return real(*a, **kw)
+
+    monkeypatch_ctx.setattr(module_obj, attr, wrapper)
+
+
+def _mk_crash_db(tmp_path, spark):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.ingest import append_batch
+
+    db = str(tmp_path / "db")
+    _os.makedirs(db)
+    rows = [
+        ("A", (1704067200 + i * 3600) * 10**9, None, {"v": float(i)})
+        for i in range(72)  # 3 days of hourly points -> 3 dt partitions
+    ]
+    ticks = spark.createDataFrame(
+        rows, "series string, ts long, ts_utc timestamp, value map<string,double>"
+    ).withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    append_batch(db, ticks)
+    # one LWW overwrite so compact has real work to do
+    append_batch(
+        db,
+        ticks.where(F.col("ts") == rows[0][1]).withColumn(
+            "value", F.create_map(F.lit("v"), F.lit(99.0))
+        ),
+    )
+    return db, rows
+
+
+def _state(spark, db):
+    from tickdb_spark.ingest import read_ticks
+
+    return sorted(
+        (r["series"], r["ts"], dict(r["value"]))
+        for r in read_ticks(spark, db).collect()
+    )
+
+
+@pytest.mark.parametrize("renames_before_crash", [0, 1])
+def test_compact_crash_midswap_recovers(tmp_path, spark, monkeypatch, renames_before_crash):
+    """Kill compact between the staged-write and the directory swap (crash
+    before the first rename, and between the two renames — the exact
+    window VERDICT r12 flagged). The journal is the commit point: the next
+    read rolls the swap forward and sees exactly the compacted table."""
+    import os as _os
+
+    import tickdb_spark.ingest as ing
+
+    db, _rows = _mk_crash_db(tmp_path, spark)
+    expected = _state(spark, db)
+
+    with monkeypatch.context() as m:
+        _crash_after(m, ing.os, "rename", renames_before_crash, "injected crash")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.compact(spark, db)
+    # journal persisted before any destructive step -> recovery possible
+    assert _os.path.exists(ing._journal_path(db))
+    # plain read triggers recover(): old-or-new, never partial
+    assert _state(spark, db) == expected
+    assert not _os.path.exists(ing._journal_path(db))
+    meta = ing._read_meta(db)
+    assert meta["clean"] is True  # the journaled compact COMMITTED
+    # table dir healthy, no leftover staging/old dirs
+    leftovers = [n for n in _os.listdir(db) if n.startswith("ticks.")]
+    assert leftovers == []
+    # and the system keeps working after recovery
+    ing.compact(spark, db)
+    assert _state(spark, db) == expected
+
+
+@pytest.mark.parametrize("renames_before_crash", [0, 1])
+def test_delete_range_crash_midswap_recovers(
+    tmp_path, spark, monkeypatch, renames_before_crash
+):
+    """Kill delete_range mid-partition-swap (after the pure-delete rmtree,
+    before/between the replacement renames). Recovery must complete the
+    delete — readers see the post-delete table, never a state where a kept
+    row of an affected partition is missing."""
+    import os as _os
+
+    import tickdb_spark.ingest as ing
+
+    db, rows = _mk_crash_db(tmp_path, spark)
+    # range: last 12h of day 1 .. first 12h of day 3 -> day 2 is a PURE
+    # delete (no survivors), days 1 and 3 get staged replacements
+    frm = rows[12][1]
+    to = rows[60][1]
+    expected = [
+        (s, ts, v if ts != rows[0][1] else {"v": 99.0})
+        for (s, ts, _t, v) in rows
+        if not (frm <= ts < to)
+    ]
+    expected = sorted(expected)
+
+    with monkeypatch.context() as m:
+        _crash_after(m, ing.os, "rename", renames_before_crash, "injected crash")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.delete_range(spark, db, "A", frm, to)
+    assert _os.path.exists(ing._journal_path(db))
+    assert _state(spark, db) == expected
+    assert not _os.path.exists(ing._journal_path(db))
+    # day-2 partition physically gone; days 1/3 swapped in
+    sdir = _os.path.join(db, ing.TICKS_DIR, "series=A")
+    assert sorted(_os.listdir(sdir)) == ["dt=2024-01-01", "dt=2024-01-03"]
+    # no staging leftovers
+    assert [n for n in _os.listdir(db) if n.startswith("_delete-")] == []
+    # dirty partitions recorded through the journaled meta
+    dirty = {tuple(t) for t in ing._read_meta(db).get("dirty", [])}
+    assert ("A", "2024-01-02") in dirty
+
+
+def test_crash_during_staging_leaves_table_untouched(tmp_path, spark, monkeypatch):
+    """A crash BEFORE the journal write (e.g. during the staged Spark
+    write) must leave the live table byte-identical: no journal, no
+    recovery, reads serve the old state."""
+    import os as _os
+
+    import tickdb_spark.ingest as ing
+
+    db, rows = _mk_crash_db(tmp_path, spark)
+    before = _state(spark, db)
+
+    with monkeypatch.context() as m:
+        def boom(*a, **kw):
+            raise RuntimeError("staging crash")
+
+        m.setattr(ing, "_write_journal", boom)
+        with pytest.raises(RuntimeError, match="staging crash"):
+            ing.delete_range(spark, db, "A", rows[12][1], rows[60][1])
+        with pytest.raises(RuntimeError, match="staging crash"):
+            ing.compact(spark, db)
+    assert not _os.path.exists(ing._journal_path(db))
+    assert ing.recover(db) is False
+    assert _state(spark, db) == before

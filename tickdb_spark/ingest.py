@@ -40,13 +40,77 @@ from tickdb_spark.schema import TICKS_SCHEMA, ns_to_ts, parse_time_ns
 
 TICKS_DIR = "ticks"
 META_FILE = "_meta.json"
+JOURNAL_FILE = "_commit_journal.json"
 
 
 def _meta_path(db_path: str) -> str:
     return os.path.join(db_path, META_FILE)
 
 
+def _journal_path(db_path: str) -> str:
+    return os.path.join(db_path, JOURNAL_FILE)
+
+
+def _write_journal(db_path: str, entry: dict) -> None:
+    """Atomically persist the destructive plan BEFORE the first destructive
+    rename/rmtree. The journal is the commit point: present → the operation
+    WILL complete (recover() rolls it forward); absent → it never started
+    (a crash mid-Spark-write leaves only an orphan staging dir)."""
+    tmp = _journal_path(db_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, _journal_path(db_path))
+
+
+def recover(db_path: str) -> bool:
+    """Roll forward an interrupted ``compact``/``delete_range``.
+
+    Both operations stage their full replacement data, then journal the
+    swap plan (with the final metadata), then swap. Every destructive step
+    is idempotent given the journal, so replaying from any crash point
+    converges on the committed state — readers see old-or-new, never a
+    partial delete or a missing table dir. (The streaming index faces use
+    the same epoch-commit discipline, streaming/index.py; the reference
+    has no durability at all on this path — quirk B11.)
+    """
+    jp = _journal_path(db_path)
+    if not os.path.exists(jp):
+        return False
+    with open(jp) as f:
+        entry = json.load(f)
+    if entry["op"] == "compact":
+        path, tmp, old = entry["path"], entry["tmp"], entry["old"]
+        if os.path.isdir(tmp):
+            if os.path.isdir(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    elif entry["op"] == "delete_range":
+        series_dir, tmp = entry["series_dir"], entry["tmp"]
+        # Pure deletes (no surviving rows): old partition just goes away.
+        for n in entry["pure_delete"]:
+            live = os.path.join(series_dir, n)
+            if os.path.isdir(live):
+                shutil.rmtree(live)
+        # Replacements: tmp/<n> still existing proves the swap for <n> has
+        # not happened, so live/<n> (if present) is the OLD partition.
+        for n in entry["with_replacement"]:
+            src = os.path.join(tmp, n)
+            live = os.path.join(series_dir, n)
+            if os.path.isdir(src):
+                if os.path.isdir(live):
+                    shutil.rmtree(live)
+                os.rename(src, live)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+    _write_meta(db_path, entry["meta"])
+    os.remove(jp)
+    return True
+
+
 def _read_meta(db_path: str) -> dict:
+    recover(db_path)
     try:
         with open(_meta_path(db_path)) as f:
             return json.load(f)
@@ -148,6 +212,8 @@ def read_ticks(
     pass and no partition rewrite. Evolved columns ride the LWW
     resolution (they belong to the winning row).
     """
+    recover(db_path)  # roll forward any interrupted compact/delete first:
+    # the table dir itself may be mid-swap, so this must precede the read
     path = os.path.join(db_path, TICKS_DIR)
     extra: list[str] = []
     if evolved_fields is not None:
@@ -205,16 +271,21 @@ def compact(spark: SparkSession, db_path: str) -> None:
         .parquet(tmp)
     )
     old = path + f".old-{int(time.time())}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
     meta = _read_meta(db_path)
     meta["clean"] = True
     meta["next_seq"] = max(1, meta.get("next_seq", 1))
     # compaction rewrites every row at seq 0: snapshots older than this
     # point are no longer reconstructable (document, don't silently lie)
     meta["history_from_seq"] = meta["next_seq"] - 1
+    # Journal-then-swap: the staged table is complete, so persisting the
+    # plan makes the swap crash-atomic — a reader after a kill at ANY point
+    # below triggers recover() and sees exactly the compacted table.
+    _write_journal(db_path, {"op": "compact", "path": path, "tmp": tmp, "old": old, "meta": meta})
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     _write_meta(db_path, meta)
+    os.remove(_journal_path(db_path))
 
 
 def delete_range(spark: SparkSession, db_path: str, series: str, frm, to) -> None:
@@ -256,18 +327,38 @@ def delete_range(spark: SparkSession, db_path: str, series: str, frm, to) -> Non
     keep.select("ts", "ts_utc", "value", "ingest_seq", "dt").write.mode("overwrite").partitionBy(
         "dt"
     ).parquet(tmp)
-    for n in affected:
-        shutil.rmtree(os.path.join(series_dir, n))
-    for name in os.listdir(tmp):
-        if name.startswith("dt="):
-            os.rename(os.path.join(tmp, name), os.path.join(series_dir, name))
-    shutil.rmtree(tmp)
     # deletes invalidate rollups for the touched partitions too
     meta = _read_meta(db_path)
     dirty = {tuple(x) for x in meta.get("dirty", [])}
     dirty |= {(series, n.split("=", 1)[1]) for n in affected}
     meta["dirty"] = sorted([list(t) for t in dirty])
+    # Journal-then-swap (see recover()): partitionBy only materializes
+    # partitions with surviving rows, so record which affected partitions
+    # have a staged replacement vs disappear outright — recovery needs the
+    # split to stay idempotent from any crash point.
+    staged = {n for n in os.listdir(tmp) if n.startswith("dt=")}
+    _write_journal(
+        db_path,
+        {
+            "op": "delete_range",
+            "series_dir": series_dir,
+            "tmp": tmp,
+            "with_replacement": sorted(n for n in affected if n in staged),
+            "pure_delete": sorted(n for n in affected if n not in staged),
+            "meta": meta,
+        },
+    )
+    for n in affected:
+        if n not in staged:
+            shutil.rmtree(os.path.join(series_dir, n))
+    for n in sorted(staged):
+        live = os.path.join(series_dir, n)
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.rename(os.path.join(tmp, n), live)
+    shutil.rmtree(tmp)
     _write_meta(db_path, meta)
+    os.remove(_journal_path(db_path))
 
 
 def snapshot_diff(
