@@ -239,34 +239,41 @@ def test_connected_components_long_chain_converges(spark):
 
 
 def test_approx_sketches_within_error_bounds(spark):
-    """The rows-only gate can't check sketch values; pin their accuracy
-    here: HLL distinct within 5% of exact, approx quantiles inside the
-    exact [p-eps, p+eps] quantile band (Spark's default accuracy 1/10000
-    gives eps ~ 1e-4; we allow a generous band on 60k rows)."""
+    """The entry self-checks sketch accuracy (bound-check booleans against
+    exact values in the same query — that upgrade made it hash-checkable);
+    pin here that every boolean comes out TRUE at the gate SF, and that a
+    TIGHTER independent band also holds (HLL within 5% of exact, approx
+    p50 inside the exact [p45, p55] band) so a silent bound-loosening in
+    the entry would still be caught."""
     from pyspark.sql import functions as F
 
     from tickdb_spark.querybank import REGISTRY, _read_events
 
     sf = "/root/testdata/sf0.01"
     got = {r["event_type"]: r for r in REGISTRY["agg_approx_sketches"].fn(spark, sf).collect()}
+    assert got
+    flags = ["hll_ok", "p50_rank_ok", "p99_rank_ok", "top1_is_heavy_ok", "top1_count_ok"]
+    for k, r in got.items():
+        for f in flags:
+            assert r[f] is True, (k, f)
     exact = {
         r["event_type"]: r
         for r in _read_events(spark, sf)
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
+            F.approx_count_distinct("user_id").alias("hll"),
+            F.percentile_approx("value", 0.5).alias("ap50"),
             F.expr("percentile(value, 0.45)").alias("p45"),
             F.expr("percentile(value, 0.55)").alias("p55"),
-            F.expr("percentile(value, 0.985)").alias("p985"),
-            F.expr("percentile(value, 0.995)").alias("p995"),
         )
         .collect()
     }
-    assert set(got) == set(exact) and got
+    assert set(got) == set(exact)
     for k, e in exact.items():
-        assert abs(got[k]["approx_users"] - e["users"]) <= 0.05 * e["users"], k
-        assert e["p45"] <= got[k]["approx_p50"] <= e["p55"], k
-        assert e["p985"] <= got[k]["approx_p99"] <= e["p995"], k
+        assert got[k]["exact_users"] == e["users"], k
+        assert abs(e["hll"] - e["users"]) <= 0.05 * e["users"], k
+        assert e["p45"] <= e["ap50"] <= e["p55"], k
 
 
 def test_pii_scrub_and_counts(spark):
@@ -3349,6 +3356,38 @@ def test_dq_checks_exact_counts_and_ri_null_fk(spark):
     parent = spark.createDataFrame([(1,)], "pk long")
     ri = dq.ri_check(child, "fk", parent, "pk", "t", "fk_in_parent").collect()[0]
     assert (ri["violations"], ri["total"], ri["passed"]) == (2, 3, 0)
+
+
+def test_dq_uniqueness_null_keys_twin_identical(spark):
+    """PK-style uniqueness on NULL-keyed rows (ADVICE r12): Spark's
+    count_distinct skips any-NULL tuples while DuckDB's
+    count(DISTINCT (a, b)) counts them — the generated twin must filter
+    them so BOTH engines count every NULL-keyed row as a violation."""
+    import duckdb
+
+    from tickdb_spark.operators import dq
+
+    rows = [
+        (1, 1, "x"),
+        (1, 1, "y"),      # dup composite key           -> 1 violation
+        (2, None, "z"),   # NULL field in composite key -> violation
+        (2, None, "w"),   # another NULL-keyed row      -> violation
+        (None, 3, "v"),   # NULL in first field         -> violation
+        (4, 5, "u"),      # clean
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = {
+        r["check_name"]: (r["violations"], r["total"])
+        for r in dq.run_checks(df, "t", [], uniques=[("ab_unique", ["a", "b"])]).collect()
+    }
+    assert got["ab_unique"] == (4, 6)  # 1 dup + 3 NULL-keyed
+
+    con = duckdb.connect()
+    con.register("t_pd", df.toPandas())
+    sql = dq.run_checks_sql("t_pd", "t", [], uniques=[("ab_unique", ["a", "b"])])
+    odf = con.execute(sql).df()
+    orow = odf[odf["check_name"] == "ab_unique"].iloc[0]
+    assert (int(orow["violations"]), int(orow["total"])) == got["ab_unique"]
 
 
 def test_multitouch_attribution_credits_sum_to_million(spark):

@@ -78,7 +78,10 @@ def run_checks(
 
     ``uniques`` entries are ``(check_name, [cols])`` uniqueness
     expectations — violations = total − distinct key count, computed in
-    the SAME aggregate. The unpivot to report rows happens on the
+    the SAME aggregate. Semantics are PK-style: ``count_distinct``
+    skips tuples with any NULL argument, so every NULL-keyed row counts
+    as a violation (a unique key must also be non-null); the SQL twin
+    matches this explicitly. The unpivot to report rows happens on the
     single aggregate row, never on data."""
     uniques = uniques or []
     aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
@@ -151,8 +154,15 @@ def run_checks_sql(
         aggs.append(f"CAST(SUM({flag}) AS BIGINT) AS _v_{name}")
     for name, cols in uniques:
         tup = ", ".join(cols)
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        # NULL-keyed rows: Spark's count_distinct skips tuples with ANY
+        # NULL argument, while DuckDB's count(DISTINCT (a, b)) counts
+        # tuples CONTAINING NULL fields — the CASE makes DuckDB skip them
+        # identically, so both engines implement PK-style uniqueness
+        # (every NULL-keyed row is a violation). See run_checks.
         aggs.append(
-            f"CAST(count(*) - count(DISTINCT ({tup})) AS BIGINT) AS _v_{name}"
+            f"CAST(count(*) - count(DISTINCT CASE WHEN {notnull} "
+            f"THEN ({tup}) END) AS BIGINT) AS _v_{name}"
         )
     names = [n for n, _ in checks] + [n for n, _ in uniques]
     rows = "\n      UNION ALL\n      ".join(

@@ -1442,7 +1442,7 @@ def lag_autocorrelation_sql(
              CAST(floor({value_col} * {scale} + 0.5) AS BIGINT) AS _q
       FROM {rel}
     ),
-    lagged AS (
+    lagged AS MATERIALIZED (
       SELECT series, _q AS _x,
              {leads}
       FROM q

@@ -4366,27 +4366,103 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-register(
+@register(
     "agg_approx_sketches",
-    None,  # approximations are engine-specific — rows-only by design
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok, TRUE AS p50_rank_ok, TRUE AS p99_rank_ok,
+           TRUE AS top1_is_heavy_ok, TRUE AS top1_count_ok
+    FROM events GROUP BY event_type
+    """,
     "approximate aggregates (HLL distinct, quantile sketch, approx top-k "
     "heavy hitters) — the 100 TB substitutes for exact distinct/"
-    "percentile/top-k; exact counterparts are gate-checked in "
-    "agg_distinct_users_daily / agg_percentiles_by_priority / "
-    "text_heavy_hitters. The top-k array is JSON-encoded: the driver's "
-    "rows-only canonicalizer sorts a pandas frame, and a raw "
-    "array<struct> column is unhashable there (r3/r4/r8 driver reds)",
-)(
-    lambda spark, sf_dir: _read_events(spark, sf_dir)
-    .groupBy("event_type")
-    .agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
-        F.percentile_approx("value", 0.99).alias("approx_p99"),
-        F.to_json(F.expr("approx_top_k(user_id, 3)")).alias("approx_top_users"),
-    )
-    .orderBy("event_type")
+    "percentile/top-k. HASH-CHECKED (upgraded from rows-only, VERDICT r12 "
+    "#4): the approximate values themselves are engine-internal, so the "
+    "entry emits bound-check BOOLEANS against exact values computed in "
+    "the same query — the oracle predicts TRUE for each, which holds by "
+    "the sketches' published guarantees with wide margin (measured at "
+    "both gate SFs: HLL err 0.67%% vs 10%% bound; percentile_approx rank "
+    "err ≤ 1e-4·n vs ±5%%/±3%% rank windows; approx_top_k is in its "
+    "EXACT regime while distinct users < sketch capacity, checked to "
+    "±1%%·n). Bound checks are robust to the quantile sketch's "
+    "merge-order nondeterminism — that is WHY booleans, not values, are "
+    "hashed. Exact counterparts gate-checked in agg_distinct_users_daily "
+    "/ agg_percentiles_by_priority / text_heavy_hitters",
 )
+def agg_approx_sketches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    ap = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("hll"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", 0.5).alias("ap50"),
+        F.percentile_approx("value", 0.99).alias("ap99"),
+        F.element_at(F.expr("approx_top_k(user_id, 3)"), 1).alias("top1"),
+    )
+    # exact per-user counts: feed both the heavy-hitter membership check
+    # (approx top-1 must be within the exact top-3 by count) and the
+    # estimate-accuracy check. All joins below are on the ~5-row
+    # event_type dimension — broadcast, no extra fact shuffle.
+    ucnt = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("ucnt"))
+    third = (
+        ucnt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("ucnt").desc(), "user_id"
+                )
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .groupBy("event_type")
+        .agg(F.min("ucnt").alias("third_cnt"))
+    )
+    ranks = (
+        ev.join(F.broadcast(ap.select("event_type", "ap50", "ap99")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("ap50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") <= F.col("ap99"), 1).otherwise(0)).alias("le99"),
+        )
+    )
+    t1 = ap.select(
+        "event_type",
+        "hll",
+        "exact_users",
+        "n_events",
+        F.col("top1.item").alias("top1_item"),
+        F.col("top1.count").alias("top1_est"),
+    )
+    exact1 = ucnt.select(
+        "event_type", F.col("user_id").alias("top1_item"), F.col("ucnt").alias("top1_exact")
+    )
+    j = (
+        t1.join(ranks, "event_type")
+        .join(F.broadcast(third), "event_type")
+        .join(F.broadcast(exact1), ["event_type", "top1_item"], "left")
+    )
+    n = F.col("n_events")
+    return j.select(
+        "event_type",
+        n.alias("n_events"),
+        "exact_users",
+        # HLL++ rsd defaults to 5%; 10% (min slack 2) is 2σ+ of headroom
+        (F.abs(F.col("hll") - F.col("exact_users"))
+         <= F.greatest(F.col("exact_users") / 10, F.lit(2))).alias("hll_ok"),
+        # integer-exact rank windows (no float division): rank(ap50)/n in
+        # [0.45, 0.55], rank(ap99)/n >= 0.97 — guarantee is ±1e-4·n
+        ((F.col("le50") * 20 >= n * 9) & (F.col("le50") * 20 <= n * 11)).alias(
+            "p50_rank_ok"
+        ),
+        (F.col("le99") * 100 >= n * 97).alias("p99_rank_ok"),
+        (F.coalesce(F.col("top1_exact"), F.lit(0)) >= F.col("third_cnt")).alias(
+            "top1_is_heavy_ok"
+        ),
+        (F.abs(F.col("top1_est") - F.coalesce(F.col("top1_exact"), F.lit(0))) * 100
+         <= n).alias("top1_count_ok"),
+    )
 
 
 @register(
@@ -9692,12 +9768,14 @@ def stream_scd2_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - SUM(CASE WHEN snap = 1 THEN q ELSE 0 END)
                     * SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)) AS BIGINT)
              AS l1_num,
-           CAST(abs(SUM(CASE WHEN snap = 0 THEN q ELSE 0 END)
+           CASE WHEN SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) > 0
+                 AND SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) > 0
+           THEN CAST(abs(SUM(CASE WHEN snap = 0 THEN q ELSE 0 END)
                     * SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
                     - SUM(CASE WHEN snap = 1 THEN q ELSE 0 END)
                     * SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)) AS DOUBLE)
              / (SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
-                * SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)) AS mean_delta
+                * SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)) END AS mean_delta
     FROM comp GROUP BY dim
     """,
     "embedding drift monitor — the THIRD drift modality next to "
@@ -9734,7 +9812,12 @@ def diag_embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_n.cast("long").alias("a_n"),
         b_n.cast("long").alias("b_n"),
         l1.cast("long").alias("l1_num"),
-        (l1.cast("double") / (a_n * b_n)).alias("mean_delta"),
+        # zero-variance guard (round-12 lesson): an empty snapshot parity
+        # would make Spark ANSI error while DuckDB emits NaN — both sides
+        # emit NULL instead
+        F.when((a_n > 0) & (b_n > 0), l1.cast("double") / (a_n * b_n)).alias(
+            "mean_delta"
+        ),
     )
 
 
@@ -9922,7 +10005,9 @@ _MTA_BUCKET_US = 86_400_000_000
     "multi-touch attribution (linear model): every click in the 7 days "
     "BEFORE a purchase shares the conversion credit equally — exact "
     "integer ppm with the division remainder granted to the EARLIEST "
-    "clicks (credits per purchase always sum to exactly 10^6; "
+    "clicks (credits per purchase sum to exactly 10^6 whenever a "
+    "purchase window holds ≤10^6 clicks — beyond that the integer div "
+    "floors to 0 and only the first 10^6 clicks get the +1 remainder; "
     "deterministic tie-break on click id). The interval join is the "
     "bucket-expansion equi-join (operators/rangejoin.py — day buckets, "
     "≤8 per purchase window), never a nested loop; credit math is one "
