@@ -1423,14 +1423,28 @@ def test_stream_dq_maintenance_additive_and_restart(tmp_path, spark):
             for r in got.collect()}
     assert rows == {"v_not_null": (1, 5, 0), "v_in_0_50": (2, 5, 0)}
 
-    # restart with one more landing file: counters extend, never recount
-    _land(3, [(6, -1.0)])
+    # restart with one more landing file: counters extend, never recount.
+    # The new batch plants the exact NON-additive cases: a duplicate of
+    # batch-0's id=1 (uniqueness cannot ride per-batch counters) and an
+    # id=6 with no parent — both must surface as check_class='compaction'
+    # rows computed over the full landed corpus by dq_compaction_audit.
+    _land(3, [(6, -1.0), (1, 7.0)])
+    parent = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
     got2 = stream_dq_maintenance(
-        spark, str(landing), str(tmp_path / "state"), schema, checks, table="t"
+        spark, str(landing), str(tmp_path / "state"), schema, checks, table="t",
+        uniques=[("id_unique", ["id"])],
+        ri=[("id_in_parent", "id", parent, "id")],
     )
-    rows2 = {r["check_name"]: (r["violations"], r["total"])
-             for r in got2.collect()}
-    assert rows2 == {"v_not_null": (1, 6), "v_in_0_50": (3, 6)}
+    by_class = {}
+    for r in got2.collect():
+        by_class.setdefault(r["check_class"], {})[r["check_name"]] = (
+            r["violations"], r["total"])
+    rows2 = by_class["row"]
+    assert rows2 == {"v_not_null": (1, 7), "v_in_0_50": (3, 7)}
+    assert by_class["compaction"] == {
+        "id_unique": (1, 7),      # the cross-batch duplicate of id=1
+        "id_in_parent": (1, 7),   # id=6 has no parent
+    }
 
     # compaction preserves the merged report
     ctr_dir = str(tmp_path / "state" / "dq_counters")

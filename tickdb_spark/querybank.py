@@ -10126,20 +10126,44 @@ _SDQ_CHECKS_SQL = [
 
 @register(
     "stream_dq_maintenance",
-    _dq.run_checks_sql(
+    f"""
+    SELECT *, 'row' AS check_class FROM (
+      {_dq.run_checks_sql(
         "(SELECT * FROM events WHERE user_id < 50)", "events_stream",
         _SDQ_CHECKS_SQL,
-    ),
+      )}
+    )
+    UNION ALL
+    SELECT *, 'compaction' AS check_class FROM (
+      {_dq.run_checks_sql(
+        "(SELECT * FROM events WHERE user_id < 50)", "events_stream",
+        [], uniques=[("event_id_unique", ["event_id"])],
+      )}
+    )
+    UNION ALL
+    SELECT *, 'compaction' AS check_class FROM (
+      {_dq.ri_check_sql(
+        "(SELECT * FROM events WHERE user_id < 50)", "user_id",
+        "customer", "c_custkey", "events_stream", "user_in_customer",
+      )}
+    )
+    """,
     "the 12th maintained face: CONTINUOUS data-quality monitoring (the "
     "Deequ incremental-metrics pattern) — each micro-batch runs the "
     "FUSED check aggregate over the batch only and appends |checks| "
     "counter rows per epoch; the report view SUMs across epochs "
     "(row-level check counts are per-row flag sums, exactly "
     "batch-additive), so the maintained report equals run_checks over "
-    "every row ever landed with the corpus never rescanned. Scope is "
-    "row-level checks by contract (uniqueness/RI are not additive — "
-    "they run at compaction or ride the HLL face). State per epoch is "
-    "bytes, not data",
+    "every row ever landed with the corpus never rescanned. "
+    "NON-ADDITIVE checks (uniqueness, referential integrity) now ride "
+    "the face too (VERDICT r12 #8): dq_compaction_audit runs them over "
+    "the full landed corpus at report/compaction cadence — one corpus "
+    "scan per audit, never per batch — emitted as "
+    "check_class='compaction' rows (the RI fixture crosses the events "
+    "stream against the static customer dimension: user_id=0 has no "
+    "c_custkey parent at either gate SF, so violations are nonzero and "
+    "the anti-join is genuinely exercised). State per epoch is bytes, "
+    "not data",
 )
 def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as _T
@@ -10149,7 +10173,7 @@ def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         _read_events(spark, sf_dir)
         .where(F.col("user_id") < 50)
-        .select("event_id", "event_type", "value")
+        .select("event_id", "event_type", "value", "user_id")
     )
     pdf = ev.toPandas()
     schema = _T.StructType(
@@ -10157,6 +10181,7 @@ def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             _T.StructField("event_id", _T.LongType(), False),
             _T.StructField("event_type", _T.StringType(), False),
             _T.StructField("value", _T.DoubleType(), True),
+            _T.StructField("user_id", _T.LongType(), True),
         ]
     )
     work = _tempfile.mkdtemp(prefix="tickdb_sdq_")
@@ -10180,6 +10205,8 @@ def stream_dq_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dq_maintenance(
         spark, landing, _os.path.join(work, "state"), schema, checks,
         table="events_stream",
+        uniques=[("event_id_unique", ["event_id"])],
+        ri=[("user_in_customer", "user_id", _read(spark, sf_dir, "customer"), "c_custkey")],
     )
 
 

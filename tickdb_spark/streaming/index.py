@@ -972,6 +972,37 @@ def dq_counters_report(counters: DataFrame, table: str) -> DataFrame:
     )
 
 
+def dq_compaction_audit(
+    spark: SparkSession,
+    data: DataFrame,
+    table: str,
+    uniques=None,
+    ri=None,
+) -> DataFrame:
+    """Non-additive DQ checks, run over the ACCUMULATED corpus.
+
+    Uniqueness and referential integrity cannot ride per-batch counters
+    (a later batch can duplicate an earlier row, or land the parent an
+    earlier child pointed at), so they run here — at compaction cadence,
+    one scan of the corpus per call, never per micro-batch. ``uniques``
+    is ``[(check_name, [cols])]`` (PK-style, see operators/dq.run_checks);
+    ``ri`` is ``[(check_name, fk_col, parent_df, pk_col)]``. Emits the
+    run_checks report shape plus ``check_class='compaction'`` so readers
+    can tell the always-fresh row counters from the as-of-last-audit
+    rows."""
+    from tickdb_spark.operators.dq import ri_check, run_checks
+
+    parts = []
+    if uniques:
+        parts.append(run_checks(data, table, [], uniques=uniques))
+    for name, fk, parent, pk in ri or []:
+        parts.append(ri_check(data, fk, parent, pk, table, name))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("check_class", F.lit("compaction"))
+
+
 def stream_dq_maintenance(
     spark: SparkSession,
     landing_dir: str,
@@ -979,6 +1010,8 @@ def stream_dq_maintenance(
     schema: T.StructType,
     checks,
     table: str = "stream",
+    uniques=None,
+    ri=None,
 ) -> DataFrame:
     """The 12th maintained face: CONTINUOUS data-quality monitoring —
     the Deequ incremental-metrics pattern. Each micro-batch runs the
@@ -990,16 +1023,20 @@ def stream_dq_maintenance(
     cost is one pass over the batch, and the stored state is
     |checks| rows per epoch (bytes, not data).
 
-    Scope (honest contract): row-level checks only — their counts are
-    per-row flag sums and therefore exactly batch-additive. Uniqueness
-    and referential integrity are NOT additive (a later batch can
-    create a duplicate of, or a parent for, an earlier row); those run
-    at compaction time or ride the maintained distinct sketches (the
-    HLL face). Idempotence: per-epoch overwrite, same as every face;
-    no own-state read, so no crash-exclusion subtlety. Lifecycle:
-    ``compact_index`` on the counter log (sort by (check_name, epoch))
-    — tombstones don't apply to aggregate counters (the retraction
-    unit is an epoch directory). Returns the merged report."""
+    Scope: row-level ``checks`` ride the per-batch counters — their
+    counts are per-row flag sums and therefore exactly batch-additive.
+    Uniqueness and referential integrity are NOT additive (a later
+    batch can create a duplicate of, or a parent for, an earlier row);
+    pass them as ``uniques``/``ri`` and they run through
+    :func:`dq_compaction_audit` over the full landed corpus at report
+    (= compaction) time — one corpus scan per audit, never per batch,
+    emitted as ``check_class='compaction'`` rows next to the
+    ``check_class='row'`` counter rows. Idempotence: per-epoch
+    overwrite, same as every face; no own-state read, so no
+    crash-exclusion subtlety. Lifecycle: ``compact_index`` on the
+    counter log (sort by (check_name, epoch)) — tombstones don't apply
+    to aggregate counters (the retraction unit is an epoch directory).
+    Returns the merged report."""
     from tickdb_spark.operators.dq import run_checks
 
     ctr_dir = os.path.join(work_dir, "dq_counters")
@@ -1025,6 +1062,12 @@ def stream_dq_maintenance(
         .start()
     )
     q.awaitTermination()
-    return dq_counters_report(
+    report = dq_counters_report(
         _read_maintained(spark, ctr_dir, DQ_COUNTER_SCHEMA), table
-    )
+    ).withColumn("check_class", F.lit("row"))
+    if uniques or ri:
+        landed = spark.read.schema(schema).parquet(landing_dir)
+        report = report.unionByName(
+            dq_compaction_audit(spark, landed, table, uniques=uniques, ri=ri)
+        )
+    return report
