@@ -37,10 +37,16 @@ def _driver_like_spark():
     (CORRECTNESS_r09 stream_{ann,pq})."""
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_SHUFFLE lets the portability check run the same replica
+    # at a cluster-shaped partition count (e.g. 200) — flushes any plan or
+    # correctness assumption accidentally pinned to the small local count
     spark = (
         SparkSession.builder.appName("gate_replica")
         .master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1457,3 +1457,53 @@ def test_stream_dq_maintenance_additive_and_restart(tmp_path, spark):
     assert {
         r["check_name"]: (r["violations"], r["total"]) for r in rep.collect()
     } == rows2
+
+
+def test_compaction_policy_triggers(tmp_path):
+    """compaction_policy fires on any of: epoch count, small average
+    file size, log-to-base bytes ratio — and stays quiet on a healthy
+    young log. Pure directory statistics, no Spark."""
+    import os as _os
+
+    from tickdb_spark.streaming.index import compaction_policy
+
+    def mk(dirname, epochs, file_bytes, seed_bytes=0):
+        d = tmp_path / dirname
+        d.mkdir()
+        if seed_bytes:
+            (d / "seed.parquet").write_bytes(b"x" * seed_bytes)
+        for e in range(epochs):
+            ed = d / f"epoch_{e}"
+            ed.mkdir()
+            (ed / "part-0.parquet").write_bytes(b"x" * file_bytes)
+        return str(d)
+
+    # healthy young log: few epochs, big files, no base -> not due
+    healthy = mk("healthy", 4, 8 << 20)
+    pol = compaction_policy(healthy)
+    assert pol["due"] is False and pol["epochs"] == 4 and pol["reasons"] == []
+
+    # epoch-count trigger
+    old = mk("old", 70, 8 << 20)
+    pol = compaction_policy(old)
+    assert pol["due"] and any("epochs 70" in r for r in pol["reasons"])
+
+    # small-files trigger (well under the 4 MiB default)
+    frag = mk("frag", 10, 1024)
+    pol = compaction_policy(frag)
+    assert pol["due"] and any("avg file" in r for r in pol["reasons"])
+    # ... but a SINGLE small epoch is fine (fresh table, nothing to merge)
+    single = mk("single", 1, 1024)
+    assert compaction_policy(single)["due"] is False
+
+    # ratio trigger: log outweighs the compacted base > 3x
+    log = mk("log", 4, 8 << 20)
+    base = tmp_path / "log_compacted"
+    base.mkdir()
+    (base / "part-0.parquet").write_bytes(b"x" * (8 << 20))
+    pol = compaction_policy(log)
+    assert pol["due"] and any("x base" in r for r in pol["reasons"])
+    assert pol["base_bytes"] == 8 << 20
+    # same log against a big-enough base -> quiet
+    (base / "part-0.parquet").write_bytes(b"x" * (16 << 20))
+    assert compaction_policy(log)["due"] is False

@@ -281,18 +281,144 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tau_ppm: int = 800_000,
+    n: int = NGRAM_N,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Ordered near-CONTAINMENT pairs: ``C(a→b) = |S(a)∩S(b)| / |S(a)|``
+    over distinct word-n-gram shingle sets, emitted when
+    ``inter·10⁶ ≥ tau_ppm·|S(a)|`` (integer-exact threshold — no float
+    division decides membership). Asymmetric by design: detects a doc
+    ``a`` QUOTED or embedded inside a much larger ``b`` — the case
+    symmetric Jaccard structurally misses (J ≤ |a|/|b| no matter how
+    complete the overlap). The LLM-dedup use is boilerplate/quotation
+    removal and contained-document collapse.
+
+    ``prefix_filter=True``: the AllPairs prefix bound adapts to
+    containment — a can miss at most ``|a| − ⌈τ|a|⌉`` of its shingles,
+    so its first ``|a| − ⌈τ|a|⌉ + 1`` shingles under the global
+    (df, shingle) order must hit B; only a's PREFIX joins the inverted
+    index, b probes with all its shingles (the asymmetric prefix rule
+    from Xiao et al.'s PPJoin family). ⌈τ|a|⌉ is computed with integer
+    arithmetic (``(tau_ppm·n + 999999) div 10⁶``) so the bound can
+    never be silently shortened by an FP ceil (the r6 epsilon lesson,
+    retired here by not using floats at all).
+
+    Returns ``(id_a, id_b, inter, n_a, containment_ppm)``; both
+    directions of a mutual near-duplicate appear (each direction is its
+    own claim)."""
+    sh = _hashed_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    if not prefix_filter:
+        shared = (
+            sh_a.join(sh_b, "shingle")
+            .where(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "rnk",
+                F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
+            )
+            .join(sizes, "id")
+        )
+        plen = F.col("n_sh") - F.expr(
+            f"({int(tau_ppm)}L * n_sh + 999999) div 1000000"
+        ) + 1
+        prefix = ranked.where(F.col("rnk") <= plen).select(
+            F.col("id").alias("id_a"), "shingle"
+        )
+        candidates = (
+            prefix.join(sh_b, "shingle")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            # |A∩B| ≤ |B|, so containment needs |B| ≥ ⌈τ|A|⌉ — integer prune
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("_nb")), "id_b")
+            .where(
+                F.col("_nb") * F.lit(1_000_000)
+                >= F.lit(int(tau_ppm)) * F.col("_na")
+            )
+            .select("id_a", "id_b")
+        )
+        shared = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .where(
+            F.col("inter") * F.lit(1_000_000) >= F.lit(int(tau_ppm)) * F.col("n_a")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.expr("CAST(inter * 1000000 div n_a AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str, text_col: str, id_col: str, tau_ppm: int = 800_000, n: int = NGRAM_N
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` — the plain
+    inverted-index form (the prefix filter only prunes candidates; the
+    emitted pair set and values are identical by the exact verify)."""
+    grams = word_ngrams_sql(text_col, n)
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+      FROM (SELECT {id_col} AS id, unnest({grams}) AS shingle FROM {table})
+    ), sizes AS MATERIALIZED (
+      SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(inter * 1000000 // sa.n_sh AS BIGINT) AS containment_ppm
+    FROM shared JOIN sizes sa ON sa.id = id_a
+    WHERE inter * 1000000 >= {int(tau_ppm)} * sa.n_sh
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 
-def _hashed_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = NGRAM_N
+) -> DataFrame:
     """(id, shingle: 60-bit md5-prefix int) — the shared substrate for
     Jaccard verification AND MinHash signatures (the 44-bit MinHash base
     is ``shingle >> 16``: the first 11 hex chars of the same md5)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col))).alias("shingle"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
     ).select(
         "id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)

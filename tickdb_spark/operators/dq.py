@@ -199,3 +199,112 @@ def ri_check_sql(
             ON c.{fk} = p._pk) v,
          (SELECT CAST(count(*) AS BIGINT) AS total FROM {child_rel}) t
     """
+
+
+# --- Benford first-digit distribution check ----------------------------------
+
+#: floor(log10(1 + 1/d) * 10^6 + 0.5) for d = 1..9 — FIXED literals, so no
+#: cross-engine log is ever evaluated (the float-discipline house rule).
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def _benford_case(digit_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in enumerate(BENFORD_PPM, start=1)
+    )
+    return f"CASE {digit_expr} {whens} END"
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, group_cols: list[str], scale: int = 1000
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law, per group —
+    the forensic DQ check for fabricated/truncated/unit-mixed numeric
+    columns (Benford 1938; standard audit practice). NOT a conformance
+    assertion: the output is the full digit distribution with exact
+    integer deviations, and the READER decides (synthetic uniform data
+    legitimately deviates; invoice amounts should not).
+
+    Cross-engine-exact digit extraction with no log/pow: values are
+    quantized to ``q = floor(v·scale + 0.5)`` (one IEEE multiply on
+    doubles, BIGINT thereafter), non-positive q dropped, and the first
+    significant digit read as the first character of the INTEGER's
+    decimal string — identical on Spark and DuckDB by construction.
+    Absent digits are emitted with count 0 through a 9-row spine per
+    group, so the report shape is fixed: |groups| × 9 rows.
+
+    One scan + one aggregate; the spine/joins run on aggregate-sized
+    frames. Returns ``(group_cols..., digit, n_d, total, observed_ppm,
+    benford_ppm, abs_dev_ppm)`` — all BIGINT."""
+    spark = df.sparkSession
+    base = df.select(
+        *group_cols,
+        F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)").alias("q"),
+    ).where(F.col("q") > 0)
+    counts = (
+        base.select(
+            *group_cols,
+            F.substring(F.col("q").cast("string"), 1, 1).cast("long").alias("digit"),
+        )
+        .groupBy(*group_cols, "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    )
+    totals = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    spine = totals.crossJoin(F.broadcast(digits))
+    benford = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in BENFORD_PPM]),
+        F.col("digit").cast("int"),
+    )
+    j = spine.join(counts, [*group_cols, "digit"], "left").withColumn(
+        "n_d", F.coalesce(F.col("n_d"), F.lit(0)).cast("long")
+    )
+    obs = F.call_function("div", F.col("n_d") * F.lit(1_000_000), F.col("total"))
+    return j.select(
+        *group_cols,
+        "digit",
+        "n_d",
+        "total",
+        obs.cast("long").alias("observed_ppm"),
+        benford.alias("benford_ppm"),
+        F.abs(obs - benford).cast("long").alias("abs_dev_ppm"),
+    )
+
+
+def benford_first_digit_sql(
+    rel: str, value_col: str, group_cols: list[str], scale: int = 1000
+) -> str:
+    """DuckDB twin of :func:`benford_first_digit`: same quantization,
+    same string-head digit extraction, same spine and integer ppm."""
+    g = ", ".join(group_cols)
+    case = _benford_case("s.digit")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {g}, q FROM (
+        SELECT {g}, CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT) AS q
+        FROM {rel}
+      ) WHERE q > 0
+    ),
+    counts AS (
+      SELECT {g}, CAST(substr(CAST(q AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_d
+      FROM base GROUP BY ALL
+    ),
+    totals AS (
+      SELECT {g}, CAST(count(*) AS BIGINT) AS total FROM base GROUP BY ALL
+    ),
+    spine AS (
+      SELECT t.*, CAST(d.range AS BIGINT) AS digit
+      FROM totals t, range(1, 10) d
+    )
+    SELECT {", ".join("s." + c for c in group_cols)}, s.digit,
+           CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d, s.total,
+           CAST(COALESCE(c.n_d, 0) * 1000000 // s.total AS BIGINT) AS observed_ppm,
+           CAST({case} AS BIGINT) AS benford_ppm,
+           CAST(abs(COALESCE(c.n_d, 0) * 1000000 // s.total - {case}) AS BIGINT)
+             AS abs_dev_ppm
+    FROM spine s LEFT JOIN counts c
+      ON {" AND ".join(f"c.{c} = s.{c}" for c in group_cols)} AND c.digit = s.digit
+    """

@@ -21,7 +21,15 @@ oracle-checkable and deterministic across engines:
    mid-size side replicates). Only the big side matters — the small
    side is replicated anyway, so its hot keys never concentrate a
    reducer.
-4. otherwise → **shuffle** (plain hash join; AQE may still re-plan).
+4. low match rate on a bitmap-sized key set: ``est_rows · 10 ≤ n_big``
+   and ``small_keys ≤ bloom_keys`` → **bloom_reduced**
+   (``bloom_reduced_join``): the small side is too big to broadcast as
+   ROWS but its key set fits a fixed bitmap, and the CMS estimate —
+   one-sided, so ``est ≥ true output ≥ matching big rows`` whenever the
+   small side's keys are distinct-ish — CERTIFIES ≥90% of the big side
+   cannot match; ship the Bloom filter and prefilter before the
+   shuffle. Output identical to the plain join by construction.
+5. otherwise → **shuffle** (plain hash join; AQE may still re-plan).
 
 At 100 TB the stats pass costs two one-scan sketch builds plus two
 per-key aggregates — hours cheaper than discovering mid-join that a
@@ -43,9 +51,15 @@ from tickdb_spark.operators.skew import salted_join
 #: Default decision thresholds — documented in the module docstring.
 BROADCAST_ROWS = 100_000
 SKEW_FACTOR = 16
+#: Key-set ceiling for the bloom_reduced strategy: with the default
+#: 2^20-bit bitmap and 3 hashes, 2^18 keys give ~3% FPR — fine when the
+#: rule already certifies ≥90% of the big side prunes.
+BLOOM_KEYS = 1 << 18
 
 
-def _decision_case(broadcast_rows: int, skew_factor: int) -> str:
+def _decision_case(
+    broadcast_rows: int, skew_factor: int, bloom_keys: int = BLOOM_KEYS
+) -> str:
     """The decision as ONE fixed expression text, shared verbatim by the
     Spark plan and the DuckDB oracle (integer comparisons only)."""
     return f"""CASE
@@ -56,6 +70,10 @@ def _decision_case(broadcast_rows: int, skew_factor: int) -> str:
             THEN a_max_key_rows * a_keys >= {int(skew_factor)} * n_a
             ELSE b_max_key_rows * b_keys >= {int(skew_factor)} * n_b END)
         THEN 'salted'
+      WHEN est_rows * 10 <= (CASE WHEN n_a >= n_b THEN n_a ELSE n_b END)
+           AND (CASE WHEN n_a >= n_b THEN b_keys ELSE a_keys END)
+               <= {int(bloom_keys)}
+        THEN 'bloom_reduced'
       ELSE 'shuffle' END"""
 
 
@@ -78,6 +96,7 @@ def choose_join(
     skew_factor: int = SKEW_FACTOR,
     depth: int = 4,
     width: int = 512,
+    bloom_keys: int = BLOOM_KEYS,
 ) -> DataFrame:
     """One row: ``(n_a, a_keys, a_max_key_rows, n_b, b_keys,
     b_max_key_rows, est_rows, exact_rows, decision)``. All inputs to
@@ -106,7 +125,8 @@ def choose_join(
         )
     )
     return stats.withColumn(
-        "decision", F.expr(_decision_case(broadcast_rows, skew_factor))
+        "decision",
+        F.expr(_decision_case(broadcast_rows, skew_factor, bloom_keys)),
     )
 
 
@@ -119,6 +139,7 @@ def choose_join_sql(
     skew_factor: int = SKEW_FACTOR,
     depth: int = 4,
     width: int = 512,
+    bloom_keys: int = BLOOM_KEYS,
 ) -> str:
     """DuckDB twin: same per-side stats, same CMS estimate subquery,
     the SAME decision CASE text."""
@@ -139,7 +160,7 @@ def choose_join_sql(
     )
     SELECT n_a, a_keys, a_max_key_rows, n_b, b_keys, b_max_key_rows,
            est_rows, exact_rows,
-           {_decision_case(broadcast_rows, skew_factor)} AS decision
+           {_decision_case(broadcast_rows, skew_factor, bloom_keys)} AS decision
     FROM a_stats, b_stats, est
     """
 
@@ -308,6 +329,16 @@ def apply_join_decision(
             salted_join(a, b, on, salts, how)
             if a_is_big
             else salted_join(b, a, on, salts, how)
+        )
+    if decision == "bloom_reduced":
+        if len(on) != 1 or how != "inner":
+            raise ValueError("bloom_reduced applies to single-key inner joins")
+        # mirrored like salted: the BIG side is the one prefiltered, and
+        # bloom_reduced_join puts it first
+        return (
+            bloom_reduced_join(a, b, on[0])
+            if a_is_big
+            else bloom_reduced_join(b, a, on[0])
         )
     if decision == "shuffle":
         return a.join(b, on, how)

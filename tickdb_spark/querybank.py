@@ -5867,16 +5867,24 @@ _HOTKEY_EXPR = "CASE WHEN event_id % 10 < 3 THEN 0 ELSE event_id END"
 #: table. broadcast_rows tuned per pair so all four strategies appear
 #: at gate scale.
 _PLANNER_PAIRS_SQL = " UNION ALL ".join(
-    f"SELECT '{label}' AS pair, * FROM ({_planner.choose_join_sql(a_sql, a_expr, b_sql, b_expr, broadcast_rows=br)})"
-    for label, a_sql, a_expr, b_sql, b_expr, br in [
+    f"SELECT '{label}' AS pair, * FROM ({_planner.choose_join_sql(a_sql, a_expr, b_sql, b_expr, broadcast_rows=br, width=w)})"
+    for label, a_sql, a_expr, b_sql, b_expr, br, w in [
         ("lineitem_part", "SELECT l_partkey FROM lineitem", "l_partkey",
-         "SELECT p_partkey FROM part", "p_partkey", 10_000),
+         "SELECT p_partkey FROM part", "p_partkey", 10_000, 512),
         ("lineitem_orders", "SELECT l_orderkey FROM lineitem", "l_orderkey",
-         "SELECT o_orderkey FROM orders", "o_orderkey", 10_000),
+         "SELECT o_orderkey FROM orders", "o_orderkey", 10_000, 512),
         ("events_hot_part", f"SELECT ({_HOTKEY_EXPR}) AS hk FROM events", "hk",
-         "SELECT p_partkey FROM part", "p_partkey", 1_000),
+         "SELECT p_partkey FROM part", "p_partkey", 1_000, 512),
         ("nation_shift_region", "SELECT n_nationkey + 1000000 AS nk FROM nation",
-         "nk", "SELECT r_regionkey FROM region", "r_regionkey", 100_000),
+         "nk", "SELECT r_regionkey FROM region", "r_regionkey", 100_000, 512),
+        # bloom_reduced showcase: a 2% slice of orders is too many ROWS to
+        # broadcast under this pair's budget, its key set is tiny, and a
+        # 16k-wide CMS keeps collision noise well under the 10% match-rate
+        # cutoff at BOTH gate SFs (est/n_a measured ~0.2%/4% — nowhere
+        # near the threshold; marginality lesson r12)
+        ("lineitem_bloom_orders", "SELECT l_orderkey FROM lineitem",
+         "l_orderkey", "SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0",
+         "o_orderkey", 20, 16_384),
     ]
 )
 
@@ -5887,12 +5895,16 @@ _PLANNER_PAIRS_SQL = " UNION ALL ".join(
     "the CLOSED planner loop: choose_join consumes the CMS join-size "
     "estimate + per-side key-skew stats and emits an actual strategy "
     "per table pair — broadcast (small side), salted (hot key >= 16x "
-    "the mean on the bigger side), shuffle (uniform large), prune "
-    "(CMS est_rows=0 CERTIFIES empty, since the sketch is one-sided). "
-    "All decision inputs are exact integers and the CASE text is "
-    "shared verbatim with the oracle; apply_join_decision executes "
-    "the choice (tests pin salted==plain-join equality and the "
-    "broadcast physical plan). Four pairs cover all four strategies",
+    "the mean on the bigger side), bloom_reduced (small side too big "
+    "to broadcast as rows but bitmap-sized in KEYS, and the one-sided "
+    "CMS estimate certifies <=10% of the big side can match — ship a "
+    "Bloom filter, prefilter before the shuffle, output identical to "
+    "the plain join), shuffle (uniform large), prune (CMS est_rows=0 "
+    "CERTIFIES empty, since the sketch is one-sided). All decision "
+    "inputs are exact integers and the CASE text is shared verbatim "
+    "with the oracle; apply_join_decision executes the choice (tests "
+    "pin salted==plain-join and bloom==plain-join equality and the "
+    "broadcast physical plan). Five pairs cover all five strategies",
 )
 def diag_join_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
@@ -5915,6 +5927,11 @@ def diag_join_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               broadcast_rows=1_000)),
         ("nation_shift_region",
          _planner.choose_join(nation, "nk", region, "r_regionkey")),
+        ("lineitem_bloom_orders",
+         _planner.choose_join(
+             li.select("l_orderkey"), "l_orderkey",
+             orders.where(F.col("o_orderkey") % 50 == 0), "o_orderkey",
+             broadcast_rows=20, width=16_384)),
     ]
     out = None
     for label, d in pairs:
@@ -10308,6 +10325,46 @@ def join_bloom_reduced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_pairs",
+    _dedup.containment_pairs_sql("documents", "text", "doc_id", tau_ppm=600_000),
+    "asymmetric near-CONTAINMENT dedup: C(a→b) = |S(a)∩S(b)|/|S(a)| over "
+    "distinct word-n-gram shingle sets — detects a doc quoted/embedded "
+    "inside a LARGER doc, the case symmetric Jaccard structurally misses "
+    "(J ≤ |a|/|b| however complete the overlap). Membership decided by "
+    "the integer inequality inter·10⁶ ≥ τppm·|S(a)| (no float division "
+    "decides; the emitted ppm is integer div). Scale path: PPJoin-style "
+    "ASYMMETRIC prefix filter — only a's first |a|−⌈τ|a|⌉+1 shingles "
+    "under the global (df, shingle) order join the inverted index, with "
+    "⌈·⌉ in pure integer arithmetic (retires the FP-ceil epsilon class); "
+    "candidates verified by exact intersection count. Oracle runs the "
+    "plain inverted-index form — identical output by the exact verify",
+)
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return _dedup.containment_pairs(docs, "text", "doc_id", tau_ppm=600_000)
+
+
+@register(
+    "dq_benford_first_digit",
+    _dq.benford_first_digit_sql("events", "value", ["event_type"]),
+    "Benford's-law first-digit audit (the forensic DQ check for "
+    "fabricated/truncated/unit-mixed numeric columns): per event_type, "
+    "the first-SIGNIFICANT-digit distribution of value vs the fixed "
+    "Benford expectation, as exact integer ppm deviations. No log/pow "
+    "crosses engines: the expected ppms are 9 fixed literals, and the "
+    "digit is read as the first character of the BIGINT-quantized "
+    "value's decimal string — bit-identical extraction on both engines. "
+    "A 9-digit spine emits absent digits with count 0, so the report "
+    "shape is |groups|×9 regardless of data. One scan + one aggregate; "
+    "diagnostic by contract (synthetic uniform data legitimately "
+    "deviates — the reader judges, the engine reports)",
+)
+def dq_benford_first_digit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return _dq.benford_first_digit(ev, "value", ["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -10318,79 +10375,74 @@ def join_bloom_reduced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r12 head: leads with the 30 entries NEW in r12 (never sampled by
-#: construction — the 4 wave-1 additions, filtered ANN both routes,
-#: the LSH tuner, temperature mixture, split-leakage audit, RAG chunk
-#: retrieval + index path, the novelty report, component maintenance,
-#: contamination audit, the 4 wave-2 additions: fuzzy linkage, SCD2
-#: history, lag ACF, KMV set ops, the 3 wave-3 additions: Markov
-#: transitions, sequence match, cross-correlation, the SCD2
-#: maintenance face, embedding drift, the SCD2 as-of lookup, the DQ
-#: expectation suite, multi-touch attribution, RFM scoring, the
-#: streaming DQ face, skip-gram counts, and the bloom-reduced join),
-#: then the r7-stalest cohort (the oldest driver rows in the evidence
-#: ledger after the r10/r11 rotations — 20 of 39 fit alongside the
-#: never-sampled tier). tests/test_registry_head.py enforces the
-#: rotation rule mechanically.
+#: r13 head: the 2 entries NEW in r13 (containment dedup, Benford DQ)
+#: and the 4 entries whose behavior/oracle changed this round lead;
+#: then the FULL r7-stale cohort (19 — VERDICT r12 ask #2), then 25 of
+#: the 44 r8-stale entries (first 23 alphabetically + the two ingest-
+#: path entries pulled forward because the crash-atomic rewrite touches
+#: them; the remaining 19 r8 entries queue for the r14 head).
+#: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (1) NEW in r12 — never sampled by construction
-    "link_fuzzy_vocab",
-    "warehouse_scd2_history",
-    "tick_autocorrelation",
-    "sketch_kmv_setops",
-    "analytics_markov_transitions",
-    "analytics_sequence_match",
-    "tick_cross_correlation",
-    "stream_scd2_maintenance",
-    "diag_embedding_drift",
-    "warehouse_scd2_asof",
-    "dq_expectation_report",
-    "analytics_multitouch_attribution",
-    "analytics_rfm_scores",
+    # (0) NEW in r13 — never sampled by construction
+    "dedup_containment_pairs",
+    "dq_benford_first_digit",
+    # (1) CHANGED in r13 — behavior or oracle text edited this round, so
+    # they need fresh driver proof regardless of when last sampled
+    "agg_approx_sketches",
     "stream_dq_maintenance",
-    "text_skipgram_counts",
-    "join_bloom_reduced",
-    "select_hard_negatives_bulk",
     "diag_join_planner",
-    "tick_schema_evolution",
-    "sample_leakage_safe_split",
-    "sim_ann_filtered_selective",
-    "sim_ann_filtered_broad",
-    "diag_lsh_parameter_plan",
-    "sample_temperature_mixture",
-    "diag_split_leakage",
-    "text_rag_chunk_retrieval",
-    "decontam_novelty_report",
-    "stream_component_maintenance",
-    "diag_cross_split_contamination",
-    "text_rag_chunk_from_index",
-    # (2) stalest driver proof (r7 cohort — 20 of 39; udtf_token_freqs,
-    # trend_holt_linear_forecast, tpch_q9_product_profit, and — for the
-    # wave-2/3/4 additions — tpch q2/q7/q8/q22/q19/q20/q21/q16/q14/
-    # q15/q13/q11/q10, tick_time_travel, tick_downsample_m4 and
-    # text_quality_perceptron rotated out to keep the head at 50 with
-    # the 30 never-sampled r12 entries, which always take priority)
-    "decontaminate_bloom_prefilter",
-    "dedup_cluster_components",
-    "dedup_cluster_retention",
-    "dedup_exact_normalized",
-    "graph_triangle_counts",
-    "media_audio_features",
-    "media_decode_progressive",
-    "media_decode_robust",
-    "media_exif_metadata",
-    "media_scene_cuts",
-    "profile_lineitem_columns",
-    "rangejoin_interval_overlap",
-    "sim_embedding_l2norm",
-    "sim_semantic_dedup",
-    "sim_semantic_dedup_ivf",
-    "sim_semantic_dedup_trained",
-    "source_schema_evolution",
-    "stream_rollup_maintenance",
-    "stream_stream_leftouter_join",
-    "text_lexical_diversity",
+    "tick_autocorrelation",
+    # (2) stalest driver proof: the FULL r7 cohort (19 entries, last
+    # driver-hash-proven in round 7 — VERDICT r12 ask #2)
+    "text_quality_perceptron",
+    "tick_downsample_m4",
+    "tick_time_travel",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trend_holt_linear_forecast",
+    "udtf_token_freqs",
+    # (3) next-stalest (r8 cohort, 27 of 44): first 25 alphabetically,
+    # plus tick_compaction_equivalence and tick_snapshot_diff pulled
+    # forward because the r13 crash-atomic ingest rewrite touches their
+    # code paths; the remaining 17 r8 entries queue for the r14 head
+    "agg_cms_token_counts",
+    "agg_corr_covar_moments",
+    "agg_equidepth_histogram",
+    "agg_percentiles_by_priority",
+    "analytics_time_to_convert",
+    "asof_forward_next_view",
+    "dedup_incremental_vs_corpus",
+    "dedup_segment_spans",
+    "dedup_substring_rolling",
+    "embed_pca_covariance",
+    "filter_quality_percentile",
+    "graph_pagerank_neardup",
+    "join_salted_hotkey",
+    "json_props_extract",
+    "media_decode_gif",
+    "order_global_shuffle_index",
+    "pack_sequences_greedy",
+    "pipeline_curation_end2end",
+    "sample_reservoir_per_key",
+    "sample_split_assign",
+    "select_dsir_importance",
+    "sim_ann_ivfadc",
+    "sim_ann_jl_rerank",
+    "tick_compaction_equivalence",
+    "tick_snapshot_diff",
 ]
 
 

@@ -107,6 +107,71 @@ def compact_index(
     return dest
 
 
+def compaction_policy(
+    table_dir: str,
+    base_dir: str | None = None,
+    max_epochs: int = 64,
+    min_avg_file_bytes: int = 4 << 20,
+    max_log_to_base_ratio: float = 3.0,
+) -> dict:
+    """Decide whether a maintained face's epoch log is due for
+    :func:`compact_index` — driver-side directory statistics only, no
+    Spark job. Three triggers, any one of which fires:
+
+    * ``epochs > max_epochs`` — probe read amplification grows with
+      stream age (file listing + per-file footer reads + tiny row
+      groups), not data size; measured on this box the probe cost is
+      ~linear in epoch count (BASELINE r13 table).
+    * ``avg_file_bytes < min_avg_file_bytes`` (with >1 epoch) — the
+      small-files signal; at 100 TB this is the HDFS/S3 listing killer.
+      The default 4 MiB is deliberately below any healthy part file.
+    * ``log_bytes > max_log_to_base_ratio × base_bytes`` when a
+      compacted base exists — the LSM rule: once the un-compacted tail
+      outweighs the base ~3×, re-compacting costs little more than
+      probing does.
+
+    Returns ``{"due", "reasons", "epochs", "files", "log_bytes",
+    "avg_file_bytes", "base_bytes"}`` so callers can log WHY."""
+    epochs = 0
+    files = 0
+    log_bytes = 0
+    for root, dirs, names in os.walk(table_dir):
+        if root == table_dir:
+            epochs = sum(1 for d in dirs if d.startswith("epoch_"))
+        for n in names:
+            if n.endswith(".parquet"):
+                files += 1
+                log_bytes += os.path.getsize(os.path.join(root, n))
+    base_bytes = None
+    base = base_dir if base_dir is not None else table_dir.rstrip("/") + "_compacted"
+    if os.path.isdir(base):
+        base_bytes = sum(
+            os.path.getsize(os.path.join(r, n))
+            for r, _, ns in os.walk(base)
+            for n in ns
+            if n.endswith(".parquet")
+        )
+    avg = log_bytes // files if files else 0
+    reasons = []
+    if epochs > max_epochs:
+        reasons.append(f"epochs {epochs} > {max_epochs}")
+    if epochs > 1 and files and avg < min_avg_file_bytes:
+        reasons.append(f"avg file {avg}B < {min_avg_file_bytes}B")
+    if base_bytes and log_bytes > max_log_to_base_ratio * base_bytes:
+        reasons.append(
+            f"log {log_bytes}B > {max_log_to_base_ratio}x base {base_bytes}B"
+        )
+    return {
+        "due": bool(reasons),
+        "reasons": reasons,
+        "epochs": epochs,
+        "files": files,
+        "log_bytes": log_bytes,
+        "avg_file_bytes": avg,
+        "base_bytes": base_bytes,
+    }
+
+
 def emb_schema(dim: int = 64) -> T.StructType:
     return T.StructType(
         [
