@@ -1507,3 +1507,78 @@ def test_compaction_policy_triggers(tmp_path):
     # same log against a big-enough base -> quiet
     (base / "part-0.parquet").write_bytes(b"x" * (16 << 20))
     assert compaction_policy(log)["due"] is False
+
+
+def test_stream_groupby_mv_additive_restart_compact(tmp_path, spark):
+    """Group-by MV face: merged partials equal the batch-built aggregate
+    over all landed rows (SUM/SUM/MIN/MAX merge laws), restart extends
+    incrementally, compaction preserves the view, and quantized sums are
+    exact integers."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tickdb_spark.streaming.index import (
+        compact_index,
+        groupby_mv_report,
+        stream_groupby_mv_maintenance,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+
+    def _land(i, rows):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=["g", "v"])
+        pdf["v"] = pdf["v"].astype("float64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    batches = [
+        [("a", 1.5), ("a", 2.25), ("b", 10.0)],
+        [("a", -3.0), ("b", 0.000001)],
+        [("c", 7.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _land(i, rows)
+
+    got = stream_groupby_mv_maintenance(
+        spark, str(landing), str(tmp_path / "state"), schema, ["g"], "v"
+    )
+    rows = {r["g"]: (r["cnt"], r["sum_q"], r["min_q"], r["max_q"])
+            for r in got.collect()}
+    assert rows == {
+        "a": (3, 750_000, -3_000_000, 2_250_000),   # 1.5+2.25-3.0 = 0.75
+        "b": (2, 10_000_001, 1, 10_000_000),        # quantized exactly
+        "c": (1, 7_000_000, 7_000_000, 7_000_000),
+    }
+
+    # restart: one more file lands; only the new epoch is aggregated
+    _land(3, [("a", 100.0), ("d", -1.0)])
+    got2 = stream_groupby_mv_maintenance(
+        spark, str(landing), str(tmp_path / "state"), schema, ["g"], "v"
+    )
+    rows2 = {r["g"]: (r["cnt"], r["sum_q"], r["min_q"], r["max_q"])
+             for r in got2.collect()}
+    assert rows2["a"] == (4, 100_750_000, -3_000_000, 100_000_000)
+    assert rows2["d"] == (1, -1_000_000, -1_000_000, -1_000_000)
+    assert rows2["b"] == rows["b"] and rows2["c"] == rows["c"]
+
+    # compaction preserves the merged view
+    mv_dir = str(tmp_path / "state" / "mv_partials")
+    seed = T.StructType(
+        [schema["g"]]
+        + [T.StructField(c, T.LongType(), False)
+           for c in ("cnt", "sum_q", "min_q", "max_q")]
+    )
+    dest = compact_index(spark, mv_dir, seed, sort_cols=["g"])
+    rep = groupby_mv_report(spark.read.schema(seed).parquet(dest), ["g"])
+    assert {r["g"]: (r["cnt"], r["sum_q"], r["min_q"], r["max_q"])
+            for r in rep.collect()} == rows2

@@ -10365,6 +10365,264 @@ def dq_benford_first_digit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dq.benford_first_digit(ev, "value", ["event_type"])
 
 
+from tickdb_spark.operators import basket as _basket  # noqa: E402
+
+
+@register(
+    "analytics_association_rules",
+    _basket.association_rules_sql(
+        "(SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type "
+        "FROM events)",
+        [("user_id", "user_id"), ("day", "day")],
+        "event_type",
+    ),
+    "market-basket association rules (Agrawal-Srikant support/confidence "
+    "+ lift): baskets are (user, day) sets of distinct event types; one "
+    "row per co-occurring unordered pair with integer-exact support_ppm, "
+    "BOTH directional confidences and lift_ppm = n_xy·N·10⁶ div "
+    "(n_x·n_y) — no float ratio crosses engines, and denominators are "
+    "≥1 by construction so the zero-guard rule is satisfied vacuously. "
+    "Scale shape: pair generation self-joins on the BASKET key (never "
+    "item df²), so join volume is Σ|basket|², bounded by the item "
+    "vocabulary; supports are map-combinable hash aggregates",
+)
+def analytics_association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.expr("ts div 86400000000000").alias("day"),
+        "event_type",
+    )
+    return _basket.association_rules(base, ["user_id", "day"], "event_type")
+
+
+_CONF_SCORE_SQL = (
+    "(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "t -> list_contains(['the','a','of','and','to','is','in','that'], t))) "
+    "* 1000000) // len(string_split_regex(trim(text), '\\s+'))"
+)
+
+
+@register(
+    "eval_confusion_threshold_sweep",
+    f"""
+    WITH hist AS MATERIALIZED (
+      SELECT {_CONF_SCORE_SQL} AS score_q,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM documents GROUP BY 1
+    ),
+    spine AS (SELECT CAST(r.range * 100000 AS BIGINT) AS thr FROM range(1, 10) r),
+    cells AS (
+      SELECT s.thr,
+             CAST(SUM(CASE WHEN h.score_q >= s.thr THEN h.pos ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN h.score_q >= s.thr THEN h.neg ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN h.score_q <  s.thr THEN h.pos ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN h.score_q <  s.thr THEN h.neg ELSE 0 END) AS BIGINT) AS tn
+      FROM spine s CROSS JOIN hist h GROUP BY s.thr
+    )
+    SELECT thr, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+    FROM cells
+    """,
+    "classifier eval companion to eval_quality_auc (same integer "
+    "stopword-Englishness score, same lang ground truth): the full "
+    "confusion matrix swept across 9 fixed decision thresholds, with "
+    "integer-exact precision/recall ppm (NULL-guarded empty "
+    "denominators per the zero-variance rule). Scale shape: the corpus "
+    "collapses to a (distinct-score, label) HISTOGRAM first (≤10⁶ "
+    "buckets by construction), and the 9-threshold sweep runs over the "
+    "histogram — the corpus is scanned once however many thresholds "
+    "ride the sweep",
+)
+def eval_confusion_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    hits = _text.stopword_hits(F.col("text"), "en").cast("long")
+    n_tok = _text.token_count(F.col("text")).cast("long")
+    label = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    hist = (
+        docs.select(
+            F.call_function("div", hits * F.lit(1_000_000), n_tok).alias("score_q"),
+            label.alias("label"),
+        )
+        .groupBy("score_q")
+        .agg(
+            F.sum("label").cast("long").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("neg"),
+        )
+    )
+    spine = spark.range(1, 10).select((F.col("id") * 100_000).alias("thr"))
+    ge = F.col("score_q") >= F.col("thr")
+    cells = (
+        F.broadcast(spine)
+        .crossJoin(hist)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(ge, F.col("pos")).otherwise(F.lit(0))).cast("long").alias("tp"),
+            F.sum(F.when(ge, F.col("neg")).otherwise(F.lit(0))).cast("long").alias("fp"),
+            F.sum(F.when(~ge, F.col("pos")).otherwise(F.lit(0))).cast("long").alias("fn"),
+            F.sum(F.when(~ge, F.col("neg")).otherwise(F.lit(0))).cast("long").alias("tn"),
+        )
+    )
+    div = lambda num, den: F.call_function("div", num, den)  # noqa: E731
+    return cells.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               div(F.col("tp") * F.lit(1_000_000), F.col("tp") + F.col("fp")))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               div(F.col("tp") * F.lit(1_000_000), F.col("tp") + F.col("fn")))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@register(
+    "text_heaps_vocab_growth",
+    r"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    doc_tokens AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    firsts AS MATERIALIZED (
+      SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+             COUNT(*) OVER () AS n_docs
+      FROM doc_tokens
+    ),
+    spine AS (
+      SELECT CAST(s.range AS BIGINT) AS checkpoint,
+             (SELECT doc_id FROM ranked
+              WHERE rk = (n_docs * s.range + 9) // 10 LIMIT 1) AS thr_doc
+      FROM range(1, 11) s
+    )
+    SELECT checkpoint,
+           CAST((SELECT count(*) FROM doc_tokens WHERE doc_id <= thr_doc)
+                AS BIGINT) AS n_docs,
+           CAST((SELECT COALESCE(SUM(n_tok), 0) FROM doc_tokens
+                 WHERE doc_id <= thr_doc) AS BIGINT) AS total_tokens,
+           CAST((SELECT count(*) FROM firsts WHERE first_doc <= thr_doc)
+                AS BIGINT) AS vocab_size
+    FROM spine
+    """,
+    "Heaps-law vocabulary-growth curve (corpus statistics for tokenizer "
+    "/ dedup budgeting): at 10 doc-count checkpoints (deciles of the "
+    "doc_id order, threshold = the ceil(N·i/10)-th doc id), the "
+    "cumulative token count and the DISTINCT-vocabulary size. The "
+    "classic trick makes it one pass, not 10: each token's contribution "
+    "to every cumulative vocabulary is fully determined by its FIRST "
+    "doc (min doc_id per token — one hash aggregate, vocabulary-sized), "
+    "so the spine joins dimension-sized frames only. Checkpoint "
+    "thresholds use integer ceil ((N·i+9) div 10) — deterministic on "
+    "both engines; the global row_number runs over the DOC dimension "
+    "(the ntile-note convention, never corpus rows)",
+)
+def text_heaps_vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    w = Window.orderBy("doc_id")  # doc dimension, not corpus rows
+    ranked = doc_tokens.select(
+        "doc_id", F.row_number().over(w).alias("rk")
+    ).crossJoin(
+        F.broadcast(doc_tokens.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    )
+    spine = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("long").alias("checkpoint"))
+        .crossJoin(ranked)  # 10 × |docs| — dimension-sized, one filter pass
+        .where(F.expr("rk = (n_docs * checkpoint + 9) div 10"))
+        .select("checkpoint", F.col("doc_id").alias("thr_doc"))
+    )
+    dt = doc_tokens.crossJoin(F.broadcast(spine))
+    cum = dt.where(F.col("doc_id") <= F.col("thr_doc")).groupBy("checkpoint").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    fv = (
+        firsts.crossJoin(F.broadcast(spine))
+        .where(F.col("first_doc") <= F.col("thr_doc"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return cum.join(fv, "checkpoint")
+
+
+@register(
+    "stream_groupby_mv_maintenance",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_q,
+           CAST(MIN(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_q,
+           CAST(MAX(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_q
+    FROM events WHERE user_id < 50 GROUP BY event_type
+    """,
+    "the 13th maintained face: an incrementally-maintained GROUP-BY "
+    "materialized view (count/sum/min/max per key) — the non-time-keyed "
+    "generalization of the rollup cascade. Each micro-batch appends its "
+    "PARTIAL aggregate (rows = keys touched, not data) to an epoch log; "
+    "the read path merges with each state's own law (SUM/SUM/MIN/MAX — "
+    "commutative monoids, so the view is batching-independent and "
+    "exactly equals the batch-built aggregate the oracle runs). Values "
+    "quantized to BIGINT before summation: the merged sum is exact "
+    "integer, never a partition-order float fold",
+)
+def stream_groupby_mv_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.streaming.index import stream_groupby_mv_maintenance
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.col("user_id") < 50)
+        .select("event_id", "event_type", "value")
+    )
+    pdf = ev.toPandas()
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("event_type", _T.StringType(), False),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    work = _tempfile.mkdtemp(prefix="tickdb_mv_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k in range(3):
+        part = pdf[pdf.event_id % 3 == k]
+        _write_landing(
+            part, schema, _os.path.join(landing, f"ev_{k}.parquet"), base + k
+        )
+    return stream_groupby_mv_maintenance(
+        spark, landing, _os.path.join(work, "state"), schema,
+        ["event_type"], "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -10375,18 +10633,23 @@ def dq_benford_first_digit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 2 entries NEW in r13 (containment dedup, Benford DQ)
+#: r13 head: the 6 entries NEW in r13 (containment dedup, Benford DQ,
+#: association rules, confusion sweep, Heaps curve, group-by MV face)
 #: and the 4 entries whose behavior/oracle changed this round lead;
-#: then the FULL r7-stale cohort (19 — VERDICT r12 ask #2), then 25 of
-#: the 44 r8-stale entries (first 23 alphabetically + the two ingest-
+#: then the FULL r7-stale cohort (19 — VERDICT r12 ask #2), then 21 of
+#: the 44 r8-stale entries (first 19 alphabetically + the two ingest-
 #: path entries pulled forward because the crash-atomic rewrite touches
-#: them; the remaining 19 r8 entries queue for the r14 head).
+#: them; the remaining 23 r8 entries queue for the r14 head).
 #: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
     "dedup_containment_pairs",
     "dq_benford_first_digit",
+    "analytics_association_rules",
+    "eval_confusion_threshold_sweep",
+    "text_heaps_vocab_growth",
+    "stream_groupby_mv_maintenance",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -10437,10 +10700,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "pack_sequences_greedy",
     "pipeline_curation_end2end",
     "sample_reservoir_per_key",
-    "sample_split_assign",
-    "select_dsir_importance",
-    "sim_ann_ivfadc",
-    "sim_ann_jl_rerank",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
 ]

@@ -1000,6 +1000,82 @@ def stream_scd2_maintenance(
     return scd2_current_history(_read_maintained(spark, hist_dir, SCD2_HIST_SCHEMA))
 
 
+# --- streaming group-by materialized-view maintenance ------------------------
+
+
+def groupby_mv_report(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge a partial-aggregate log to the MV view: SUM the counts and
+    quantized sums, MIN/MAX the extremes — every state is a commutative
+    monoid, so the merged view equals the batch-built aggregate over all
+    rows ever landed REGARDLESS of batching."""
+    return partials.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum_q").cast("long").alias("sum_q"),
+        F.min("min_q").cast("long").alias("min_q"),
+        F.max("max_q").cast("long").alias("max_q"),
+    )
+
+
+def stream_groupby_mv_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The 13th maintained face: an incrementally-maintained GROUP-BY
+    MATERIALIZED VIEW (count/sum/min/max per key) — the non-time-keyed
+    generalization of the rollup cascade (rollup.py maintains bucketed
+    time aggregates; this maintains arbitrary-key aggregates). Each
+    micro-batch writes its PARTIAL aggregate (one row per key touched by
+    the batch) to an epoch dir; the read path merges with the states'
+    own laws (SUM/SUM/MIN/MAX — all commutative monoids, so the view is
+    batching-independent and exactly equals the batch-built aggregate).
+    Values are quantized to BIGINT (``floor(v·scale + 0.5)``, the house
+    float discipline) BEFORE summation, so the merged sum is exact
+    integer — never a partition-order-dependent float fold. State per
+    epoch is |keys touched by the batch| rows, not data. Deletes:
+    aggregate state is not row-addressable — retractions ride epoch-dir
+    removal (the counter-face rule), or a rebuild of affected keys.
+    Idempotence: per-epoch overwrite like every face. Returns the
+    merged view ``(group_cols..., cnt, sum_q, min_q, max_q)``."""
+    mv_dir = os.path.join(work_dir, "mv_partials")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_mv")
+    seed = T.StructType(
+        [schema[c] for c in group_cols]
+        + [
+            T.StructField("cnt", T.LongType(), False),
+            T.StructField("sum_q", T.LongType(), False),
+            T.StructField("min_q", T.LongType(), False),
+            T.StructField("max_q", T.LongType(), False),
+        ]
+    )
+    spark.createDataFrame([], seed).write.mode("ignore").parquet(mv_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        q = F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)")
+        batch.select(*group_cols, q.alias("q")).groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("q").cast("long").alias("sum_q"),
+            F.min("q").cast("long").alias("min_q"),
+            F.max("q").cast("long").alias("max_q"),
+        ).write.mode("overwrite").parquet(os.path.join(mv_dir, f"epoch_{epoch_id}"))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return groupby_mv_report(_read_maintained(spark, mv_dir, seed), group_cols)
+
+
 # --- streaming data-quality counter maintenance ------------------------------
 
 DQ_COUNTER_SCHEMA = T.StructType(
