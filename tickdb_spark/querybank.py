@@ -10623,6 +10623,81 @@ def stream_groupby_mv_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "agg_trailing_distinct_users",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, day + u.x AS t_day
+      FROM pairs, LATERAL unnest(generate_series(0, 6)) AS u(x)
+    ),
+    days AS (SELECT DISTINCT day AS t_day FROM pairs)
+    SELECT t_day AS day, CAST(count(*) AS BIGINT) AS trailing7_users
+    FROM contrib JOIN days USING (t_day) GROUP BY t_day
+    """,
+    "EXACT sliding-window DISTINCT: distinct active users over the "
+    "trailing 7 days, per day — the windowed-distinct op the trailing-"
+    "SUM window (win_trailing_7day_revenue) cannot express (distinct is "
+    "not subtractable, so no running-frame trick applies; the sketch "
+    "path for extreme cardinalities is the HLL face). Shape: the corpus "
+    "collapses to DISTINCT (user, day) pairs first, each pair explodes "
+    "to the ≤7 window-ends it serves, and a second distinct+count "
+    "finishes — equi-shuffles only, join volume ≤ 7·|user-days|, no "
+    "range join and no per-day rescans",
+)
+def agg_trailing_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    pairs = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    ).distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("t_day"),
+    ).distinct()
+    days = pairs.select(F.col("day").alias("t_day")).distinct()
+    return (
+        contrib.join(days, "t_day")
+        .groupBy("t_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("trailing7_users"))
+        .select(F.col("t_day").alias("day"), "trailing7_users")
+    )
+
+
+@register(
+    "tick_calendar_heatmap",
+    """
+    SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_q
+    FROM events GROUP BY 1, 2
+    """,
+    "calendar heatmap (day-of-week × hour-of-day activity matrix) — the "
+    "ops-dashboard query every tick store serves. Day-of-week from pure "
+    "integer epoch math ((epoch_days + 3) % 7, Monday=0 — 1970-01-01 "
+    "was a Thursday), never engine date functions whose week "
+    "conventions differ; value sums BIGINT-quantized. One map-"
+    "combinable aggregate to ≤168 cells at any corpus size",
+)
+def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr("CAST((ts div 86400000000000 + 3) % 7 AS BIGINT)").alias("dow"),
+            F.expr("CAST((ts div 3600000000000) % 24 AS BIGINT)").alias("hod"),
+            F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("q"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("q").cast("long").alias("sum_q"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
@@ -10633,14 +10708,15 @@ def stream_groupby_mv_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFra
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 6 entries NEW in r13 (containment dedup, Benford DQ,
-#: association rules, confusion sweep, Heaps curve, group-by MV face)
-#: and the 4 entries whose behavior/oracle changed this round lead;
-#: then the FULL r7-stale cohort (19 — VERDICT r12 ask #2), then 21 of
-#: the 44 r8-stale entries (first 19 alphabetically + the two ingest-
-#: path entries pulled forward because the crash-atomic rewrite touches
-#: them; the remaining 23 r8 entries queue for the r14 head).
-#: tests/test_registry_head.py enforces the rotation rule mechanically.
+#: r13 head: the 8 entries NEW in r13 (containment dedup, Benford DQ,
+#: association rules, confusion sweep, Heaps curve, group-by MV face,
+#: trailing distinct users, calendar heatmap) and the 4 entries whose
+#: behavior/oracle changed this round lead; then the FULL r7-stale
+#: cohort (19 — VERDICT r12 ask #2), then 19 of the 44 r8-stale entries
+#: (first 17 alphabetically + the two ingest-path entries pulled
+#: forward because the crash-atomic rewrite touches them; the remaining
+#: 25 r8 entries queue for the r14 head). tests/test_registry_head.py
+#: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
@@ -10650,6 +10726,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_confusion_threshold_sweep",
     "text_heaps_vocab_growth",
     "stream_groupby_mv_maintenance",
+    "agg_trailing_distinct_users",
+    "tick_calendar_heatmap",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -10698,8 +10776,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "media_decode_gif",
     "order_global_shuffle_index",
     "pack_sequences_greedy",
-    "pipeline_curation_end2end",
-    "sample_reservoir_per_key",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
 ]
