@@ -286,7 +286,7 @@ def containment_pairs(
     text_col: str,
     id_col: str,
     tau_ppm: int = 800_000,
-    n: int = NGRAM_N,
+    n: int = 5,
     prefix_filter: bool = True,
 ) -> DataFrame:
     """Ordered near-CONTAINMENT pairs: ``C(a→b) = |S(a)∩S(b)| / |S(a)|``
@@ -311,7 +311,18 @@ def containment_pairs(
     Returns ``(id_a, id_b, inter, n_a, containment_ppm)``; both
     directions of a mutual near-duplicate appear (each direction is its
     own claim)."""
-    sh = _hashed_shingles(df, text_col, id_col, n).cache()
+    # EAGER checkpoint, not cache(): the shingle substrate is referenced
+    # from 5+ independent stages of ONE action (dfreq, sizes, ranked,
+    # both join sides of candidates and verify) which all launch before
+    # a lazy cache has materialized anything — measured 34 s vs 7 s at
+    # the 8x corpus for the identical plan (the r12 multiply-referenced-
+    # subtree lesson, parallel-stage variant). The input repartition
+    # parallelizes the tokenize/explode itself (single-split parquet =
+    # one task, the r10 corpus-projection rule).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _hashed_shingles(
+        df.repartition(par), text_col, id_col, n
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -326,6 +337,11 @@ def containment_pairs(
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         ranked = (
             sh.join(dfreq, "shingle")
+            # explicit-numPartitions repartition: AQE coalesces this
+            # small-bytes/compute-heavy window input to one task
+            # otherwise (the r9 _series_parallel rule) — same hash
+            # distribution the window needs, so the exchange is free
+            .repartition(par, "id")
             .withColumn(
                 "rnk",
                 F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
@@ -379,7 +395,7 @@ def containment_pairs(
 
 
 def containment_pairs_sql(
-    table: str, text_col: str, id_col: str, tau_ppm: int = 800_000, n: int = NGRAM_N
+    table: str, text_col: str, id_col: str, tau_ppm: int = 800_000, n: int = 5
 ) -> str:
     """DuckDB twin of :func:`containment_pairs` — the plain
     inverted-index form (the prefix filter only prunes candidates; the
