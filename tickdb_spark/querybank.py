@@ -10666,6 +10666,149 @@ def agg_trailing_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dq_iqr_outliers",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, q,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY q) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    quart AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rk = (n + 3) // 4 THEN q END) AS BIGINT) AS p25_q,
+             CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN q END) AS BIGINT) AS p75_q
+      FROM ranked GROUP BY event_type
+    )
+    SELECT t.event_type, qu.n, qu.p25_q, qu.p75_q,
+           CAST(SUM(CASE WHEN 2 * t.q < 5 * qu.p25_q - 3 * qu.p75_q
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+           CAST(SUM(CASE WHEN 2 * t.q > 5 * qu.p75_q - 3 * qu.p25_q
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+    FROM q t JOIN quart qu ON qu.event_type = t.event_type
+    GROUP BY t.event_type, qu.n, qu.p25_q, qu.p75_q
+    """,
+    "Tukey-fence outlier report (the boxplot 1.5·IQR rule) per group — "
+    "the distributional DQ check next to the Benford digit audit. FULLY "
+    "integer cross-engine: values BIGINT-quantized, quartiles are exact "
+    "ORDER STATISTICS at ceil-ranks ((n+3) div 4 / (3n+3) div 4 — the "
+    "value at a rank of a sorted multiset is tie-proof, unlike engine "
+    "quantile interpolation conventions), and the ×2 trick renders the "
+    "1.5·IQR fences as pure integers: outlier iff 2q < 5·p25 − 3·p75 or "
+    "2q > 5·p75 − 3·p25. Exact quantiles cost one per-key sort of the "
+    "corpus by contract — the sketch substitute at extreme scale is "
+    "percentile_approx / the quantile-sketch face; this is the "
+    "exactness-demanding audit path",
+)
+def dq_iqr_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    q = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("q"),
+    )
+    w = Window.partitionBy("event_type").orderBy("q")
+    ranked = q.select(
+        "event_type",
+        "q",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    quart = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.expr("rk = (n + 3) div 4"), F.col("q")))
+        .cast("long")
+        .alias("p25_q"),
+        F.max(F.when(F.expr("rk = (3 * n + 3) div 4"), F.col("q")))
+        .cast("long")
+        .alias("p75_q"),
+    )
+    return (
+        q.join(F.broadcast(quart), "event_type")
+        .groupBy("event_type", "n", "p25_q", "p75_q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q") * 2 < F.col("p25_q") * 5 - F.col("p75_q") * 3,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_out_lo"),
+            F.sum(
+                F.when(
+                    F.col("q") * 2 > F.col("p75_q") * 5 - F.col("p25_q") * 3,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_out_hi"),
+        )
+    )
+
+
+@register(
+    "text_token_diversity_simpson",
+    r"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    tcnt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS ssq
+      FROM tcnt GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.source,
+             CAST((p.n * p.n - p.ssq) * 1000000 // (p.n * p.n) AS BIGINT)
+               AS simpson_ppm
+      FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT source, CAST(simpson_ppm // 100000 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY source, simpson_ppm // 100000
+    """,
+    "token Simpson-diversity screening (1 − Σp_i² — the RATIONAL "
+    "diversity index; Shannon entropy would put a cross-engine log in "
+    "the gate, and Simpson ranks repetitive junk identically): per doc, "
+    "integer-exact simpson_ppm = (n² − Σc²)·10⁶ div n² over token "
+    "counts, reported as per-source decile histograms (bounded output: "
+    "|sources|×10 rows at any corpus size). Degenerate one-token docs "
+    "land in decile 0 — exactly the junk the screen exists to flag. "
+    "Complements the Gopher repetition filters with a single "
+    "scale-free index",
+)
+def text_token_diversity_simpson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tcnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_doc = tcnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    scored = per_doc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.expr("CAST((n * n - ssq) * 1000000 div (n * n) AS BIGINT)").alias(
+            "simpson_ppm"
+        ),
+    )
+    return (
+        scored.select("source", F.expr("CAST(simpson_ppm div 100000 AS BIGINT)").alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@register(
     "tick_calendar_heatmap",
     """
     SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
@@ -10708,15 +10851,16 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 8 entries NEW in r13 (containment dedup, Benford DQ,
+#: r13 head: the 10 entries NEW in r13 (containment dedup, Benford DQ,
 #: association rules, confusion sweep, Heaps curve, group-by MV face,
-#: trailing distinct users, calendar heatmap) and the 4 entries whose
-#: behavior/oracle changed this round lead; then the FULL r7-stale
-#: cohort (19 — VERDICT r12 ask #2), then 19 of the 44 r8-stale entries
-#: (first 17 alphabetically + the two ingest-path entries pulled
-#: forward because the crash-atomic rewrite touches them; the remaining
-#: 25 r8 entries queue for the r14 head). tests/test_registry_head.py
-#: enforces the rotation rule mechanically.
+#: trailing distinct users, calendar heatmap, IQR outliers, Simpson
+#: diversity) and the 4 entries whose behavior/oracle changed this
+#: round lead; then the FULL r7-stale cohort (19 — VERDICT r12 ask #2),
+#: then 17 of the 44 r8-stale entries (first 15 alphabetically + the
+#: two ingest-path entries pulled forward because the crash-atomic
+#: rewrite touches them; the remaining 27 r8 entries queue for the r14
+#: head). tests/test_registry_head.py enforces the rotation rule
+#: mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
@@ -10728,6 +10872,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_groupby_mv_maintenance",
     "agg_trailing_distinct_users",
     "tick_calendar_heatmap",
+    "dq_iqr_outliers",
+    "text_token_diversity_simpson",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -10774,8 +10920,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "join_salted_hotkey",
     "json_props_extract",
     "media_decode_gif",
-    "order_global_shuffle_index",
-    "pack_sequences_greedy",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
 ]
