@@ -3628,3 +3628,69 @@ def test_benford_first_digit_extraction_and_spine(spark):
         assert rows[d]["observed_ppm"] == exp_obs
         assert rows[d]["benford_ppm"] == BENFORD_PPM[d - 1]
         assert rows[d]["abs_dev_ppm"] == abs(exp_obs - BENFORD_PPM[d - 1])
+
+
+def test_zorder_key_identity_and_pruning(spark, tmp_path):
+    """Z-order clustering: (a) the Morton key matches a python bit-
+    interleave reference, (b) a clustered table answers box queries
+    row-identically to the raw table, (c) parquet footer min/max stats
+    prune a 2-D box on the z layout where a time-ish 1-D layout reads
+    everything — checked against the files' own statistics, the exact
+    information a reader's row-group skip uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tickdb_spark.operators.zorder import zorder_key, zorder_write
+
+    df = spark.createDataFrame(
+        [(i, i % 97, (i * 13) % 200) for i in range(20_000)],
+        ["rid", "x", "y"],
+    )
+    # (a) key reference
+    got = {r["x"]: r["z"] for r in
+           df.where(F.col("rid") < 97).withColumn(
+               "z", zorder_key([("x", 0, 96), ("y", 0, 199)], bits=4)
+           ).collect()}
+
+    def ref(x, y):
+        sx = (x * 15) // 96
+        sy = (y * 15) // 199
+        z = 0
+        for b in range(4):
+            z |= ((sx >> b) & 1) << (2 * b) | ((sy >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in df.where(F.col("rid") < 97).collect():
+        assert got[r["x"]] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+    # (b) + (c): write both layouts with small files
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(df, zp, [("x", 0, 96), ("y", 0, 199)], bits=8,
+                 n_files=8, max_records_per_file=1000)
+    (df.repartitionByRange(8, "rid").sortWithinPartitions("rid")
+       .write.mode("overwrite").option("maxRecordsPerFile", 1000).parquet(lp))
+    box = F.col("x").between(10, 20) & F.col("y").between(50, 80)
+    za = sorted(r["rid"] for r in spark.read.parquet(zp).where(box).collect())
+    la = sorted(r["rid"] for r in spark.read.parquet(lp).where(box).collect())
+    ra = sorted(r["rid"] for r in df.where(box).collect())
+    assert za == la == ra and ra
+
+    def frac_readable(path):
+        read, total = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                sx = g.column(idx["x"]).statistics
+                sy = g.column(idx["y"]).statistics
+                total += 1
+                if not (sx.max < 10 or sx.min > 20 or sy.max < 50 or sy.min > 80):
+                    read += 1
+        return read, total
+
+    zr, zt = frac_readable(zp)
+    lr, lt = frac_readable(lp)
+    assert lr == lt, "rid-sorted layout should have no (x, y) locality"
+    assert zr * 2 <= zt, f"z layout should prune >=half the groups ({zr}/{zt})"

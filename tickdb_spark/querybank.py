@@ -10809,6 +10809,40 @@ def text_token_diversity_simpson_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "source_zorder_pruning",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 100 AND 200
+    """,
+    "Z-order (Morton) clustering — the Delta/Iceberg OPTIMIZE ZORDER "
+    "capability: interleave the bits of (user_id, quantized value) into "
+    "one integer key, range-partition + sort by it, drop it; parquet "
+    "min/max stats on the ORIGINAL columns then prune multi-dimensional "
+    "box queries (measured: 2-D box reads 13% of row groups vs 100% "
+    "time-sorted, and BOTH single-dim predicates prune — 1-D sort "
+    "serves only its own dim; scripts/bench_zorder_pruning.py). The "
+    "key is exact integer arithmetic, codegen end to end. Gate "
+    "contract: output-identity — the clustered table answers the box "
+    "query row-identically to the raw table the oracle reads (layout "
+    "is an optimization, never a semantic)",
+)
+def source_zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.operators.zorder import zorder_write
+
+    ev = _read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    dest = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_zorder_"), "events_z")
+    zorder_write(
+        ev, dest,
+        [("user_id", 0, 1500), ("CAST(floor(value) AS BIGINT)", 0, 600)],
+        bits=16, n_files=4,
+    )
+    z = spark.read.parquet(dest)
+    return z.where(
+        F.col("user_id").between(3, 7) & F.col("value").between(100, 200)
+    ).select("event_id", "user_id", "value")
+
+
+@register(
     "tick_calendar_heatmap",
     """
     SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
@@ -10851,16 +10885,16 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 10 entries NEW in r13 (containment dedup, Benford DQ,
+#: r13 head: the 11 entries NEW in r13 (containment dedup, Benford DQ,
 #: association rules, confusion sweep, Heaps curve, group-by MV face,
 #: trailing distinct users, calendar heatmap, IQR outliers, Simpson
-#: diversity) and the 4 entries whose behavior/oracle changed this
-#: round lead; then the FULL r7-stale cohort (19 — VERDICT r12 ask #2),
-#: then 17 of the 44 r8-stale entries (first 15 alphabetically + the
-#: two ingest-path entries pulled forward because the crash-atomic
-#: rewrite touches them; the remaining 27 r8 entries queue for the r14
-#: head). tests/test_registry_head.py enforces the rotation rule
-#: mechanically.
+#: diversity, Z-order pruning) and the 4 entries whose behavior/oracle
+#: changed this round lead; then the FULL r7-stale cohort (19 — VERDICT
+#: r12 ask #2), then 16 of the 44 r8-stale entries (first 14
+#: alphabetically + the two ingest-path entries pulled forward because
+#: the crash-atomic rewrite touches them; the remaining 28 r8 entries
+#: queue for the r14 head). tests/test_registry_head.py enforces the
+#: rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
@@ -10874,6 +10908,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_calendar_heatmap",
     "dq_iqr_outliers",
     "text_token_diversity_simpson",
+    "source_zorder_pruning",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -10919,7 +10954,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "graph_pagerank_neardup",
     "join_salted_hotkey",
     "json_props_extract",
-    "media_decode_gif",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
 ]
