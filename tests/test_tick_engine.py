@@ -623,3 +623,60 @@ def test_crash_during_staging_leaves_table_untouched(tmp_path, spark, monkeypatc
     assert not _os.path.exists(ing._journal_path(db))
     assert ing.recover(db) is False
     assert _state(spark, db) == before
+
+
+def test_expire_before_downsampled_retention_and_crash(tmp_path, spark, monkeypatch):
+    """Retention lifecycle: expire_before drops whole days physically
+    (O(partitions), no rewrite), rollups built over them keep answering
+    (downsampled retention — expiry must NOT dirty the rollup), raw
+    reads see only the retained tail, and a kill mid-rmtree rolls
+    forward via the journal."""
+    import os as _os
+
+    import tickdb_spark.ingest as ing
+    from tickdb_spark.rollup import RollupStore, route_tick_query
+
+    db, rows = _mk_crash_db(tmp_path, spark)  # 3 days of hourly points
+    RollupStore(spark, db).refresh(("minute", "hour", "day"))
+    day_q = {
+        "index": "A",
+        "from": "2024-01-01T00:00:00Z",
+        "to": "2024-01-04T00:00:00Z",
+        "group": "day",
+        "fields": {"v": ["sum", "count"]},
+        "exact": True,
+    }
+    before = {r["bucket"]: (r["v_sum"], r["v_count"])
+              for r in route_tick_query(spark, db, day_q).collect()}
+    assert len(before) == 3
+
+    # crash mid-expiry (after the first rmtree) -> journal rolls forward
+    with monkeypatch.context() as m:
+        real = ing.shutil.rmtree
+        calls = {"k": 0}
+
+        def boom(*a, **kw):
+            if calls["k"] >= 1:
+                raise RuntimeError("injected crash")
+            calls["k"] += 1
+            return real(*a, **kw)
+
+        m.setattr(ing.shutil, "rmtree", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.expire_before(spark, db, "2024-01-03T00:00:00Z")
+    assert _os.path.exists(ing._journal_path(db))
+    # any read triggers recovery and sees the POST-expiry raw state
+    raw_days = sorted(
+        {r["ts"] // (86_400 * 10**9) for r in ing.read_ticks(spark, db).collect()}
+    )
+    assert raw_days == [19725]  # only 2024-01-03 remains raw
+    assert not _os.path.exists(ing._journal_path(db))
+    assert ing._read_meta(db)["expired_before_ns"] > 0
+
+    # rollup-served day query still covers the FULL range, bit-identical
+    after = {r["bucket"]: (r["v_sum"], r["v_count"])
+             for r in route_tick_query(spark, db, day_q).collect()}
+    assert after == before
+
+    # idempotent re-run: nothing left to drop
+    assert ing.expire_before(spark, db, "2024-01-03T00:00:00Z") == []

@@ -86,6 +86,10 @@ def recover(db_path: str) -> bool:
             os.rename(tmp, path)
         if os.path.isdir(old):
             shutil.rmtree(old)
+    elif entry["op"] == "expire":
+        for d in entry["dirs"]:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     elif entry["op"] == "delete_range":
         series_dir, tmp = entry["series_dir"], entry["tmp"]
         # Pure deletes (no surviving rows): old partition just goes away.
@@ -359,6 +363,61 @@ def delete_range(spark: SparkSession, db_path: str, series: str, frm, to) -> Non
     shutil.rmtree(tmp)
     _write_meta(db_path, meta)
     os.remove(_journal_path(db_path))
+
+
+def expire_before(spark: SparkSession, db_path: str, cutoff) -> list[tuple[str, str]]:
+    """Retention / TTL: physically drop every ``(series, dt)`` partition
+    whose WHOLE DAY lies strictly before ``cutoff`` — the storage
+    lifecycle every production TSDB has and the reference lacks
+    entirely. Directory-level: no data is read or rewritten, cost is
+    O(partitions dropped) regardless of row count.
+
+    DOWNSAMPLED RETENTION contract: rollup levels built over the
+    expired days (``rollup.RollupStore``) are separate tables and
+    REMAIN queryable — the standard keep-aggregates-drop-raw policy.
+    Expiry therefore does NOT mark partitions dirty (a refresh would
+    rebuild them from the now-empty raw and erase the retained
+    aggregates). Snapshot reads (``as_of_seq``) lose expired rows —
+    physical retention trumps time travel, recorded in
+    ``meta['expired_before_ns']``.
+
+    Crash-safe via the same journal discipline as compact/delete_range:
+    the drop list is persisted before the first rmtree (pure deletes —
+    recovery just finishes them). Returns the dropped (series, dt)
+    pairs."""
+    import datetime as dt
+
+    cutoff_ns = parse_time_ns(cutoff)
+    cutoff_day = dt.datetime.fromtimestamp(
+        cutoff_ns / 1e9, dt.timezone.utc
+    ).date()
+    base = os.path.join(db_path, TICKS_DIR)
+    meta = _read_meta(db_path)  # also runs recovery first
+    dropped: list[tuple[str, str]] = []
+    dirs: list[str] = []
+    if os.path.isdir(base):
+        for sname in os.listdir(base):
+            if not sname.startswith("series="):
+                continue
+            sdir = os.path.join(base, sname)
+            for dname in os.listdir(sdir):
+                if not dname.startswith("dt="):
+                    continue
+                d = dt.date.fromisoformat(dname.split("=", 1)[1])
+                if d < cutoff_day:
+                    dropped.append((sname.split("=", 1)[1], str(d)))
+                    dirs.append(os.path.join(sdir, dname))
+    if not dirs:
+        return []
+    meta["expired_before_ns"] = max(
+        int(meta.get("expired_before_ns", 0)), cutoff_ns
+    )
+    _write_journal(db_path, {"op": "expire", "dirs": dirs, "meta": meta})
+    for d in dirs:
+        shutil.rmtree(d)
+    _write_meta(db_path, meta)
+    os.remove(_journal_path(db_path))
+    return dropped
 
 
 def snapshot_diff(

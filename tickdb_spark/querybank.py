@@ -10809,6 +10809,70 @@ def text_token_diversity_simpson_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "tick_retention_downsample",
+    f"""
+    WITH rolled AS (
+      SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+             CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum,
+             COUNT(value) AS value_count
+      FROM events WHERE {_tw('click')}
+      GROUP BY bucket
+    ),
+    raw AS (
+      SELECT epoch_ns(date_trunc('day', ts)) AS bucket,
+             CAST(count(*) AS BIGINT) AS raw_points
+      FROM events WHERE {_tw('click', frm='2024-01-15T00:00:00Z')}
+      GROUP BY bucket
+    )
+    SELECT rolled.bucket, value_sum, CAST(value_count AS BIGINT) AS value_count,
+           raw.raw_points
+    FROM rolled LEFT JOIN raw ON raw.bucket = rolled.bucket
+    """,
+    "DOWNSAMPLED RETENTION — the TSDB storage lifecycle the reference "
+    "lacks entirely: ingest → rollup refresh → ingest.expire_before "
+    "physically drops raw (series, dt) partitions older than the cutoff "
+    "(directory-level, O(partitions), journal-crash-safe like compact/"
+    "delete) while the rollup cascade built over them REMAINS queryable. "
+    "The entry proves both halves at once: day buckets served from the "
+    "rollup cover the FULL month (value_sum through decimal states, "
+    "hash-identical to the raw-built answer the oracle computes), while "
+    "raw_points is NULL exactly for the expired days (< Jan 15) and "
+    "matches the raw count after the cutoff",
+)
+def tick_retention_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdb_spark.ingest import expire_before, read_ticks
+
+    # own warehouse (never the shared memoized one — expiry is destructive)
+    db_path = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_ret_"), "db")
+    _os.makedirs(db_path)
+    _append_batch(db_path, events_as_ticks(spark, sf_dir).drop("ts_raw"))
+    _RollupStore(spark, db_path).refresh(("minute", "hour", "day"))
+    expire_before(spark, db_path, "2024-01-15T00:00:00Z")
+    rolled = _route(
+        spark,
+        db_path,
+        {
+            "index": "click",
+            "from": _EV_RANGE[0],
+            "to": _EV_RANGE[1],
+            "group": "day",
+            "fields": {"value": ["sum", "count"]},
+            "exact": True,
+        },
+    )
+    raw = (
+        read_ticks(spark, db_path)
+        .where(F.col("series") == "click")
+        .select(F.expr("(ts div 86400000000000) * 86400000000000").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("raw_points"))
+    )
+    return rolled.select("bucket", "value_sum", "value_count").join(
+        raw, "bucket", "left"
+    )
+
+
+@register(
     "source_zorder_pruning",
     """
     SELECT event_id, user_id, value FROM events
@@ -10885,16 +10949,16 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 11 entries NEW in r13 (containment dedup, Benford DQ,
+#: r13 head: the 12 entries NEW in r13 (containment dedup, Benford DQ,
 #: association rules, confusion sweep, Heaps curve, group-by MV face,
 #: trailing distinct users, calendar heatmap, IQR outliers, Simpson
-#: diversity, Z-order pruning) and the 4 entries whose behavior/oracle
-#: changed this round lead; then the FULL r7-stale cohort (19 — VERDICT
-#: r12 ask #2), then 16 of the 44 r8-stale entries (first 14
-#: alphabetically + the two ingest-path entries pulled forward because
-#: the crash-atomic rewrite touches them; the remaining 28 r8 entries
-#: queue for the r14 head). tests/test_registry_head.py enforces the
-#: rotation rule mechanically.
+#: diversity, Z-order pruning, downsampled retention) and the 4 entries
+#: whose behavior/oracle changed this round lead; then the FULL
+#: r7-stale cohort (19 — VERDICT r12 ask #2), then 15 of the 44
+#: r8-stale entries (first 13 alphabetically + the two ingest-path
+#: entries pulled forward because the crash-atomic rewrite touches
+#: them; the remaining 29 r8 entries queue for the r14 head).
+#: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
@@ -10909,6 +10973,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dq_iqr_outliers",
     "text_token_diversity_simpson",
     "source_zorder_pruning",
+    "tick_retention_downsample",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -10953,7 +11018,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "filter_quality_percentile",
     "graph_pagerank_neardup",
     "join_salted_hotkey",
-    "json_props_extract",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
 ]
