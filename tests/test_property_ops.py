@@ -221,3 +221,205 @@ def test_dq_counts_equal_pandas_reference(spark, rows):
     rng = sum(1 for _, v in rows if v is None or not (0 <= v <= 100))
     uq = n - len({k for k, _ in rows})
     assert rep == {"nn": (nn, n), "rng": (rng, n), "uq": (uq, n)}
+
+
+# --- round-13 operator properties -------------------------------------------
+
+tok_st = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+doc_st = st.lists(tok_st, min_size=1, max_size=12)
+
+
+def _shingles(tokens: list[str], n: int = 5) -> frozenset:
+    text = " ".join(tokens)
+    toks = text.split()
+    if len(toks) < n:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(doc_st, min_size=1, max_size=8))
+def test_containment_pairs_equals_python(spark, docs):
+    """Both containment paths (prefix-filtered and plain inverted index)
+    equal the python set reference — including mutual duplicates, docs
+    shorter than the shingle width, and dense shared-shingle corpora
+    (the adversarial case for the asymmetric prefix bound)."""
+    from tickdb_spark.operators.dedup import containment_pairs
+
+    tau = 600_000
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {}
+    sets = {i: _shingles(d) for i, d in enumerate(docs)}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * 1_000_000 >= tau * len(sa):
+                want[(a, b)] = (inter, len(sa), inter * 1_000_000 // len(sa))
+    for pf in (True, False):
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["containment_ppm"])
+            for r in containment_pairs(
+                df, "text", "doc_id", tau_ppm=tau, prefix_filter=pf
+            ).collect()
+        }
+        assert got == want, (pf, got, want)
+
+
+basket_row_st = st.tuples(
+    st.integers(min_value=1, max_value=4),       # basket key
+    st.sampled_from(["x", "y", "z"]),            # item
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(basket_row_st, min_size=1, max_size=25))
+def test_association_rules_equal_python(spark, rows):
+    """Association metrics equal the python reference — duplicate
+    (basket, item) rows collapse, single-item baskets yield no pairs,
+    and every ppm is the exact integer division."""
+    from tickdb_spark.operators.basket import association_rules
+
+    df = spark.createDataFrame(rows, ["b", "item"])
+    got = {
+        (r["item_x"], r["item_y"]): (
+            r["n_xy"], r["n_x"], r["n_y"], r["n_baskets"],
+            r["support_ppm"], r["conf_x_to_y_ppm"], r["conf_y_to_x_ppm"],
+            r["lift_ppm"],
+        )
+        for r in association_rules(df, ["b"], "item").collect()
+    }
+    baskets = {}
+    for b, item in rows:
+        baskets.setdefault(b, set()).add(item)
+    nb = len(baskets)
+    n_item = {}
+    for items in baskets.values():
+        for i in items:
+            n_item[i] = n_item.get(i, 0) + 1
+    want = {}
+    pair_n = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] = pair_n.get((s[i], s[j]), 0) + 1
+    for (x, y), nxy in pair_n.items():
+        want[(x, y)] = (
+            nxy, n_item[x], n_item[y], nb,
+            nxy * 1_000_000 // nb,
+            nxy * 1_000_000 // n_item[x],
+            nxy * 1_000_000 // n_item[y],
+            nxy * nb * 1_000_000 // (n_item[x] * n_item[y]),
+        )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=30,
+))
+def test_benford_digits_equal_python(spark, vals):
+    """First-significant-digit extraction equals python on adversarial
+    doubles (negatives and sub-quantum values drop; sub-1 values keep
+    their first significant digit after quantization)."""
+    import math
+
+    from tickdb_spark.operators.dq import benford_first_digit
+
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    got = {r["digit"]: r["n_d"]
+           for r in benford_first_digit(df, "v", ["grp"]).collect()}
+    counts = {d: 0 for d in range(1, 10)}
+    kept = 0
+    for v in vals:
+        q = math.floor(v * 1000 + 0.5)
+        if q > 0:
+            counts[int(str(q)[0])] += 1
+            kept += 1
+    if kept == 0:
+        assert got == {}  # no group row at all — empty spine
+    else:
+        assert got == counts
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-100, max_value=100,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=25,
+))
+def test_iqr_fences_equal_python(spark, vals):
+    """The IQR entry's rank arithmetic equals python order statistics —
+    including all-equal groups (IQR 0: everything off the single value
+    is an outlier) and single-row groups."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    q = df.select("grp", F.expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").alias("q"))
+    w = Window.partitionBy("grp").orderBy("q")
+    ranked = q.select(
+        "grp", "q", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    quart = ranked.groupBy("grp").agg(
+        F.max(F.when(F.expr("rk = (n + 3) div 4"), F.col("q"))).alias("p25"),
+        F.max(F.when(F.expr("rk = (3 * n + 3) div 4"), F.col("q"))).alias("p75"),
+    )
+    row = (
+        q.join(quart, "grp")
+        .agg(
+            F.sum(F.when(F.col("q") * 2 < F.col("p25") * 5 - F.col("p75") * 3, 1)
+                  .otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("q") * 2 > F.col("p75") * 5 - F.col("p25") * 3, 1)
+                  .otherwise(0)).alias("hi"),
+        )
+        .first()
+    )
+    import math
+
+    qs = sorted(math.floor(v * 1_000_000 + 0.5) for v in vals)
+    n = len(qs)
+    p25 = qs[(n + 3) // 4 - 1]
+    p75 = qs[(3 * n + 3) // 4 - 1]
+    lo = sum(1 for x in qs if 2 * x < 5 * p25 - 3 * p75)
+    hi = sum(1 for x in qs if 2 * x > 5 * p75 - 3 * p25)
+    assert (row["lo"], row["hi"]) == (lo, hi)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6),     # user
+              st.integers(min_value=0, max_value=15)),   # day
+    min_size=1, max_size=30,
+))
+def test_trailing_distinct_equals_python(spark, pairs):
+    """Trailing-7d distinct users equals the python window count for
+    every day present in the data — sparse days, dup pairs, single-user
+    streaks."""
+    df = spark.createDataFrame(pairs, ["user_id", "day"])
+    p = df.distinct()
+    contrib = p.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("t_day"),
+    ).distinct()
+    days = p.select(F.col("day").alias("t_day")).distinct()
+    got = {
+        r["t_day"]: r["n"]
+        for r in contrib.join(days, "t_day")
+        .groupBy("t_day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {}
+    dayset = {d for _, d in pairs}
+    for d in dayset:
+        want[d] = len({u for u, dd in pairs if d - 6 <= dd <= d})
+    assert got == want
