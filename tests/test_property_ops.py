@@ -423,3 +423,49 @@ def test_trailing_distinct_equals_python(spark, pairs):
     for d in dayset:
         want[d] = len({u for u, dd in pairs if d - 6 <= dd <= d})
     assert got == want
+
+
+rec_st = st.tuples(
+    word_st,                                             # name
+    st.one_of(st.none(), st.integers(0, 2)),             # field f1 (nullable)
+    st.sampled_from(["p", "q"]),                         # field f2
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    dirty=st.lists(rec_st, min_size=1, max_size=8),
+    clean=st.lists(rec_st, min_size=1, max_size=8),
+)
+def test_weighted_link_equals_python(spark, dirty, clean):
+    """Fellegi-Sunter-style scoring equals the python reference on
+    adversarial records: dense 1-edit name neighborhoods, NULL fields
+    (two NULLs agree, one NULL disagrees — IS NOT DISTINCT FROM), and
+    duplicate names across records."""
+    from tickdb_spark.operators.linkage import weighted_link
+
+    drows = [(i, n, f1, f2) for i, (n, f1, f2) in enumerate(dirty)]
+    crows = [(1000 + i, n, f1, f2) for i, (n, f1, f2) in enumerate(clean)]
+    d = spark.createDataFrame(drows, "d_id long, d_name string, d_f1 long, d_f2 string")
+    c = spark.createDataFrame(crows, "c_id long, c_name string, c_f1 long, c_f2 string")
+    fields = [("d_f1", "c_f1", 15, -10), ("d_f2", "c_f2", 10, -5)]
+    got = {
+        (r["d_id"], r["c_id"]): (r["edit_dist"], r["score"])
+        for r in weighted_link(
+            d, c, "d_id", "c_id", "d_name", "c_name", fields,
+            w_name_exact=40, w_name_fuzzy=25, min_score=30,
+        ).collect()
+    }
+    want = {}
+    for di, (dn, df1, df2) in enumerate(dirty):
+        for ci, (cn, cf1, cf2) in enumerate(clean):
+            dist = _lev(dn, cn)
+            if dist > 1:
+                continue
+            s = 40 if dist == 0 else 25
+            s += 15 if df1 == cf1 else -10     # None == None agrees
+            s += 10 if df2 == cf2 else -5
+            if s >= 30:
+                want[(di, 1000 + ci)] = (dist, s)
+    assert got == want

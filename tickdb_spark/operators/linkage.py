@@ -140,3 +140,101 @@ def fuzzy_link_sql(
     )
     WHERE levenshtein({dirty_col}, {clean_col}) <= {max_dist}
     """
+
+
+def weighted_link(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    clean_id: str,
+    dirty_name: str,
+    clean_name: str,
+    exact_fields: list[tuple[str, str, int, int]],
+    w_name_exact: int = 40,
+    w_name_fuzzy: int = 25,
+    min_score: int | None = None,
+) -> DataFrame:
+    """Multi-field weighted record linkage — the Fellegi-Sunter (1969)
+    decision shape on top of the SymSpell blocking: candidates come from
+    the NAME field's deletion-neighborhood join (never all pairs), then
+    each candidate record pair accumulates an integer match score —
+    ``w_name_exact``/``w_name_fuzzy`` for edit-distance 0/1 names plus,
+    per ``(dirty_col, clean_col, w_agree, w_disagree)`` in
+    ``exact_fields``, the agree/disagree weight (NULL-safe equality:
+    Spark ``eqNullSafe`` == DuckDB ``IS NOT DISTINCT FROM`` — two NULLs
+    agree, one NULL disagrees, identically on both engines).
+
+    Weights are CALLER-SUPPLIED integers (production estimates them as
+    log-likelihood ratios via EM — that estimate is a float pipeline;
+    the decision arithmetic here stays exact integer so the gate can
+    hash it). Returns ``(dirty_id, clean_id, edit_dist, score)``; with
+    ``min_score`` only pairs at or above the threshold survive.
+
+    Scale shape: the heavy join runs on DISTINCT name strings (the
+    deletion-key equi-join of :func:`fuzzy_link`); records join back to
+    the matched name pairs by name — two hash joins on strings, field
+    comparisons are codegen, no UDFs, no cross join anywhere."""
+    name_links = fuzzy_link(
+        dirty.select(F.col(dirty_name)),
+        clean.select(F.col(clean_name)),
+        dirty_name,
+        clean_name,
+    )
+    pairs = dirty.join(name_links, dirty_name).join(clean, clean_name)
+    score = F.when(
+        F.col("edit_dist") == 0, F.lit(int(w_name_exact))
+    ).otherwise(F.lit(int(w_name_fuzzy)))
+    for dc, cc, wa, wd in exact_fields:
+        score = score + F.when(
+            F.col(dc).eqNullSafe(F.col(cc)), F.lit(int(wa))
+        ).otherwise(F.lit(int(wd)))
+    out = pairs.select(
+        F.col(dirty_id),
+        F.col(clean_id),
+        F.col("edit_dist"),
+        score.cast("long").alias("score"),
+    )
+    if min_score is not None:
+        out = out.where(F.col("score") >= int(min_score))
+    return out
+
+
+def weighted_link_sql(
+    dirty_rel: str,
+    clean_rel: str,
+    dirty_id: str,
+    clean_id: str,
+    dirty_name: str,
+    clean_name: str,
+    exact_fields: list[tuple[str, str, int, int]],
+    w_name_exact: int = 40,
+    w_name_fuzzy: int = 25,
+    min_score: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`weighted_link` — same blocking, same
+    NULL-safe agreement semantics, same integer score text."""
+    links = fuzzy_link_sql(
+        f"(SELECT {dirty_name} FROM {dirty_rel})",
+        f"(SELECT {clean_name} FROM {clean_rel})",
+        dirty_name,
+        clean_name,
+    )
+    terms = [
+        f"CASE WHEN l.edit_dist = 0 THEN {int(w_name_exact)} "
+        f"ELSE {int(w_name_fuzzy)} END"
+    ]
+    for dc, cc, wa, wd in exact_fields:
+        terms.append(
+            f"CASE WHEN d.{dc} IS NOT DISTINCT FROM c.{cc} "
+            f"THEN {int(wa)} ELSE {int(wd)} END"
+        )
+    score = " + ".join(terms)
+    where = f"WHERE ({score}) >= {int(min_score)}" if min_score is not None else ""
+    return f"""
+    SELECT d.{dirty_id}, c.{clean_id}, l.edit_dist,
+           CAST({score} AS BIGINT) AS score
+    FROM ({links}) l
+    JOIN {dirty_rel} d ON d.{dirty_name} = l.{dirty_name}
+    JOIN {clean_rel} c ON c.{clean_name} = l.{clean_name}
+    {where}
+    """

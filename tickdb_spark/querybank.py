@@ -10808,6 +10808,64 @@ def text_token_diversity_simpson_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_WLINK_FIELDS = [("d_nation", "c_nationkey", 15, -10), ("d_segment", "c_mktsegment", 10, -5)]
+_WLINK_NOISY = (
+    "substr(c_name, 1, (10 + c_custkey % 8) - 1) || "
+    "substr(c_name, (10 + c_custkey % 8) + 1, 1000000)"
+)
+
+
+@register(
+    "link_weighted_customers",
+    f"""
+    WITH dirty AS MATERIALIZED (
+      SELECT c_custkey + 1000000 AS d_id,
+             {_WLINK_NOISY} AS d_name,
+             c_nationkey AS d_nation,
+             CASE WHEN c_custkey % 3 = 0 THEN 'CORRUPT'
+                  ELSE c_mktsegment END AS d_segment
+      FROM customer WHERE c_custkey <= 300
+    ),
+    clean AS MATERIALIZED (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey <= 300
+    )
+    {_linkage.weighted_link_sql(
+        "dirty", "clean", "d_id", "c_custkey", "d_name", "c_name",
+        _WLINK_FIELDS, 40, 25, min_score=40,
+    )}
+    """,
+    "multi-field WEIGHTED record linkage — the Fellegi-Sunter decision "
+    "shape on the SymSpell blocking: a planted dirty registry (one "
+    "deterministic char deleted from each customer name, a third of the "
+    "segments corrupted) links back to the customer dimension; each "
+    "candidate pair accumulates integer agree/disagree weights (name "
+    "40/25 by edit distance, nation +15/−10, segment +10/−5, NULL-safe "
+    "equality = IS NOT DISTINCT FROM on both engines) and only pairs ≥ "
+    "the 40 threshold survive — corrupt-segment fuzzy matches (25+15−5 "
+    "= 35) are correctly rejected while clean ones (50) link. Weights "
+    "are caller-supplied integers (production estimates them via EM; "
+    "the DECISION arithmetic stays exact so the gate hashes it). "
+    "Candidates never leave the deletion-key equi-join — no cross join "
+    "at any vocabulary size",
+)
+def link_weighted_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    dirty = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("d_id"),
+        F.expr(_WLINK_NOISY).alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("CORRUPT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_segment"),
+    )
+    clean = cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    return _linkage.weighted_link(
+        dirty, clean, "d_id", "c_custkey", "d_name", "c_name",
+        _WLINK_FIELDS, w_name_exact=40, w_name_fuzzy=25, min_score=40,
+    )
+
+
 @register(
     "tick_retention_downsample",
     f"""
@@ -10949,15 +11007,15 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 12 entries NEW in r13 (containment dedup, Benford DQ,
+#: r13 head: the 13 entries NEW in r13 (containment dedup, Benford DQ,
 #: association rules, confusion sweep, Heaps curve, group-by MV face,
 #: trailing distinct users, calendar heatmap, IQR outliers, Simpson
-#: diversity, Z-order pruning, downsampled retention) and the 4 entries
-#: whose behavior/oracle changed this round lead; then the FULL
-#: r7-stale cohort (19 — VERDICT r12 ask #2), then 15 of the 44
-#: r8-stale entries (first 13 alphabetically + the two ingest-path
-#: entries pulled forward because the crash-atomic rewrite touches
-#: them; the remaining 29 r8 entries queue for the r14 head).
+#: diversity, Z-order pruning, downsampled retention, weighted linkage)
+#: and the 4 entries whose behavior/oracle changed this round lead;
+#: then the FULL r7-stale cohort (19 — VERDICT r12 ask #2), then 14 of
+#: the 44 r8-stale entries (first 12 alphabetically + the two
+#: ingest-path entries pulled forward because the crash-atomic rewrite
+#: touches them; the remaining 30 r8 entries queue for the r14 head).
 #: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
@@ -10974,6 +11032,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "text_token_diversity_simpson",
     "source_zorder_pruning",
     "tick_retention_downsample",
+    "link_weighted_customers",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -11016,7 +11075,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_substring_rolling",
     "embed_pca_covariance",
     "filter_quality_percentile",
-    "graph_pagerank_neardup",
     "join_salted_hotkey",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
