@@ -10486,6 +10486,72 @@ def eval_confusion_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "eval_calibration_bins",
+    f"""
+    WITH scored AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             {_CONF_SCORE_SQL} AS score_q
+      FROM documents
+    ),
+    binned AS (
+      SELECT CAST(least(score_q // 100000, 9) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(score_q) AS BIGINT) AS score_sum
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n, pos,
+           CAST(pos * 1000000 // n AS BIGINT) AS pos_ppm,
+           CAST(score_sum // n AS BIGINT) AS mean_score_ppm,
+           CAST(abs(pos * 1000000 // n - score_sum // n) AS BIGINT)
+             AS calib_gap_ppm
+    FROM binned
+    """,
+    "classifier CALIBRATION (reliability diagram) — the third leg of "
+    "the eval family next to eval_quality_auc (ranking) and "
+    "eval_confusion_threshold_sweep (thresholds): per fixed score "
+    "decile, the observed positive rate vs the bin's mean score, and "
+    "their absolute gap — all exact integer ppm (the mean score is an "
+    "integer floor-mean of already-integer scores; n ≥ 1 per emitted "
+    "bin so no zero guards arise). One hash aggregate to ≤10 rows at "
+    "any corpus size",
+)
+def eval_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    hits = _text.stopword_hits(F.col("text"), "en").cast("long")
+    n_tok = _text.token_count(F.col("text")).cast("long")
+    label = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    scored = docs.select(
+        label.alias("label"),
+        F.call_function("div", hits * F.lit(1_000_000), n_tok).alias("score_q"),
+    )
+    binned = (
+        scored.select(
+            F.least(F.expr("score_q div 100000"), F.lit(9)).cast("long").alias("bin"),
+            "label",
+            "score_q",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+            F.sum("score_q").cast("long").alias("score_sum"),
+        )
+    )
+    div = lambda num, den: F.call_function("div", num, den)  # noqa: E731
+    pos_ppm = div(F.col("pos") * F.lit(1_000_000), F.col("n"))
+    mean_ppm = div(F.col("score_sum"), F.col("n"))
+    return binned.select(
+        "bin",
+        "n",
+        "pos",
+        pos_ppm.cast("long").alias("pos_ppm"),
+        mean_ppm.cast("long").alias("mean_score_ppm"),
+        F.abs(pos_ppm - mean_ppm).cast("long").alias("calib_gap_ppm"),
+    )
+
+
+@register(
     "text_heaps_vocab_growth",
     r"""
     WITH tok AS MATERIALIZED (
@@ -11007,16 +11073,17 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 13 entries NEW in r13 (containment dedup, Benford DQ,
+#: r13 head: the 14 entries NEW in r13 (containment dedup, Benford DQ,
 #: association rules, confusion sweep, Heaps curve, group-by MV face,
 #: trailing distinct users, calendar heatmap, IQR outliers, Simpson
-#: diversity, Z-order pruning, downsampled retention, weighted linkage)
-#: and the 4 entries whose behavior/oracle changed this round lead;
-#: then the FULL r7-stale cohort (19 — VERDICT r12 ask #2), then 14 of
-#: the 44 r8-stale entries (first 12 alphabetically + the two
-#: ingest-path entries pulled forward because the crash-atomic rewrite
-#: touches them; the remaining 30 r8 entries queue for the r14 head).
-#: tests/test_registry_head.py enforces the rotation rule mechanically.
+#: diversity, Z-order pruning, downsampled retention, weighted linkage,
+#: calibration bins) and the 4 entries whose behavior/oracle changed
+#: this round lead; then the FULL r7-stale cohort (19 — VERDICT r12
+#: ask #2), then 13 of the 44 r8-stale entries (first 11 alphabetically
+#: + the two ingest-path entries pulled forward because the
+#: crash-atomic rewrite touches them; the remaining 31 r8 entries queue
+#: for the r14 head). tests/test_registry_head.py enforces the rotation
+#: rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
@@ -11033,6 +11100,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "source_zorder_pruning",
     "tick_retention_downsample",
     "link_weighted_customers",
+    "eval_calibration_bins",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -11074,7 +11142,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_segment_spans",
     "dedup_substring_rolling",
     "embed_pca_covariance",
-    "filter_quality_percentile",
     "join_salted_hotkey",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
