@@ -11031,6 +11031,48 @@ def source_zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tick_vwap_hourly",
+    """
+    SELECT event_type AS series,
+           CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS bucket_us,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    * (event_id % 97 + 1)) AS BIGINT) AS pv_q,
+           CAST(SUM(event_id % 97 + 1) AS BIGINT) AS vol,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    * (event_id % 97 + 1)) AS DOUBLE)
+             / SUM(event_id % 97 + 1) AS vwap_q
+    FROM events GROUP BY 1, 2
+    """,
+    "VWAP (volume-weighted average price) per series × hour — the "
+    "trading-analytics staple every tick store serves (the reference's "
+    "reducers stop at plain avg). Volume is a deterministic synthetic "
+    "column (event_id % 97 + 1 — the testdata has no volume field); "
+    "price quantized to BIGINT, the Σ(p·v) numerator and Σv denominator "
+    "exact integers, vwap ONE final IEEE division of "
+    "exactly-representable integers (bit-stable cross-engine; "
+    "denominators ≥ 1 by construction). One map-combinable aggregate",
+)
+def tick_vwap_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    q = F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+    vol = F.expr("event_id % 97 + 1")
+    return (
+        ev.select(
+            F.col("event_type").alias("series"),
+            F.expr("(ts div 3600000000000) * 3600000000").alias("bucket_us"),
+            (q * vol).alias("pv"),
+            vol.alias("v"),
+        )
+        .groupBy("series", "bucket_us")
+        .agg(
+            F.sum("pv").cast("long").alias("pv_q"),
+            F.sum("v").cast("long").alias("vol"),
+            (F.sum("pv").cast("double") / F.sum("v")).alias("vwap_q"),
+        )
+    )
+
+
+@register(
     "tick_calendar_heatmap",
     """
     SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
@@ -11073,17 +11115,17 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 14 entries NEW in r13 (containment dedup, Benford DQ,
+#: r13 head: the 15 entries NEW in r13 (containment dedup, Benford DQ,
 #: association rules, confusion sweep, Heaps curve, group-by MV face,
 #: trailing distinct users, calendar heatmap, IQR outliers, Simpson
 #: diversity, Z-order pruning, downsampled retention, weighted linkage,
-#: calibration bins) and the 4 entries whose behavior/oracle changed
-#: this round lead; then the FULL r7-stale cohort (19 — VERDICT r12
-#: ask #2), then 13 of the 44 r8-stale entries (first 11 alphabetically
-#: + the two ingest-path entries pulled forward because the
-#: crash-atomic rewrite touches them; the remaining 31 r8 entries queue
-#: for the r14 head). tests/test_registry_head.py enforces the rotation
-#: rule mechanically.
+#: calibration bins, hourly VWAP) and the 4 entries whose
+#: behavior/oracle changed this round lead; then the FULL r7-stale
+#: cohort (19 — VERDICT r12 ask #2), then 12 of the 44 r8-stale entries
+#: (first 10 alphabetically + the two ingest-path entries pulled
+#: forward because the crash-atomic rewrite touches them; the remaining
+#: 32 r8 entries queue for the r14 head). tests/test_registry_head.py
+#: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r13 — never sampled by construction
@@ -11101,6 +11143,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_retention_downsample",
     "link_weighted_customers",
     "eval_calibration_bins",
+    "tick_vwap_hourly",
     # (1) CHANGED in r13 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     "agg_approx_sketches",
@@ -11141,7 +11184,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "dedup_incremental_vs_corpus",
     "dedup_segment_spans",
     "dedup_substring_rolling",
-    "embed_pca_covariance",
     "join_salted_hotkey",
     "tick_compaction_equivalence",
     "tick_snapshot_diff",
