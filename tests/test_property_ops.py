@@ -314,7 +314,7 @@ def test_association_rules_equal_python(spark, rows):
             nxy * 1_000_000 // nb,
             nxy * 1_000_000 // n_item[x],
             nxy * 1_000_000 // n_item[y],
-            nxy * nb * 1_000_000 // (n_item[x] * n_item[y]),
+            (nxy * 1_000_000 // n_item[x]) * nb // n_item[y],
         )
     assert got == want
 

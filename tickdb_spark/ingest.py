@@ -388,9 +388,11 @@ def expire_before(spark: SparkSession, db_path: str, cutoff) -> list[tuple[str, 
     import datetime as dt
 
     cutoff_ns = parse_time_ns(cutoff)
-    cutoff_day = dt.datetime.fromtimestamp(
-        cutoff_ns / 1e9, dt.timezone.utc
-    ).date()
+    # Integer day math: cutoff_ns / 1e9 on a >2^53 nanosecond value can
+    # round across midnight for non-second-aligned cutoffs (ADVICE r13).
+    cutoff_day = dt.date(1970, 1, 1) + dt.timedelta(
+        days=cutoff_ns // 86_400_000_000_000
+    )
     base = os.path.join(db_path, TICKS_DIR)
     meta = _read_meta(db_path)  # also runs recovery first
     dropped: list[tuple[str, str]] = []

@@ -13,10 +13,15 @@ a basket holds at most |vocabulary| rows after the distinct.
 
 All emitted metrics are integer-exact (the house float discipline):
 ``support_ppm = n_xy·10⁶ div N``, directional confidences
-``n_xy·10⁶ div n_x``, and ``lift_ppm = n_xy·N·10⁶ div (n_x·n_y)`` —
-one fixed integer expression, no float products. Denominators are ≥ 1
-by construction (x and y each occur in at least the pair's baskets),
-so no zero guards are needed.
+``n_xy·10⁶ div n_x``, and ``lift_ppm = ((n_xy·10⁶ div n_x)·N) div
+n_y`` — a two-stage floor division whose rounding convention is fixed
+(floor after the x-confidence, then floor again). The staged form
+exists for overflow headroom: the inner quotient is ≤ 10⁶ (n_xy ≤
+n_x), so the largest intermediate is 10⁶·N — safe in BIGINT to ~9.2
+trillion baskets, where the naive triple product ``n_xy·N·10⁶``
+overflows at a few million (Spark would wrap silently, DuckDB error —
+r13 ADVICE). Denominators are ≥ 1 by construction (x and y each occur
+in at least the pair's baskets), so no zero guards are needed.
 
 Reference scope note: vimrus/tickdb has no analytics operators at all
 (single-table time-tree scans, main.go:24-37); this module is extension
@@ -87,8 +92,9 @@ def association_rules(
         .cast("long")
         .alias("conf_y_to_x_ppm"),
         div(
-            F.col("n_xy") * F.col("n_baskets") * F.lit(1_000_000),
-            F.col("n_x") * F.col("n_y"),
+            div(F.col("n_xy") * F.lit(1_000_000), F.col("n_x"))
+            * F.col("n_baskets"),
+            F.col("n_y"),
         )
         .cast("long")
         .alias("lift_ppm"),
@@ -127,8 +133,8 @@ def association_rules_sql(
            CAST(n_xy * 1000000 // nb.n_baskets AS BIGINT) AS support_ppm,
            CAST(n_xy * 1000000 // ix.n_item AS BIGINT) AS conf_x_to_y_ppm,
            CAST(n_xy * 1000000 // iy.n_item AS BIGINT) AS conf_y_to_x_ppm,
-           CAST(n_xy * nb.n_baskets * 1000000 // (ix.n_item * iy.n_item) AS BIGINT)
-             AS lift_ppm
+           CAST(((n_xy * 1000000 // ix.n_item) * nb.n_baskets) // iy.n_item
+                AS BIGINT) AS lift_ppm
     FROM pairs
     JOIN items ix ON ix.item = pairs.item_x
     JOIN items iy ON iy.item = pairs.item_y

@@ -315,8 +315,10 @@ def apply_join_decision(
     """Execute the chosen strategy. ``decision`` is a ``choose_join``
     output value; ``a_is_big`` says which side salts when 'salted'
     (``n_a >= n_b`` from the same row). Column order: a's columns then
-    b's for every strategy except the mirrored salted case (salted_join
-    puts the salted big side first)."""
+    b's for every strategy except the mirrored salted and bloom_reduced
+    cases (salted_join puts the salted big side first; bloom_reduced_join
+    puts the prefiltered big side first, so b's columns lead when
+    ``a_is_big`` is False)."""
     if decision == "prune":
         # certified-empty join: keep the joined schema, scan nothing
         return a.join(b, on, how).where(F.lit(False))

@@ -10379,9 +10379,12 @@ from tickdb_spark.operators import basket as _basket  # noqa: E402
     "market-basket association rules (Agrawal-Srikant support/confidence "
     "+ lift): baskets are (user, day) sets of distinct event types; one "
     "row per co-occurring unordered pair with integer-exact support_ppm, "
-    "BOTH directional confidences and lift_ppm = n_xy·N·10⁶ div "
-    "(n_x·n_y) — no float ratio crosses engines, and denominators are "
-    "≥1 by construction so the zero-guard rule is satisfied vacuously. "
+    "BOTH directional confidences and lift_ppm = ((n_xy·10⁶ div n_x)·N) "
+    "div n_y — a staged floor whose inner quotient is ≤10⁶, so no BIGINT "
+    "overflow below ~9.2e12 baskets (r13 ADVICE fix; the naive triple "
+    "product wrapped at a few million). No float ratio crosses engines, "
+    "and denominators are ≥1 by construction so the zero-guard rule is "
+    "satisfied vacuously. "
     "Scale shape: pair generation self-joins on the BASKET key (never "
     "item df²), so join volume is Σ|basket|², bounded by the item "
     "vocabulary; supports are map-combinable hash aggregates",
@@ -11171,10 +11174,10 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tpch_q9_product_profit",
     "trend_holt_linear_forecast",
     "udtf_token_freqs",
-    # (3) next-stalest (r8 cohort, 27 of 44): first 25 alphabetically,
+    # (3) next-stalest (r8 cohort, 12 of 44): first 10 alphabetically,
     # plus tick_compaction_equivalence and tick_snapshot_diff pulled
     # forward because the r13 crash-atomic ingest rewrite touches their
-    # code paths; the remaining 17 r8 entries queue for the r14 head
+    # code paths; the remaining 32 r8 entries queue for the r14 head
     "agg_cms_token_counts",
     "agg_corr_covar_moments",
     "agg_equidepth_histogram",
