@@ -43,12 +43,40 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # MIN-of-2 for the heavy tail (VERDICT r13 ask #2): single-timed-run
+    # artifacts on this box bounced 155.7 -> 183.1 s same-day on identical
+    # code, and the largest apparent per-entry "regressions" all vanished
+    # on a warm re-run. Re-running only the ~10 historically heaviest
+    # entries bounds the extra bench time at ~30 s while making exactly
+    # the entries that dominate the total stall-robust. Per-rep times are
+    # recorded in the artifact (heavy_rep_secs) so a stall is visible, the
+    # same discipline ingest_rep_secs established in r12.
+    heavy_min2 = {
+        "rollup_build_cascade",  # handled by the rep loop below
+        "graph_triangle_counts",
+        "dedup_containment_pairs",
+        "eval_dedup_recall_lsh",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_simhash_fingerprints",
+        "agg_approx_sketches",
+        "agg_corr_covar_moments",
+        "diag_join_planner",
+        "pipeline_curation_end2end",
+        "analytics_corpus_datacard",
+    }
     timings: dict[str, float] = {}
+    heavy_reps: dict[str, list[float]] = {}
     for name in sorted(REGISTRY):
-        df = REGISTRY[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        reps = 2 if name in heavy_min2 else 1
+        secs: list[float] = []
+        for _ in range(reps):
+            df = REGISTRY[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            secs.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(secs)
+        if reps > 1:
+            heavy_reps[name] = secs
 
     # Sustained ingest throughput (BASELINE.md target: ≥100k points/s):
     # 10 time-shifted copies of the events table → ~10× points in one
@@ -118,7 +146,8 @@ def main() -> None:
     # fields were truncated away and every BENCH_r*.json since r1 recorded
     # "parsed": null. The final line stays well under the tail window:
     # totals + a fixed headline subset of per-query times.
-    print(json.dumps({**common, "queries": timings}))
+    print(json.dumps({**common, "queries": timings,
+                      "heavy_rep_secs": heavy_reps}))
     headline = [
         "tick_point_get",
         "tick_range_scan",

@@ -2826,6 +2826,52 @@ def test_join_planner_flip_points_exact(spark):
     assert sorted(map(tuple, bj.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_cms_autowidth_formula_flip_points(spark):
+    """The auto-width formula pinned at the pow2 boundary ±1 key and at
+    both clamps: width = next_pow2(10·K̂) clamped to [512, 2^26], K̂ =
+    floor(greatest(est_a, est_b))."""
+    from tickdb_spark.operators.planner import _width_exprs
+
+    keys_e, width_e = _width_exprs("est_a", "est_b", sql=False)
+    rows = [(51.0, 1.0), (52.0, 1.0), (3.0, 2.0), (7_000_000.0, 1.0),
+            (0.9, 0.2)]
+    df = spark.createDataFrame(rows, "est_a double, est_b double").select(
+        F.expr(keys_e).alias("k"), F.expr(width_e).alias("w")
+    )
+    got = {r["k"]: r["w"] for r in df.collect()}
+    assert got[51] == 512          # 510 → next_pow2 = 512 (at the floor)
+    assert got[52] == 1024         # ONE key over the boundary doubles it
+    assert got[3] == 512           # 30 → 32, clamped UP to the floor
+    assert got[7_000_000] == 1 << 26  # 70M → 2^27, clamped DOWN to the cap
+    assert got[0] == 512           # empty side: floor(0.9) = 0 → floor
+
+
+def test_cms_autowidth_4m_keys_vs_handpicked(spark):
+    """The VERDICT r13 scenario: at 4M big-side keys a hand-picked 16k
+    CMS width inflates the inner-product estimate ~n_a·n_b/width ≈ 50M —
+    two orders past the 10% match-rate cutoff — and wrongly flips
+    bloom_reduced to shuffle; the HLL-derived width (2^26 here) keeps the
+    certificate intact and the estimate within ~10% of exact."""
+    from tickdb_spark.operators.planner import choose_join, choose_join_auto
+
+    big = spark.range(4_000_000).select(F.col("id").alias("k"))
+    small = spark.range(200_000).select((F.col("id") * 20).alias("k"))
+
+    r16 = choose_join(big, "k", small, "k", broadcast_rows=100_000,
+                      width=16_384).first()
+    assert r16["exact_rows"] == 200_000
+    assert r16["decision"] == "shuffle"          # collision-inflated est
+    assert r16["est_rows"] > 10 * r16["exact_rows"]
+
+    ra = choose_join_auto(big, "k", small, "k",
+                          broadcast_rows=100_000).first()
+    assert ra["width"] == 1 << 26                # next_pow2(10·~4M)
+    assert ra["exact_rows"] == 200_000
+    assert ra["decision"] == "bloom_reduced", dict(ra.asDict())
+    assert ra["est_rows"] * 10 <= ra["n_a"]
+    assert ra["est_rows"] <= 200_000 + 40_000    # inflation ≤ ~n_a·n_b/2^26
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Every member of a near-dup component gets the SAME split (the
     component representative's), singletons keep their plain

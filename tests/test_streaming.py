@@ -1582,3 +1582,112 @@ def test_stream_groupby_mv_additive_restart_compact(tmp_path, spark):
     rep = groupby_mv_report(spark.read.schema(seed).parquet(dest), ["g"])
     assert {r["g"]: (r["cnt"], r["sum_q"], r["min_q"], r["max_q"])
             for r in rep.collect()} == rows2
+
+
+def test_stream_groupby_mv_variance_states_and_rebuild(tmp_path, spark):
+    """r14 MV-face extension: (1) sum/sum-of-squares variance states are
+    CROSS-BATCH ADDITIVE — two different batchings of the same rows
+    merge to identical states, equal to the python batch aggregate; (2)
+    deletes go through tombstone + per-key rebuild: the rebuilt view
+    equals the batch aggregate over the corrected source, untouched keys
+    keep their states bit-identical, a keys-with-no-corrected-rows entry
+    fully vanishes, and stream partials LANDING AFTER the rebuild merge
+    into the rebuilt key normally."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tickdb_spark.streaming.index import (
+        groupby_mv_rebuild_keys,
+        groupby_mv_view,
+        stream_groupby_mv_maintenance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+
+    def _land(landing, i, rows):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=["g", "v"])
+        pdf["v"] = pdf["v"].astype("float64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    rows_all = [("a", 1.5), ("a", 2.25), ("b", 10.0), ("a", -3.0),
+                ("b", 0.25), ("c", 7.0)]
+
+    def _py_states(rows):
+        out = {}
+        for g, v in rows:
+            q = int(__import__("math").floor(v * 1_000_000 + 0.5))
+            q2 = int(__import__("math").floor(v * 1_000 + 0.5))
+            c, s, mn, mx, s2, ss = out.get(
+                g, (0, 0, None, None, 0, 0)
+            )
+            out[g] = (
+                c + 1, s + q,
+                q if mn is None else min(mn, q),
+                q if mx is None else max(mx, q),
+                s2 + q2, ss + q2 * q2,
+            )
+        return {
+            g: (c, s, mn, mx, s2, ss, int(s // c) if s >= 0 else -(-s // c))
+            for g, (c, s, mn, mx, s2, ss) in out.items()
+        }
+
+    def _got(df):
+        return {
+            r["g"]: (r["cnt"], r["sum_q"], r["min_q"], r["max_q"],
+                     r["sum_q2"], r["sumsq_q2"], r["avg_q"])
+            for r in df.collect()
+        }
+
+    # two different batchings of the same rows
+    states = {}
+    for tag, cuts in (("x", [3, 5]), ("y", [1, 2, 4])):
+        landing = tmp_path / f"landing_{tag}"
+        landing.mkdir()
+        prev = 0
+        for i, cut in enumerate([*cuts, len(rows_all)]):
+            _land(landing, i, rows_all[prev:cut])
+            prev = cut
+        got = stream_groupby_mv_maintenance(
+            spark, str(landing), str(tmp_path / f"state_{tag}"), schema,
+            ["g"], "v", sq_scale=1_000,
+        )
+        states[tag] = _got(got)
+    assert states["x"] == states["y"] == _py_states(rows_all)
+
+    # rebuild: key 'a' drops its 2.25 row, key 'c' is a full delete;
+    # cutoff = 2, the last stream epoch the corrected history supersedes
+    work = str(tmp_path / "state_x")
+    keys = spark.createDataFrame([("a",), ("c",)], "g string")
+    corrected = spark.createDataFrame(
+        [("a", 1.5), ("a", -3.0)], "g string, v double"
+    )
+    groupby_mv_rebuild_keys(
+        spark, work, schema, ["g"], "v", keys, corrected,
+        cutoff_epoch=2, sq_scale=1_000,
+    )
+    after = _got(groupby_mv_view(spark, work, schema, ["g"], sq_scale=1_000))
+    want = _py_states([("a", 1.5), ("a", -3.0), ("b", 10.0), ("b", 0.25)])
+    assert after == want
+    assert after["b"] == states["x"]["b"]  # untouched key bit-identical
+
+    # stream partials landing AFTER the rebuild (epoch 3 > cutoff 2)
+    # merge into rebuilt keys normally — future data is never swallowed,
+    # and the fully-deleted key restarts from its new rows alone
+    _land(tmp_path / "landing_x", 9, [("a", 4.0), ("c", 1.0)])
+    got3 = _got(stream_groupby_mv_maintenance(
+        spark, str(tmp_path / "landing_x"), work, schema, ["g"], "v",
+        sq_scale=1_000,
+    ))
+    assert got3 == _py_states(
+        [("a", 1.5), ("a", -3.0), ("a", 4.0), ("b", 10.0), ("b", 0.25),
+         ("c", 1.0)]
+    )

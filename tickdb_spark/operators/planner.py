@@ -138,7 +138,7 @@ def choose_join_sql(
     broadcast_rows: int = BROADCAST_ROWS,
     skew_factor: int = SKEW_FACTOR,
     depth: int = 4,
-    width: int = 512,
+    width: int | str = 512,
     bloom_keys: int = BLOOM_KEYS,
 ) -> str:
     """DuckDB twin: same per-side stats, same CMS estimate subquery,
@@ -162,6 +162,205 @@ def choose_join_sql(
            est_rows, exact_rows,
            {_decision_case(broadcast_rows, skew_factor, bloom_keys)} AS decision
     FROM a_stats, b_stats, est
+    """
+
+
+# ---------------------------------------------------------------------------
+# CMS auto-width (VERDICT r13 ask #3) — close the planner's last open
+# knob. The CMS inner-product estimate inflates by ~n_a·n_b/width from
+# bucket collisions, so the bloom_reduced/prune certificates are only as
+# strong as a width SCALED TO THE KEY CARDINALITY (the r13 diag entry
+# hand-picked 16k for TPC-H keys; the 4M-key bench scenario needs 2^23+,
+# and a 16k width there inflates est ~50× past the cutoff and wrongly
+# flips the decision to shuffle). Rule: width = next_pow2(factor·K̂)
+# clamped to [512, 2^26], where K̂ is the HLL estimate of the LARGER
+# side's distinct-key count. With width ≥ 10·K̂, expected colliding key
+# pairs per depth ≈ K̂²/width ≤ K̂/10, so the inflation stays ≤ ~n_small/10
+# for distinct-ish sides — inside the est·10 ≤ n_big certificate's
+# budget — and the min over 4 depths concentrates well below that mean.
+#
+# Determinism: the HLL estimate is the house portable sketch (identical
+# md5 hash, bin-length ρ, one double division on exact integers — the
+# same formula the hash-green agg_hll_distinct_userdays entry proves),
+# floor()ed to BIGINT before any further math, so engine and oracle
+# derive the IDENTICAL width and therefore identical CMS buckets.
+# ---------------------------------------------------------------------------
+
+#: width ≥ AUTO_WIDTH_FACTOR × estimated distinct keys of the larger side
+AUTO_WIDTH_FACTOR = 10
+#: never below the historical default-ish floor (512 covers tiny dims
+#: for free) and never above 2^26 counters (512 MB of BIGINTs at depth 4
+#: — the practical broadcast/aggregate ceiling for a planner pass)
+AUTO_WIDTH_MIN = 512
+AUTO_WIDTH_MAX = 1 << 26
+
+
+def _width_exprs(est_a: str, est_b: str, sql: bool) -> tuple[str, str]:
+    """``(hll_keys_expr, width_expr)`` over two HLL double estimates.
+    floor() first (CAST double→BIGINT truncates in Spark but ROUNDS in
+    DuckDB — the known cross-engine trap), then pure integer ops:
+    next_pow2(x) = 1 << bitlength(x) via length(bin(x)), which both
+    engines compute identically for positive BIGINTs."""
+    keys = f"CAST(floor(greatest({est_a}, {est_b})) AS BIGINT)"
+    scaled = f"({keys} * {AUTO_WIDTH_FACTOR})"
+    if sql:
+        pow2 = f"(CAST(1 AS BIGINT) << length(bin({scaled})))"
+    else:
+        pow2 = f"shiftleft(CAST(1 AS BIGINT), length(bin({scaled})))"
+    width = f"least(greatest({pow2}, {AUTO_WIDTH_MIN}), {AUTO_WIDTH_MAX})"
+    return keys, width
+
+
+def cms_width_plan(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    p: int = 12,
+    a_keys: DataFrame | None = None,
+    b_keys: DataFrame | None = None,
+) -> DataFrame:
+    """One row ``(a_keys_hll, b_keys_hll, hll_keys, width)``: per-side
+    HLL distinct-key estimates (floored to BIGINT), their max, and the
+    derived CMS width. Accepts pre-aggregated ``sketch.key_counts``
+    frames (HLL is duplicate-insensitive — max-registers over distinct
+    keys equal registers over raw rows bit for bit), so the planner's
+    one-scan-per-side discipline holds."""
+    from tickdb_spark.operators.sketch import hll_estimate, key_counts
+
+    ka = a_keys if a_keys is not None else key_counts(a, a_col)
+    kb = b_keys if b_keys is not None else key_counts(b, b_col)
+    ea = hll_estimate(
+        ka.select(F.lit(1).alias("g"), F.col("k")), ["g"], "k", p
+    ).select(F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate(
+        kb.select(F.lit(1).alias("g"), F.col("k")), ["g"], "k", p
+    ).select(F.col("hll_estimate").alias("est_b"))
+    keys_e, width_e = _width_exprs("est_a", "est_b", sql=False)
+    return ea.crossJoin(F.broadcast(eb)).select(
+        F.expr("CAST(floor(est_a) AS BIGINT)").alias("a_keys_hll"),
+        F.expr("CAST(floor(est_b) AS BIGINT)").alias("b_keys_hll"),
+        F.expr(keys_e).alias("hll_keys"),
+        F.expr(width_e).cast("long").alias("width"),
+    )
+
+
+def cms_width_plan_sql(
+    a_sql: str,
+    a_expr: str,
+    b_sql: str,
+    b_expr: str,
+    p: int = 12,
+) -> str:
+    """DuckDB twin: HLL over the raw key stream (duplicate-insensitive,
+    so identical to the Spark side's distinct-key input), same floor →
+    integer next-pow2 → clamp chain."""
+    from tickdb_spark.operators.sketch import hll_estimate_sql
+
+    ha = hll_estimate_sql(
+        f"SELECT 1 AS g, {a_expr} AS k FROM ({a_sql})", ["g"], "k", p
+    )
+    hb = hll_estimate_sql(
+        f"SELECT 1 AS g, {b_expr} AS k FROM ({b_sql})", ["g"], "k", p
+    )
+    keys_e, width_e = _width_exprs("est_a", "est_b", sql=True)
+    return f"""
+    WITH a_est AS MATERIALIZED (
+      SELECT hll_estimate AS est_a FROM (SELECT * FROM ({ha}))
+    ),
+    b_est AS MATERIALIZED (
+      SELECT hll_estimate AS est_b FROM (SELECT * FROM ({hb}))
+    )
+    SELECT CAST(floor(est_a) AS BIGINT) AS a_keys_hll,
+           CAST(floor(est_b) AS BIGINT) AS b_keys_hll,
+           {keys_e} AS hll_keys,
+           CAST({width_e} AS BIGINT) AS width
+    FROM a_est, b_est
+    """
+
+
+def choose_join_auto(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    broadcast_rows: int = BROADCAST_ROWS,
+    skew_factor: int = SKEW_FACTOR,
+    depth: int = 4,
+    bloom_keys: int = BLOOM_KEYS,
+    p: int = 12,
+) -> DataFrame:
+    """:func:`choose_join` with the CMS width derived from the data:
+    one row ``(hll_keys, width, n_a, a_keys, a_max_key_rows, n_b,
+    b_keys, b_max_key_rows, est_rows, exact_rows, decision)``.
+
+    The width plan is collected first (a deliberate driver action —
+    planner state, like ``planned_join``'s decision row); the CMS is
+    then built at that width. Both inputs are still scanned once: the
+    shared ``key_counts`` frames are lazily checkpointed, so the HLL
+    pass materializes them and the side stats / CMS / exact product
+    reuse the materialization."""
+    from tickdb_spark.operators.sketch import key_counts
+
+    ka = key_counts(a, a_col).localCheckpoint(eager=False)
+    kb = key_counts(b, b_col).localCheckpoint(eager=False)
+    wrow = cms_width_plan(a, a_col, b, b_col, p, a_keys=ka, b_keys=kb).first()
+    width = int(wrow["width"])
+    stats = (
+        _side_stats(ka, "a")
+        .crossJoin(F.broadcast(_side_stats(kb, "b")))
+        .crossJoin(
+            F.broadcast(
+                cms_join_size_estimate(
+                    a, a_col, b, b_col, depth, width, a_keys=ka, b_keys=kb
+                )
+            )
+        )
+    )
+    return stats.select(
+        F.lit(int(wrow["hll_keys"])).cast("long").alias("hll_keys"),
+        F.lit(width).cast("long").alias("width"),
+        "*",
+    ).withColumn(
+        "decision",
+        F.expr(_decision_case(broadcast_rows, skew_factor, bloom_keys)),
+    )
+
+
+def choose_join_auto_sql(
+    a_sql: str,
+    a_expr: str,
+    b_sql: str,
+    b_expr: str,
+    broadcast_rows: int = BROADCAST_ROWS,
+    skew_factor: int = SKEW_FACTOR,
+    depth: int = 4,
+    bloom_keys: int = BLOOM_KEYS,
+    p: int = 12,
+) -> str:
+    """DuckDB twin of :func:`choose_join_auto`: the width plan is a
+    MATERIALIZED CTE and the inner choose_join block's CMS hashes read
+    it through an uncorrelated scalar subquery — the in-SQL replay of
+    the Spark side's collect-then-build."""
+    wplan = cms_width_plan_sql(a_sql, a_expr, b_sql, b_expr, p)
+    inner = choose_join_sql(
+        a_sql,
+        a_expr,
+        b_sql,
+        b_expr,
+        broadcast_rows,
+        skew_factor,
+        depth,
+        "SELECT width FROM wplan",
+        bloom_keys,
+    )
+    return f"""
+    WITH wplan AS MATERIALIZED (SELECT * FROM ({wplan}))
+    SELECT w.hll_keys, w.width,
+           d.n_a, d.a_keys, d.a_max_key_rows,
+           d.n_b, d.b_keys, d.b_max_key_rows,
+           d.est_rows, d.exact_rows, d.decision
+    FROM wplan w, (SELECT * FROM ({inner})) d
     """
 
 

@@ -209,12 +209,18 @@ def _cms_hashes(value_col: str, depth: int, width: int):
     ]
 
 
-def _cms_hashes_sql(value_expr: str, depth: int, width: int) -> list[str]:
+def _cms_hashes_sql(value_expr: str, depth: int, width: int | str) -> list[str]:
+    """``width`` may be an int literal or an SQL expression string (e.g. a
+    scalar subquery against a width-plan CTE — ``planner.choose_join_auto``
+    derives the width in-query from an HLL key-cardinality estimate).
+    Integer modulo is exact either way, so the buckets match the Spark
+    side's collected-literal build bit for bit."""
     from tickdb_spark.operators.dedup import MH_COEF, MINHASH_P
 
     h = f"CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 11)) AS BIGINT)"
     return [
-        f"((({h}) * {a} + {b}) % {MINHASH_P} % {width})" for a, b in MH_COEF[:depth]
+        f"((({h}) * {a} + {b}) % {MINHASH_P} % ({width}))"
+        for a, b in MH_COEF[:depth]
     ]
 
 
@@ -604,10 +610,11 @@ def cms_join_size_estimate_sql(
     b_sql: str,
     b_expr: str,
     depth: int = 4,
-    width: int = 512,
+    width: int | str = 512,
 ) -> str:
     """DuckDB twin: same hash family, same layered build, same integer
-    dot + min, exact size from per-key counts."""
+    dot + min, exact size from per-key counts. ``width`` may be an SQL
+    expression (see :func:`_cms_hashes_sql`)."""
 
     def layers(src: str) -> str:
         hs = _cms_hashes_sql("v", depth, width)

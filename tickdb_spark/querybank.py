@@ -5940,6 +5940,88 @@ def diag_join_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: (label, spark args, oracle args) for the AUTO-WIDTH planner variant —
+#: same decision table, but the CMS width is derived in-query from the
+#: HLL key-cardinality estimate instead of caller-picked.
+_PLANNER_AUTO_PAIRS = [
+    # bloom_reduced certified at a DERIVED width: lineitem keys (~15k at
+    # sf0.01) drive width = next_pow2(10·K̂) = 2^18 — the r13 entry
+    # hand-picked 16_384 here; the derived width is collision-safer and
+    # nothing for the caller to mis-size (VERDICT r13 ask #3)
+    ("lineitem_bloom_orders_auto",
+     "SELECT l_orderkey FROM lineitem", "l_orderkey",
+     "SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0",
+     "o_orderkey", 20),
+    # clamp floor: at p=4 the tiny pair estimates K̂≈23 → next_pow2(230)
+    # = 256 → clamped UP to the 512 floor. (At the default p=12 raw HLL's
+    # small-range bias floors K̂ near α·m≈2965 — upward, i.e. the SAFE
+    # direction for width sizing, but it hides the clamp; p=4 keeps the
+    # sketch honest at dimension scale and exercises the floor.)
+    ("nation_region_clampmin",
+     "SELECT n_nationkey FROM nation", "n_nationkey",
+     "SELECT r_regionkey FROM region", "r_regionkey", 100_000),
+    # shuffle at high match rate: every lineitem matches its order, so
+    # est·10 ≫ n_big kills the bloom certificate; broadcast_rows=100
+    # keeps both sides too big to broadcast at every testdata SF
+    ("lineitem_orders_shuffle",
+     "SELECT l_orderkey FROM lineitem", "l_orderkey",
+     "SELECT o_orderkey FROM orders", "o_orderkey", 100),
+]
+
+#: per-pair HLL precision: p=4 for the clamp-floor pair (see comment)
+_PLANNER_AUTO_P = {"nation_region_clampmin": 4}
+
+_PLANNER_AUTO_SQL = " UNION ALL ".join(
+    f"SELECT '{label}' AS pair, * FROM "
+    f"({_planner.choose_join_auto_sql(a_sql, a_expr, b_sql, b_expr, broadcast_rows=br, p=_PLANNER_AUTO_P.get(label, 12))})"
+    for label, a_sql, a_expr, b_sql, b_expr, br in _PLANNER_AUTO_PAIRS
+)
+
+
+@register(
+    "diag_join_planner_autowidth",
+    _PLANNER_AUTO_SQL + " ORDER BY pair",
+    "join planner with the CMS width DERIVED IN-QUERY from an HLL "
+    "key-cardinality estimate (width = next_pow2(10·K̂) clamped to "
+    "[512, 2^26]) instead of caller-picked — closes the planner's last "
+    "open knob (a 16k width at 4M keys inflates the inner-product "
+    "estimate ~50× past the 10% cutoff and wrongly flips bloom_reduced "
+    "to shuffle; tests pin that scenario). The HLL estimate is floored "
+    "to BIGINT before any math and the next-pow2 is pure integer "
+    "(length(bin(x))), so engine and oracle derive the identical width "
+    "and therefore identical CMS buckets; the oracle reads the width "
+    "through a scalar subquery against the width-plan CTE — the in-SQL "
+    "replay of the Spark side's collect-then-build planner action. "
+    "Raw HLL's small-range bias is UPWARD (α·m at tiny cardinalities) — "
+    "the safe direction for width sizing, it only enlarges the sketch. "
+    "Three pairs: bloom_reduced at a derived 2^18, the 512 clamp floor "
+    "on tiny dims (p=4), and a high-match-rate shuffle",
+)
+def diag_join_planner_autowidth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey")
+    region = _read(spark, sf_dir, "region").select("r_regionkey")
+    pairs = [
+        ("lineitem_bloom_orders_auto",
+         _planner.choose_join_auto(
+             li, "l_orderkey",
+             orders.where(F.col("o_orderkey") % 50 == 0), "o_orderkey",
+             broadcast_rows=20)),
+        ("nation_region_clampmin",
+         _planner.choose_join_auto(nation, "n_nationkey", region,
+                                   "r_regionkey", p=4)),
+        ("lineitem_orders_shuffle",
+         _planner.choose_join_auto(li, "l_orderkey", orders, "o_orderkey",
+                                   broadcast_rows=100)),
+    ]
+    out = None
+    for label, d in pairs:
+        labeled = d.select(F.lit(label).alias("pair"), "*")
+        out = labeled if out is None else out.unionByName(labeled)
+    return out
+
+
 @register(
     "select_curriculum_order",
     r"""
@@ -10693,6 +10775,91 @@ def stream_groupby_mv_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_groupby_mv_variance_rebuild",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(MIN(q) AS BIGINT) AS min_q,
+           CAST(MAX(q) AS BIGINT) AS max_q,
+           CAST(SUM(q2) AS BIGINT) AS sum_q2,
+           CAST(SUM(q2 * q2) AS BIGINT) AS sumsq_q2,
+           CAST(SUM(q) // count(*) AS BIGINT) AS avg_q
+    FROM (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q2
+      FROM events
+      WHERE user_id < 50
+        AND NOT (event_type = 'click' AND event_id % 10 = 7)
+    ) GROUP BY event_type
+    """,
+    "group-by MV face, r14 extension (VERDICT r13 ask #4): VARIANCE/AVG "
+    "states + the tombstone/per-key-rebuild delete story. sum_q2/"
+    "sumsq_q2 (sum of squares is ADDITIVE — merges by the same SUM law "
+    "as cnt/sum, at its OWN quantization scale so the squared value "
+    "fits BIGINT: cnt·(v_max·sq_scale)² ≤ 2^63) plus derived avg_q = "
+    "sum_q div cnt (positive sums here, so Spark's truncating div == "
+    "DuckDB's floor //). The fixture then DELETES rows (event_type="
+    "'click', event_id%10=7) the way aggregate state must: MIN/MAX are "
+    "not invertible, so the key is tombstoned at a cutoff epoch and "
+    "rebuilt from the corrected source by the same partial-agg kernel; "
+    "untouched keys keep their streamed states bit-identical and "
+    "post-cutoff landings keep merging (tests pin both). The oracle is "
+    "the batch aggregate over the corrected history — exactly what the "
+    "merged log must equal",
+)
+def stream_groupby_mv_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.streaming.index import (
+        groupby_mv_rebuild_keys,
+        groupby_mv_view,
+        stream_groupby_mv_maintenance,
+    )
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.col("user_id") < 50)
+        .select("event_id", "event_type", "value")
+    )
+    pdf = ev.toPandas()
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("event_type", _T.StringType(), False),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    work = _tempfile.mkdtemp(prefix="tickdb_mvv_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k in range(3):
+        part = pdf[pdf.event_id % 3 == k]
+        _write_landing(
+            part, schema, _os.path.join(landing, f"ev_{k}.parquet"), base + k
+        )
+    state = _os.path.join(work, "state")
+    stream_groupby_mv_maintenance(
+        spark, landing, state, schema, ["event_type"], "value",
+        sq_scale=1_000,
+    )
+    # the delete: corrected 'click' history from the system of record
+    keys = spark.createDataFrame([("click",)], "event_type string")
+    corrected = ev.where(
+        (F.col("event_type") == "click") & (F.col("event_id") % 10 != 7)
+    )
+    groupby_mv_rebuild_keys(
+        spark, state, schema, ["event_type"], "value", keys, corrected,
+        cutoff_epoch=2, sq_scale=1_000,
+    )
+    return groupby_mv_view(
+        spark, state, schema, ["event_type"], sq_scale=1_000
+    )
+
+
+@register(
     "agg_trailing_distinct_users",
     """
     WITH pairs AS MATERIALIZED (
@@ -11131,65 +11298,68 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (0) NEW in r13 — never sampled by construction
-    "dedup_containment_pairs",
-    "dq_benford_first_digit",
-    "analytics_association_rules",
-    "eval_confusion_threshold_sweep",
-    "text_heaps_vocab_growth",
-    "stream_groupby_mv_maintenance",
-    "agg_trailing_distinct_users",
-    "tick_calendar_heatmap",
-    "dq_iqr_outliers",
-    "text_token_diversity_simpson",
-    "source_zorder_pruning",
-    "tick_retention_downsample",
-    "link_weighted_customers",
-    "eval_calibration_bins",
-    "tick_vwap_hourly",
-    # (1) CHANGED in r13 — behavior or oracle text edited this round, so
+    # (0) NEW in r14 — never sampled by construction
+    "diag_join_planner_autowidth",
+    "stream_groupby_mv_variance_rebuild",
+    # (1) CHANGED in r14 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
-    "agg_approx_sketches",
-    "stream_dq_maintenance",
-    "diag_join_planner",
-    "tick_autocorrelation",
-    # (2) stalest driver proof: the FULL r7 cohort (19 entries, last
-    # driver-hash-proven in round 7 — VERDICT r12 ask #2)
-    "text_quality_perceptron",
-    "tick_downsample_m4",
-    "tick_time_travel",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "trend_holt_linear_forecast",
-    "udtf_token_freqs",
-    # (3) next-stalest (r8 cohort, 12 of 44): first 10 alphabetically,
-    # plus tick_compaction_equivalence and tick_snapshot_diff pulled
-    # forward because the r13 crash-atomic ingest rewrite touches their
-    # code paths; the remaining 32 r8 entries queue for the r14 head
-    "agg_cms_token_counts",
-    "agg_corr_covar_moments",
-    "agg_equidepth_histogram",
-    "agg_percentiles_by_priority",
-    "analytics_time_to_convert",
-    "asof_forward_next_view",
-    "dedup_incremental_vs_corpus",
-    "dedup_segment_spans",
-    "dedup_substring_rolling",
-    "join_salted_hotkey",
-    "tick_compaction_equivalence",
-    "tick_snapshot_diff",
+    # (lift_ppm staged-floor overflow fix changed emitted values; the
+    # MV face gained epoch/rebuilt state columns + the tombstone read
+    # path under its unchanged output)
+    "analytics_association_rules",
+    "stream_groupby_mv_maintenance",
+    # (2) stalest driver proof: the FULL remaining r8 cohort (32 entries,
+    # last driver-hash-proven in round 8 — VERDICT r13 ask #1)
+    "embed_pca_covariance",
+    "filter_quality_percentile",
+    "graph_pagerank_neardup",
+    "json_props_extract",
+    "media_decode_gif",
+    "order_global_shuffle_index",
+    "pack_sequences_greedy",
+    "pipeline_curation_end2end",
+    "sample_reservoir_per_key",
+    "sample_split_assign",
+    "select_dsir_importance",
+    "sim_ann_ivfadc",
+    "sim_ann_jl_rerank",
+    "sim_ann_jl_topk",
+    "sim_ann_pq_adc",
+    "sim_ann_pq_rerank",
+    "sim_ann_topk_int8",
+    "sim_ann_topk_ivf_trained",
+    "sim_ann_topk_lsh_multitable",
+    "sim_ivf_kmeans_cells",
+    "sketch_kmv_audience_jaccard",
+    "source_csv_json_roundtrip",
+    "stream_stream_interval_join",
+    "text_c4_quality_filter",
+    "text_chunk_sliding",
+    "text_heavy_hitters",
+    "text_tfidf_topterms",
+    "text_vocab_topk",
+    "tick_downsample_lttb",
+    "tick_gapfill_interp",
+    "tick_gapfill_locf",
+    "trend_holt_winters_weekly",
+    # (3) next-stalest (r9 cohort, 14 of 43): first 14 alphabetically;
+    # the remaining 29 r9 entries queue for the r15 head. NEW r14
+    # entries added after this rotation displace names from the END of
+    # this section (keep sections (0)/(1) complete, keep the total 50).
+    "agg_distinct_users_daily",
+    "agg_hll_distinct_userdays",
+    "agg_salted_hotkey",
+    "agg_stats_moments",
+    "analytics_cluster_topics",
+    "analytics_corpus_datacard",
+    "collection_function_battery",
+    "diag_key_skew_gini",
+    "eval_ann_recall_lsh",
+    "eval_quality_auc",
+    "eval_tokenizer_compression",
+    "layout_zorder_stats",
+    "media_phash_dedup_clusters",
+    "media_phash_neardup_pairs",
 ]
 
 

@@ -1003,16 +1003,192 @@ def stream_scd2_maintenance(
 # --- streaming group-by materialized-view maintenance ------------------------
 
 
-def groupby_mv_report(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+def groupby_mv_report(
+    partials: DataFrame, group_cols: list[str], with_variance: bool = False
+) -> DataFrame:
     """Merge a partial-aggregate log to the MV view: SUM the counts and
     quantized sums, MIN/MAX the extremes — every state is a commutative
     monoid, so the merged view equals the batch-built aggregate over all
-    rows ever landed REGARDLESS of batching."""
-    return partials.groupBy(*group_cols).agg(
+    rows ever landed REGARDLESS of batching.
+
+    ``with_variance`` adds the r14 states: ``sum_q2``/``sumsq_q2`` (sum
+    and sum-of-squares of the separately-quantized value — sum of
+    squares is ADDITIVE, so it merges by the same SUM law) plus the
+    derived ``avg_q = sum_q div cnt`` (one integer division, exact
+    cross-engine). Variance is derivable by any consumer as
+    ``(cnt·sumsq_q2 − sum_q2²) / cnt²`` at the ``sq_scale``
+    quantization; the face emits the raw states rather than that
+    product because ``cnt·sumsq_q2`` can exceed BIGINT at corpus scale
+    (Spark would wrap, DuckDB error — the lift_ppm lesson)."""
+    aggs = [
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum_q").cast("long").alias("sum_q"),
         F.min("min_q").cast("long").alias("min_q"),
         F.max("max_q").cast("long").alias("max_q"),
+    ]
+    if with_variance:
+        aggs += [
+            F.sum("sum_q2").cast("long").alias("sum_q2"),
+            F.sum("sumsq_q2").cast("long").alias("sumsq_q2"),
+        ]
+    out = partials.groupBy(*group_cols).agg(*aggs)
+    if with_variance:
+        out = out.withColumn(
+            "avg_q", F.expr("sum_q div cnt").cast("long")
+        )
+    return out
+
+
+def _mv_partial_agg(
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int,
+    sq_scale: int | None,
+) -> DataFrame:
+    """One micro-batch's partial aggregate — shared by the stream handler
+    and the per-key rebuild so both produce bit-identical states."""
+    q = F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.min("q").cast("long").alias("min_q"),
+        F.max("q").cast("long").alias("max_q"),
+    ]
+    cols = [*group_cols, q.alias("q")]
+    if sq_scale is not None:
+        q2 = F.expr(
+            f"CAST(floor({value_col} * {int(sq_scale)} + 0.5) AS BIGINT)"
+        )
+        cols.append(q2.alias("q2"))
+        aggs += [
+            F.sum("q2").cast("long").alias("sum_q2"),
+            F.sum(F.col("q2") * F.col("q2")).cast("long").alias("sumsq_q2"),
+        ]
+    return batch.select(*cols).groupBy(*group_cols).agg(*aggs)
+
+
+def _mv_seed_schema(
+    schema: T.StructType, group_cols: list[str], sq_scale: int | None
+) -> T.StructType:
+    fields = [schema[c] for c in group_cols] + [
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("sum_q", T.LongType(), False),
+        T.StructField("min_q", T.LongType(), False),
+        T.StructField("max_q", T.LongType(), False),
+    ]
+    if sq_scale is not None:
+        fields += [
+            T.StructField("sum_q2", T.LongType(), False),
+            T.StructField("sumsq_q2", T.LongType(), False),
+        ]
+    fields += [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("rebuilt", T.BooleanType(), False),
+    ]
+    return T.StructType(fields)
+
+
+def _mv_tomb_schema(schema: T.StructType, group_cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [schema[c] for c in group_cols]
+        + [T.StructField("cutoff_epoch", T.LongType(), False)]
+    )
+
+
+def groupby_mv_view(
+    spark: SparkSession,
+    work_dir: str,
+    schema: T.StructType,
+    group_cols: list[str],
+    sq_scale: int | None = None,
+) -> DataFrame:
+    """Read path of the group-by MV face: merge the partial-aggregate
+    epoch log, honoring key tombstones. A tombstoned key keeps only (a)
+    stream partials from epochs AFTER its latest cutoff (their rows
+    were never part of the corrected history) and (b) the marked
+    replacement partial AT the cutoff; everything at-or-before the
+    cutoff — including replacements from superseded earlier rebuilds —
+    drops. The tombstone side broadcasts (rebuilds are rare)."""
+    tomb_schema = _mv_tomb_schema(schema, group_cols)
+    # seed the tombstone dir if no rebuild ever ran (mode-ignore no-op
+    # otherwise) so the read path is uniform
+    spark.createDataFrame([], tomb_schema).write.mode("ignore").parquet(
+        os.path.join(work_dir, "mv_tombstones")
+    )
+    partials = _read_maintained(
+        spark, os.path.join(work_dir, "mv_partials"),
+        _mv_seed_schema(schema, group_cols, sq_scale),
+    )
+    tomb = _read_maintained(
+        spark, os.path.join(work_dir, "mv_tombstones"), tomb_schema
+    )
+    last = tomb.groupBy(*group_cols).agg(
+        F.max("cutoff_epoch").alias("_cutoff")
+    )
+    live = (
+        partials.join(F.broadcast(last), group_cols, "left")
+        .where(
+            F.col("_cutoff").isNull()
+            | (F.col("epoch") > F.col("_cutoff"))
+            | (F.col("rebuilt") & (F.col("epoch") == F.col("_cutoff")))
+        )
+        .drop("_cutoff")
+    )
+    return groupby_mv_report(live, group_cols, with_variance=sq_scale is not None)
+
+
+def groupby_mv_rebuild_keys(
+    spark: SparkSession,
+    work_dir: str,
+    schema: T.StructType,
+    group_cols: list[str],
+    value_col: str,
+    keys: DataFrame,
+    corrected_rows: DataFrame,
+    cutoff_epoch: int,
+    scale: int = 1_000_000,
+    sq_scale: int | None = None,
+) -> None:
+    """The DELETE/correction face of the group-by MV (VERDICT r13 ask
+    #4): aggregate state is not row-addressable — count/sum/sumsq could
+    subtract a retraction, but MIN/MAX cannot (not invertible) — so
+    removals REBUILD the touched keys, the SCD2 lesson applied to
+    aggregates. ``keys`` names the keys to rebuild; ``corrected_rows``
+    is their corrected source slice (from the system of record — the
+    face stores aggregates, not rows). A key in ``keys`` with NO
+    corrected rows is a full delete and simply vanishes from the view —
+    that is why the key list is explicit rather than derived from the
+    corrected slice.
+
+    Mechanics: write (key, cutoff_epoch) tombstones plus the keys'
+    fresh MARKED replacement partial (built by the same kernel as the
+    stream handler, so states are bit-identical) — both idempotent
+    overwrites into rebuild-namespaced epoch dirs, crash-safe by
+    re-run. ``cutoff_epoch`` is the last stream epoch whose data the
+    corrected slice supersedes (typically the max epoch at rebuild
+    time): the read path drops the keys' partials at-or-before it and
+    keeps the replacement plus every LATER stream partial, so
+    maintenance continues normally after the rebuild — future landings
+    are never swallowed (stream epochs are monotone per checkpoint).
+    Re-rebuilding at a later cutoff supersedes the earlier rebuild."""
+    keys = keys.select(*group_cols).distinct()
+    corrected_rows = corrected_rows.join(F.broadcast(keys), group_cols)
+    tdir = os.path.join(work_dir, "mv_tombstones")
+    spark.createDataFrame([], _mv_tomb_schema(schema, group_cols)).write.mode(
+        "ignore"
+    ).parquet(tdir)
+    keys.withColumn(
+        "cutoff_epoch", F.lit(int(cutoff_epoch)).cast("long")
+    ).write.mode("overwrite").parquet(
+        os.path.join(tdir, f"epoch_rebuild_{int(cutoff_epoch)}")
+    )
+    _mv_partial_agg(
+        corrected_rows, group_cols, value_col, scale, sq_scale
+    ).withColumn("epoch", F.lit(int(cutoff_epoch)).cast("long")).withColumn(
+        "rebuilt", F.lit(True)
+    ).write.mode("overwrite").parquet(
+        os.path.join(work_dir, "mv_partials", f"epoch_rebuild_{int(cutoff_epoch)}")
     )
 
 
@@ -1024,6 +1200,7 @@ def stream_groupby_mv_maintenance(
     group_cols: list[str],
     value_col: str,
     scale: int = 1_000_000,
+    sq_scale: int | None = None,
 ) -> DataFrame:
     """The 13th maintained face: an incrementally-maintained GROUP-BY
     MATERIALIZED VIEW (count/sum/min/max per key) — the non-time-keyed
@@ -1036,32 +1213,31 @@ def stream_groupby_mv_maintenance(
     Values are quantized to BIGINT (``floor(v·scale + 0.5)``, the house
     float discipline) BEFORE summation, so the merged sum is exact
     integer — never a partition-order-dependent float fold. State per
-    epoch is |keys touched by the batch| rows, not data. Deletes:
-    aggregate state is not row-addressable — retractions ride epoch-dir
-    removal (the counter-face rule), or a rebuild of affected keys.
+    epoch is |keys touched by the batch| rows, not data.
+
+    ``sq_scale`` (r14) adds the VARIANCE/AVG states ``sum_q2``/
+    ``sumsq_q2`` — sum of squares is additive, so it merges by the same
+    SUM law; quantized at its OWN scale because the squared value must
+    fit BIGINT after summation (bound: cnt·(v_max·sq_scale)² ≤ 2^63 —
+    size sq_scale to the column's range). Deletes: aggregate state is
+    not row-addressable (MIN/MAX are not invertible), so removals go
+    through :func:`groupby_mv_rebuild_keys` — tombstone the touched
+    keys and rebuild them from the corrected source; epoch-dir removal
+    (the counter-face rule) remains the batch-retraction path.
     Idempotence: per-epoch overwrite like every face. Returns the
-    merged view ``(group_cols..., cnt, sum_q, min_q, max_q)``."""
+    merged view (:func:`groupby_mv_view`): ``(group_cols..., cnt,
+    sum_q, min_q, max_q[, sum_q2, sumsq_q2, avg_q])``."""
     mv_dir = os.path.join(work_dir, "mv_partials")
     ckpt_dir = os.path.join(work_dir, "checkpoint_mv")
-    seed = T.StructType(
-        [schema[c] for c in group_cols]
-        + [
-            T.StructField("cnt", T.LongType(), False),
-            T.StructField("sum_q", T.LongType(), False),
-            T.StructField("min_q", T.LongType(), False),
-            T.StructField("max_q", T.LongType(), False),
-        ]
-    )
+    seed = _mv_seed_schema(schema, group_cols, sq_scale)
     spark.createDataFrame([], seed).write.mode("ignore").parquet(mv_dir)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        q = F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)")
-        batch.select(*group_cols, q.alias("q")).groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-            F.sum("q").cast("long").alias("sum_q"),
-            F.min("q").cast("long").alias("min_q"),
-            F.max("q").cast("long").alias("max_q"),
-        ).write.mode("overwrite").parquet(os.path.join(mv_dir, f"epoch_{epoch_id}"))
+        _mv_partial_agg(batch, group_cols, value_col, scale, sq_scale).withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("long")
+        ).withColumn("rebuilt", F.lit(False)).write.mode("overwrite").parquet(
+            os.path.join(mv_dir, f"epoch_{epoch_id}")
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -1073,7 +1249,7 @@ def stream_groupby_mv_maintenance(
         .start()
     )
     q.awaitTermination()
-    return groupby_mv_report(_read_maintained(spark, mv_dir, seed), group_cols)
+    return groupby_mv_view(spark, work_dir, schema, group_cols, sq_scale)
 
 
 # --- streaming data-quality counter maintenance ------------------------------
