@@ -54,6 +54,72 @@ def test_stream_ingest_matches_batch(tmp_path, spark):
     assert tdb.get("s", "st", "2024-03-01T10:00:30Z") == {"p": 2.0}
 
 
+def test_stream_ingest_schema_evolution_restart(tmp_path, spark):
+    """Mid-run schema evolution of the MAIN warehouse under streaming
+    ingest (r14): v1 files ingest under the v1 doc schema; the stream
+    stops; a restart with evolved_fields over the SAME checkpoint
+    ingests ONLY the new v2 files (nothing re-read, ingest_seq
+    continues); read_ticks(evolved_fields=) NULL-backfills the v1
+    partitions under the LWW view; a further evolved restart with no
+    new files ingests nothing."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from tickdb_spark.ingest import read_ticks
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    db_path = str(tmp_path / "db")
+    _os.makedirs(db_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(landing, "v1.json", [
+        {"time": "2024-03-01T10:00:00Z", "index": "st", "value": {"p": 1.0}},
+        {"time": "2024-03-01T10:00:30Z", "index": "st", "value": {"p": 2.0}},
+    ])
+    _os.utime(landing / "v1.json", (1_700_000_000, 1_700_000_000))
+    stream_ingest(spark, str(landing), db_path, ckpt).awaitTermination(120)
+
+    evo = T.StructType([T.StructField("src", T.StringType())])
+    _write_batch(landing, "v2.json", [
+        {"time": "2024-03-01T10:01:00Z", "index": "st",
+         "value": {"p": 3.0}, "src": "web"},
+        # an UPSERT of a v1 ts: the evolved column rides LWW resolution
+        {"time": "2024-03-01T10:00:00Z", "index": "st",
+         "value": {"p": 9.0}, "src": "app"},
+    ])
+    _os.utime(landing / "v2.json", (1_700_000_001, 1_700_000_001))
+    stream_ingest(spark, str(landing), db_path, ckpt,
+                  evolved_fields=evo).awaitTermination(120)
+
+    view = {
+        (r["series"], r["ts_utc"].isoformat()): (r["value"]["p"], r["src"])
+        for r in read_ticks(spark, db_path, evolved_fields=evo).collect()
+    }
+    assert view == {
+        ("st", "2024-03-01T10:00:00"): (9.0, "app"),  # LWW winner from v2
+        ("st", "2024-03-01T10:00:30"): (2.0, None),   # NULL-backfilled v1
+        ("st", "2024-03-01T10:01:00"): (3.0, "web"),
+    }
+    # only 2 ingest batches ran (v1 re-ingest would make a 3rd seq)
+    seqs = sorted(
+        r["ingest_seq"]
+        for r in spark.read.parquet(_os.path.join(db_path, "ticks"))
+        .select("ingest_seq").distinct().collect()
+    )
+    assert seqs == [0, 1]
+
+    # evolved restart, no new files: nothing ingested
+    stream_ingest(spark, str(landing), db_path, ckpt,
+                  evolved_fields=evo).awaitTermination(120)
+    assert sorted(
+        r["ingest_seq"]
+        for r in spark.read.parquet(_os.path.join(db_path, "ticks"))
+        .select("ingest_seq").distinct().collect()
+    ) == [0, 1]
+
+
 def test_windowed_bucket_agg_with_late_data(tmp_path, spark):
     landing = tmp_path / "landing"
     landing.mkdir()

@@ -3738,6 +3738,92 @@ def tick_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tick_schema_evolution",
+    f"""
+    WITH unioned AS (
+      SELECT event_type AS series, CAST(NULL AS VARCHAR) AS src, value
+      FROM events WHERE user_id < 50 AND event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, {_EVO_SRC_EXPR}, value
+      FROM events WHERE user_id < 50 AND event_id % 2 = 1
+    )
+    SELECT series, src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS value_sum
+    FROM unioned GROUP BY series, src
+    """,
+    "schema evolution of the MAIN warehouse UNDER STREAMING INGEST — "
+    "the last lifecycle square (VERDICT r13 ask #8; the batch path is "
+    "tick_schema_evolution, the index-face path is "
+    "stream_index_schema_evolution): a doc stream ingests two v1 "
+    "micro-batches, STOPS, and restarts with an evolved doc schema "
+    "(+src) over the SAME checkpoint — the file source resumes after "
+    "the processed set (nothing re-ingested, no checkpoint reset), the "
+    "two v2 batches append partitions that carry the column, and "
+    "read_ticks(evolved_fields=) NULL-backfills the pre-evolution "
+    "partitions under the LWW view. Oracle states the contract "
+    "declaratively: v1 rows (even event_id) NULL src, v2 rows tagged "
+    "by the same CASE both engines compute. Restart/idempotence "
+    "pinned in tests/test_streaming.py",
+)
+def stream_tick_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.ingest import read_ticks as _read_ticks
+    from tickdb_spark.streaming.ingest import stream_ingest as _stream_ingest
+
+    ev = _read_events(spark, sf_dir).where(F.col("user_id") < 50)
+    pdf = ev.select(
+        F.date_format("ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("time"),
+        F.col("event_type").alias("idx"),
+        "value",
+        "user_id",
+        "event_id",
+    ).toPandas()
+
+    work = _tempfile.mkdtemp(prefix="tickdb_sevo_")
+    landing = _os.path.join(work, "landing")
+    db = _os.path.join(work, "db")
+    ckpt = _os.path.join(work, "ckpt")
+    _os.makedirs(landing)
+    _os.makedirs(db)
+
+    def _write_docs(part, path, mtime, with_src):
+        with open(path, "w") as f:
+            for r in part.itertuples():
+                d = {"time": r.time, "index": r.idx,
+                     "value": {"value": None if _pd.isna(r.value)
+                               else float(r.value)}}
+                if with_src:
+                    d["src"] = "web" if r.user_id % 2 == 0 else "app"
+                f.write(_json.dumps(d) + "\n")
+        _os.utime(path, (mtime, mtime))
+
+    base = 1_700_000_000
+    for k, rem in enumerate((0, 2)):  # v1: even event_ids, two files
+        _write_docs(pdf[pdf.event_id % 4 == rem],
+                    _os.path.join(landing, f"v1_{k}.json"), base + k, False)
+    _stream_ingest(spark, landing, db, ckpt).awaitTermination(300)
+    # mid-run evolution: v2 docs land with +src; restart with the
+    # evolved schema over the SAME checkpoint
+    for k, rem in enumerate((1, 3)):  # v2: odd event_ids, two files
+        _write_docs(pdf[pdf.event_id % 4 == rem],
+                    _os.path.join(landing, f"v2_{k}.json"), base + 2 + k, True)
+    evo = _T.StructType([_T.StructField("src", _T.StringType())])
+    _stream_ingest(spark, landing, db, ckpt,
+                   evolved_fields=evo).awaitTermination(300)
+    t = _read_ticks(spark, db, evolved_fields=evo)
+    return t.groupBy("series", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.element_at("value", F.lit("value")).cast(DEC))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+@register(
     "tick_snapshot_diff",
     f"""
     WITH ch AS (
@@ -11301,6 +11387,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r14 — never sampled by construction
     "diag_join_planner_autowidth",
     "stream_groupby_mv_variance_rebuild",
+    "stream_tick_schema_evolution",
     # (1) CHANGED in r14 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     # (lift_ppm staged-floor overflow fix changed emitted values; the
@@ -11342,8 +11429,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_gapfill_interp",
     "tick_gapfill_locf",
     "trend_holt_winters_weekly",
-    # (3) next-stalest (r9 cohort, 14 of 43): first 14 alphabetically;
-    # the remaining 29 r9 entries queue for the r15 head. NEW r14
+    # (3) next-stalest (r9 cohort, 13 of 43): first 13 alphabetically;
+    # the remaining 30 r9 entries queue for the r15 head. NEW r14
     # entries added after this rotation displace names from the END of
     # this section (keep sections (0)/(1) complete, keep the total 50).
     "agg_distinct_users_daily",
@@ -11359,7 +11446,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_tokenizer_compression",
     "layout_zorder_stats",
     "media_phash_dedup_clusters",
-    "media_phash_neardup_pairs",
 ]
 
 

@@ -41,7 +41,26 @@ STREAM_DOC_SCHEMA = T.StructType(
 )
 
 
-def read_doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+def _doc_schema(evolved_fields: "T.StructType | None") -> T.StructType:
+    """The doc schema, optionally EVOLVED with extra nullable top-level
+    fields (the docstats-face pattern applied to the ingest stream):
+    restart the stream with the evolved schema and the same checkpoint —
+    already-processed files are never re-read, new files carry the
+    column, and ``ingest.read_ticks(evolved_fields=)`` NULL-backfills
+    the pre-evolution partitions on read."""
+    if evolved_fields is None:
+        return STREAM_DOC_SCHEMA
+    return T.StructType(
+        list(STREAM_DOC_SCHEMA.fields)
+        + [T.StructField(f.name, f.dataType, True) for f in evolved_fields.fields]
+    )
+
+
+def read_doc_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    evolved_fields: "T.StructType | None" = None,
+) -> DataFrame:
     """File-source stream of ingest docs (the test/local stand-in for a
     Kafka topic; swap ``format`` only).
 
@@ -49,9 +68,12 @@ def read_doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     the analogue of one reference HTTP POST — so each file gets its own
     ingest_seq and cross-file LWW ordering is well defined. (Within a
     single file, duplicate (series, ts) resolve arbitrarily; batch HTTP
-    ingest dedups in order driver-side, see ingest.normalize_docs.)"""
+    ingest dedups in order driver-side, see ingest.normalize_docs.)
+
+    ``evolved_fields``: see :func:`_doc_schema` — JSON docs missing an
+    evolved field parse it as NULL, so mixed landing dirs are safe."""
     return (
-        spark.readStream.schema(STREAM_DOC_SCHEMA)
+        spark.readStream.schema(_doc_schema(evolved_fields))
         .option("maxFilesPerTrigger", 1)
         .json(landing_dir)
     )
@@ -107,14 +129,19 @@ def read_doc_stream_bus(
     return docs_from_bus(reader.load(), value_col)
 
 
-def normalize_stream(docs: DataFrame) -> DataFrame:
+def normalize_stream(
+    docs: DataFrame, evolved_fields: "T.StructType | None" = None
+) -> DataFrame:
     """Doc stream → canonical tick columns (parse time to ns, derive
-    ts_utc). Pure column expressions — runs incrementally."""
+    ts_utc). Pure column expressions — runs incrementally. Evolved
+    top-level fields pass through after the canonical columns."""
+    extra = list(evolved_fields.fieldNames()) if evolved_fields is not None else []
     ts_ns = (F.unix_micros(F.to_timestamp("time")) * 1000).alias("ts")
     return docs.select(
         F.col("index").alias("series"),
         ts_ns,
         F.col("value").alias("value"),
+        *extra,
     ).withColumn("ts_utc", ns_to_ts(F.col("ts")))
 
 
@@ -170,10 +197,21 @@ def stream_ingest(
     db_path: str,
     checkpoint_dir: str,
     maintain_rollups: bool = False,
+    evolved_fields: "T.StructType | None" = None,
 ) -> StreamingQuery:
     """File-landing wrapper over :func:`stream_ingest_source` (the
-    test/local stand-in for a message bus — swap the source only)."""
-    ticks = normalize_stream(read_doc_stream(spark, landing_dir))
+    test/local stand-in for a message bus — swap the source only).
+
+    ``evolved_fields`` is mid-stream SCHEMA EVOLUTION of the MAIN
+    warehouse: stop the stream, restart with the evolved field list and
+    the SAME checkpoint — the file source resumes after the processed
+    set, later batches append the new column to their partitions, and
+    the LWW view NULL-backfills older partitions via
+    ``ingest.read_ticks(evolved_fields=)``. No footer merge, no
+    partition rewrite, no checkpoint reset."""
+    ticks = normalize_stream(
+        read_doc_stream(spark, landing_dir, evolved_fields), evolved_fields
+    )
     return stream_ingest_source(
         ticks, db_path, checkpoint_dir, maintain_rollups=maintain_rollups
     )
