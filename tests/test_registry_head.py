@@ -114,3 +114,40 @@ def test_pq_gate_entries_fit_replica_budget(spark):
         oracle_sec = _min_of_two(lambda: _oracle(name), 15)
         assert spark_sec < 30, f"{name} spark side {spark_sec:.1f}s (budget 30)"
         assert oracle_sec < 15, f"{name} oracle replay {oracle_sec:.1f}s (budget 15)"
+
+
+def test_trained_state_cold_vs_memo(spark):
+    """VERDICT r13 ask #7: the trained-state MEMO path and the fully
+    COLD path hash-identically. The gate normally runs entries with
+    `_PQ_TRAIN_CACHE`/`_ASSET_CACHE` already warm from earlier entries;
+    this clears the trainer memo and the materialized PQ/IVF assets and
+    re-runs the trainer-backed entries from scratch — if the memoized
+    state ever drifted from what a cold train produces, the frames
+    would diverge here (the oracle would also catch it, since it
+    replays trainers per entry; this pins the SPARK side's two paths
+    against each other directly)."""
+    import pandas as pd
+
+    from tests.conftest import SF_CORRECT
+    from tickdb_spark import querybank as Q
+
+    names = ["text_unigram_tokenize", "sim_ann_pq_adc",
+             "sim_ann_pq_rerank", "sim_ann_ivfadc"]
+
+    def run(name):
+        df = Q.REGISTRY[name].fn(spark, SF_CORRECT).toPandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    # pass 1: warms the memos (or reuses ones earlier tests populated)
+    warm = {n: run(n) for n in names}
+
+    # go cold: drop the trained books/centroids AND the materialized
+    # code/cell assets derived from them
+    Q._PQ_TRAIN_CACHE.clear()
+    for k in [k for k in Q._ASSET_CACHE if k[0] in ("pq_codes", "ivf_cells")]:
+        del Q._ASSET_CACHE[k]
+
+    for n in names:
+        cold = run(n)
+        pd.testing.assert_frame_equal(cold, warm[n], check_dtype=False)
