@@ -9733,6 +9733,94 @@ def tick_autocorrelation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: η²_ppm from the per-group sufficient statistics (n, s, ssq, fold) —
+#: ONE fixed double expression tree shared verbatim by both engines:
+#: grand = s²/n (doubles from exact BIGINTs, each conversion and op
+#: IEEE-identical), ss_total = ssq − grand, ss_between = fold − grand,
+#: η² = ss_between/ss_total, ppm-quantized. Zero-variance guard → NULL
+#: (the hypothesis-found red class: Spark ANSI errors where DuckDB NaNs).
+_ETA2_EXPR = (
+    "CASE WHEN (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) > 0.0 THEN CAST(floor("
+    "(fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE NULL END"
+)
+
+
+@register(
+    "trend_seasonal_strength_anova",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hr,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL
+    ),
+    hourly AS (
+      SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(SUM(q) AS BIGINT) AS s_h,
+             CAST(SUM(q * q) AS BIGINT) AS ssq_h
+      FROM base GROUP BY event_type, hr
+    ),
+    perg AS (
+      SELECT event_type,
+             CAST(SUM(n_h) AS BIGINT) AS n,
+             CAST(SUM(s_h) AS BIGINT) AS s,
+             CAST(SUM(ssq_h) AS BIGINT) AS ssq,
+             list_reduce(
+               list(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                    / CAST(n_h AS DOUBLE) ORDER BY hr),
+               (x, y) -> x + y) AS fold
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n, {_ETA2_EXPR} AS eta2_ppm FROM perg
+    """,
+    "seasonal-strength via one-way ANOVA η² over hour-of-day (the "
+    "r13-REJECTED entry, landed with the sorted-fold toolkit): per "
+    "series, η² = SS_between/SS_total of quantized values grouped by "
+    "the 24 hour bins. The r13 rejection reason was Σ_h of per-hour "
+    "double terms being partition-order-dependent; here every "
+    "sufficient statistic (n_h, Σq, Σq²) is an EXACT BIGINT, and the "
+    "only order-sensitive float sum — Σ_h S_h²/n_h — folds over the "
+    "hour-sorted term list (Spark aggregate(array_sort(collect_list)), "
+    "DuckDB list_reduce(list(… ORDER BY hr))): ≤24 terms in one fixed "
+    "order, and Spark's 0.0-seeded fold equals DuckDB's seedless fold "
+    "for non-negative terms. η² itself is one shared double expression "
+    "tree, zero-variance-guarded to NULL. State per series is 24 rows "
+    "at any corpus size; one equi-shuffle",
+)
+def trend_seasonal_strength_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("(ts div 3600000000000) % 24").alias("hr"),
+            F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("q"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("q").cast("long").alias("s_h"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("ssq_h"),
+        )
+    )
+    perg = hourly.groupBy("event_type").agg(
+        F.sum("n_h").cast("long").alias("n"),
+        F.sum("s_h").cast("long").alias("s"),
+        F.sum("ssq_h").cast("long").alias("ssq"),
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'hr', hr, 't', CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)"
+            " / CAST(n_h AS DOUBLE)))), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.t)"
+        ).alias("fold"),
+    )
+    return perg.select(
+        "event_type", "n", F.expr(_ETA2_EXPR).alias("eta2_ppm")
+    )
+
+
 @register(
     "sketch_kmv_setops",
     _sketch.kmv_set_cardinalities_sql(
@@ -11388,6 +11476,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "diag_join_planner_autowidth",
     "stream_groupby_mv_variance_rebuild",
     "stream_tick_schema_evolution",
+    "trend_seasonal_strength_anova",
     # (1) CHANGED in r14 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled
     # (lift_ppm staged-floor overflow fix changed emitted values; the
@@ -11429,8 +11518,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "tick_gapfill_interp",
     "tick_gapfill_locf",
     "trend_holt_winters_weekly",
-    # (3) next-stalest (r9 cohort, 13 of 43): first 13 alphabetically;
-    # the remaining 30 r9 entries queue for the r15 head. NEW r14
+    # (3) next-stalest (r9 cohort, 12 of 43): first 12 alphabetically;
+    # the remaining 31 r9 entries queue for the r15 head. NEW r14
     # entries added after this rotation displace names from the END of
     # this section (keep sections (0)/(1) complete, keep the total 50).
     "agg_distinct_users_daily",
@@ -11445,7 +11534,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_quality_auc",
     "eval_tokenizer_compression",
     "layout_zorder_stats",
-    "media_phash_dedup_clusters",
 ]
 
 
