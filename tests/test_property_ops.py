@@ -469,3 +469,142 @@ def test_weighted_link_equals_python(spark, dirty, clean):
             if s >= 30:
                 want[(di, 1000 + ci)] = (dist, s)
     assert got == want
+
+
+seasonal_row_st = st.tuples(
+    st.sampled_from(["a", "b"]),                     # group
+    st.integers(min_value=0, max_value=23),          # hour bin
+    st.one_of(st.none(), st.floats(min_value=-500.0, max_value=500.0,
+                                   allow_nan=False, allow_infinity=False)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(seasonal_row_st, min_size=1, max_size=40))
+def test_seasonal_strength_equal_python(spark, rows):
+    """η²_ppm equals a python reference that replays the EXACT op order
+    (python floats are IEEE doubles, so same ops in same order are
+    bit-identical): BIGINT sufficient statistics, hour-sorted fold of
+    S_h²/n_h, convert-then-multiply grand term, zero-variance → NULL.
+    NULL values drop on both sides."""
+    import math
+
+    from tickdb_spark.operators.timeseries import seasonal_strength_anova
+
+    df = spark.createDataFrame(
+        [(g, hr * 3_600_000_000_000, v) for g, hr, v in rows],
+        "grp string, ts long, value double",
+    )
+    got = {
+        r["grp"]: (r["n"], r["eta2_ppm"])
+        for r in seasonal_strength_anova(
+            df, ["grp"], "(ts div 3600000000000) % 24", "value", 1_000
+        ).collect()
+    }
+    bins: dict[str, dict[int, list[int]]] = {}
+    for g, hr, v in rows:
+        if v is None:
+            continue
+        q = math.floor(v * 1_000 + 0.5)
+        cell = bins.setdefault(g, {}).setdefault(hr, [0, 0, 0])
+        cell[0] += 1
+        cell[1] += q
+        cell[2] += q * q
+    want = {}
+    for g, cells in bins.items():
+        n = sum(c[0] for c in cells.values())
+        s = sum(c[1] for c in cells.values())
+        ssq = sum(c[2] for c in cells.values())
+        fold = 0.0
+        for hr in sorted(cells):
+            _, s_h, _ = cells[hr]
+            fold = fold + float(s_h) * float(s_h) / float(cells[hr][0])
+        grand = float(s) * float(s) / float(n)
+        sst = float(ssq) - grand
+        eta = (int(math.floor((fold - grand) / sst * 1_000_000.0 + 0.5))
+               if sst > 0.0 else None)
+        want[g] = (n, eta)
+    assert got == want
+
+
+mv_row_st = st.tuples(
+    st.sampled_from(["x", "y", "z"]),
+    st.floats(min_value=-2000.0, max_value=2000.0,
+              allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(mv_row_st, min_size=1, max_size=30),
+       cut=st.integers(min_value=0, max_value=30))
+def test_mv_partial_merge_equal_python(spark, rows, cut):
+    """The MV face's partial-aggregate states merge batching-
+    independently to the python batch aggregate, variance states
+    included: split the rows at an arbitrary cut, build each slice's
+    partial with the stream handler's kernel, merge with the report's
+    laws."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tickdb_spark.streaming.index import _mv_partial_agg, groupby_mv_report
+
+    cut = min(cut, len(rows))
+    parts = []
+    for i, chunk in enumerate((rows[:cut], rows[cut:])):
+        if not chunk:
+            continue
+        cdf = spark.createDataFrame(chunk, "g string, v double")
+        parts.append(
+            _mv_partial_agg(cdf, ["g"], "v", 1_000_000, 1_000)
+            .withColumn("epoch", F.lit(i).cast("long"))
+            .withColumn("rebuilt", F.lit(False))
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    got = {
+        r["g"]: (r["cnt"], r["sum_q"], r["min_q"], r["max_q"],
+                 r["sum_q2"], r["sumsq_q2"], r["avg_q"])
+        for r in groupby_mv_report(merged, ["g"], with_variance=True).collect()
+    }
+    want = {}
+    for g, v in rows:
+        q = math.floor(v * 1_000_000 + 0.5)
+        q2 = math.floor(v * 1_000 + 0.5)
+        c, s, mn, mx, s2, ss = want.get(g, (0, 0, None, None, 0, 0))
+        want[g] = (c + 1, s + q,
+                   q if mn is None else min(mn, q),
+                   q if mx is None else max(mx, q),
+                   s2 + q2, ss + q2 * q2)
+    # Spark's `div` truncates toward zero (DuckDB // floors; the gate
+    # fixture keeps sums positive where the two agree — replay trunc)
+    want = {
+        g: (c, s, mn, mx, s2, ss,
+            (abs(s) // c) * (1 if s >= 0 else -1))
+        for g, (c, s, mn, mx, s2, ss) in want.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ea=st.floats(min_value=0.0, max_value=1e8, allow_nan=False),
+       eb=st.floats(min_value=0.0, max_value=1e8, allow_nan=False))
+def test_cms_autowidth_formula_equal_python(spark, ea, eb):
+    """width = clamp(next_pow2(10·floor(max(est))), 512, 2^26) — the
+    Spark expression equals the python formula on arbitrary HLL-estimate
+    doubles."""
+    import math
+
+    from tickdb_spark.operators.planner import _width_exprs
+
+    keys_e, width_e = _width_exprs("est_a", "est_b", sql=False)
+    r = spark.createDataFrame([(ea, eb)], "est_a double, est_b double").select(
+        F.expr(keys_e).alias("k"), F.expr(width_e).alias("w")
+    ).first()
+    keys = int(math.floor(max(ea, eb)))
+    want = min(max(1 << (keys * 10).bit_length(), 512), 1 << 26)
+    assert (r["k"], r["w"]) == (keys, want)

@@ -1621,3 +1621,102 @@ def cross_correlation_sql(
            END AS corr
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength — one-way ANOVA η² over calendar bins (Hyndman's
+# seasonal-strength diagnostic reduced to its variance decomposition;
+# public art: Fisher 1925). η² = SS_between/SS_total of the quantized
+# value across the bin groups. Cross-engine float discipline: every
+# sufficient statistic (n_h, Σq, Σq²) is an EXACT BIGINT; the only
+# order-sensitive float sum — Σ_h S_h²/n_h — folds over a BIN-SORTED
+# ≤|bins|-term list, so both engines add in one fixed order (Spark's
+# 0.0-seeded aggregate == DuckDB's seedless list_reduce for the
+# non-negative terms). η² itself is one shared double expression tree
+# with a zero-variance NULL guard (the hypothesis-found ANSI-vs-NaN red
+# class).
+# ---------------------------------------------------------------------------
+
+#: η²_ppm from (n, s, ssq, fold) — ONE expression text both engines run.
+ETA2_PPM_EXPR = (
+    "CASE WHEN (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) > 0.0 THEN CAST(floor("
+    "(fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE NULL END"
+)
+
+
+def seasonal_strength_anova(
+    df: DataFrame,
+    group_cols: list[str],
+    bin_expr: str,
+    value_col: str,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Per group: ``(group_cols..., n, eta2_ppm)`` — η² of the
+    ``scale``-quantized value across the integer bins of ``bin_expr``
+    (e.g. hour-of-day ``(ts div 3600000000000) % 24``). State per group
+    is |bins| rows at any corpus size; one equi-shuffle."""
+    q = F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)")
+    hourly = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.expr(bin_expr).alias("hr"), q.alias("q"))
+        .groupBy(*group_cols, "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("q").cast("long").alias("s_h"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("ssq_h"),
+        )
+    )
+    perg = hourly.groupBy(*group_cols).agg(
+        F.sum("n_h").cast("long").alias("n"),
+        F.sum("s_h").cast("long").alias("s"),
+        F.sum("ssq_h").cast("long").alias("ssq"),
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'hr', hr, 't', CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)"
+            " / CAST(n_h AS DOUBLE)))), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x.t)"
+        ).alias("fold"),
+    )
+    return perg.select(
+        *group_cols, "n", F.expr(ETA2_PPM_EXPR).alias("eta2_ppm")
+    )
+
+
+def seasonal_strength_anova_sql(
+    rel: str,
+    group_cols: list[str],
+    bin_expr: str,
+    value_col: str,
+    scale: int = 1_000,
+) -> str:
+    """DuckDB twin: same statistics, the bin-ordered ``list(… ORDER BY
+    hr)`` + ``list_reduce`` fold, the same η² text."""
+    gc = ", ".join(group_cols)
+    return f"""
+    WITH base AS (
+      SELECT {gc}, {bin_expr} AS hr,
+             CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT) AS q
+      FROM {rel} WHERE {value_col} IS NOT NULL
+    ),
+    hourly AS (
+      SELECT {gc}, hr, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(SUM(q) AS BIGINT) AS s_h,
+             CAST(SUM(q * q) AS BIGINT) AS ssq_h
+      FROM base GROUP BY {gc}, hr
+    ),
+    perg AS (
+      SELECT {gc},
+             CAST(SUM(n_h) AS BIGINT) AS n,
+             CAST(SUM(s_h) AS BIGINT) AS s,
+             CAST(SUM(ssq_h) AS BIGINT) AS ssq,
+             list_reduce(
+               list(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                    / CAST(n_h AS DOUBLE) ORDER BY hr),
+               (x, y) -> x + y) AS fold
+      FROM hourly GROUP BY {gc}
+    )
+    SELECT {gc}, n, {ETA2_PPM_EXPR} AS eta2_ppm FROM perg
+    """

@@ -9733,49 +9733,12 @@ def tick_autocorrelation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: η²_ppm from the per-group sufficient statistics (n, s, ssq, fold) —
-#: ONE fixed double expression tree shared verbatim by both engines:
-#: grand = s²/n (doubles from exact BIGINTs, each conversion and op
-#: IEEE-identical), ss_total = ssq − grand, ss_between = fold − grand,
-#: η² = ss_between/ss_total, ppm-quantized. Zero-variance guard → NULL
-#: (the hypothesis-found red class: Spark ANSI errors where DuckDB NaNs).
-_ETA2_EXPR = (
-    "CASE WHEN (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
-    " / CAST(n AS DOUBLE)) > 0.0 THEN CAST(floor("
-    "(fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
-    " / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE NULL END"
-)
-
-
 @register(
     "trend_seasonal_strength_anova",
-    f"""
-    WITH base AS (
-      SELECT event_type,
-             (epoch_us(ts) // 3600000000) % 24 AS hr,
-             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
-      FROM events WHERE value IS NOT NULL
+    _ts.seasonal_strength_anova_sql(
+        "events", ["event_type"],
+        "(epoch_us(ts) // 3600000000) % 24", "value", 1_000,
     ),
-    hourly AS (
-      SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_h,
-             CAST(SUM(q) AS BIGINT) AS s_h,
-             CAST(SUM(q * q) AS BIGINT) AS ssq_h
-      FROM base GROUP BY event_type, hr
-    ),
-    perg AS (
-      SELECT event_type,
-             CAST(SUM(n_h) AS BIGINT) AS n,
-             CAST(SUM(s_h) AS BIGINT) AS s,
-             CAST(SUM(ssq_h) AS BIGINT) AS ssq,
-             list_reduce(
-               list(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
-                    / CAST(n_h AS DOUBLE) ORDER BY hr),
-               (x, y) -> x + y) AS fold
-      FROM hourly GROUP BY event_type
-    )
-    SELECT event_type, n, {_ETA2_EXPR} AS eta2_ppm FROM perg
-    """,
     "seasonal-strength via one-way ANOVA η² over hour-of-day (the "
     "r13-REJECTED entry, landed with the sorted-fold toolkit): per "
     "series, η² = SS_between/SS_total of quantized values grouped by "
@@ -9791,33 +9754,9 @@ _ETA2_EXPR = (
     "at any corpus size; one equi-shuffle",
 )
 def trend_seasonal_strength_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
-    hourly = (
-        ev.select(
-            "event_type",
-            F.expr("(ts div 3600000000000) % 24").alias("hr"),
-            F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("q"),
-        )
-        .groupBy("event_type", "hr")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_h"),
-            F.sum("q").cast("long").alias("s_h"),
-            F.sum(F.col("q") * F.col("q")).cast("long").alias("ssq_h"),
-        )
-    )
-    perg = hourly.groupBy("event_type").agg(
-        F.sum("n_h").cast("long").alias("n"),
-        F.sum("s_h").cast("long").alias("s"),
-        F.sum("ssq_h").cast("long").alias("ssq"),
-        F.expr(
-            "aggregate(array_sort(collect_list(named_struct("
-            "'hr', hr, 't', CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)"
-            " / CAST(n_h AS DOUBLE)))), CAST(0.0 AS DOUBLE),"
-            " (acc, x) -> acc + x.t)"
-        ).alias("fold"),
-    )
-    return perg.select(
-        "event_type", "n", F.expr(_ETA2_EXPR).alias("eta2_ppm")
+    ev = _read_events(spark, sf_dir)
+    return _ts.seasonal_strength_anova(
+        ev, ["event_type"], "(ts div 3600000000000) % 24", "value", 1_000
     )
 
 
