@@ -3740,3 +3740,32 @@ def test_zorder_key_identity_and_pruning(spark, tmp_path):
     lr, lt = frac_readable(lp)
     assert lr == lt, "rid-sorted layout should have no (x, y) locality"
     assert zr * 2 <= zt, f"z layout should prune >=half the groups ({zr}/{zt})"
+
+
+def test_zorder_plan_targets_group_count(spark, tmp_path):
+    """zorder_plan sizes the layout into the pruning-effective band
+    (groups ~ rows/target, clamped), and zorder_write(n_files=None)
+    self-tunes through it — the r14 sweep's group-count lesson made
+    operational."""
+    import glob
+
+    from tickdb_spark.operators.zorder import zorder_plan, zorder_write
+
+    assert zorder_plan(100_000) == (16, 6_250)          # min_groups clamp
+    assert zorder_plan(10_000_000) == (200, 50_000)     # rows/target
+    assert zorder_plan(1_000_000_000) == (4_096, 244_141)  # ceiling clamp
+    g, rpf = zorder_plan(1)
+    assert g == 16 and rpf == 1                          # degenerate
+
+    df = spark.createDataFrame(
+        [(i, i % 50, i % 7) for i in range(2_000)], ["rid", "x", "y"]
+    )
+    p = str(tmp_path / "auto")
+    zorder_write(df, p, [("x", 0, 49), ("y", 0, 6)], bits=6, n_files=None)
+    files = glob.glob(p + "/*.parquet")
+    # 16 target groups at 125 rows/file; range-partition skew may split
+    # a partition into an extra file, never collapse below the target
+    assert 8 <= len(files) <= 32
+    assert sorted(
+        r["rid"] for r in spark.read.parquet(p).collect()
+    ) == list(range(2_000))

@@ -60,12 +60,31 @@ def zorder_key(
     return key.cast("long")
 
 
+def zorder_plan(
+    n_rows: int,
+    target_rows_per_group: int = 50_000,
+    min_groups: int = 16,
+    max_groups: int = 4_096,
+) -> tuple[int, int]:
+    """``(n_files, max_records_per_file)`` sized so the layout lands in
+    the pruning-effective group-count band. The r14 sweep (BASELINE)
+    measured pruning sharpening with GROUP COUNT — 2-D box reads fell
+    15% → 7% → 2% at 32 → 128 → 512 groups on the same data — so the
+    write should target a group count, not inherit whatever the input
+    partitioning gives. Defaults put a 100 TB day-partition (~10⁹ rows)
+    at the max_groups ceiling and a 100k-row test table at ~16 groups;
+    tune target_rows_per_group to the table's row width so groups stay
+    near the parquet row-group byte sweet spot (~128 MB)."""
+    groups = max(min_groups, min(max_groups, -(-int(n_rows) // target_rows_per_group)))
+    return groups, -(-int(n_rows) // groups)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     dims: list[tuple[str, int, int]],
     bits: int = 16,
-    n_files: int = 16,
+    n_files: int | None = 16,
     max_records_per_file: int | None = None,
 ) -> None:
     """Write ``df`` Z-order-clustered on ``dims``: range-partition by the
@@ -76,7 +95,13 @@ def zorder_write(
     At cluster scale this is the maintenance-time OPTIMIZE pass: run it
     per partition (e.g. per day) after ingest settles; readers need no
     change — parquet min/max stats on the ORIGINAL columns do the
-    pruning, because z-locality makes those stats tight per row group."""
+    pruning, because z-locality makes those stats tight per row group.
+
+    ``n_files=None`` self-tunes: one count() sizes the layout through
+    :func:`zorder_plan` (pruning power is proportional to group count —
+    the r14 sweep's lesson)."""
+    if n_files is None:
+        n_files, max_records_per_file = zorder_plan(df.count())
     key = zorder_key(dims, bits)
     out = (
         df.withColumn("_zkey", key)
