@@ -85,6 +85,11 @@ def doremi_domain_weights(
             f"greatest(CAST(sum(n_bigrams) AS BIGINT), 1)"
         ).alias("loss_q"),
     )
+    # per_domain is referenced TWICE (the total aggregate and the final
+    # select) and carries the whole familiarity computation upstream —
+    # without lineage truncation both references re-execute it (the
+    # multi-referenced-subtree trap; measured 2.6 s → 1.6 s warm at
+    # sf0.1). Domain-cardinality-sized, so the checkpoint is free.
     per_domain = step.groupBy("domain").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.aggregate(
@@ -92,7 +97,7 @@ def doremi_domain_weights(
             F.lit(1).cast("long"),
             lambda acc, x: acc * x,
         ).alias("w_raw"),
-    )
+    ).localCheckpoint(eager=False)
     total = per_domain.agg(F.sum("w_raw").cast("long").alias("_tot"))
     return per_domain.crossJoin(F.broadcast(total)).select(
         "domain",
