@@ -85,11 +85,14 @@ def doremi_domain_weights(
             f"greatest(CAST(sum(n_bigrams) AS BIGINT), 1)"
         ).alias("loss_q"),
     )
-    # per_domain is referenced TWICE (the total aggregate and the final
-    # select) and carries the whole familiarity computation upstream —
-    # without lineage truncation both references re-execute it (the
-    # multi-referenced-subtree trap; measured 2.6 s → 1.6 s warm at
-    # sf0.1). Domain-cardinality-sized, so the checkpoint is free.
+    # per_domain carries the whole familiarity computation and is
+    # multiply referenced: the broadcast total, the final select, AND —
+    # when a caller sorts the tiny result — the range exchange's
+    # sampling pass each re-execute it without lineage truncation (the
+    # r9/r12 trap). Checkpointing the domain-cardinality frame collapses
+    # that to one execution: 2.05 s → 0.14–0.27 s in the bench sequence
+    # at sf0.1 (solo-session warm ~1.6 s; sequence numbers reproduced
+    # twice). The checkpoint itself is |domains| rows — free.
     per_domain = step.groupBy("domain").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.aggregate(
