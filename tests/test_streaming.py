@@ -1736,6 +1736,23 @@ def test_stream_groupby_mv_variance_states_and_rebuild(tmp_path, spark):
     corrected = spark.createDataFrame(
         [("a", 1.5), ("a", -3.0)], "g string, v double"
     )
+    # crash window: the rebuild writes its replacement partial FIRST;
+    # simulate a crash before the tombstone lands — the orphan
+    # replacement must be INVISIBLE (readers keep the old state, no
+    # double count, no spurious delete)
+    import pyspark.sql.functions as SF
+
+    from tickdb_spark.streaming.index import _mv_partial_agg
+
+    _mv_partial_agg(corrected, ["g"], "v", 1_000_000, 1_000).withColumn(
+        "epoch", SF.lit(2).cast("long")
+    ).withColumn("rebuilt", SF.lit(True)).write.mode("overwrite").parquet(
+        _os.path.join(work, "mv_partials", "epoch_rebuild_2")
+    )
+    mid = _got(groupby_mv_view(spark, work, schema, ["g"], sq_scale=1_000))
+    assert mid == states["x"]  # old state, bit-identical
+
+    # recovery = re-run the full rebuild (idempotent over the orphan)
     groupby_mv_rebuild_keys(
         spark, work, schema, ["g"], "v", keys, corrected,
         cutoff_epoch=2, sq_scale=1_000,

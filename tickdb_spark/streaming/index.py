@@ -1126,12 +1126,21 @@ def groupby_mv_view(
     last = tomb.groupBy(*group_cols).agg(
         F.max("cutoff_epoch").alias("_cutoff")
     )
+    # Stream partials: live unless at-or-before the key's latest cutoff.
+    # Replacement partials: live ONLY at exactly the latest cutoff — an
+    # orphan replacement (rebuild crashed before its tombstone landed)
+    # is invisible, so the crash window shows the key's OLD state, never
+    # a double count (groupby_mv_rebuild_keys writes replacement first).
     live = (
         partials.join(F.broadcast(last), group_cols, "left")
         .where(
-            F.col("_cutoff").isNull()
-            | (F.col("epoch") > F.col("_cutoff"))
-            | (F.col("rebuilt") & (F.col("epoch") == F.col("_cutoff")))
+            F.when(
+                F.col("rebuilt"),
+                F.col("_cutoff").isNotNull()
+                & (F.col("epoch") == F.col("_cutoff")),
+            ).otherwise(
+                F.col("_cutoff").isNull() | (F.col("epoch") > F.col("_cutoff"))
+            )
         )
         .drop("_cutoff")
     )
@@ -1161,19 +1170,31 @@ def groupby_mv_rebuild_keys(
     that is why the key list is explicit rather than derived from the
     corrected slice.
 
-    Mechanics: write (key, cutoff_epoch) tombstones plus the keys'
-    fresh MARKED replacement partial (built by the same kernel as the
-    stream handler, so states are bit-identical) — both idempotent
-    overwrites into rebuild-namespaced epoch dirs, crash-safe by
-    re-run. ``cutoff_epoch`` is the last stream epoch whose data the
-    corrected slice supersedes (typically the max epoch at rebuild
-    time): the read path drops the keys' partials at-or-before it and
-    keeps the replacement plus every LATER stream partial, so
-    maintenance continues normally after the rebuild — future landings
-    are never swallowed (stream epochs are monotone per checkpoint).
-    Re-rebuilding at a later cutoff supersedes the earlier rebuild."""
+    Mechanics: write the keys' fresh MARKED replacement partial FIRST
+    (built by the same kernel as the stream handler, so states are
+    bit-identical), THEN the (key, cutoff_epoch) tombstones — both
+    idempotent overwrites into rebuild-namespaced epoch dirs, and the
+    ORDER makes every crash window benign: an orphan replacement (crash
+    before the tombstone) is invisible to the read path (it only keeps
+    rebuilt rows AT a tombstoned cutoff), so readers see per-key
+    old-state-or-new-state, never a double count or a spurious delete;
+    recovery is re-running the rebuild. ``cutoff_epoch`` is the last
+    stream epoch whose data the corrected slice supersedes (typically
+    the max epoch at rebuild time): the read path drops the keys'
+    partials at-or-before it and keeps the replacement plus every LATER
+    stream partial, so maintenance continues normally after the rebuild
+    — future landings are never swallowed (stream epochs are monotone
+    per checkpoint). Re-rebuilding at a later cutoff supersedes the
+    earlier rebuild."""
     keys = keys.select(*group_cols).distinct()
     corrected_rows = corrected_rows.join(F.broadcast(keys), group_cols)
+    _mv_partial_agg(
+        corrected_rows, group_cols, value_col, scale, sq_scale
+    ).withColumn("epoch", F.lit(int(cutoff_epoch)).cast("long")).withColumn(
+        "rebuilt", F.lit(True)
+    ).write.mode("overwrite").parquet(
+        os.path.join(work_dir, "mv_partials", f"epoch_rebuild_{int(cutoff_epoch)}")
+    )
     tdir = os.path.join(work_dir, "mv_tombstones")
     spark.createDataFrame([], _mv_tomb_schema(schema, group_cols)).write.mode(
         "ignore"
@@ -1182,13 +1203,6 @@ def groupby_mv_rebuild_keys(
         "cutoff_epoch", F.lit(int(cutoff_epoch)).cast("long")
     ).write.mode("overwrite").parquet(
         os.path.join(tdir, f"epoch_rebuild_{int(cutoff_epoch)}")
-    )
-    _mv_partial_agg(
-        corrected_rows, group_cols, value_col, scale, sq_scale
-    ).withColumn("epoch", F.lit(int(cutoff_epoch)).cast("long")).withColumn(
-        "rebuilt", F.lit(True)
-    ).write.mode("overwrite").parquet(
-        os.path.join(work_dir, "mv_partials", f"epoch_rebuild_{int(cutoff_epoch)}")
     )
 
 
