@@ -200,9 +200,17 @@ def _width_exprs(est_a: str, est_b: str, sql: bool) -> tuple[str, str]:
     floor() first (CAST double→BIGINT truncates in Spark but ROUNDS in
     DuckDB — the known cross-engine trap), then pure integer ops:
     next_pow2(x) = 1 << bitlength(x) via length(bin(x)), which both
-    engines compute identically for positive BIGINTs."""
+    engines compute identically for positive BIGINTs.
+
+    Overflow (ADVICE r14): raw HLL on degenerate/corrupt register state
+    can reach ~8e17, and ×10 then needs ≥63 bits — Spark's shiftleft
+    would wrap NEGATIVE (clamping to the 512 FLOOR, the wrong direction)
+    while DuckDB raises. The width caps at AUTO_WIDTH_MAX anyway, so any
+    K̂ at-or-past the cap is equivalent: clamp K̂ to the cap BEFORE
+    scaling, keeping every intermediate ≤ 10·2^26 (bin length ≤ 30 —
+    both engines in safe shift range, identical results)."""
     keys = f"CAST(floor(greatest({est_a}, {est_b})) AS BIGINT)"
-    scaled = f"({keys} * {AUTO_WIDTH_FACTOR})"
+    scaled = f"(least({keys}, {AUTO_WIDTH_MAX}) * {AUTO_WIDTH_FACTOR})"
     if sql:
         pow2 = f"(CAST(1 AS BIGINT) << length(bin({scaled})))"
     else:
@@ -230,12 +238,17 @@ def cms_width_plan(
 
     ka = a_keys if a_keys is not None else key_counts(a, a_col)
     kb = b_keys if b_keys is not None else key_counts(b, b_col)
+    # An EMPTY side would make the lit(1) group vanish (zero rows → the
+    # downstream crossJoin yields no width row at all — ADVICE r14); a
+    # GLOBAL aggregate returns exactly one row on any input, and max()
+    # over the 0-or-1 estimate rows is the estimate itself, so K̂
+    # coalesces to 0 → the 512 floor width. Same shape in the SQL twin.
     ea = hll_estimate(
         ka.select(F.lit(1).alias("g"), F.col("k")), ["g"], "k", p
-    ).select(F.col("hll_estimate").alias("est_a"))
+    ).agg(F.coalesce(F.max("hll_estimate"), F.lit(0.0)).alias("est_a"))
     eb = hll_estimate(
         kb.select(F.lit(1).alias("g"), F.col("k")), ["g"], "k", p
-    ).select(F.col("hll_estimate").alias("est_b"))
+    ).agg(F.coalesce(F.max("hll_estimate"), F.lit(0.0)).alias("est_b"))
     keys_e, width_e = _width_exprs("est_a", "est_b", sql=False)
     return ea.crossJoin(F.broadcast(eb)).select(
         F.expr("CAST(floor(est_a) AS BIGINT)").alias("a_keys_hll"),
@@ -266,10 +279,12 @@ def cms_width_plan_sql(
     keys_e, width_e = _width_exprs("est_a", "est_b", sql=True)
     return f"""
     WITH a_est AS MATERIALIZED (
-      SELECT hll_estimate AS est_a FROM (SELECT * FROM ({ha}))
+      SELECT COALESCE(MAX(hll_estimate), 0.0) AS est_a
+      FROM (SELECT * FROM ({ha}))
     ),
     b_est AS MATERIALIZED (
-      SELECT hll_estimate AS est_b FROM (SELECT * FROM ({hb}))
+      SELECT COALESCE(MAX(hll_estimate), 0.0) AS est_b
+      FROM (SELECT * FROM ({hb}))
     )
     SELECT CAST(floor(est_a) AS BIGINT) AS a_keys_hll,
            CAST(floor(est_b) AS BIGINT) AS b_keys_hll,
@@ -294,34 +309,61 @@ def choose_join_auto(
     one row ``(hll_keys, width, n_a, a_keys, a_max_key_rows, n_b,
     b_keys, b_max_key_rows, est_rows, exact_rows, decision)``.
 
-    The width plan is collected first (a deliberate driver action —
-    planner state, like ``planned_join``'s decision row); the CMS is
-    then built at that width. Both inputs are still scanned once: the
-    shared ``key_counts`` frames are lazily checkpointed, so the HLL
-    pass materializes them and the side stats / CMS / exact product
-    reuse the materialization."""
-    from tickdb_spark.operators.sketch import key_counts
+    FULLY LAZY (VERDICT r14 ask #2): zero driver actions inside the
+    plan — the derived width is threaded as a COLUMN through the CMS
+    hash expressions (the 1-row width plan crossJoins onto each side's
+    key-count frame, mirroring the oracle's scalar subquery against the
+    width-plan CTE), so the planner is embeddable inside a larger lazy
+    plan. Both inputs are still scanned once: the shared ``key_counts``
+    frames are lazily checkpointed (they feed the HLL width plan, the
+    side stats, the CMS build, and the exact product), and the 1-row
+    width plan is itself lazily checkpointed so its three references
+    (two CMS builds + the output columns) don't re-run the HLL pass."""
+    from tickdb_spark.operators.sketch import cms_build_from_key_counts, key_counts
 
     ka = key_counts(a, a_col).localCheckpoint(eager=False)
     kb = key_counts(b, b_col).localCheckpoint(eager=False)
-    wrow = cms_width_plan(a, a_col, b, b_col, p, a_keys=ka, b_keys=kb).first()
-    width = int(wrow["width"])
-    stats = (
-        _side_stats(ka, "a")
-        .crossJoin(F.broadcast(_side_stats(kb, "b")))
-        .crossJoin(
-            F.broadcast(
-                cms_join_size_estimate(
-                    a, a_col, b, b_col, depth, width, a_keys=ka, b_keys=kb
-                )
-            )
+    wplan = cms_width_plan(
+        a, a_col, b, b_col, p, a_keys=ka, b_keys=kb
+    ).localCheckpoint(eager=False)
+    wcol = F.broadcast(wplan.select("width"))
+    sa = cms_build_from_key_counts(
+        ka.crossJoin(wcol), depth, F.col("width")
+    ).withColumnRenamed("cnt", "cnt_a")
+    sb = cms_build_from_key_counts(
+        kb.crossJoin(wcol), depth, F.col("width")
+    ).withColumnRenamed("cnt", "cnt_b")
+    dots = (
+        sa.join(sb, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    # zero-dot depths vanish from the inner join — left join from the
+    # depth spine so min() sees them (same fix as cms_join_size_estimate)
+    spine = a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    dots = spine.join(dots, "depth", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est_rows"))
+    exact = (
+        ka.select("k", F.col("c").alias("ca"))
+        .join(kb.select("k", F.col("c").alias("cb")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
         )
     )
-    return stats.select(
-        F.lit(int(wrow["hll_keys"])).cast("long").alias("hll_keys"),
-        F.lit(width).cast("long").alias("width"),
-        "*",
-    ).withColumn(
+    stats = (
+        wplan.select("hll_keys", "width")
+        .crossJoin(F.broadcast(_side_stats(ka, "a")))
+        .crossJoin(F.broadcast(_side_stats(kb, "b")))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+    )
+    return stats.withColumn(
         "decision",
         F.expr(_decision_case(broadcast_rows, skew_factor, bloom_keys)),
     )

@@ -196,15 +196,22 @@ def hll_estimate_sql(
 # ---------------------------------------------------------------------------
 
 
-def _cms_hashes(value_col: str, depth: int, width: int):
+def _cms_hashes(value_col: str, depth: int, width):
+    """``width`` may be an int literal or a Column (e.g. a width-plan
+    value crossJoined onto the key frame — ``planner.choose_join_auto``
+    threads the derived width as a column so the whole plan stays lazy).
+    Integer modulo is exact either way, so the buckets are identical."""
+    from pyspark.sql import Column
+
     from tickdb_spark.operators.dedup import MH_COEF, MINHASH_P
 
     h = (
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 11), 16, 10)
         .cast("long")
     )
+    w = width if isinstance(width, Column) else F.lit(width)
     return [
-        ((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P) % F.lit(width))
+        ((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P) % w)
         for a, b in MH_COEF[:depth]
     ]
 
@@ -261,12 +268,14 @@ def key_counts(df: DataFrame, value_col: str) -> DataFrame:
 
 
 def cms_build_from_key_counts(
-    kc: DataFrame, depth: int = 4, width: int = 512
+    kc: DataFrame, depth: int = 4, width=512
 ) -> DataFrame:
     """Build the sketch from a :func:`key_counts` frame instead of raw
     rows: counter values are BIT-IDENTICAL to :func:`cms_build` (each
     counter is a sum of integer key counts either way) but the explode
-    runs over |keys| rows, not |rows|."""
+    runs over |keys| rows, not |rows|. ``width`` may be a Column over
+    ``kc``'s own columns (see :func:`_cms_hashes`) — the lazy-planner
+    path carries the derived width as a crossJoined column."""
     hashes = _cms_hashes("k", depth, width)
     pairs = F.array(
         *[
