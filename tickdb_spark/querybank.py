@@ -10911,9 +10911,13 @@ def stream_groupby_mv_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFra
     "states + the tombstone/per-key-rebuild delete story. sum_q2/"
     "sumsq_q2 (sum of squares is ADDITIVE — merges by the same SUM law "
     "as cnt/sum, at its OWN quantization scale so the squared value "
-    "fits BIGINT: cnt·(v_max·sq_scale)² ≤ 2^63) plus derived avg_q = "
-    "sum_q div cnt (positive sums here, so Spark's truncating div == "
-    "DuckDB's floor //). The fixture then DELETES rows (event_type="
+    "fits BIGINT: cnt·(v_max·sq_scale)² ≤ 2^63, breach-guarded by "
+    "assert_true since r15 — |q2| ≤ MV_SQ_BOUND per row, merged cnt ≤ "
+    "MV_SQ_MAX_ROWS per key, so a mis-sized sq_scale ERRORS instead of "
+    "wrapping) plus derived avg_q = sum_q div cnt (TRUNCATION toward "
+    "zero on BOTH engines — Spark div and DuckDB // both truncate, "
+    "pinned by a negative-sum parity test; ADVICE r14's suspected floor "
+    "divergence does not exist). The fixture then DELETES rows (event_type="
     "'click', event_id%10=7) the way aggregate state must: MIN/MAX are "
     "not invertible, so the key is tombstoned at a cutoff epoch and "
     "rebuilt from the corrected source by the same partial-agg kernel; "

@@ -23,6 +23,7 @@ in Spark streaming state, so the index horizon is unbounded.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1014,12 +1015,23 @@ def groupby_mv_report(
     ``with_variance`` adds the r14 states: ``sum_q2``/``sumsq_q2`` (sum
     and sum-of-squares of the separately-quantized value — sum of
     squares is ADDITIVE, so it merges by the same SUM law) plus the
-    derived ``avg_q = sum_q div cnt`` (one integer division, exact
-    cross-engine). Variance is derivable by any consumer as
-    ``(cnt·sumsq_q2 − sum_q2²) / cnt²`` at the ``sq_scale``
-    quantization; the face emits the raw states rather than that
-    product because ``cnt·sumsq_q2`` can exceed BIGINT at corpus scale
-    (Spark would wrap, DuckDB error — the lift_ppm lesson)."""
+    derived ``avg_q = sum_q div cnt`` — one integer division whose
+    convention is TRUNCATION TOWARD ZERO on both engines (Spark ``div``
+    and DuckDB ``//`` both truncate — measured and pinned by a
+    negative-sum parity test; ADVICE r14 suspected a floor divergence
+    that does not exist on either engine here). Variance is derivable
+    by any consumer as ``(cnt·sumsq_q2 − sum_q2²) / cnt²`` at the
+    ``sq_scale`` quantization; the face emits the raw states rather
+    than that product because ``cnt·sumsq_q2`` can exceed BIGINT at
+    corpus scale (Spark would wrap, DuckDB error — the lift_ppm
+    lesson).
+
+    Overflow breach guard (VERDICT r14 ask #3): the merged ``sumsq_q2``
+    is bounded by ``cnt·MV_SQ_BOUND²`` (the partial kernel asserts the
+    per-row bound), so asserting the merged ``cnt ≤ MV_SQ_MAX_ROWS``
+    here closes the contract — a mis-sized ``sq_scale`` or an
+    over-grown key ERRORS loudly instead of silently wrapping BIGINT
+    state (Spark non-ANSI longs wrap; DuckDB raises)."""
     aggs = [
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum_q").cast("long").alias("sum_q"),
@@ -1033,10 +1045,29 @@ def groupby_mv_report(
         ]
     out = partials.groupBy(*group_cols).agg(*aggs)
     if with_variance:
-        out = out.withColumn(
+        out = out.where(
+            F.assert_true(
+                F.col("cnt") <= MV_SQ_MAX_ROWS,
+                F.lit(
+                    "groupby_mv_report: merged cnt exceeds the "
+                    f"overflow-safe row bound {MV_SQ_MAX_ROWS} for the "
+                    "variance states — shard the key or coarsen sq_scale"
+                ),
+            ).isNull()
+        ).withColumn(
             "avg_q", F.expr("sum_q div cnt").cast("long")
         )
     return out
+
+
+#: Overflow contract for the variance states (VERDICT r14 ask #3, the
+#: lag_autocorrelation precedent): the merged ``sumsq_q2 = Σ q2²`` must
+#: fit BIGINT, so the kernel asserts ``|q2| ≤ MV_SQ_BOUND`` per row and
+#: the report asserts merged ``cnt ≤ MV_SQ_MAX_ROWS`` per key —
+#: together ``Σ q2² ≤ MV_SQ_MAX_ROWS·MV_SQ_BOUND² ≤ 2^63−1``. A breach
+#: is an ERROR (assert_true), never a silently wrapped state.
+MV_SQ_MAX_ROWS = 1 << 20
+MV_SQ_BOUND = math.isqrt((2**63 - 1) // MV_SQ_MAX_ROWS)
 
 
 def _mv_partial_agg(
@@ -1057,8 +1088,23 @@ def _mv_partial_agg(
     ]
     cols = [*group_cols, q.alias("q")]
     if sq_scale is not None:
-        q2 = F.expr(
+        q2_raw = F.expr(
             f"CAST(floor({value_col} * {int(sq_scale)} + 0.5) AS BIGINT)"
+        )
+        # mis-sized sq_scale ERRORS loudly instead of wrapping sumsq_q2
+        q2 = F.when(
+            F.assert_true(
+                F.abs(q2_raw) <= MV_SQ_BOUND,
+                F.concat(
+                    F.lit(
+                        f"groupby_mv: |value*{int(sq_scale)}| exceeds the "
+                        f"overflow-safe bound {MV_SQ_BOUND} for the "
+                        "variance states — coarsen sq_scale: "
+                    ),
+                    F.col(value_col).cast("string"),
+                ),
+            ).isNull(),
+            q2_raw,
         )
         cols.append(q2.alias("q2"))
         aggs += [
