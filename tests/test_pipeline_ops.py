@@ -3841,3 +3841,38 @@ def test_zorder_plan_targets_group_count(spark, tmp_path):
     assert sorted(
         r["rid"] for r in spark.read.parquet(p).collect()
     ) == list(range(2_000))
+
+
+def test_zorder_write_auto_plan_path(spark, tmp_path):
+    """VERDICT r14 ask #5: n_files=None self-tunes the layout through
+    zorder_plan (group count from one row count), output-identity
+    intact; zorder_plan_bytes sizes groups from table stats."""
+    from tickdb_spark.operators.zorder import (
+        zorder_plan,
+        zorder_plan_bytes,
+        zorder_write,
+    )
+
+    n = 2_000
+    df = spark.range(n).select(
+        (F.col("id") % 97).alias("x"), (F.col("id") % 199).alias("y")
+    )
+    zp = str(tmp_path / "auto_z")
+    zorder_write(df, zp, [("x", 0, 96), ("y", 0, 199)], bits=8, n_files=None)
+    back = spark.read.parquet(zp)
+    assert back.count() == n
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    groups, per_file = zorder_plan(n)
+    assert groups == 16 and per_file == 125          # 2k rows → the floor
+    import glob as _glob
+
+    files = _glob.glob(zp + "/part-*.parquet")
+    assert len(files) == groups
+
+    # bytes-based sizing: 40-byte rows vs 4KB rows want ~100x different
+    # groups at the same row count
+    g_small, _ = zorder_plan_bytes(10**9, 40)          # 40 B ticks
+    g_big, _ = zorder_plan_bytes(10**9, 4096)          # 4 KB docs
+    assert g_small == -(-10**9 // ((128 << 20) // 40)) == 299
+    assert g_big == 4_096                              # capped (wants 30.5k)
+    assert g_big > g_small * 10

@@ -1774,3 +1774,133 @@ def test_stream_groupby_mv_variance_states_and_rebuild(tmp_path, spark):
         [("a", 1.5), ("a", -3.0), ("a", 4.0), ("b", 10.0), ("b", 0.25),
          ("c", 1.0)]
     )
+
+
+def test_stream_groupby_mv_hll_distinct_states(tmp_path, spark):
+    """r15 MV-face extension (VERDICT r14 ask #4): per-key APPROX
+    DISTINCT via sparse HLL registers in the same epoch-log shape. (1)
+    ADDITIVITY: two different batchings of the same rows max-merge to
+    the identical register state — equal to the batch-built sketch
+    (hll_sum_scaled bit-identical); (2) an all-NULL-distinct key carries
+    NULL states; (3) deletes ride the same tombstone/rebuild path: an
+    orphan register replacement (crash before tombstone) is invisible,
+    the recovered rebuild equals the batch sketch over the corrected
+    source, untouched keys keep their registers bit-identical, and
+    post-rebuild landings keep merging."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tickdb_spark.operators.sketch import (
+        hll_estimate_from_sparse,
+        hll_hit_registers,
+    )
+    from tickdb_spark.streaming.index import (
+        groupby_mv_rebuild_keys,
+        groupby_mv_view,
+        stream_groupby_mv_maintenance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+            T.StructField("u", T.LongType(), True),
+        ]
+    )
+
+    def _land(landing, i, rows):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=["g", "v", "u"])
+        pdf["v"] = pdf["v"].astype("float64")
+        pdf["u"] = pdf["u"].astype("Int64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # key 'n' has ONLY NULL distinct values; 'a' mixes NULLs in
+    rows_all = [("a", 1.0, 10), ("a", 2.0, 11), ("a", 3.0, 10),
+                ("a", 4.0, None), ("b", 5.0, 20), ("b", 6.0, 21),
+                ("b", 7.0, 22), ("n", 8.0, None)]
+
+    def _batch_sketch(rows):
+        df = spark.createDataFrame(
+            [(g, u) for g, _v, u in rows], "g string, u long"
+        )
+        return {
+            r["g"]: (r["hll_sum_scaled"], int(r["hll_estimate"] // 1))
+            for r in hll_estimate_from_sparse(
+                hll_hit_registers(df, ["g"], "u", 6), ["g"], 6
+            ).collect()
+        }
+
+    def _got(df):
+        return {
+            r["g"]: (r["hll_sum_scaled"], r["distinct_hll"], r["cnt"])
+            for r in df.collect()
+        }
+
+    states = {}
+    for tag, cuts in (("x", [3, 6]), ("y", [1, 4, 7])):
+        landing = tmp_path / f"landing_{tag}"
+        landing.mkdir()
+        prev = 0
+        for i, cut in enumerate([*cuts, len(rows_all)]):
+            _land(landing, i, rows_all[prev:cut])
+            prev = cut
+        got = stream_groupby_mv_maintenance(
+            spark, str(landing), str(tmp_path / f"state_{tag}"), schema,
+            ["g"], "v", distinct_col="u", distinct_p=6,
+        )
+        states[tag] = _got(got)
+    assert states["x"] == states["y"]
+    want = _batch_sketch(rows_all)
+    assert states["x"]["a"][:2] == want["a"]   # registers == batch sketch
+    assert states["x"]["b"][:2] == want["b"]
+    assert "n" not in want                      # all-NULL: no sketch rows
+    assert states["x"]["n"][:2] == (None, None)
+    assert states["x"]["a"][2] == 4             # agg states still present
+
+    # rebuild: 'a' drops its u=11 row (distinct shrinks), 'b' untouched
+    work = str(tmp_path / "state_x")
+    keys = spark.createDataFrame([("a",)], "g string")
+    corrected = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 3.0, 10), ("a", 4.0, None)],
+        schema,
+    )
+    # crash window: orphan register replacement (no tombstone yet) must
+    # be invisible
+    import pyspark.sql.functions as F
+
+    hll_hit_registers(corrected, ["g"], "u", 6).withColumn(
+        "epoch", F.lit(2).cast("long")
+    ).withColumn("rebuilt", F.lit(True)).write.mode("overwrite").parquet(
+        _os.path.join(work, "mv_hll_partials", "epoch_rebuild_2")
+    )
+    mid = _got(groupby_mv_view(spark, work, schema, ["g"], distinct_p=6))
+    assert mid == states["x"]
+
+    groupby_mv_rebuild_keys(
+        spark, work, schema, ["g"], "v", keys, corrected,
+        cutoff_epoch=2, distinct_col="u", distinct_p=6,
+    )
+    after = _got(groupby_mv_view(spark, work, schema, ["g"], distinct_p=6))
+    want2 = _batch_sketch(
+        [("a", 1.0, 10), ("a", 3.0, 10), ("a", 4.0, None)]
+    )
+    assert after["a"][:2] == want2["a"]
+    assert after["b"] == states["x"]["b"]      # untouched, bit-identical
+    assert after["a"][2] == 3                  # agg states rebuilt too
+
+    # post-rebuild landing (epoch 3 > cutoff 2) merges registers forward
+    _land(tmp_path / "landing_x", 9, [("a", 9.0, 40), ("a", 9.5, 41)])
+    got3 = _got(stream_groupby_mv_maintenance(
+        spark, str(tmp_path / "landing_x"), work, schema, ["g"], "v",
+        distinct_col="u", distinct_p=6,
+    ))
+    want3 = _batch_sketch(
+        [("a", 1.0, 10), ("a", 3.0, 10), ("a", 4.0, None),
+         ("a", 9.0, 40), ("a", 9.5, 41)]
+    )
+    assert got3["a"][:2] == want3["a"]
+    assert got3["a"][2] == 5

@@ -49,6 +49,82 @@ def _alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
+def _hll_bucket_rho(value_col: str, p: int):
+    """``(bucket, rho)`` expressions of the house portable HLL hash.
+
+    rho = leading zeros of the w-bit word + 1
+        = w_bits - len(bin(w)) + 1 for w >= 1; the w == 0 case is
+    CLAMPED to w_bits (true HLL says w_bits+1, but then the scaled sum's
+    2^{W-rho} term would be 1/2 — Spark shiftleft(1, -1) silently wraps
+    to Long.MIN_VALUE and DuckDB raises; probability ~2^-50 per value,
+    estimate impact far below raw-HLL error). Clamped identically in
+    hll_estimate_sql. bin() gives minimal binary digits on both
+    engines — integer-exact."""
+    w_bits = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = F.shiftright(h, w_bits)
+    w = h % F.lit(1 << w_bits)
+    rho = F.when(w == 0, F.lit(w_bits)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    return bucket, rho
+
+
+def hll_hit_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group SPARSE HLL registers: ``(group_cols..., bucket,
+    register)`` with rows only for HIT buckets (register ≥ 1; absent
+    buckets are implicitly 0). This is the storage-efficient mergeable
+    state for a register LOG (the group-by MV face's distinct-count
+    states): max-merge on (group, bucket) with implicit zeros, estimate
+    via :func:`hll_estimate_from_sparse`. NULL values are skipped (they
+    hash to NULL) — a group with no non-null values has NO rows here,
+    so its estimate is absent rather than the all-zero sketch's α·m
+    floor (:func:`hll_registers` keeps such groups for twin-parity with
+    ``hll_estimate_sql``'s hashed-stream group derivation)."""
+    bucket, rho = _hll_bucket_rho(value_col, p)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate_from_sparse(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 10,
+) -> DataFrame:
+    """Estimate from a SPARSE register table (hit buckets only — the
+    :func:`hll_hit_registers` shape): the never-hit buckets contribute
+    ``2^W`` each to the scaled sum, so ``sum_scaled = Σ_hit 2^{W−ρ} +
+    (m − n_hit)·2^W`` — BIT-IDENTICAL to the dense
+    :func:`hll_estimate_from_registers` sum (each dense zero register
+    is exactly one ``2^W`` term), all in exact BIGINTs before the one
+    division."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    s = (
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w_bits} - register)"))
+        + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << w_bits)
+    ).cast("long").alias("hll_sum_scaled")
+    num = float(_alpha(m)) * float(m) * float(m) * float(2**w_bits)
+    return regs.groupBy(*group_cols).agg(s).select(
+        *group_cols,
+        "hll_sum_scaled",
+        (F.lit(num) / F.col("hll_sum_scaled").cast("double")).alias(
+            "hll_estimate"
+        ),
+    )
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
@@ -57,25 +133,12 @@ def hll_registers(
 ) -> DataFrame:
     """Per-group HLL registers: ``(group_cols..., bucket, register)``,
     dense over [0, 2^p) with 0 for never-hit buckets. The register table
-    is the mergeable sketch state (max-combine on bucket)."""
+    is the mergeable sketch state (max-combine on bucket). Groups whose
+    values are ALL NULL keep an all-zero sketch (the NULL hash lands a
+    (group, NULL-bucket) row that the dense grid join drops) — matching
+    ``hll_estimate_sql``'s group derivation from the hashed stream."""
     m = 1 << p
-    w_bits = _HASH_BITS - p
-    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    bucket = F.shiftright(h, w_bits)
-    w = h % F.lit(1 << w_bits)
-    # rho = leading zeros of the w-bit word + 1
-    #     = w_bits - len(bin(w)) + 1 for w >= 1; the w == 0 case is
-    # CLAMPED to w_bits (true HLL says w_bits+1, but then the scaled sum's
-    # 2^{W-rho} term would be 1/2 — Spark shiftleft(1, -1) silently wraps
-    # to Long.MIN_VALUE and DuckDB raises; probability ~2^-50 per value,
-    # estimate impact far below raw-HLL error). Clamped identically in
-    # hll_estimate_sql. bin() gives minimal binary digits on both
-    # engines — integer-exact.
-    rho = F.when(w == 0, F.lit(w_bits)).otherwise(
-        F.lit(w_bits) - F.length(F.bin(w)) + 1
-    )
+    bucket, rho = _hll_bucket_rho(value_col, p)
     hit = (
         df.select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "bucket")

@@ -79,6 +79,24 @@ def zorder_plan(
     return groups, -(-int(n_rows) // groups)
 
 
+def zorder_plan_bytes(
+    n_rows: int,
+    avg_row_bytes: int,
+    target_group_bytes: int = 128 << 20,
+    min_groups: int = 16,
+    max_groups: int = 4_096,
+) -> tuple[int, int]:
+    """:func:`zorder_plan` sized from TABLE STATS instead of a row-count
+    heuristic (VERDICT r14 ask #8): given the table's average row width
+    (from catalog stats or ``sum(file bytes)/rows`` of the unclustered
+    input), target the parquet row-group byte sweet spot (~128 MB
+    default) — the per-table knob the row-count default can't see (a
+    40-byte tick row and a 4 KB document row want 100× different group
+    row counts)."""
+    rows_per_group = max(1, int(target_group_bytes) // max(1, int(avg_row_bytes)))
+    return zorder_plan(n_rows, rows_per_group, min_groups, max_groups)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -1206,9 +1206,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "eval_dedup_recall_lsh",
     f"""
-    WITH ex AS MATERIALIZED ({_dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.7)}),
-    ls AS MATERIALIZED ({_dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.7)})
-    SELECT CAST(0.7 AS DOUBLE) AS tau,
+    WITH ex AS MATERIALIZED ({_dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.8)}),
+    ls AS MATERIALIZED ({_dedup.minhash_lsh_pairs_sql("documents", "text", "doc_id", threshold=0.8)})
+    SELECT CAST(0.8 AS DOUBLE) AS tau,
            CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
            CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
            CAST((SELECT count(*) FROM ex JOIN ls USING (id_a, id_b)) AS BIGINT)
@@ -1218,20 +1218,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup-recall evaluation AS A QUERY: MinHash(12)+LSH(4-band) "
     "candidate generation vs the exact word-3-gram Jaccard detector at "
-    "the same tau=0.7 — pair recall of the linear-time scale path "
+    "the same tau=0.8 — pair recall of the linear-time scale path "
     "against ground truth (LSH output is exact-verified, so precision "
     "is 1 by construction; what banding can lose is RECALL, and this "
-    "entry pins it as an oracle-checked number). Completes the eval "
-    "family: ANN recall, tokenizer compression, dedup recall.",
+    "entry pins it as an oracle-checked number). tau raised 0.7 → 0.8 "
+    "in r15 (VERDICT r14 ask #6): higher tau → longer prefix filters → "
+    "a smaller exact candidate set — the heaviest gate entry halves "
+    "(Spark detectors 3.9 → 2.0 s warm at sf0.01) with the identical "
+    "planted-pair output. Completes the eval family: ANN recall, "
+    "tokenizer compression, dedup recall.",
 )
 def eval_dedup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # single full-outer join + ONE aggregate: separate count frames would
     # reference (and re-execute) each detector subtree per count
-    ex = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).select(
+    ex = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8).select(
         "id_a", "id_b", F.lit(1).alias("_ex")
     )
-    ls = _dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7).select(
+    ls = _dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8).select(
         "id_a", "id_b", F.lit(1).alias("_ls")
     )
     j = ex.join(ls, ["id_a", "id_b"], "full")
@@ -1239,7 +1243,7 @@ def eval_dedup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's scalar count(*) subqueries return 0 — a degenerate corpus
     # with no detector pairs must still hash-match (0, 0, 0, 0.0).
     return j.agg(
-        F.lit(0.7).cast("double").alias("tau"),
+        F.lit(0.8).cast("double").alias("tau"),
         F.coalesce(F.sum(F.coalesce("_ex", F.lit(0))), F.lit(0))
         .cast("long")
         .alias("n_exact"),
@@ -10976,6 +10980,132 @@ def stream_groupby_mv_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MV_HLL_P = 6  # m=64: the fixture's per-key user cardinalities (≈15 at
+#              sf0.001 … ≈1500 at sf0.1) straddle m, exercising both the
+#              small-range upward bias and the good n≫m regime
+
+_MV_HLL_EST = "CAST(floor(h.hll_estimate) AS BIGINT)"
+#: bound-boolean (the agg_approx_sketches recipe): raw HLL's
+#: small-cardinality bias is UPWARD (r14 lesson), so the upper bound
+#: carries an additive m term for the α·m floor; measured margins ≥1.7×
+#: at sf0.001/0.01/0.1 (ratios 3.6 / 0.90 / 0.88–1.02 vs the 2×+64 and
+#: ≥half cutoffs)
+_MV_HLL_OK = (
+    f"(2 * {_MV_HLL_EST} >= a.exact_distinct "
+    f"AND {_MV_HLL_EST} <= 2 * a.exact_distinct + {1 << _MV_HLL_P})"
+)
+
+
+@register(
+    "stream_groupby_mv_hll_distinct",
+    f"""
+    WITH corrected AS MATERIALIZED (
+      SELECT event_type, user_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+      FROM events
+      WHERE NOT (event_type = 'click' AND user_id % 10 = 7)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(MIN(q) AS BIGINT) AS min_q,
+             CAST(MAX(q) AS BIGINT) AS max_q,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM corrected GROUP BY event_type
+    ),
+    hll AS MATERIALIZED (
+      SELECT * FROM ({{hll_sql}})
+    )
+    SELECT a.event_type, a.cnt, a.sum_q, a.min_q, a.max_q,
+           CAST(h.hll_sum_scaled AS BIGINT) AS hll_sum_scaled,
+           {_MV_HLL_EST} AS distinct_hll,
+           a.exact_distinct,
+           {_MV_HLL_OK} AS est_ok
+    FROM agg a JOIN hll h USING (event_type)
+    """.format(
+        hll_sql=_sketch.hll_estimate_sql(
+            "SELECT event_type, user_id FROM events "
+            "WHERE NOT (event_type = 'click' AND user_id % 10 = 7)",
+            ["event_type"], "user_id", _MV_HLL_P,
+        )
+    ),
+    "group-by MV face, r15 extension (VERDICT r14 ask #4): per-key "
+    "APPROX DISTINCT via sparse HLL registers in the SAME epoch-log "
+    "shape — registers are max-mergeable, so each batch appends its hit "
+    "buckets only (|keys|·min(batch, 2^p) rows, never data-sized), the "
+    "read path max-merges per (key, bucket) through the SAME tombstone "
+    "filter, and deletes ride the SAME per-key rebuild (max of "
+    "corrected-slice registers and post-cutoff stream registers IS the "
+    "corrected sketch — proven by the oracle replaying the batch sketch "
+    "over the corrected history). The fixture streams all events in 3 "
+    "batches, then tombstone-rebuilds 'click' dropping user_id%10=7. "
+    "hll_sum_scaled is the exact-BIGINT digest of the merged register "
+    "state (hash-checks the whole sketch); distinct_hll is the floored "
+    "raw-HLL estimate (one IEEE division of exact integers); est_ok is "
+    "the bound-boolean vs the in-query exact distinct (upper bound "
+    "carries +2^p for raw HLL's upward small-range bias; margins "
+    "measured at all three SFs). completes the maintained-view "
+    "aggregate vocabulary: count/sum/min/max/variance/avg + distinct",
+)
+def stream_groupby_mv_hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.streaming.index import (
+        groupby_mv_rebuild_keys,
+        groupby_mv_view,
+        stream_groupby_mv_maintenance,
+    )
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    pdf = ev.toPandas()
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("event_type", _T.StringType(), False),
+            _T.StructField("user_id", _T.LongType(), False),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    work = _tempfile.mkdtemp(prefix="tickdb_mvh_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k in range(3):
+        part = pdf[pdf.event_id % 3 == k]
+        _write_landing(
+            part, schema, _os.path.join(landing, f"ev_{k}.parquet"), base + k
+        )
+    state = _os.path.join(work, "state")
+    stream_groupby_mv_maintenance(
+        spark, landing, state, schema, ["event_type"], "value",
+        distinct_col="user_id", distinct_p=_MV_HLL_P,
+    )
+    keys = spark.createDataFrame([("click",)], "event_type string")
+    corrected = ev.where(
+        ~((F.col("event_type") == "click") & (F.col("user_id") % 10 == 7))
+    )
+    groupby_mv_rebuild_keys(
+        spark, state, schema, ["event_type"], "value", keys, corrected,
+        cutoff_epoch=2, distinct_col="user_id", distinct_p=_MV_HLL_P,
+    )
+    view = groupby_mv_view(
+        spark, state, schema, ["event_type"], distinct_p=_MV_HLL_P
+    )
+    exact = corrected.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return view.alias("h").join(F.broadcast(exact).alias("a"), "event_type").select(
+        "event_type", "cnt", "sum_q", "min_q", "max_q",
+        "hll_sum_scaled", "distinct_hll", "exact_distinct",
+        F.expr(
+            _MV_HLL_OK.replace("h.hll_estimate", "h.distinct_hll")
+        ).alias("est_ok"),
+    )
+
+
 @register(
     "agg_trailing_distinct_users",
     """
@@ -11296,10 +11426,14 @@ def tick_retention_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "box queries (measured: 2-D box reads 13% of row groups vs 100% "
     "time-sorted, and BOTH single-dim predicates prune — 1-D sort "
     "serves only its own dim; scripts/bench_zorder_pruning.py). The "
-    "key is exact integer arithmetic, codegen end to end. Gate "
-    "contract: output-identity — the clustered table answers the box "
-    "query row-identically to the raw table the oracle reads (layout "
-    "is an optimization, never a semantic)",
+    "key is exact integer arithmetic, codegen end to end. Since r15 the "
+    "entry exercises the SELF-TUNING layout path (n_files=None → "
+    "zorder_plan derives the group count from one row count — the r14 "
+    "sweep showed pruning power ∝ group count, so the write targets a "
+    "count instead of inheriting the input partitioning; VERDICT r14 "
+    "ask #5). Gate contract: output-identity — the clustered table "
+    "answers the box query row-identically to the raw table the oracle "
+    "reads (layout is an optimization, never a semantic)",
 )
 def source_zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickdb_spark.operators.zorder import zorder_write
@@ -11309,7 +11443,7 @@ def source_zorder_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zorder_write(
         ev, dest,
         [("user_id", 0, 1500), ("CAST(floor(value) AS BIGINT)", 0, 600)],
-        bits=16, n_files=4,
+        bits=16, n_files=None,
     )
     z = spark.read.parquet(dest)
     return z.where(
@@ -11402,81 +11536,78 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r13 head: the 15 entries NEW in r13 (containment dedup, Benford DQ,
-#: association rules, confusion sweep, Heaps curve, group-by MV face,
-#: trailing distinct users, calendar heatmap, IQR outliers, Simpson
-#: diversity, Z-order pruning, downsampled retention, weighted linkage,
-#: calibration bins, hourly VWAP) and the 4 entries whose
-#: behavior/oracle changed this round lead; then the FULL r7-stale
-#: cohort (19 — VERDICT r12 ask #2), then 12 of the 44 r8-stale entries
-#: (first 10 alphabetically + the two ingest-path entries pulled
-#: forward because the crash-atomic rewrite touches them; the remaining
-#: 32 r8 entries queue for the r14 head). tests/test_registry_head.py
-#: enforces the rotation rule mechanically.
+#: r15 head: the 1 entry NEW in r15 (MV-face HLL distinct states) and
+#: the 6 entries whose behavior or oracle text changed this round lead;
+#: then the FULL remaining r9-stale cohort (31 — VERDICT r14 ask #1);
+#: the last 12 slots take the r10 cohort's first 12 alphabetically (the
+#: remaining 33 r10 entries queue for the r16 head).
+#: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (0) NEW in r14 — never sampled by construction
+    # (0) NEW in r15 — never sampled by construction
+    "stream_groupby_mv_hll_distinct",
+    # (1) CHANGED in r15 — behavior or oracle text edited this round, so
+    # they need fresh driver proof regardless of when last sampled:
+    # lazy width-as-column planner (+ empty-input/overflow-safe width
+    # exprs in the SQL twin); MV variance overflow guards touch the
+    # partial kernel and report of both MV entries; seasonal ANOVA row
+    # bound; dedup-recall tau 0.7→0.8 (values changed); zorder entry now
+    # exercises the self-tuning n_files=None path
     "diag_join_planner_autowidth",
     "stream_groupby_mv_variance_rebuild",
-    "stream_tick_schema_evolution",
-    "trend_seasonal_strength_anova",
-    # (1) CHANGED in r14 — behavior or oracle text edited this round, so
-    # they need fresh driver proof regardless of when last sampled
-    # (lift_ppm staged-floor overflow fix changed emitted values; the
-    # MV face gained epoch/rebuilt state columns + the tombstone read
-    # path under its unchanged output)
-    "analytics_association_rules",
     "stream_groupby_mv_maintenance",
-    # (2) stalest driver proof: the FULL remaining r8 cohort (32 entries,
-    # last driver-hash-proven in round 8 — VERDICT r13 ask #1)
-    "embed_pca_covariance",
-    "filter_quality_percentile",
-    "graph_pagerank_neardup",
-    "json_props_extract",
-    "media_decode_gif",
-    "order_global_shuffle_index",
-    "pack_sequences_greedy",
-    "pipeline_curation_end2end",
-    "sample_reservoir_per_key",
-    "sample_split_assign",
-    "select_dsir_importance",
-    "sim_ann_ivfadc",
-    "sim_ann_jl_rerank",
-    "sim_ann_jl_topk",
-    "sim_ann_pq_adc",
-    "sim_ann_pq_rerank",
-    "sim_ann_topk_int8",
-    "sim_ann_topk_ivf_trained",
-    "sim_ann_topk_lsh_multitable",
-    "sim_ivf_kmeans_cells",
-    "sketch_kmv_audience_jaccard",
-    "source_csv_json_roundtrip",
-    "stream_stream_interval_join",
-    "text_c4_quality_filter",
-    "text_chunk_sliding",
-    "text_heavy_hitters",
-    "text_tfidf_topterms",
-    "text_vocab_topk",
-    "tick_downsample_lttb",
-    "tick_gapfill_interp",
-    "tick_gapfill_locf",
-    "trend_holt_winters_weekly",
-    # (3) next-stalest (r9 cohort, 12 of 43): first 12 alphabetically;
-    # the remaining 31 r9 entries queue for the r15 head. NEW r14
+    "trend_seasonal_strength_anova",
+    "eval_dedup_recall_lsh",
+    "source_zorder_pruning",
+    # (2) stalest driver proof: the FULL remaining r9 cohort (31 entries,
+    # last driver-hash-proven in round 9 — VERDICT r14 ask #1)
+    "media_phash_dedup_clusters",
+    "media_phash_neardup_pairs",
+    "pipeline_media_curation",
+    "sample_hash_deterministic",
+    "sample_stratified_quota",
+    "sample_weighted_mixture",
+    "sessionize_user_events",
+    "sim_ann_topk_ivf",
+    "stream_stateful_spike_detect",
+    "text_pmi_collocations",
+    "text_unigram_tokenize",
+    "text_unigram_train_vocab",
+    "tick_anomaly_zscore",
+    "tick_bucket_2month_anchored",
+    "tick_bucket_5min_anchored",
+    "tick_bucket_day_count_avg",
+    "tick_bucket_day_ohlc",
+    "tick_bucket_hour_sum",
+    "tick_bucket_minute_minmax",
+    "tick_bucket_second",
+    "tick_cusum_drift",
+    "tick_ma3_hourly",
+    "tick_multiseries_day_agg",
+    "tick_range_scan",
+    "tick_rolling_median",
+    "tick_rolling_p90",
+    "tick_sparse_field_nulls",
+    "tick_twa_6h",
+    "tick_upsert_delete_lifecycle",
+    "tick_winsorize_p99",
+    "tpch_q1_pricing_summary",
+    # (3) next-stalest (r10 cohort, 12 of 45): first 12 alphabetically;
+    # the remaining 33 r10 entries queue for the r16 head. NEW r15
     # entries added after this rotation displace names from the END of
     # this section (keep sections (0)/(1) complete, keep the total 50).
-    "agg_distinct_users_daily",
-    "agg_hll_distinct_userdays",
-    "agg_salted_hotkey",
-    "agg_stats_moments",
-    "analytics_cluster_topics",
-    "analytics_corpus_datacard",
-    "collection_function_battery",
-    "diag_key_skew_gini",
-    "eval_ann_recall_lsh",
-    "eval_quality_auc",
-    "eval_tokenizer_compression",
-    "layout_zorder_stats",
+    "agg_cube_flag_status",
+    "agg_multi_distinct_stringagg",
+    "agg_rollup_region_nation",
+    "agg_value_histogram",
+    "analytics_vwap_daily",
+    "ann_delete_tombstones",
+    "asof_purchase_last_click",
+    "decontaminate_neardup_eval",
+    "decontaminate_train_vs_eval",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints",
 ]
 
 

@@ -1142,12 +1142,49 @@ def _mv_tomb_schema(schema: T.StructType, group_cols: list[str]) -> T.StructType
     )
 
 
+def _mv_hll_schema(schema: T.StructType, group_cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [schema[c] for c in group_cols]
+        + [
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("register", T.LongType(), False),
+            T.StructField("epoch", T.LongType(), False),
+            T.StructField("rebuilt", T.BooleanType(), False),
+        ]
+    )
+
+
+def _mv_live(
+    partials: DataFrame, last: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """The shared tombstone filter (aggregate AND register partials obey
+    the same cutoff law): stream partials live unless at-or-before the
+    key's latest cutoff; replacement partials live ONLY at exactly the
+    latest cutoff — an orphan replacement (rebuild crashed before its
+    tombstone landed) is invisible, so the crash window shows the key's
+    OLD state, never a double count."""
+    return (
+        partials.join(F.broadcast(last), group_cols, "left")
+        .where(
+            F.when(
+                F.col("rebuilt"),
+                F.col("_cutoff").isNotNull()
+                & (F.col("epoch") == F.col("_cutoff")),
+            ).otherwise(
+                F.col("_cutoff").isNull() | (F.col("epoch") > F.col("_cutoff"))
+            )
+        )
+        .drop("_cutoff")
+    )
+
+
 def groupby_mv_view(
     spark: SparkSession,
     work_dir: str,
     schema: T.StructType,
     group_cols: list[str],
     sq_scale: int | None = None,
+    distinct_p: int | None = None,
 ) -> DataFrame:
     """Read path of the group-by MV face: merge the partial-aggregate
     epoch log, honoring key tombstones. A tombstoned key keeps only (a)
@@ -1155,7 +1192,21 @@ def groupby_mv_view(
     were never part of the corrected history) and (b) the marked
     replacement partial AT the cutoff; everything at-or-before the
     cutoff — including replacements from superseded earlier rebuilds —
-    drops. The tombstone side broadcasts (rebuilds are rare)."""
+    drops. The tombstone side broadcasts (rebuilds are rare).
+
+    ``distinct_p`` (r15, VERDICT r14 ask #4) adds the approx-distinct
+    states: the register log merges by MAX per (key, bucket) — the same
+    cutoff filter applies, because max-merge of the replacement
+    registers (built from the corrected slice) with post-cutoff stream
+    registers equals the batch sketch over the corrected history — then
+    one estimate per key: ``hll_sum_scaled`` (exact BIGINT — the
+    hash-checkable digest of the whole merged register state) and
+    ``distinct_hll`` (the floored raw-HLL estimate; one IEEE division
+    of exact integers, bit-stable cross-engine). A key with no non-null
+    distinct values carries NULL states (matching the SQL replay, whose
+    group list derives from the hashed value stream)."""
+    from tickdb_spark.operators.sketch import hll_estimate_from_sparse
+
     tomb_schema = _mv_tomb_schema(schema, group_cols)
     # seed the tombstone dir if no rebuild ever ran (mode-ignore no-op
     # otherwise) so the read path is uniform
@@ -1172,25 +1223,27 @@ def groupby_mv_view(
     last = tomb.groupBy(*group_cols).agg(
         F.max("cutoff_epoch").alias("_cutoff")
     )
-    # Stream partials: live unless at-or-before the key's latest cutoff.
-    # Replacement partials: live ONLY at exactly the latest cutoff — an
-    # orphan replacement (rebuild crashed before its tombstone landed)
-    # is invisible, so the crash window shows the key's OLD state, never
-    # a double count (groupby_mv_rebuild_keys writes replacement first).
-    live = (
-        partials.join(F.broadcast(last), group_cols, "left")
-        .where(
-            F.when(
-                F.col("rebuilt"),
-                F.col("_cutoff").isNotNull()
-                & (F.col("epoch") == F.col("_cutoff")),
-            ).otherwise(
-                F.col("_cutoff").isNull() | (F.col("epoch") > F.col("_cutoff"))
-            )
-        )
-        .drop("_cutoff")
+    live = _mv_live(partials, last, group_cols)
+    report = groupby_mv_report(
+        live, group_cols, with_variance=sq_scale is not None
     )
-    return groupby_mv_report(live, group_cols, with_variance=sq_scale is not None)
+    if distinct_p is None:
+        return report
+    regs = _read_maintained(
+        spark, os.path.join(work_dir, "mv_hll_partials"),
+        _mv_hll_schema(schema, group_cols),
+    )
+    merged = (
+        _mv_live(regs, last, group_cols)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )
+    est = hll_estimate_from_sparse(merged, group_cols, distinct_p).select(
+        *group_cols,
+        "hll_sum_scaled",
+        F.expr("CAST(floor(hll_estimate) AS BIGINT)").alias("distinct_hll"),
+    )
+    return report.join(est, group_cols, "left")
 
 
 def groupby_mv_rebuild_keys(
@@ -1204,6 +1257,8 @@ def groupby_mv_rebuild_keys(
     cutoff_epoch: int,
     scale: int = 1_000_000,
     sq_scale: int | None = None,
+    distinct_col: str | None = None,
+    distinct_p: int = 10,
 ) -> None:
     """The DELETE/correction face of the group-by MV (VERDICT r13 ask
     #4): aggregate state is not row-addressable — count/sum/sumsq could
@@ -1231,9 +1286,14 @@ def groupby_mv_rebuild_keys(
     stream partial, so maintenance continues normally after the rebuild
     — future landings are never swallowed (stream epochs are monotone
     per checkpoint). Re-rebuilding at a later cutoff supersedes the
-    earlier rebuild."""
+    earlier rebuild. With ``distinct_col`` the keys' replacement HLL
+    registers (sparse, from the corrected slice) land the same way —
+    BOTH replacement logs write before the one tombstone, so every
+    crash window still shows old-state-or-new-state per key."""
     keys = keys.select(*group_cols).distinct()
     corrected_rows = corrected_rows.join(F.broadcast(keys), group_cols)
+    if distinct_col is not None:
+        corrected_rows = corrected_rows.localCheckpoint(eager=False)
     _mv_partial_agg(
         corrected_rows, group_cols, value_col, scale, sq_scale
     ).withColumn("epoch", F.lit(int(cutoff_epoch)).cast("long")).withColumn(
@@ -1241,6 +1301,19 @@ def groupby_mv_rebuild_keys(
     ).write.mode("overwrite").parquet(
         os.path.join(work_dir, "mv_partials", f"epoch_rebuild_{int(cutoff_epoch)}")
     )
+    if distinct_col is not None:
+        from tickdb_spark.operators.sketch import hll_hit_registers
+
+        hll_hit_registers(
+            corrected_rows, group_cols, distinct_col, distinct_p
+        ).withColumn(
+            "epoch", F.lit(int(cutoff_epoch)).cast("long")
+        ).withColumn("rebuilt", F.lit(True)).write.mode("overwrite").parquet(
+            os.path.join(
+                work_dir, "mv_hll_partials",
+                f"epoch_rebuild_{int(cutoff_epoch)}",
+            )
+        )
     tdir = os.path.join(work_dir, "mv_tombstones")
     spark.createDataFrame([], _mv_tomb_schema(schema, group_cols)).write.mode(
         "ignore"
@@ -1261,6 +1334,8 @@ def stream_groupby_mv_maintenance(
     value_col: str,
     scale: int = 1_000_000,
     sq_scale: int | None = None,
+    distinct_col: str | None = None,
+    distinct_p: int = 10,
 ) -> DataFrame:
     """The 13th maintained face: an incrementally-maintained GROUP-BY
     MATERIALIZED VIEW (count/sum/min/max per key) — the non-time-keyed
@@ -1284,15 +1359,42 @@ def stream_groupby_mv_maintenance(
     through :func:`groupby_mv_rebuild_keys` — tombstone the touched
     keys and rebuild them from the corrected source; epoch-dir removal
     (the counter-face rule) remains the batch-retraction path.
-    Idempotence: per-epoch overwrite like every face. Returns the
+    Idempotence: per-epoch overwrite like every face.
+
+    ``distinct_col`` (r15, VERDICT r14 ask #4) completes the
+    maintained-view aggregate vocabulary with APPROX DISTINCT per key:
+    each batch also writes its sparse HLL registers (hit buckets only —
+    |keys|·min(batch, 2^p) rows, never data-sized); registers are
+    MAX-mergeable, so they drop into the same epoch-log shape with the
+    same batching-independence law, and deletes ride the same
+    tombstone/rebuild path (max over corrected-slice registers and
+    post-cutoff stream registers IS the corrected sketch). Returns the
     merged view (:func:`groupby_mv_view`): ``(group_cols..., cnt,
-    sum_q, min_q, max_q[, sum_q2, sumsq_q2, avg_q])``."""
+    sum_q, min_q, max_q[, sum_q2, sumsq_q2, avg_q][, hll_sum_scaled,
+    distinct_hll])``."""
     mv_dir = os.path.join(work_dir, "mv_partials")
+    hll_dir = os.path.join(work_dir, "mv_hll_partials")
     ckpt_dir = os.path.join(work_dir, "checkpoint_mv")
     seed = _mv_seed_schema(schema, group_cols, sq_scale)
     spark.createDataFrame([], seed).write.mode("ignore").parquet(mv_dir)
+    if distinct_col is not None:
+        spark.createDataFrame(
+            [], _mv_hll_schema(schema, group_cols)
+        ).write.mode("ignore").parquet(hll_dir)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        if distinct_col is not None:
+            from tickdb_spark.operators.sketch import hll_hit_registers
+
+            # ONE read of the batch feeds both partials
+            batch = batch.localCheckpoint(eager=False)
+            hll_hit_registers(
+                batch, group_cols, distinct_col, distinct_p
+            ).withColumn("epoch", F.lit(int(epoch_id)).cast("long")).withColumn(
+                "rebuilt", F.lit(False)
+            ).write.mode("overwrite").parquet(
+                os.path.join(hll_dir, f"epoch_{epoch_id}")
+            )
         _mv_partial_agg(batch, group_cols, value_col, scale, sq_scale).withColumn(
             "epoch", F.lit(int(epoch_id)).cast("long")
         ).withColumn("rebuilt", F.lit(False)).write.mode("overwrite").parquet(
@@ -1309,7 +1411,10 @@ def stream_groupby_mv_maintenance(
         .start()
     )
     q.awaitTermination()
-    return groupby_mv_view(spark, work_dir, schema, group_cols, sq_scale)
+    return groupby_mv_view(
+        spark, work_dir, schema, group_cols, sq_scale,
+        distinct_p=distinct_p if distinct_col is not None else None,
+    )
 
 
 # --- streaming data-quality counter maintenance ------------------------------
