@@ -51,6 +51,10 @@ def main() -> None:
     # the entries that dominate the total stall-robust. Per-rep times are
     # recorded in the artifact (heavy_rep_secs) so a stall is visible, the
     # same discipline ingest_rep_secs established in r12.
+    # r15 (VERDICT r14 ask #7): extended from the top-10 to the 1–2 s
+    # tier (everything ≥ ~1.2 s in the r14 local map) — exactly the
+    # entries whose single-run deltas most often read as false
+    # regressions. ~21 re-runs ≈ +30 s bench time.
     heavy_min2 = {
         "rollup_build_cascade",  # handled by the rep loop below
         "graph_triangle_counts",
@@ -63,6 +67,17 @@ def main() -> None:
         "diag_join_planner",
         "pipeline_curation_end2end",
         "analytics_corpus_datacard",
+        "diag_join_planner_autowidth",
+        "hybrid_rrf_retrieval",
+        "text_repetition_metrics",
+        "dedup_simhash_near_pairs",
+        "embed_pca_covariance",
+        "tpch_q1_pricing_summary",
+        "select_dsir_importance",
+        "decontam_novelty_report",
+        "decontaminate_neardup_eval",
+        "dedup_substring_rolling",
+        "text_bigram_familiarity",
     }
     timings: dict[str, float] = {}
     heavy_reps: dict[str, list[float]] = {}

@@ -3876,3 +3876,21 @@ def test_zorder_write_auto_plan_path(spark, tmp_path):
     assert g_small == -(-10**9 // ((128 << 20) // 40)) == 299
     assert g_big == 4_096                              # capped (wants 30.5k)
     assert g_big > g_small * 10
+
+
+def test_planned_join_auto_output_identity(spark):
+    """planned_join_auto = choose_join_auto decision row + the applied
+    strategy; output row-identical to the plain join whichever strategy
+    the data picks (bloom_reduced and broadcast cases exercised)."""
+    from tickdb_spark.operators.planner import planned_join_auto
+
+    big = spark.range(60_000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("x"))
+    small = spark.range(1_500).select((F.col("id") * 40).alias("k"), F.col("id").alias("y"))
+    got = planned_join_auto(big, "k", small, "k", broadcast_rows=100)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+    tiny = spark.range(50).select(F.col("id").alias("k"), F.lit(1).alias("y"))
+    got2 = planned_join_auto(big, "k", tiny, "k")     # broadcast_b route
+    plain2 = big.join(tiny, "k")
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, plain2.collect()))

@@ -699,3 +699,74 @@ def test_mv_avg_q_truncation_cross_engine(spark):
         for g, s, c in rows
     }
     assert got == duck == {"neg": -3, "pos": 3, "negexact": -4}
+
+
+def test_mmr_select_equals_bruteforce_python(spark):
+    """mmr_select equals a NON-incremental python reference (max-sim
+    recomputed from scratch over the full selected set each step) on
+    synthetic vectors, and the diversity property holds: the MMR set's
+    max pairwise similarity is no higher than the pure-relevance top-k's
+    (with clustered fixtures it is strictly lower)."""
+    import math
+
+    import numpy as np
+
+    from tickdb_spark.operators.diversify import _cos_ppm, mmr_select
+
+    rng = np.random.RandomState(7)
+    # 3 tight clusters + noise: pure top-k collapses into the cluster
+    # nearest the query; MMR must spread
+    base = rng.randn(3, 16).astype("float32")
+    rows = []
+    for i in range(60):
+        v = base[i % 3] + 0.05 * rng.randn(16).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r["rnk"], r["vec_id"], r["rel_q"], r["maxsim_q"], r["mmr_q"])
+        for r in mmr_select(df, 0, k=6, prefilter=40).collect()
+    ]
+
+    vecs = {i: v for i, v in rows}
+    qv = vecs[0]
+    cand = sorted(
+        ((i, _cos_ppm(qv, v)) for i, v in vecs.items() if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:40]
+
+    def py_mmr(k, lam):
+        sel, want = [], []
+        for rnk in range(1, k + 1):
+            best = None
+            for i, rel in cand:
+                if i in sel:
+                    continue
+                ms = max((_cos_ppm(vecs[i], vecs[j]) for j in sel), default=0)
+                score = lam * rel - (1_000_000 - lam) * ms if sel else lam * rel
+                key = (score, -i)
+                if best is None or key > best[0]:
+                    best = (key, i, rel, ms if sel else 0, score)
+            _, i, rel, ms, score = best
+            sel.append(i)
+            want.append((rnk, i, rel, ms, score))
+        return sel, want
+
+    assert got == py_mmr(6, 700_000)[1]
+
+    # diversity: at k=3 with a balanced lambda the MMR set's tightest
+    # pair is strictly looser than pure relevance's (which collapses
+    # into the query's own planted cluster)
+    sel3 = [
+        r["vec_id"]
+        for r in mmr_select(df, 0, k=3, lam_ppm=500_000, prefilter=40).collect()
+    ]
+    assert sel3 == py_mmr(3, 500_000)[0]
+    topk3 = [i for i, _ in cand[:3]]
+
+    def max_pair(ids):
+        return max(
+            _cos_ppm(vecs[a], vecs[b])
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+        )
+
+    assert max_pair(sel3) < max_pair(topk3)

@@ -1,0 +1,192 @@
+"""Diversity-aware selection — MMR (maximal marginal relevance,
+Carbonell & Goldstein 1998): greedily pick the item maximizing
+``λ·relevance(i) − (1−λ)·max_{j∈selected} sim(i, j)`` — the standard
+retrieval/curation operator for "relevant but not redundant" top-k
+(RAG context assembly, diverse few-shot example selection, dedup-aware
+sampling of a training slice). The reference engine has no embedding
+ops at all; this extends the similarity family (brute/LSH/IVF/PQ ANN)
+with the selection step that consumes their scores.
+
+Scale shape: the CORPUS-sized work is one distributed scan — cosine
+relevance against the broadcast query plus a top-``prefilter`` take
+(TakeOrderedAndProject: per-task local top-N, k-row partials merge, no
+data-wide sort). The greedy tail is inherently sequential, so it runs
+on the ``prefilter``-bounded candidate set as driver-side planner
+state (the kmeans-centroids / PQ-books precedent: driver holds only
+k-sized or prefilter-sized state, never the corpus) with k·N quantized
+integer scores.
+
+Cross-engine determinism (the house float discipline): relevance and
+pairwise cosines quantize to BIGINT ppm via ``floor(cos·1e6 + 0.5)``,
+where every cosine is the shared left-associative fold
+(``similarity.cosine_expr`` — Spark's 0.0-seeded ``aggregate`` ==
+DuckDB's explicit literal term chain == python's seeded loop, one IEEE
+expression tree) — so selection, tie-breaks (candidate id), and every
+emitted column are exact integers on any engine. The DuckDB twin
+replays the greedy as a recursive-CTE per-level argmax (the
+LTTB/packing precedent), no driver loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tickdb_spark.operators.similarity import EMB_DIM, cosine_expr
+
+#: MMR trade-off λ as ppm: 700000 ≙ λ=0.7 (relevance-leaning, the
+#: common default in retrieval literature).
+MMR_LAM_PPM = 700_000
+
+
+def _cos_ppm(a, b) -> int:
+    """Python replay of ``floor(cosine_expr(a, b)·1e6 + 0.5)`` — the
+    SAME left-associative fold order and expression shape (python
+    floats are IEEE doubles; float32 inputs upcast exactly), so the
+    driver-side greedy is bit-identical to the SQL twin's scores."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0 + 0.5)
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 8,
+    lam_ppm: int = MMR_LAM_PPM,
+    prefilter: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR top-k for one query vector: ``(rnk, vec_id, rel_q, maxsim_q,
+    mmr_q)`` — the selection order, each item's ppm relevance to the
+    query, its ppm max-similarity to the items picked BEFORE it, and
+    the integer MMR score it won with (``lam_ppm·rel_q −
+    (1e6−lam_ppm)·maxsim_q``; the first pick has ``maxsim_q = 0`` by
+    convention). Ties break on the smaller candidate id at every step.
+
+    ``prefilter`` gates the greedy to the top-N most relevant
+    candidates — the knob that bounds driver state and, at corpus
+    scale, the knob a caller raises with an ANN candidate source
+    instead of the brute-force scan used here."""
+    q = emb.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    rel = F.expr(
+        f"CAST(floor(({cosine_expr('qvec', 'vec')}) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    cand = (
+        emb.where(F.col(id_col) != query_id)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(q))
+        .select("cid", "vec", rel.alias("rel_q"))
+    )
+    # TakeOrderedAndProject: local top-N per task, N-row merge — the
+    # only corpus-sized stage
+    top = cand.orderBy(F.desc("rel_q"), "cid").limit(int(prefilter)).collect()
+
+    remaining = {
+        int(r["cid"]): (list(r["vec"]), int(r["rel_q"])) for r in top
+    }
+    out: list[tuple[int, int, int, int, int]] = []
+    # -inf sentinel, NOT 0: max-similarity to the selected set can be
+    # NEGATIVE (anti-aligned vectors), and flooring it at 0 would both
+    # misreport maxsim_q and under-rank such candidates
+    maxsim: dict[int, int] = {cid: -(2**62) for cid in remaining}
+    last_vec = None
+    for rnk in range(1, min(int(k), len(remaining)) + 1):
+        if last_vec is not None:
+            # incremental max: only the newest pick can raise max-sim
+            for cid, (vec, _) in remaining.items():
+                s = _cos_ppm(vec, last_vec)
+                if s > maxsim[cid]:
+                    maxsim[cid] = s
+        if rnk == 1:
+            pick = max(
+                remaining, key=lambda c: (remaining[c][1], -c)
+            )
+            ms = 0
+        else:
+            pick = max(
+                remaining,
+                key=lambda c: (
+                    lam_ppm * remaining[c][1]
+                    - (1_000_000 - lam_ppm) * maxsim[c],
+                    -c,
+                ),
+            )
+            ms = maxsim[pick]
+        vec, rq = remaining.pop(pick)
+        out.append(
+            (rnk, pick, rq, ms, lam_ppm * rq - (1_000_000 - lam_ppm) * ms)
+        )
+        last_vec = vec
+    return emb.sparkSession.createDataFrame(
+        out,
+        "rnk int, vec_id long, rel_q long, maxsim_q long, mmr_q long",
+    )
+
+
+def mmr_select_sql(
+    table: str,
+    query_id: int,
+    k: int = 8,
+    lam_ppm: int = MMR_LAM_PPM,
+    prefilter: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin: the same prefilter, then the greedy as a recursive
+    CTE — each level's LATERAL picks the argmax of the SAME integer MMR
+    score over candidates outside the carried selected-id list, with
+    max-sim as a correlated aggregate over the selected rows."""
+    cosq = cosine_expr("q.qvec", "c.vec", dim, sql=True)
+    cosp = cosine_expr("c.vec", "c2.vec", dim, sql=True)
+    ms = (
+        f"(SELECT MAX(CAST(floor(({cosp}) * 1000000.0 + 0.5) AS BIGINT)) "
+        f"FROM cand c2 WHERE list_contains(s.ids, c2.vec_id))"
+    )
+    return f"""
+    WITH RECURSIVE cand AS MATERIALIZED (
+      SELECT vec_id, vec, rel_q FROM (
+        SELECT c.vec_id, c.vec,
+               CAST(floor(({cosq}) * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+        FROM (SELECT {id_col} AS vec_id, {vec_col} AS vec FROM {table}
+              WHERE {id_col} <> {int(query_id)}) c,
+             (SELECT {vec_col} AS qvec FROM {table}
+              WHERE {id_col} = {int(query_id)}) q
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY rel_q DESC, vec_id)
+                  <= {int(prefilter)}
+    ),
+    sel AS (
+      (SELECT 1 AS rnk, vec_id, rel_q,
+              CAST(0 AS BIGINT) AS maxsim_q,
+              {int(lam_ppm)} * rel_q AS mmr_q,
+              [vec_id] AS ids
+       FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT s.rnk + 1, p.vec_id, p.rel_q, p.maxsim_q, p.mmr_q,
+             list_append(s.ids, p.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id, c.rel_q, {ms} AS maxsim_q,
+               {int(lam_ppm)} * c.rel_q
+                 - (1000000 - {int(lam_ppm)}) * {ms} AS mmr_q
+        FROM cand c
+        WHERE NOT list_contains(s.ids, c.vec_id)
+        ORDER BY mmr_q DESC, c.vec_id LIMIT 1
+      ) p
+      WHERE s.rnk < {int(k)}
+    )
+    SELECT rnk, vec_id, rel_q, maxsim_q, mmr_q FROM sel ORDER BY rnk
+    """

@@ -610,6 +610,35 @@ def planned_join(
     )
 
 
+def planned_join_auto(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    broadcast_rows: int = BROADCAST_ROWS,
+    skew_factor: int = SKEW_FACTOR,
+    salts: int = 16,
+    how: str = "inner",
+    depth: int = 4,
+    bloom_keys: int = BLOOM_KEYS,
+    p: int = 12,
+) -> DataFrame:
+    """:func:`planned_join` at the data-derived CMS width: collects the
+    ONE :func:`choose_join_auto` decision row — the planner's k-sized
+    state, a deliberate driver action (the JOIN SHAPE has to be known
+    before the join plan is built; contrast with ``choose_join_auto``
+    itself, which since r15 stays fully lazy for callers embedding the
+    DECISION ROW in a larger plan) — then applies the decision."""
+    if a_col != b_col:
+        raise ValueError("planned_join_auto joins on a shared column name")
+    row = choose_join_auto(
+        a, a_col, b, b_col, broadcast_rows, skew_factor, depth, bloom_keys, p
+    ).first()
+    return apply_join_decision(
+        a, b, [a_col], row["decision"], row["n_a"] >= row["n_b"], salts, how
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-reduced join — the semi-join-reduction strategy next to
 # broadcast/salted/shuffle/prune: when the small side is too big to

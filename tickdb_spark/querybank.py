@@ -6192,6 +6192,32 @@ def select_curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from tickdb_spark.operators import diversify as _diversify  # noqa: E402
+
+
+@register(
+    "select_mmr_diverse_topk",
+    _diversify.mmr_select_sql("embeddings", query_id=0, k=8, prefilter=64),
+    "MMR (maximal marginal relevance, Carbonell & Goldstein 1998) "
+    "diversified top-k — the selection step the ANN family feeds: "
+    "greedily pick argmax of lam·rel − (1−lam)·max-sim-to-selected "
+    "(lam=0.7, k=8) from the top-64 most query-relevant candidates. "
+    "The retrieval/curation op for 'relevant but not redundant' "
+    "context assembly and diverse example selection. Everything "
+    "integer: relevance and pairwise cosines quantize to BIGINT ppm "
+    "through the shared left-assoc cosine fold, so the greedy's picks, "
+    "tie-breaks, and scores are exact on both engines; the oracle "
+    "replays the greedy as a recursive-CTE per-level argmax (the "
+    "LTTB/packing precedent). Scale: one distributed scan (cosine + "
+    "TakeOrderedAndProject top-N); the sequential tail runs on the "
+    "prefilter-bounded candidate set as driver planner state (the "
+    "kmeans/PQ-books precedent), k·N integer scores",
+)
+def select_mmr_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _diversify.mmr_select(emb, query_id=0, k=8, prefilter=64)
+
+
 @register(
     "diag_vocab_drift",
     r"""
@@ -11546,6 +11572,7 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r15 — never sampled by construction
     "stream_groupby_mv_hll_distinct",
+    "select_mmr_diverse_topk",
     # (1) CHANGED in r15 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled:
     # lazy width-as-column planner (+ empty-input/overflow-safe width
@@ -11607,7 +11634,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "decontaminate_train_vs_eval",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_fingerprints",
 ]
 
 
