@@ -770,3 +770,49 @@ def test_mmr_select_equals_bruteforce_python(spark):
         )
 
     assert max_pair(sel3) < max_pair(topk3)
+
+
+def test_kcenter_select_equals_python_reference(spark):
+    """kcenter_select equals a direct python farthest-first replay
+    (seed = smallest id, argmin of max-sim, id tie-break), and its
+    selected set's tightest pair is looser than a contiguous-id pick
+    of the same size on clustered fixtures."""
+    import numpy as np
+
+    from tickdb_spark.operators.diversify import _cos_ppm, kcenter_select
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 16).astype("float32")
+    rows = [
+        (i, [float(x) for x in (base[i % 4] + 0.03 * rng.randn(16).astype("float32"))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r["rnk"], r["vec_id"], r["maxsim_q"])
+        for r in kcenter_select(df, k=6).collect()
+    ]
+
+    vecs = dict(rows)
+    sel = [min(vecs)]
+    want = [(1, sel[0], 0)]
+    for rnk in range(2, 7):
+        best = None
+        for i in vecs:
+            if i in sel:
+                continue
+            ms = max(_cos_ppm(vecs[i], vecs[j]) for j in sel)
+            key = (ms, i)
+            if best is None or key < best[0]:
+                best = (key, i, ms)
+        sel.append(best[1])
+        want.append((rnk, best[1], best[2]))
+    assert got == want
+
+    def max_pair(ids):
+        return max(
+            _cos_ppm(vecs[a], vecs[b])
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+        )
+
+    assert max_pair(sel) < max_pair(list(range(6)))

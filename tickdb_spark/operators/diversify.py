@@ -137,6 +137,102 @@ def mmr_select(
     )
 
 
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-first (Gonzalez 1985 k-center greedy) coreset selection:
+    seed with the smallest id (a fixed, documented convention — any
+    deterministic seed works for the 2-approximation), then repeatedly
+    pick the point whose MAX similarity to the selected set is SMALLEST
+    (= farthest in cosine terms), tie-broken on the smaller id. The
+    landmark/coreset selector that needs no trained state — IVF cell
+    seeding, eval-set anchor picking, diverse subsample without kmeans
+    iterations. Returns ``(rnk, vec_id, maxsim_q)`` with ``maxsim_q``
+    the ppm max-similarity to the EARLIER picks (0 for the seed, by the
+    MMR convention).
+
+    Unlike :func:`mmr_select` (sequential tail on a prefiltered set),
+    every step here is DISTRIBUTED: one corpus-wide aggregate picks the
+    argmin (TakeOrderedAndProject — per-task local min, 1-row merge),
+    with the newest center shipped as a broadcast 1-row crossJoin (a
+    64-dim literal expansion would cost ~2 s of janino compile PER STEP
+    and breach the 64 KB codegen method limit — the r9 foreachBatch
+    lesson). Driver state is k ids + k vectors. Each step's action
+    recomputes the accumulated greatest() chain from the scan (k²·N/2
+    cosine folds total) — fine for coreset-sized k; checkpoint per step
+    if k grows to the hundreds."""
+    cand = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
+    seed = cand.orderBy("cid").limit(1).collect()[0]
+    centers = [(int(seed["cid"]), list(seed["vec"]))]
+    out = [(1, centers[0][0], 0)]
+    spark = emb.sparkSession
+    cur = cand.withColumn("maxsim_q", F.lit(None).cast("long"))
+    for rnk in range(2, int(k) + 1):
+        cvec = spark.createDataFrame(
+            [(centers[-1][1],)], f"cvec array<float>"
+        )
+        sim = F.expr(
+            f"CAST(floor(({cosine_expr('vec', 'cvec')}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(cvec))
+            .withColumn(
+                "maxsim_q", F.greatest(F.coalesce("maxsim_q", F.lit(-(2**62))), sim)
+            )
+            .drop("cvec")
+        )
+        picked_ids = [c for c, _ in centers]
+        pick = (
+            cur.where(~F.col("cid").isin(picked_ids))
+            .orderBy("maxsim_q", "cid")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(pick["cid"]), list(pick["vec"])))
+        out.append((rnk, int(pick["cid"]), int(pick["maxsim_q"])))
+    return spark.createDataFrame(out, "rnk int, vec_id long, maxsim_q long")
+
+
+def kcenter_select_sql(
+    table: str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin: the same greedy as a recursive-CTE per-level ARGMIN
+    of the correlated max-similarity aggregate."""
+    cosp = cosine_expr("c.vec", "c2.vec", dim, sql=True)
+    ms = (
+        f"(SELECT MAX(CAST(floor(({cosp}) * 1000000.0 + 0.5) AS BIGINT)) "
+        f"FROM cand c2 WHERE list_contains(s.ids, c2.vec_id))"
+    )
+    return f"""
+    WITH RECURSIVE cand AS MATERIALIZED (
+      SELECT {id_col} AS vec_id, {vec_col} AS vec FROM {table}
+    ),
+    sel AS (
+      (SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS maxsim_q,
+              [vec_id] AS ids
+       FROM cand ORDER BY vec_id LIMIT 1)
+      UNION ALL
+      SELECT s.rnk + 1, p.vec_id, p.maxsim_q, list_append(s.ids, p.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id, {ms} AS maxsim_q
+        FROM cand c
+        WHERE NOT list_contains(s.ids, c.vec_id)
+        ORDER BY maxsim_q ASC, c.vec_id LIMIT 1
+      ) p
+      WHERE s.rnk < {int(k)}
+    )
+    SELECT rnk, vec_id, maxsim_q FROM sel ORDER BY rnk
+    """
+
+
 def mmr_select_sql(
     table: str,
     query_id: int,

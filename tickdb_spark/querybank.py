@@ -6219,6 +6219,27 @@ def select_mmr_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_kcenter_coreset",
+    _diversify.kcenter_select_sql("embeddings", k=8),
+    "farthest-first k-center greedy (Gonzalez 1985, the classic "
+    "2-approximation) — coreset/landmark selection with no trained "
+    "state: seed at the smallest id, then repeatedly take the point "
+    "whose max cosine to the selected set is SMALLEST. The diversity "
+    "dual of select_mmr_diverse_topk (no relevance term, corpus-wide), "
+    "used for IVF cell seeding and diverse anchor picking. Fully "
+    "distributed per step: one corpus aggregate argmin "
+    "(TakeOrderedAndProject), newest center shipped as a broadcast "
+    "1-row crossJoin (never a 64-dim literal — the janino-compile "
+    "gotcha); driver state is k centers. Integer ppm maxsim via the "
+    "shared left-assoc cosine fold; oracle replays the greedy as a "
+    "recursive-CTE per-level argmin",
+)
+def select_kcenter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _diversify.kcenter_select(emb, k=8)
+
+
+@register(
     "diag_vocab_drift",
     r"""
     WITH tok AS (
@@ -11573,6 +11594,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r15 — never sampled by construction
     "stream_groupby_mv_hll_distinct",
     "select_mmr_diverse_topk",
+    "select_kcenter_coreset",
     # (1) CHANGED in r15 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled:
     # lazy width-as-column planner (+ empty-input/overflow-safe width
@@ -11633,7 +11655,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "decontaminate_neardup_eval",
     "decontaminate_train_vs_eval",
     "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
 ]
 
 
