@@ -160,30 +160,32 @@ def kcenter_select(
     with the newest center shipped as a broadcast 1-row crossJoin (a
     64-dim literal expansion would cost ~2 s of janino compile PER STEP
     and breach the 64 KB codegen method limit — the r9 foreachBatch
-    lesson). Driver state is k ids + k vectors. Each step's action
-    recomputes the accumulated greatest() chain from the scan (k²·N/2
-    cosine folds total) — fine for coreset-sized k; checkpoint per step
-    if k grows to the hundreds."""
+    lesson). Driver state is k ids + k vectors. The running max-sim
+    column is LOCALCHECKPOINTED each step, so every step's plan is one
+    crossJoin + one fold deep regardless of k — without it the
+    accumulated greatest() chain re-analyzes and re-compiles per step
+    (measured ~1.4 s/step of pure plan overhead at any data size) and
+    each action recomputes all earlier folds."""
     cand = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
     seed = cand.orderBy("cid").limit(1).collect()[0]
     centers = [(int(seed["cid"]), list(seed["vec"]))]
     out = [(1, centers[0][0], 0)]
     spark = emb.sparkSession
-    cur = cand.withColumn("maxsim_q", F.lit(None).cast("long"))
+    cur = cand.withColumn("maxsim_q", F.lit(-(2**62)).cast("long"))
+    sim = F.expr(
+        f"CAST(floor(({cosine_expr('vec', 'cvec')}) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
     for rnk in range(2, int(k) + 1):
         cvec = spark.createDataFrame(
-            [(centers[-1][1],)], f"cvec array<float>"
+            [(centers[-1][1],)], "cvec array<float>"
         )
-        sim = F.expr(
-            f"CAST(floor(({cosine_expr('vec', 'cvec')}) * 1000000.0 + 0.5)"
-            " AS BIGINT)"
-        )
+        # same plan shape every step (only the broadcast row changes) →
+        # constant analysis/codegen cost per step, one fold per row
         cur = (
             cur.crossJoin(F.broadcast(cvec))
-            .withColumn(
-                "maxsim_q", F.greatest(F.coalesce("maxsim_q", F.lit(-(2**62))), sim)
-            )
-            .drop("cvec")
+            .select("cid", "vec", F.greatest("maxsim_q", sim).alias("maxsim_q"))
+            .localCheckpoint()
         )
         picked_ids = [c for c, _ in centers]
         pick = (

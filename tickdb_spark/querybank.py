@@ -6240,6 +6240,74 @@ def select_kcenter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_cohort_retention",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    ),
+    cells AS (
+      SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM weekly w JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, n_users AS cohort_size FROM cells
+      WHERE week_offset = 0
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_users, s.cohort_size,
+           CAST(c.n_users * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM cells c JOIN sizes s USING (cohort_week)
+    """,
+    "cohort retention matrix — the classic product-analytics triangle "
+    "every warehouse serves: cohort = the user's first active week, "
+    "cell = distinct users of that cohort still active at each week "
+    "offset, retention as integer ppm of the cohort's week-0 size "
+    "(offset-0 retention is 1e6 by construction — the built-in sanity "
+    "row). All-integer: weeks are epoch-µs floor-division buckets, "
+    "counts exact, one integer division. Shape: the corpus collapses "
+    "to DISTINCT (user, week) pairs first (the trailing-distinct "
+    "lesson), then two equi-joins against the per-user MIN — "
+    "cohort×offset cells are calendar-bounded (~25 rows here) at any "
+    "corpus size",
+)
+def analytics_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read_events(spark, sf_dir)
+    weekly = (
+        ev.select(
+            "user_id", F.expr("ts div 604800000000000").alias("week")
+        ).distinct()
+    )
+    firsts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        weekly.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    sizes = cells.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.expr("CAST(n_users * 1000000 div cohort_size AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+@register(
     "diag_vocab_drift",
     r"""
     WITH tok AS (
@@ -11595,6 +11663,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_groupby_mv_hll_distinct",
     "select_mmr_diverse_topk",
     "select_kcenter_coreset",
+    "analytics_cohort_retention",
     # (1) CHANGED in r15 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled:
     # lazy width-as-column planner (+ empty-input/overflow-safe width
@@ -11654,7 +11723,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "asof_purchase_last_click",
     "decontaminate_neardup_eval",
     "decontaminate_train_vs_eval",
-    "dedup_exact_groups",
 ]
 
 
