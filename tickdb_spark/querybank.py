@@ -43,6 +43,14 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        # a duplicate name would SILENTLY overwrite (dict assignment) —
+        # the earlier registration's code becomes dead and every local
+        # check of it actually exercises the survivor (an r15 near-miss:
+        # a second analytics_cohort_retention registered 200 lines away
+        # from the r7 original and all its "green" runs tested the old
+        # entry). Fail loudly instead.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate registry entry name: {name}")
         REGISTRY[name] = QueryDef(fn, oracle, doc)
         return fn
 
@@ -6239,71 +6247,33 @@ def select_kcenter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _diversify.kcenter_select(emb, k=8)
 
 
+from tickdb_spark.operators import survival as _survival  # noqa: E402
+
+
 @register(
-    "analytics_cohort_retention",
-    """
-    WITH weekly AS (
-      SELECT DISTINCT user_id,
-             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
-      FROM events
+    "analytics_km_survival",
+    _survival.km_curve_sql(
+        "events", "event_type", "event_id % 30 + 1", "event_id % 4 <> 0"
     ),
-    firsts AS (
-      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
-    ),
-    cells AS (
-      SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
-             CAST(count(*) AS BIGINT) AS n_users
-      FROM weekly w JOIN firsts f USING (user_id)
-      GROUP BY 1, 2
-    ),
-    sizes AS (
-      SELECT cohort_week, n_users AS cohort_size FROM cells
-      WHERE week_offset = 0
-    )
-    SELECT c.cohort_week, c.week_offset, c.n_users, s.cohort_size,
-           CAST(c.n_users * 1000000 // s.cohort_size AS BIGINT)
-             AS retention_ppm
-    FROM cells c JOIN sizes s USING (cohort_week)
-    """,
-    "cohort retention matrix — the classic product-analytics triangle "
-    "every warehouse serves: cohort = the user's first active week, "
-    "cell = distinct users of that cohort still active at each week "
-    "offset, retention as integer ppm of the cohort's week-0 size "
-    "(offset-0 retention is 1e6 by construction — the built-in sanity "
-    "row). All-integer: weeks are epoch-µs floor-division buckets, "
-    "counts exact, one integer division. Shape: the corpus collapses "
-    "to DISTINCT (user, week) pairs first (the trailing-distinct "
-    "lesson), then two equi-joins against the per-user MIN — "
-    "cohort×offset cells are calendar-bounded (~25 rows here) at any "
-    "corpus size",
+    "Kaplan-Meier survival curves (Kaplan & Meier 1958) — the "
+    "product-limit estimator for right-censored durations (churn, job "
+    "lifetimes, time-to-conversion): per (group, distinct duration), "
+    "at-risk count, events, censored, and S(t) = Π(1 − d/n) as ppm. "
+    "Duration and censor flags are deterministic synthetic columns "
+    "(event_id % 30 + 1 / % 4 — the VWAP precedent; the testdata has "
+    "no lifetime field). Exact BIGINT sufficient statistics (cell "
+    "counts + one cumulative window), each factor one fixed double "
+    "expression, and the cumulative PRODUCT folds over the duration-"
+    "sorted factor list — the sorted-fold recipe (r14 seasonal "
+    "strength) applied to a product (Spark 1.0-seeded aggregate == "
+    "DuckDB seedless list_reduce: 1.0·x is exact). Scale: subjects "
+    "collapse to (group, duration) cells in the first aggregate; "
+    "everything after is dimension-sized",
 )
-def analytics_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read_events(spark, sf_dir)
-    weekly = (
-        ev.select(
-            "user_id", F.expr("ts div 604800000000000").alias("week")
-        ).distinct()
-    )
-    firsts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    cells = (
-        weekly.join(firsts, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-    sizes = cells.where(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_users").alias("cohort_size")
-    )
-    return cells.join(F.broadcast(sizes), "cohort_week").select(
-        "cohort_week",
-        "week_offset",
-        "n_users",
-        "cohort_size",
-        F.expr("CAST(n_users * 1000000 div cohort_size AS BIGINT)").alias(
-            "retention_ppm"
-        ),
+def analytics_km_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return _survival.km_curve(
+        ev, "event_type", "event_id % 30 + 1", "event_id % 4 != 0"
     )
 
 
@@ -11663,7 +11633,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_groupby_mv_hll_distinct",
     "select_mmr_diverse_topk",
     "select_kcenter_coreset",
-    "analytics_cohort_retention",
+    "analytics_km_survival",
     # (1) CHANGED in r15 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled:
     # lazy width-as-column planner (+ empty-input/overflow-safe width
