@@ -816,3 +816,44 @@ def test_kcenter_select_equals_python_reference(spark):
         )
 
     assert max_pair(sel) < max_pair(list(range(6)))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1, max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_kcore_equals_python_peel(spark, edges, k):
+    """kcore_nodes equals a direct python peel (iteratively drop
+    degree<k vertices until stable) on arbitrary small graphs, with the
+    emitted degree equal to the python core's per-node degree."""
+    from tickdb_spark.operators.cluster import kcore_nodes
+
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        r["node"]: r["core_deg"] for r in kcore_nodes(df, k).collect()
+    }
+
+    alive = {n for e in edges for n in e}
+    while True:
+        deg = {n: 0 for n in alive}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        new = {n for n in alive if deg[n] >= k}
+        if new == alive:
+            break
+        alive = new
+    want = {}
+    for a, b in edges:
+        if a in alive and b in alive:
+            want[a] = want.get(a, 0) + 1
+            want[b] = want.get(b, 0) + 1
+    assert got == want

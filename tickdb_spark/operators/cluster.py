@@ -395,6 +395,128 @@ def triangle_counts_sql(
     """
 
 
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983) over an
+    undirected edge list: iteratively peel every vertex with degree
+    < k until the remainder is stable — the maximal subgraph where
+    every vertex keeps ≥ k neighbors. The dedup-graph robustness signal
+    one level up from triangles: a 3-core member sits in a genuinely
+    dense duplication family; a high-degree vertex OUTSIDE the core is
+    a hub of incidental pairs.
+
+    Frontier peeling, the connected-components discipline: each round
+    is one edges⋈alive semi-restriction + one degree aggregate —
+    shuffle is the surviving edge volume, never all-pairs — with the
+    alive set EAGERLY localCheckpointed per round (the k-center lesson:
+    without it every round re-analyzes and re-executes the whole peel
+    history). Rounds are data-bounded (peeling is monotone ⊆, so equal
+    COUNTS mean a fixpoint); degeneracy of near-dup graphs keeps it to
+    a handful.
+
+    Returns ``(node, core_deg)`` — members of the k-core with their
+    degree INSIDE the core (≥ k by construction)."""
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint()  # referenced every round — pin the detector
+    )
+    alive = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = alive.count()
+
+    def _core_edges(al: DataFrame) -> DataFrame:
+        return edges.join(
+            al.select(F.col("n").alias("a")), "a", "left_semi"
+        ).join(al.select(F.col("n").alias("b")), "b", "left_semi")
+
+    def _degrees(e2: DataFrame) -> DataFrame:
+        return (
+            e2.select(F.col("a").alias("n"))
+            .unionAll(e2.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    for _ in range(max_rounds):
+        new_alive = (
+            _degrees(_core_edges(alive))
+            .where(F.col("deg") >= int(k))
+            .select("n")
+            .localCheckpoint()
+        )
+        cnt = new_alive.count()
+        alive = new_alive
+        if cnt == prev:  # monotone ⊆ + equal counts ⇒ fixpoint
+            break
+        prev = cnt
+    return _degrees(_core_edges(alive)).select(
+        F.col("n").alias("node"), "deg"
+    ).withColumnRenamed("deg", "core_deg")
+
+
+def kcore_nodes_sql(
+    pairs_sql: str,
+    k: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`kcore_nodes`: the peel as a recursive CTE
+    carrying the alive set as an ORDERED LIST in a single row per level
+    (aggregating over the recursive reference directly is not legal
+    SQL; the carried list sidesteps it — each level's degrees come from
+    the edges CTE restricted by list_contains). Emits one level per
+    STRICT shrink, so the last level is the fixpoint."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT {src_col} AS a, {dst_col} AS b FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT n FROM (
+        SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+      )
+    ),
+    peel(lvl, alive) AS (
+      SELECT 0, COALESCE((SELECT list(n ORDER BY n) FROM nodes), [])
+      UNION ALL
+      SELECT p.lvl + 1, nx.new_alive
+      FROM peel p, LATERAL (
+        SELECT COALESCE(list(n ORDER BY n), []) AS new_alive FROM (
+          SELECT n FROM (
+            SELECT a AS n FROM edges
+            WHERE list_contains(p.alive, a) AND list_contains(p.alive, b)
+            UNION ALL
+            SELECT b AS n FROM edges
+            WHERE list_contains(p.alive, a) AND list_contains(p.alive, b)
+          ) GROUP BY n HAVING count(*) >= {int(k)}
+        )
+      ) nx
+      WHERE len(nx.new_alive) < len(p.alive)
+    ),
+    final AS (SELECT alive FROM peel ORDER BY lvl DESC LIMIT 1),
+    core_deg AS (
+      SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+        SELECT a AS n FROM edges, final
+        WHERE list_contains(final.alive, a) AND list_contains(final.alive, b)
+        UNION ALL
+        SELECT b AS n FROM edges, final
+        WHERE list_contains(final.alive, a) AND list_contains(final.alive, b)
+      ) GROUP BY n
+    )
+    SELECT node, core_deg FROM core_deg
+    """
+
+
 def pagerank(
     pairs: DataFrame,
     src_col: str = "id_a",

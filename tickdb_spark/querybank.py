@@ -5254,6 +5254,32 @@ def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_kcore_membership",
+    _cluster.kcore_nodes_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5),
+        k=2,
+    ),
+    "k-core decomposition membership (Seidman 1983) over the near-dup "
+    "pair graph — the robustness signal one level up from triangles: "
+    "iteratively peel vertices with degree < k; survivors form the "
+    "maximal subgraph where everyone keeps ≥ k near-dup neighbors "
+    "(genuinely dense duplication families vs hubs of incidental "
+    "pairs). Spark runs frontier peeling (one edges⋈alive semi-"
+    "restriction + one degree aggregate per round, alive eagerly "
+    "localCheckpointed — the k-center plan-depth lesson; rounds are "
+    "data-bounded, peeling is monotone so equal counts certify the "
+    "fixpoint). The oracle replays the peel as a recursive CTE carrying "
+    "the alive set as an ordered LIST per level (aggregating over the "
+    "recursive reference is illegal SQL — the carried list sidesteps "
+    "it). Emits (node, degree-inside-core), all exact integers",
+)
+def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _cluster.kcore_nodes(pairs, k=2)
+
+
+@register(
     "dedup_incremental_vs_corpus",
     """
     WITH seen AS (
@@ -11634,6 +11660,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "select_mmr_diverse_topk",
     "select_kcenter_coreset",
     "analytics_km_survival",
+    "graph_kcore_membership",
     # (1) CHANGED in r15 — behavior or oracle text edited this round, so
     # they need fresh driver proof regardless of when last sampled:
     # lazy width-as-column planner (+ empty-input/overflow-safe width
@@ -11692,7 +11719,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "ann_delete_tombstones",
     "asof_purchase_last_click",
     "decontaminate_neardup_eval",
-    "decontaminate_train_vs_eval",
 ]
 
 
