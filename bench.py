@@ -78,6 +78,8 @@ def main() -> None:
         "decontaminate_neardup_eval",
         "dedup_substring_rolling",
         "text_bigram_familiarity",
+        "select_kcenter_coreset",
+        "graph_kcore_membership",
     }
     timings: dict[str, float] = {}
     heavy_reps: dict[str, list[float]] = {}
