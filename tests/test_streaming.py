@@ -1904,3 +1904,70 @@ def test_stream_groupby_mv_hll_distinct_states(tmp_path, spark):
     )
     assert got3["a"][:2] == want3["a"]
     assert got3["a"][2] == 5
+
+
+def test_mv_hll_register_log_compaction(tmp_path, spark):
+    """Lifecycle completion for the MV distinct states: compacting the
+    sparse-register epoch log (compact_index, identical rows, sorted by
+    the probe key) preserves the max-merged registers and therefore the
+    estimate bit-for-bit — registers are max-mergeable, so compaction
+    is a pure read-path optimization like every other face."""
+    import os as _os
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from tickdb_spark.operators.sketch import hll_estimate_from_sparse
+    from tickdb_spark.streaming.index import (
+        _mv_hll_schema,
+        _read_maintained,
+        compact_index,
+        stream_groupby_mv_maintenance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+            T.StructField("u", T.LongType(), True),
+        ]
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [("a", 1.0, i % 7) for i in range(20)] + [
+        ("b", 2.0, i % 13) for i in range(20)
+    ]
+    for i in range(3):
+        pdf = pd.DataFrame(rows[i::3], columns=["g", "v", "u"])
+        pdf["v"] = pdf["v"].astype("float64")
+        pdf["u"] = pdf["u"].astype("Int64")
+        p = landing / f"b{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    work = str(tmp_path / "state")
+    got = stream_groupby_mv_maintenance(
+        spark, str(landing), work, schema, ["g"], "v",
+        distinct_col="u", distinct_p=6,
+    )
+    before = {
+        r["g"]: (r["hll_sum_scaled"], r["distinct_hll"])
+        for r in got.collect()
+    }
+
+    hll_dir = _os.path.join(work, "mv_hll_partials")
+    reg_schema = _mv_hll_schema(schema, ["g"])
+    dest = compact_index(spark, hll_dir, reg_schema, sort_cols=["g", "bucket"])
+    merged = (
+        _read_maintained(spark, dest, reg_schema)
+        .groupBy("g", "bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )
+    after = {
+        r["g"]: (
+            r["hll_sum_scaled"],
+            int(r["hll_estimate"] // 1),
+        )
+        for r in hll_estimate_from_sparse(merged, ["g"], 6).collect()
+    }
+    assert after == before
