@@ -857,3 +857,27 @@ def test_kcore_equals_python_peel(spark, edges, k):
             want[a] = want.get(a, 0) + 1
             want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_mmr_batch_equals_per_query_loop(spark):
+    """mmr_select_batch == looping mmr_select per query (the shared
+    corpus pass + one window must change nothing), on synthetic
+    clustered vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from tickdb_spark.operators.diversify import mmr_select, mmr_select_batch
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(3, 16).astype("float32")
+    rows = [
+        (i, [float(x) for x in (base[i % 3] + 0.05 * rng.randn(16).astype("float32"))])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 7, 11]
+    batch = mmr_select_batch(df, qids, k=5, prefilter=30).toPandas()
+    for qid in qids:
+        one = mmr_select(df, qid, k=5, prefilter=30).toPandas()
+        sub = batch[batch.query_id == qid][one.columns].reset_index(drop=True)
+        pd.testing.assert_frame_equal(sub, one, check_dtype=False)

@@ -94,17 +94,30 @@ def mmr_select(
     # TakeOrderedAndProject: local top-N per task, N-row merge — the
     # only corpus-sized stage
     top = cand.orderBy(F.desc("rel_q"), "cid").limit(int(prefilter)).collect()
+    out = _greedy_mmr(
+        [(int(r["cid"]), list(r["vec"]), int(r["rel_q"])) for r in top],
+        int(k),
+        int(lam_ppm),
+    )
+    return emb.sparkSession.createDataFrame(
+        out,
+        "rnk int, vec_id long, rel_q long, maxsim_q long, mmr_q long",
+    )
 
-    remaining = {
-        int(r["cid"]): (list(r["vec"]), int(r["rel_q"])) for r in top
-    }
+
+def _greedy_mmr(cands, k: int, lam_ppm: int):
+    """The sequential MMR tail over a prefilter-bounded candidate list
+    ``[(cid, vec, rel_q)]`` → ``[(rnk, cid, rel_q, maxsim_q, mmr_q)]``
+    in exact integer arithmetic (shared by the single- and batch-query
+    fronts)."""
+    remaining = {cid: (vec, rq) for cid, vec, rq in cands}
     out: list[tuple[int, int, int, int, int]] = []
     # -inf sentinel, NOT 0: max-similarity to the selected set can be
     # NEGATIVE (anti-aligned vectors), and flooring it at 0 would both
     # misreport maxsim_q and under-rank such candidates
     maxsim: dict[int, int] = {cid: -(2**62) for cid in remaining}
     last_vec = None
-    for rnk in range(1, min(int(k), len(remaining)) + 1):
+    for rnk in range(1, min(k, len(remaining)) + 1):
         if last_vec is not None:
             # incremental max: only the newest pick can raise max-sim
             for cid, (vec, _) in remaining.items():
@@ -112,9 +125,7 @@ def mmr_select(
                 if s > maxsim[cid]:
                     maxsim[cid] = s
         if rnk == 1:
-            pick = max(
-                remaining, key=lambda c: (remaining[c][1], -c)
-            )
+            pick = max(remaining, key=lambda c: (remaining[c][1], -c))
             ms = 0
         else:
             pick = max(
@@ -131,10 +142,85 @@ def mmr_select(
             (rnk, pick, rq, ms, lam_ppm * rq - (1_000_000 - lam_ppm) * ms)
         )
         last_vec = vec
-    return emb.sparkSession.createDataFrame(
-        out,
-        "rnk int, vec_id long, rel_q long, maxsim_q long, mmr_q long",
+    return out
+
+
+def mmr_select_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 8,
+    lam_ppm: int = MMR_LAM_PPM,
+    prefilter: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch MMR: ``(query_id, rnk, vec_id, rel_q, maxsim_q, mmr_q)``
+    for every query in ONE shared corpus pass — the queries broadcast,
+    the corpus is scanned once, and per-query top-``prefilter``
+    candidate sets come from ONE window over (query, rel) instead of a
+    scan per query (Q× fewer corpus reads than looping
+    :func:`mmr_select`). The greedy tails run per query on the
+    collected Q·prefilter candidate rows — still bounded driver
+    planner state."""
+    q = emb.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
+    rel = F.expr(
+        f"CAST(floor(({cosine_expr('qvec', 'vec')}) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
+    top = (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "vec", rel.alias("rel_q"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(prefilter))
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in top:
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["cid"]), list(r["vec"]), int(r["rel_q"]))
+        )
+    rows = []
+    for qid in sorted(by_q):
+        for rnk, cid, rq, ms, sc in _greedy_mmr(
+            by_q[qid], int(k), int(lam_ppm)
+        ):
+            rows.append((qid, rnk, cid, rq, ms, sc))
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "query_id long, rnk int, vec_id long, rel_q long,"
+        " maxsim_q long, mmr_q long",
+    )
+
+
+def mmr_select_batch_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 8,
+    lam_ppm: int = MMR_LAM_PPM,
+    prefilter: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin: the per-query recursive-CTE greedy of
+    :func:`mmr_select_sql`, one block per query, UNION ALL'd through
+    derived-table wraps (WITH inside a derived table — the house
+    multi-twin recipe)."""
+    blocks = [
+        f"SELECT CAST({int(qid)} AS BIGINT) AS query_id, * FROM ("
+        + mmr_select_sql(
+            table, qid, k, lam_ppm, prefilter, id_col, vec_col, dim
+        )
+        + ")"
+        for qid in query_ids
+    ]
+    return " UNION ALL ".join(blocks)
 
 
 def kcenter_select(

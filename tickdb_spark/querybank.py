@@ -6253,6 +6253,23 @@ def select_mmr_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_mmr_batch_queries",
+    _diversify.mmr_select_batch_sql("embeddings", [0, 17, 42], k=8, prefilter=64),
+    "batch MMR — the multi-query front of select_mmr_diverse_topk: all "
+    "queries share ONE corpus pass (queries broadcast, per-query "
+    "top-64 candidate sets from ONE window over (query, rel) — Q× "
+    "fewer corpus reads than looping the single-query op), then the "
+    "integer greedy runs per query on Q·prefilter bounded driver "
+    "state. Loop-equivalence is tested (batch output == per-query "
+    "mmr_select rows); the oracle UNION ALLs the per-query recursive-"
+    "CTE twins through derived-table wraps",
+)
+def select_mmr_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _diversify.mmr_select_batch(emb, [0, 17, 42], k=8, prefilter=64)
+
+
+@register(
     "select_kcenter_coreset",
     _diversify.kcenter_select_sql("embeddings", k=8),
     "farthest-first k-center greedy (Gonzalez 1985, the classic "
@@ -11658,6 +11675,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r15 — never sampled by construction
     "stream_groupby_mv_hll_distinct",
     "select_mmr_diverse_topk",
+    "select_mmr_batch_queries",
     "select_kcenter_coreset",
     "analytics_km_survival",
     "graph_kcore_membership",
@@ -11718,7 +11736,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "analytics_vwap_daily",
     "ann_delete_tombstones",
     "asof_purchase_last_click",
-    "decontaminate_neardup_eval",
 ]
 
 
