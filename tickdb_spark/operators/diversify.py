@@ -171,12 +171,27 @@ def mmr_select_batch(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
-    top = (
+    # two-phase grouped top-N (exact: the global top-N is a subset of
+    # the union of per-salt top-Ns): a single per-query window would put
+    # each query's WHOLE corpus on one task — the grouped-top-k salting
+    # pattern keeps parallelism Q×S on the corpus-sized pass, and the
+    # final per-query window sees only Q·S·prefilter rows
+    salts = 16
+    wloc = Window.partitionBy("qid", "_salt").orderBy(F.desc("rel_q"), "cid")
+    wglob = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
+    scored = (
         emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
         .join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "vec", rel.alias("rel_q"))
-        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "qid", "cid", "vec", rel.alias("rel_q"),
+            F.pmod(F.col("cid"), F.lit(salts)).alias("_salt"),
+        )
+    )
+    top = (
+        scored.withColumn("_rn", F.row_number().over(wloc))
+        .where(F.col("_rn") <= int(prefilter))
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(wglob))
         .where(F.col("_rn") <= int(prefilter))
         .collect()
     )
