@@ -1971,3 +1971,106 @@ def test_mv_hll_register_log_compaction(tmp_path, spark):
         for r in hll_estimate_from_sparse(merged, ["g"], 6).collect()
     }
     assert after == before
+
+
+def test_stream_groupby_mv_topk_states(tmp_path, spark):
+    """r15 MV-face extension: per-key TOP-K VALUES (leaderboard) state.
+    (1) ADDITIVITY: two batchings re-rank to the identical batch-built
+    top-k (per-batch top-k is a monoid partial); (2) deletes ride the
+    same tombstone/rebuild: an orphan replacement is invisible, the
+    recovered rebuild equals the corrected batch top-k, untouched keys
+    bit-identical; (3) post-rebuild landings re-enter the leaderboard."""
+    import os as _os
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from tickdb_spark.streaming.index import (
+        _mv_topk_partial,
+        groupby_mv_rebuild_keys,
+        groupby_mv_topk_view,
+        stream_groupby_mv_topk_maintenance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), False),
+            T.StructField("rid", T.LongType(), False),
+        ]
+    )
+
+    def _land(landing, i, rows):
+        p = landing / f"b{i}.parquet"
+        pdf = pd.DataFrame(rows, columns=["g", "v", "rid"])
+        pdf["v"] = pdf["v"].astype("float64")
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    rows_all = [("a", 5.0, 1), ("a", 9.0, 2), ("a", 7.0, 3), ("a", 9.0, 4),
+                ("a", 1.0, 5), ("b", 2.0, 6), ("b", 3.0, 7)]
+
+    def _py_topk(rows, k=3):
+        out = {}
+        for g, v, rid in rows:
+            out.setdefault(g, []).append(
+                (int(__import__("math").floor(v * 1_000_000 + 0.5)), rid)
+            )
+        want = set()
+        for g, vals in out.items():
+            vals.sort(key=lambda t: (-t[0], t[1]))
+            for rnk, (q, rid) in enumerate(vals[:k], 1):
+                want.add((g, rnk, q, rid))
+        return want
+
+    def _got(df):
+        return {(r["g"], r["rnk"], r["q"], r["tie"]) for r in df.collect()}
+
+    states = {}
+    for tag, cuts in (("x", [2, 5]), ("y", [1, 3, 6])):
+        landing = tmp_path / f"landing_{tag}"
+        landing.mkdir()
+        prev = 0
+        for i, cut in enumerate([*cuts, len(rows_all)]):
+            _land(landing, i, rows_all[prev:cut])
+            prev = cut
+        got = stream_groupby_mv_topk_maintenance(
+            spark, str(landing), str(tmp_path / f"state_{tag}"), schema,
+            ["g"], "v", "rid", k=3,
+        )
+        states[tag] = _got(got)
+    assert states["x"] == states["y"] == _py_topk(rows_all)
+
+    # rebuild: 'a' drops its rid=2 row (a top value vanishes — exactly
+    # what max/topk state cannot invert)
+    work = str(tmp_path / "state_x")
+    keys = spark.createDataFrame([("a",)], "g string")
+    corrected_rows = [r for r in rows_all if not (r[0] == "a" and r[2] == 2)]
+    corrected = spark.createDataFrame(
+        [r for r in corrected_rows if r[0] == "a"], schema
+    )
+    # crash window: orphan replacement only — invisible
+    _mv_topk_partial(corrected, ["g"], "v", "rid", 1_000_000, 3).withColumn(
+        "epoch", F.lit(2).cast("long")
+    ).withColumn("rebuilt", F.lit(True)).write.mode("overwrite").parquet(
+        _os.path.join(work, "mv_topk_partials", "epoch_rebuild_2")
+    )
+    assert _got(
+        groupby_mv_topk_view(spark, work, schema, ["g"], 3)
+    ) == states["x"]
+
+    groupby_mv_rebuild_keys(
+        spark, work, schema, ["g"], "v", keys, corrected,
+        cutoff_epoch=2, topk=3, tie_col="rid",
+    )
+    after = _got(groupby_mv_topk_view(spark, work, schema, ["g"], 3))
+    assert after == _py_topk(corrected_rows)
+
+    # post-rebuild landing: a new global max enters the board
+    _land(tmp_path / "landing_x", 9, [("a", 99.0, 8)])
+    got3 = _got(stream_groupby_mv_topk_maintenance(
+        spark, str(tmp_path / "landing_x"), work, schema, ["g"], "v",
+        "rid", k=3,
+    ))
+    assert got3 == _py_topk(corrected_rows + [("a", 99.0, 8)])

@@ -11108,6 +11108,87 @@ def stream_groupby_mv_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_groupby_mv_topk",
+    """
+    WITH corrected AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q,
+             event_id AS tie
+      FROM events
+      WHERE user_id < 50
+        AND NOT (event_type = 'click' AND event_id % 10 = 7)
+    ),
+    ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY q DESC, tie ASC) AS rnk,
+             q, tie
+      FROM corrected
+    )
+    SELECT event_type, CAST(rnk AS INT) AS rnk, q, tie
+    FROM ranked WHERE rnk <= 3
+    """,
+    "group-by MV face, r15 extension: per-key TOP-K VALUES (leaderboard) "
+    "as maintained state — the non-invertible-but-MERGEABLE cousin of "
+    "min/max: each micro-batch appends its per-key top-3 rows (state ≤ "
+    "|keys|·k per epoch, never data) and the read path re-ranks the "
+    "union, which equals the batch-built top-k regardless of batching "
+    "(any global top-k row is in its own batch's top-k — the monoid "
+    "proof in _mv_topk_partial). Values quantized to BIGINT, ties "
+    "broken on event_id — a total order, so ranks hash exactly. The "
+    "fixture then DELETES rows (click, event_id%10=7) through the SAME "
+    "tombstone/per-key-rebuild path as the other MV states (a deleted "
+    "TOP value is exactly what max/topk state cannot invert); the "
+    "oracle is the window top-3 over the corrected history",
+)
+def stream_groupby_mv_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.streaming.index import (
+        groupby_mv_rebuild_keys,
+        groupby_mv_topk_view,
+        stream_groupby_mv_topk_maintenance,
+    )
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.col("user_id") < 50)
+        .select("event_id", "event_type", "value")
+    )
+    pdf = ev.toPandas()
+    schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("event_type", _T.StringType(), False),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    work = _tempfile.mkdtemp(prefix="tickdb_mvt_")
+    landing = _os.path.join(work, "landing")
+    _os.makedirs(landing)
+    base = 1_700_000_000
+    for k in range(3):
+        part = pdf[pdf.event_id % 3 == k]
+        _write_landing(
+            part, schema, _os.path.join(landing, f"ev_{k}.parquet"), base + k
+        )
+    state = _os.path.join(work, "state")
+    stream_groupby_mv_topk_maintenance(
+        spark, landing, state, schema, ["event_type"], "value",
+        "event_id", k=3,
+    )
+    keys = spark.createDataFrame([("click",)], "event_type string")
+    corrected = ev.where(
+        ~((F.col("event_type") == "click") & (F.col("event_id") % 10 == 7))
+    )
+    groupby_mv_rebuild_keys(
+        spark, state, schema, ["event_type"], "value", keys, corrected,
+        cutoff_epoch=2, topk=3, tie_col="event_id",
+    )
+    return groupby_mv_topk_view(spark, state, schema, ["event_type"], 3)
+
+
 _MV_HLL_P = 6  # m=64: the fixture's per-key user cardinalities (≈15 at
 #              sf0.001 … ≈1500 at sf0.1) straddle m, exercising both the
 #              small-range upward bias and the good n≫m regime
@@ -11674,6 +11755,7 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r15 — never sampled by construction
     "stream_groupby_mv_hll_distinct",
+    "stream_groupby_mv_topk",
     "select_mmr_diverse_topk",
     "select_mmr_batch_queries",
     "select_kcenter_coreset",
@@ -11735,7 +11817,6 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "agg_value_histogram",
     "analytics_vwap_daily",
     "ann_delete_tombstones",
-    "asof_purchase_last_click",
 ]
 
 

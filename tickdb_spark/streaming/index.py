@@ -1154,6 +1154,48 @@ def _mv_hll_schema(schema: T.StructType, group_cols: list[str]) -> T.StructType:
     )
 
 
+def _mv_topk_schema(schema: T.StructType, group_cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [schema[c] for c in group_cols]
+        + [
+            T.StructField("q", T.LongType(), False),
+            T.StructField("tie", T.LongType(), False),
+            T.StructField("epoch", T.LongType(), False),
+            T.StructField("rebuilt", T.BooleanType(), False),
+        ]
+    )
+
+
+def _mv_topk_partial(
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_col: str,
+    scale: int,
+    k: int,
+) -> DataFrame:
+    """One batch's per-key TOP-K rows ``(group_cols..., q, tie)`` —
+    (q DESC, tie ASC)-ordered, quantized. Per-batch top-k is the
+    leaderboard MONOID's partial: any row of the GLOBAL top-k is in its
+    own batch's top-k (otherwise ≥k same-batch rows already beat it),
+    so re-ranking the union of per-batch partials equals the batch-built
+    top-k regardless of batching."""
+    from pyspark.sql import Window
+
+    q = F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("q"), F.col("tie").asc()
+    )
+    return (
+        batch.select(
+            *group_cols, q.alias("q"), F.col(tie_col).cast("long").alias("tie")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def _mv_live(
     partials: DataFrame, last: DataFrame, group_cols: list[str]
 ) -> DataFrame:
@@ -1246,6 +1288,97 @@ def groupby_mv_view(
     return report.join(est, group_cols, "left")
 
 
+def groupby_mv_topk_view(
+    spark: SparkSession,
+    work_dir: str,
+    schema: T.StructType,
+    group_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Read path of the per-key TOP-K (leaderboard) state: tombstone-
+    filter the per-batch top-k partials with the SAME cutoff law, then
+    re-rank the union per key — the monoid merge (see
+    :func:`_mv_topk_partial`). Returns ``(group_cols..., rnk, q, tie)``
+    as ROWS (k per key), not arrays — array columns are unhashable in
+    the driver's canonicalizer (the agg_approx_sketches lesson)."""
+    from pyspark.sql import Window
+
+    tomb_schema = _mv_tomb_schema(schema, group_cols)
+    spark.createDataFrame([], tomb_schema).write.mode("ignore").parquet(
+        os.path.join(work_dir, "mv_tombstones")
+    )
+    tomb = _read_maintained(
+        spark, os.path.join(work_dir, "mv_tombstones"), tomb_schema
+    )
+    last = tomb.groupBy(*group_cols).agg(
+        F.max("cutoff_epoch").alias("_cutoff")
+    )
+    partials = _read_maintained(
+        spark, os.path.join(work_dir, "mv_topk_partials"),
+        _mv_topk_schema(schema, group_cols),
+    )
+    live = _mv_live(partials, last, group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("q"), F.col("tie").asc()
+    )
+    # duplicate (q, tie) rows across epochs collapse first (idempotent
+    # re-landings / rebuild overlaps must not double-rank)
+    return (
+        live.select(*group_cols, "q", "tie")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select(*group_cols, "rnk", "q", "tie")
+    )
+
+
+def stream_groupby_mv_topk_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    work_dir: str,
+    schema: T.StructType,
+    group_cols: list[str],
+    value_col: str,
+    tie_col: str,
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key TOP-K VALUES (leaderboard) as maintained state — the
+    non-invertible-but-MERGEABLE cousin of min/max: each micro-batch
+    appends its per-key top-k rows (state per epoch ≤ |keys|·k rows);
+    the read path re-ranks the union, which equals the batch-built
+    top-k regardless of batching (per-batch top-k is a monoid partial —
+    proof in :func:`_mv_topk_partial`). Deletes ride the SAME
+    tombstone/per-key-rebuild path as the other MV states
+    (:func:`groupby_mv_rebuild_keys` with ``topk=``/``tie_col=``).
+    Returns the merged view ``(group_cols..., rnk, q, tie)``."""
+    tk_dir = os.path.join(work_dir, "mv_topk_partials")
+    ckpt_dir = os.path.join(work_dir, "checkpoint_mv_topk")
+    seed = _mv_topk_schema(schema, group_cols)
+    spark.createDataFrame([], seed).write.mode("ignore").parquet(tk_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        _mv_topk_partial(
+            batch, group_cols, value_col, tie_col, scale, k
+        ).withColumn("epoch", F.lit(int(epoch_id)).cast("long")).withColumn(
+            "rebuilt", F.lit(False)
+        ).write.mode("overwrite").parquet(
+            os.path.join(tk_dir, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return groupby_mv_topk_view(spark, work_dir, schema, group_cols, k)
+
+
 def groupby_mv_rebuild_keys(
     spark: SparkSession,
     work_dir: str,
@@ -1259,6 +1392,8 @@ def groupby_mv_rebuild_keys(
     sq_scale: int | None = None,
     distinct_col: str | None = None,
     distinct_p: int = 10,
+    topk: int | None = None,
+    tie_col: str | None = None,
 ) -> None:
     """The DELETE/correction face of the group-by MV (VERDICT r13 ask
     #4): aggregate state is not row-addressable — count/sum/sumsq could
@@ -1311,6 +1446,17 @@ def groupby_mv_rebuild_keys(
         ).withColumn("rebuilt", F.lit(True)).write.mode("overwrite").parquet(
             os.path.join(
                 work_dir, "mv_hll_partials",
+                f"epoch_rebuild_{int(cutoff_epoch)}",
+            )
+        )
+    if topk is not None:
+        _mv_topk_partial(
+            corrected_rows, group_cols, value_col, tie_col, scale, topk
+        ).withColumn(
+            "epoch", F.lit(int(cutoff_epoch)).cast("long")
+        ).withColumn("rebuilt", F.lit(True)).write.mode("overwrite").parquet(
+            os.path.join(
+                work_dir, "mv_topk_partials",
                 f"epoch_rebuild_{int(cutoff_epoch)}",
             )
         )
