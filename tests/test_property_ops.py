@@ -881,3 +881,95 @@ def test_mmr_batch_equals_per_query_loop(spark):
         one = mmr_select(df, qid, k=5, prefilter=30).toPandas()
         sub = batch[batch.query_id == qid][one.columns].reset_index(drop=True)
         pd.testing.assert_frame_equal(sub, one, check_dtype=False)
+
+
+km_subj_st = st.tuples(
+    st.sampled_from(["g1", "g2"]),
+    st.integers(min_value=1, max_value=6),     # duration (dup-heavy)
+    st.booleans(),                             # event observed?
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(subjects=st.lists(km_subj_st, min_size=1, max_size=25))
+def test_km_curve_equals_python_reference(spark, subjects):
+    """Kaplan-Meier equals a python product-limit replay on arbitrary
+    censoring patterns — including the degenerate classes fixtures
+    skip: ALL-censored groups (every factor 1.0 → surv stays 1e6),
+    single-duration groups, and event pile-ups where n_t == d_t (surv
+    hits exactly 0)."""
+    import math
+
+    from tickdb_spark.operators.survival import km_curve
+
+    df = spark.createDataFrame(subjects, "grp string, dur long, ev boolean")
+    got = {
+        (r["grp"], r["duration"]): (
+            r["n_risk"], r["d_events"], r["c_censored"], r["surv_ppm"]
+        )
+        for r in km_curve(df, "grp", "dur", "ev").collect()
+    }
+    want = {}
+    for g in {s[0] for s in subjects}:
+        subs = [(d, e) for gg, d, e in subjects if gg == g]
+        total = len(subs)
+        ended = 0
+        surv = 1.0
+        for t in sorted({d for d, _ in subs}):
+            d_t = sum(1 for d, e in subs if d == t and e)
+            c_t = sum(1 for d, e in subs if d == t and not e)
+            n_t = total - ended
+            surv = surv * (1.0 - float(d_t) / float(n_t))
+            want[(g, t)] = (
+                n_t, d_t, c_t, int(math.floor(surv * 1_000_000.0 + 0.5))
+            )
+            ended += d_t + c_t
+    assert got == want
+
+
+def test_diversify_tie_breaking_on_identical_vectors(spark):
+    """The adversarial tie case: EVERY vector identical → every cosine
+    identical → selection is decided purely by the id tie-break. MMR
+    must pick ascending ids; k-center must seed at the min id and then
+    peel ascending; both must agree with the DuckDB twins."""
+    import duckdb
+    import pandas as pd
+
+    from tickdb_spark.operators.diversify import (
+        kcenter_select,
+        kcenter_select_sql,
+        mmr_select,
+        mmr_select_sql,
+    )
+
+    v = [1.0] * 8
+    rows = [(i, v) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = mmr_select(df, 0, k=4, prefilter=10).toPandas()
+    assert list(m.vec_id) == [1, 2, 3, 4]      # pure id order
+    kc = kcenter_select(df, k=4).toPandas()
+    assert list(kc.vec_id) == [0, 1, 2, 3]
+
+    con = duckdb.connect()
+    arr = "[" + ", ".join("1.0" for _ in range(8)) + "]::FLOAT[]"
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT range AS vec_id, "
+        f"{arr} AS embedding FROM range(12)"
+    )
+    om = con.execute(
+        mmr_select_sql("embeddings", 0, k=4, prefilter=10, dim=8)
+    ).df()
+    cols = sorted(m.columns)
+    pd.testing.assert_frame_equal(
+        m[cols].sort_values(cols).reset_index(drop=True),
+        om[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    ok = con.execute(kcenter_select_sql("embeddings", k=4, dim=8)).df()
+    cols = sorted(kc.columns)
+    pd.testing.assert_frame_equal(
+        kc[cols].sort_values(cols).reset_index(drop=True),
+        ok[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
