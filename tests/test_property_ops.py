@@ -973,3 +973,19 @@ def test_diversify_tie_breaking_on_identical_vectors(spark):
         ok[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_kcenter_empty_and_tiny_corpus(spark):
+    """Empty/undersized inputs degrade gracefully (the planner
+    empty-input lesson): an empty corpus yields an empty selection, a
+    corpus smaller than k yields the whole corpus in peel order."""
+    from tickdb_spark.operators.diversify import kcenter_select
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kcenter_select(empty, k=4).collect() == []
+    tiny = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r["rnk"], r["vec_id"]) for r in kcenter_select(tiny, k=8).collect()]
+    assert got == [(1, 5), (2, 9)]

@@ -268,7 +268,13 @@ def kcenter_select(
     (measured ~1.4 s/step of pure plan overhead at any data size) and
     each action recomputes all earlier folds."""
     cand = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
-    seed = cand.orderBy("cid").limit(1).collect()[0]
+    seed_rows = cand.orderBy("cid").limit(1).collect()
+    out_schema = "rnk int, vec_id long, maxsim_q long"
+    if not seed_rows:
+        # empty corpus: an empty selection, not an IndexError (the
+        # planner empty-input lesson applied here)
+        return emb.sparkSession.createDataFrame([], out_schema)
+    seed = seed_rows[0]
     centers = [(int(seed["cid"]), list(seed["vec"]))]
     out = [(1, centers[0][0], 0)]
     spark = emb.sparkSession
@@ -289,15 +295,18 @@ def kcenter_select(
             .localCheckpoint()
         )
         picked_ids = [c for c, _ in centers]
-        pick = (
+        picks = (
             cur.where(~F.col("cid").isin(picked_ids))
             .orderBy("maxsim_q", "cid")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picks:  # corpus smaller than k: selection is the corpus
+            break
+        pick = picks[0]
         centers.append((int(pick["cid"]), list(pick["vec"])))
         out.append((rnk, int(pick["cid"]), int(pick["maxsim_q"])))
-    return spark.createDataFrame(out, "rnk int, vec_id long, maxsim_q long")
+    return spark.createDataFrame(out, out_schema)
 
 
 def kcenter_select_sql(
