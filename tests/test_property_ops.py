@@ -648,6 +648,59 @@ def test_mv_report_cnt_guard_raises(spark):
     assert groupby_mv_report(big, ["g"]).collect()[0]["cnt"] > MV_SQ_MAX_ROWS
 
 
+def test_mv_null_value_skips_sq_guard(spark):
+    """ADVICE r15: a NULL value in a variance-tracked MV batch must keep
+    its skip-in-SUM behavior, not crash the micro-batch (the bare
+    |q2|≤bound condition is NULL for NULL input and assert_true raises
+    on NULL — the guard now carries an isNull disjunct)."""
+    from tickdb_spark.streaming.index import _mv_partial_agg
+
+    df = spark.createDataFrame(
+        [("g", 2.0), ("g", None), ("g", 4.0)], "g string, v double"
+    )
+    row = _mv_partial_agg(df, ["g"], "v", 1_000_000, 1_000).collect()[0]
+    # cnt counts every row (count(lit(1))); the quantized sums skip NULL
+    assert row["cnt"] == 3
+    assert row["sum_q2"] == 6_000
+    assert row["sumsq_q2"] == 2_000**2 + 4_000**2
+
+
+def test_mv_report_max_rows_override(spark):
+    """ADVICE r15: the merged-cnt budget is a caller knob, not a
+    hard-coded 2^20 — a >1M-row key with small values passes under a
+    raised max_rows, and the partial kernel's per-row bound TIGHTENS to
+    isqrt((2^63−1)/max_rows) so the pair stays a sound certificate."""
+    import pytest
+
+    from tickdb_spark.streaming.index import (
+        MV_SQ_MAX_ROWS,
+        _mv_partial_agg,
+        _mv_sq_bound,
+        groupby_mv_report,
+    )
+
+    big = spark.createDataFrame(
+        [("g", MV_SQ_MAX_ROWS + 1, 10, 1, 9, 10, 20)],
+        "g string, cnt long, sum_q long, min_q long, max_q long,"
+        " sum_q2 long, sumsq_q2 long",
+    )
+    got = groupby_mv_report(
+        big, ["g"], with_variance=True, max_rows=1 << 30
+    ).collect()
+    assert got[0]["cnt"] == MV_SQ_MAX_ROWS + 1
+    # soundness: larger row budget ⇒ strictly smaller per-row bound,
+    # and the kernel enforces the tightened bound
+    assert _mv_sq_bound(1 << 30) < _mv_sq_bound(None)
+    assert _mv_sq_bound(1 << 30) ** 2 * (1 << 30) <= 2**63 - 1
+    df = spark.createDataFrame([("g", 1_000.0)], "g string, v double")
+    ok = _mv_partial_agg(df, ["g"], "v", 1_000_000, 1_000).collect()
+    assert ok[0]["sumsq_q2"] == 1_000_000**2  # fine at the default budget
+    with pytest.raises(Exception, match="overflow-safe"):
+        _mv_partial_agg(
+            df, ["g"], "v", 1_000_000, 1_000, max_rows=1 << 30
+        ).collect()
+
+
 def test_seasonal_anova_overflow_guard_raises(spark):
     """Same contract for seasonal_strength_anova's Σq²: oversized scale
     errors on the row bound; an over-long group errors on n ≤ max_n."""
@@ -857,6 +910,24 @@ def test_kcore_equals_python_peel(spark, edges, k):
             want[a] = want.get(a, 0) + 1
             want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_kcore_max_rounds_exhaustion_raises(spark):
+    """ADVICE r15: exhausting max_rounds without a fixpoint must ERROR,
+    not return a partial peel (a path graph at k=2 sheds only its two
+    endpoints per round, so nodes with degree < k would leak into the
+    'core'). The same graph under enough rounds converges to the true
+    (empty) 2-core."""
+    import pytest
+
+    from tickdb_spark.operators.cluster import kcore_nodes
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        kcore_nodes(chain, k=2, max_rounds=2)
+    assert kcore_nodes(chain, k=2).count() == 0  # a path has no 2-core
 
 
 def test_mmr_batch_equals_per_query_loop(spark):

@@ -447,6 +447,7 @@ def kcore_nodes(
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
 
+    converged = False
     for _ in range(max_rounds):
         new_alive = (
             _degrees(_core_edges(alive))
@@ -457,8 +458,19 @@ def kcore_nodes(
         cnt = new_alive.count()
         alive = new_alive
         if cnt == prev:  # monotone ⊆ + equal counts ⇒ fixpoint
+            converged = True
             break
         prev = cnt
+    if not converged and prev > 0:
+        # ADVICE r15: a partial peel would return nodes with degree < k
+        # (breaking the '≥ k by construction' contract) and hash-diverge
+        # from the fixpoint oracle — e.g. a path graph at k=2 peels only
+        # its two endpoints per round. Error loudly instead.
+        raise RuntimeError(
+            f"kcore_nodes: peel did not reach a fixpoint within "
+            f"max_rounds={max_rounds} ({prev} nodes still alive) — "
+            "raise max_rounds (chain-like graphs peel O(diameter) rounds)"
+        )
     return _degrees(_core_edges(alive)).select(
         F.col("n").alias("node"), "deg"
     ).withColumnRenamed("deg", "core_deg")

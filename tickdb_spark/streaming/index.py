@@ -1005,7 +1005,10 @@ def stream_scd2_maintenance(
 
 
 def groupby_mv_report(
-    partials: DataFrame, group_cols: list[str], with_variance: bool = False
+    partials: DataFrame,
+    group_cols: list[str],
+    with_variance: bool = False,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Merge a partial-aggregate log to the MV view: SUM the counts and
     quantized sums, MIN/MAX the extremes — every state is a commutative
@@ -1027,11 +1030,16 @@ def groupby_mv_report(
     lesson).
 
     Overflow breach guard (VERDICT r14 ask #3): the merged ``sumsq_q2``
-    is bounded by ``cnt·MV_SQ_BOUND²`` (the partial kernel asserts the
-    per-row bound), so asserting the merged ``cnt ≤ MV_SQ_MAX_ROWS``
-    here closes the contract — a mis-sized ``sq_scale`` or an
-    over-grown key ERRORS loudly instead of silently wrapping BIGINT
-    state (Spark non-ANSI longs wrap; DuckDB raises)."""
+    is bounded by ``cnt·bound²`` (the partial kernel asserts the
+    per-row bound), so asserting the merged ``cnt ≤ max_rows`` here
+    closes the contract — a mis-sized ``sq_scale`` or an over-grown key
+    ERRORS loudly instead of silently wrapping BIGINT state (Spark
+    non-ANSI longs wrap; DuckDB raises). ``max_rows`` (ADVICE r15: the
+    old hard-coded 2^20 errored ~1M-row keys whose values were nowhere
+    near overflow) is the caller's per-key row budget; it must MATCH the
+    ``max_rows`` the partials were written with, because the per-row
+    bound the kernel enforced is ``isqrt((2^63−1)/max_rows)`` — the two
+    knobs together are the certificate, neither alone is sound."""
     aggs = [
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum_q").cast("long").alias("sum_q"),
@@ -1045,13 +1053,15 @@ def groupby_mv_report(
         ]
     out = partials.groupBy(*group_cols).agg(*aggs)
     if with_variance:
+        budget = MV_SQ_MAX_ROWS if max_rows is None else int(max_rows)
         out = out.where(
             F.assert_true(
-                F.col("cnt") <= MV_SQ_MAX_ROWS,
+                F.col("cnt") <= budget,
                 F.lit(
                     "groupby_mv_report: merged cnt exceeds the "
-                    f"overflow-safe row bound {MV_SQ_MAX_ROWS} for the "
-                    "variance states — shard the key or coarsen sq_scale"
+                    f"overflow-safe row bound {budget} for the "
+                    "variance states — raise max_rows (with a matching "
+                    "sq_scale coarsening) or shard the key"
                 ),
             ).isNull()
         ).withColumn(
@@ -1070,15 +1080,29 @@ MV_SQ_MAX_ROWS = 1 << 20
 MV_SQ_BOUND = math.isqrt((2**63 - 1) // MV_SQ_MAX_ROWS)
 
 
+def _mv_sq_bound(max_rows: int | None) -> int:
+    """Per-row |q2| bound implied by a per-key row budget: together they
+    certify ``Σ q2² ≤ max_rows·bound² ≤ 2^63−1``."""
+    return (
+        MV_SQ_BOUND
+        if max_rows is None
+        else math.isqrt((2**63 - 1) // int(max_rows))
+    )
+
+
 def _mv_partial_agg(
     batch: DataFrame,
     group_cols: list[str],
     value_col: str,
     scale: int,
     sq_scale: int | None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """One micro-batch's partial aggregate — shared by the stream handler
-    and the per-key rebuild so both produce bit-identical states."""
+    and the per-key rebuild so both produce bit-identical states.
+    ``max_rows`` sizes the per-row |q2| bound (see :func:`_mv_sq_bound`);
+    it must match the budget :func:`groupby_mv_report` asserts at merge
+    time."""
     q = F.expr(f"CAST(floor({value_col} * {int(scale)} + 0.5) AS BIGINT)")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -1088,17 +1112,21 @@ def _mv_partial_agg(
     ]
     cols = [*group_cols, q.alias("q")]
     if sq_scale is not None:
+        bound = _mv_sq_bound(max_rows)
         q2_raw = F.expr(
             f"CAST(floor({value_col} * {int(sq_scale)} + 0.5) AS BIGINT)"
         )
-        # mis-sized sq_scale ERRORS loudly instead of wrapping sumsq_q2
+        # mis-sized sq_scale ERRORS loudly instead of wrapping sumsq_q2;
+        # a NULL value keeps its skip-in-SUM behavior (ADVICE r15: the
+        # bare abs(q2)<=bound is NULL for NULL input and assert_true
+        # raises on NULL — the isNull disjunct restores the old path)
         q2 = F.when(
             F.assert_true(
-                F.abs(q2_raw) <= MV_SQ_BOUND,
+                F.col(value_col).isNull() | (F.abs(q2_raw) <= bound),
                 F.concat(
                     F.lit(
                         f"groupby_mv: |value*{int(sq_scale)}| exceeds the "
-                        f"overflow-safe bound {MV_SQ_BOUND} for the "
+                        f"overflow-safe bound {bound} for the "
                         "variance states — coarsen sq_scale: "
                     ),
                     F.col(value_col).cast("string"),
@@ -1227,6 +1255,7 @@ def groupby_mv_view(
     group_cols: list[str],
     sq_scale: int | None = None,
     distinct_p: int | None = None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Read path of the group-by MV face: merge the partial-aggregate
     epoch log, honoring key tombstones. A tombstoned key keeps only (a)
@@ -1267,7 +1296,8 @@ def groupby_mv_view(
     )
     live = _mv_live(partials, last, group_cols)
     report = groupby_mv_report(
-        live, group_cols, with_variance=sq_scale is not None
+        live, group_cols, with_variance=sq_scale is not None,
+        max_rows=max_rows,
     )
     if distinct_p is None:
         return report
@@ -1394,6 +1424,7 @@ def groupby_mv_rebuild_keys(
     distinct_p: int = 10,
     topk: int | None = None,
     tie_col: str | None = None,
+    max_rows: int | None = None,
 ) -> None:
     """The DELETE/correction face of the group-by MV (VERDICT r13 ask
     #4): aggregate state is not row-addressable — count/sum/sumsq could
@@ -1430,7 +1461,8 @@ def groupby_mv_rebuild_keys(
     if distinct_col is not None:
         corrected_rows = corrected_rows.localCheckpoint(eager=False)
     _mv_partial_agg(
-        corrected_rows, group_cols, value_col, scale, sq_scale
+        corrected_rows, group_cols, value_col, scale, sq_scale,
+        max_rows=max_rows,
     ).withColumn("epoch", F.lit(int(cutoff_epoch)).cast("long")).withColumn(
         "rebuilt", F.lit(True)
     ).write.mode("overwrite").parquet(
@@ -1482,6 +1514,7 @@ def stream_groupby_mv_maintenance(
     sq_scale: int | None = None,
     distinct_col: str | None = None,
     distinct_p: int = 10,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """The 13th maintained face: an incrementally-maintained GROUP-BY
     MATERIALIZED VIEW (count/sum/min/max per key) — the non-time-keyed
@@ -1541,7 +1574,9 @@ def stream_groupby_mv_maintenance(
             ).write.mode("overwrite").parquet(
                 os.path.join(hll_dir, f"epoch_{epoch_id}")
             )
-        _mv_partial_agg(batch, group_cols, value_col, scale, sq_scale).withColumn(
+        _mv_partial_agg(
+            batch, group_cols, value_col, scale, sq_scale, max_rows=max_rows
+        ).withColumn(
             "epoch", F.lit(int(epoch_id)).cast("long")
         ).withColumn("rebuilt", F.lit(False)).write.mode("overwrite").parquet(
             os.path.join(mv_dir, f"epoch_{epoch_id}")
@@ -1560,6 +1595,7 @@ def stream_groupby_mv_maintenance(
     return groupby_mv_view(
         spark, work_dir, schema, group_cols, sq_scale,
         distinct_p=distinct_p if distinct_col is not None else None,
+        max_rows=max_rows,
     )
 
 
