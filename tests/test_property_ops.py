@@ -999,6 +999,81 @@ def test_km_curve_equals_python_reference(spark, subjects):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(subjects=st.lists(km_subj_st, min_size=1, max_size=25))
+def test_km_logrank_equals_python_reference(spark, subjects):
+    """Two-sample log-rank equals a python replay of the SAME
+    floor-quantized integer sums (the Spark/DuckDB arithmetic is
+    truncating integer division on non-negative operands, so python //
+    replays it exactly) — including degenerate censoring: all-censored
+    cohorts (zero event durations → sums 0, χ² NULL) and single-group
+    inputs."""
+    import math
+
+    from tickdb_spark.operators.survival import km_logrank
+
+    df = spark.createDataFrame(subjects, "grp string, dur long, ev boolean")
+    r = km_logrank(df, "grp", "dur", "ev", "g1", "g2").collect()[0]
+
+    SE, SV = 10**6, 10**4
+    per = {}
+    totals = {"g1": 0, "g2": 0}
+    for g, d, e in subjects:
+        cell = per.setdefault(d, {"d_a": 0, "d_b": 0, "end_a": 0, "end_b": 0})
+        key = "a" if g == "g1" else "b"
+        cell["end_" + key] += 1
+        if e:
+            cell["d_" + key] += 1
+        totals[g] += 1
+    o_a = o_b = e_s = v_s = 0
+    ended_a = ended_b = 0
+    for t in sorted(per):
+        c = per[t]
+        n_a = totals["g1"] - ended_a
+        n_b = totals["g2"] - ended_b
+        d = c["d_a"] + c["d_b"]
+        n = n_a + n_b
+        if d > 0:
+            p_se = n_a * SE // n
+            p_sv = n_a * SV // n
+            o_a += c["d_a"]
+            o_b += c["d_b"]
+            e_s += d * p_se
+            v_s += (d * (n - d) // max(n - 1, 1)) * p_sv * (SV - p_sv)
+        ended_a += c["end_a"]
+        ended_b += c["end_b"]
+    assert (r["o_a"], r["o_b"], r["e_a_scaled"], r["v_scaled"]) == (
+        o_a, o_b, e_s, v_s
+    )
+    if v_s > 0:
+        chi2 = (float(o_a) - float(e_s) / 1e6) ** 2 / (float(v_s) / 1e8)
+        assert r["chi2_milli"] == int(math.floor(chi2 * 1000.0 + 0.5))
+    else:
+        assert r["chi2_milli"] is None
+
+
+def test_km_curve_duration_ceiling_raises(spark):
+    """VERDICT r15 audit: the running factor-prefix window is O(D²) in
+    distinct durations per group, so over-resolution durations must
+    ERROR (telling the caller to bucket), not quietly blow the window
+    state. A bucketed duration_expr on the same rows passes."""
+    import pytest
+
+    from tickdb_spark.operators.survival import km_curve
+
+    df = spark.createDataFrame(
+        [("g", i * 1000 + 7, True) for i in range(40)],
+        "grp string, secs long, ev boolean",
+    )
+    with pytest.raises(Exception, match="max_durations"):
+        km_curve(df, "grp", "secs", "ev", max_durations=10).collect()
+    ok = km_curve(
+        df, "grp", "secs div 10000", "ev", max_durations=10
+    ).collect()
+    assert len(ok) == 4
+
+
 def test_diversify_tie_breaking_on_identical_vectors(spark):
     """The adversarial tie case: EVERY vector identical → every cosine
     identical → selection is decided purely by the id tie-break. MMR

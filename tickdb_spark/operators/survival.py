@@ -36,17 +36,12 @@ from pyspark.sql import functions as F
 _FACTOR = "(CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
 
 
-def km_curve(
-    df: DataFrame,
-    group_col: str,
-    duration_expr: str,
-    event_expr: str,
+def _km_cells(
+    df: DataFrame, group_col: str, duration_expr: str, event_expr: str
 ) -> DataFrame:
-    """Per group: ``(group_col, duration, n_risk, d_events, c_censored,
-    surv_ppm)`` — one row per distinct observed duration, survival as
-    ppm of the group's population. ``duration_expr`` must be integer
-    (exact cumulative sums); ``event_expr`` is a boolean (TRUE =
-    event observed, FALSE = right-censored at that duration)."""
+    """The shared first aggregate of the KM family: collapse subjects to
+    ``(grp, dur, d, c, n_risk)`` cells — one hash aggregate plus one
+    cumulative window, state per group = |distinct durations| rows."""
     subj = df.select(
         F.col(group_col).alias("grp"),
         F.expr(duration_expr).cast("long").alias("dur"),
@@ -60,13 +55,57 @@ def km_curve(
     wall = Window.partitionBy("grp")
     # at-risk at t includes subjects ending AT t: total − everyone who
     # ended strictly before t
-    cells = cells.withColumn(
+    return cells.withColumn(
         "n_risk",
         (
             F.sum(F.col("d") + F.col("c")).over(wall)
             - (F.sum(F.col("d") + F.col("c")).over(w) - (F.col("d") + F.col("c")))
         ).cast("long"),
     )
+
+
+#: Default ceiling on distinct durations per group: the running
+#: collect_list window materializes each row's full factor prefix, so D
+#: distinct durations cost ~D²/2 struct copies per group (VERDICT r15
+#: audit). D scales with duration RESOLUTION, not corpus size — day
+#: granularity stays in the thousands forever; second-resolution input
+#: must be bucketed in duration_expr (e.g. ``secs div 86400``), and
+#: this guard makes that requirement an ERROR instead of a quadratic
+#: window-state blowup.
+KM_MAX_DURATIONS = 10_000
+
+
+def km_curve(
+    df: DataFrame,
+    group_col: str,
+    duration_expr: str,
+    event_expr: str,
+    max_durations: int = KM_MAX_DURATIONS,
+) -> DataFrame:
+    """Per group: ``(group_col, duration, n_risk, d_events, c_censored,
+    surv_ppm)`` — one row per distinct observed duration, survival as
+    ppm of the group's population. ``duration_expr`` must be integer
+    (exact cumulative sums); ``event_expr`` is a boolean (TRUE =
+    event observed, FALSE = right-censored at that duration).
+    ``max_durations`` bounds distinct durations per group (the running
+    factor-prefix window is quadratic in it — bucket the duration
+    instead of raising the ceiling)."""
+    cells = _km_cells(df, group_col, duration_expr, event_expr)
+    w = Window.partitionBy("grp").orderBy("dur")
+    wall = Window.partitionBy("grp")
+    cells = cells.withColumn(
+        "_n_durs", F.count(F.lit(1)).over(wall)
+    ).where(
+        F.assert_true(
+            F.col("_n_durs") <= int(max_durations),
+            F.lit(
+                f"km_curve: a group exceeds max_durations={int(max_durations)} "
+                "distinct durations — the running factor window is O(D²); "
+                "coarsen duration_expr (bucket seconds to days) instead of "
+                "raising the ceiling"
+            ),
+        ).isNull()
+    ).drop("_n_durs")
     # duration-sorted running factor list → one fixed fold order: the
     # window collects the (dur, factor) structs over the running frame
     # (unbounded preceding → current row), the fold happens in a plain
@@ -141,4 +180,192 @@ def km_curve_sql(
            d AS d_events, c AS c_censored,
            CAST(floor(surv_raw * 1000000.0 + 0.5) AS BIGINT) AS surv_ppm
     FROM folded
+    """
+
+
+#: integer scales for the log-rank sums: expected-events terms carry
+#: S_E = 10^6 (p₁ = n₁·S_E div n has 6 digits), variance terms carry
+#: S_V = 10^4 PER FACTOR (the term multiplies p₁ᵥ·q₁ᵥ, so the summed
+#: scale is S_V² = 10^8 — headroom Σd·10^8 ≤ 2^63 holds to ~9×10^10
+#: events). Both are FLOOR-quantized integer arithmetic, so the sums
+#: are exact BIGINTs and bit-identical cross-engine; the ~1e-4 relative
+#: quantization is noise for a test statistic.
+_LR_SE = 10**6
+_LR_SV = 10**4
+
+#: the final χ² as ONE fixed double expression of exact BIGINTs (the
+#: Pearson discipline: same formula text on both engines, every integer
+#: < 2^53 by the o·S_E guard, identical IEEE evaluation order) —
+#: χ² = (O₁ − E₁)² / V with E₁ = e_scaled/S_E, V = v_scaled/S_V².
+_LR_CHI2 = (
+    "CASE WHEN v_scaled > 0 THEN"
+    " (CAST(o_a AS DOUBLE) - CAST(e_a_scaled AS DOUBLE) / 1000000.0)"
+    " * (CAST(o_a AS DOUBLE) - CAST(e_a_scaled AS DOUBLE) / 1000000.0)"
+    " / (CAST(v_scaled AS DOUBLE) / 100000000.0)"
+    " ELSE NULL END"
+)
+
+
+def km_logrank(
+    df: DataFrame,
+    group_col: str,
+    duration_expr: str,
+    event_expr: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966): are the survival curves
+    of ``group_a`` and ``group_b`` the same? The natural follow-on to
+    :func:`km_curve`, sharing its cell aggregate (`_km_cells`).
+
+    The AUC/Mann-Whitney discipline applied to survival: per distinct
+    EVENT duration t, the hypergeometric expectation and variance of
+    group-a events given the margins —
+
+      E₁ₜ = dₜ·n₁ₜ/nₜ        V₁ₜ = dₜ·(n₁ₜ/nₜ)·(n₂ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)
+
+    — are accumulated as FLOOR-QUANTIZED INTEGER sums (p₁ = n₁·S div n
+    is exact BIGINT arithmetic, identical on both engines; float sums
+    would be partition-order-dependent). The χ² statistic is one fixed
+    double expression of the three exact integer sums at the end.
+
+    Scale shape: the subject table collapses to (grp, dur) cells in one
+    hash aggregate; the merge across groups is a |durations|-row pivot
+    + one ordered window (dimension-sized — duration resolution, not
+    corpus size, bounds it; see ``KM_MAX_DURATIONS``).
+
+    Returns ONE row: ``(o_a, o_b, e_a_scaled, v_scaled, chi2_milli)``
+    — observed events per group (exact), expected group-a events at
+    scale 10^6, variance at scale 10^8, and the χ² statistic in milli
+    units (NULL variance → NULL statistic: degenerate margins)."""
+    cells = _km_cells(df, group_col, duration_expr, event_expr).where(
+        F.col("grp").isin([group_a, group_b])
+    )
+    # pivot the two groups onto one row per duration; cumulative "ended
+    # strictly before t" per group over the UNION of durations gives
+    # n_g(t) even where g has no cell at t
+    per_dur = cells.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == group_a, F.col("d")).otherwise(0))
+        .cast("long").alias("d_a"),
+        F.sum(F.when(F.col("grp") == group_b, F.col("d")).otherwise(0))
+        .cast("long").alias("d_b"),
+        F.sum(
+            F.when(F.col("grp") == group_a, F.col("d") + F.col("c")).otherwise(0)
+        ).cast("long").alias("end_a"),
+        F.sum(
+            F.when(F.col("grp") == group_b, F.col("d") + F.col("c")).otherwise(0)
+        ).cast("long").alias("end_b"),
+    )
+    w = Window.orderBy("dur")
+    wall = Window.partitionBy()
+    risk = per_dur.select(
+        "dur", "d_a", "d_b",
+        (
+            F.sum("end_a").over(wall)
+            - (F.sum("end_a").over(w) - F.col("end_a"))
+        ).cast("long").alias("n_a"),
+        (
+            F.sum("end_b").over(wall)
+            - (F.sum("end_b").over(w) - F.col("end_b"))
+        ).cast("long").alias("n_b"),
+    ).where(F.col("d_a") + F.col("d_b") > 0)
+    terms = risk.select(
+        "d_a", "d_b",
+        F.expr("n_a + n_b").alias("n"),
+        F.expr("d_a + d_b").alias("d"),
+        F.expr(f"n_a * {_LR_SE} div (n_a + n_b)").alias("p_se"),
+        F.expr(f"n_a * {_LR_SV} div (n_a + n_b)").alias("p_sv"),
+    )
+    # overflow/2^53 guard: per-term e ≤ d·S_E, summed ≤ N·S_E — assert
+    # the total stays a double-exact BIGINT (the MV guard discipline)
+    out = terms.agg(
+        F.coalesce(F.sum("d_a"), F.lit(0)).cast("long").alias("o_a"),
+        F.coalesce(F.sum("d_b"), F.lit(0)).cast("long").alias("o_b"),
+        F.coalesce(F.sum(F.expr("d * p_se")), F.lit(0))
+        .cast("long").alias("e_a_scaled"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"(d * (n - d) div greatest(n - 1, 1)) * p_sv"
+                    f" * ({_LR_SV} - p_sv)"
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("v_scaled"),
+    )
+    out = out.where(
+        F.assert_true(
+            (F.col("e_a_scaled") <= F.lit(2**53))
+            & (F.col("v_scaled") <= F.lit(2**53)),
+            F.lit(
+                "km_logrank: a scaled log-rank sum exceeds 2^53 — "
+                "double-exactness of the final statistic is lost; "
+                "pre-aggregate or sample the cohort"
+            ),
+        ).isNull()
+    )
+    return out.withColumn(
+        "chi2_milli",
+        F.expr(f"CAST(floor(({_LR_CHI2}) * 1000.0 + 0.5) AS BIGINT)"),
+    )
+
+
+def km_logrank_sql(
+    rel: str,
+    group_col: str,
+    duration_expr: str,
+    event_expr: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin of :func:`km_logrank` — same cells, same pivot, same
+    floor-quantized integer sums, same final χ² formula text (`_LR_CHI2`
+    verbatim, so the one double expression is bit-identical)."""
+    return f"""
+    WITH subj AS (
+      SELECT {group_col} AS grp,
+             CAST({duration_expr} AS BIGINT) AS dur,
+             CAST({event_expr} AS BOOLEAN) AS ev
+      FROM {rel}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    cells AS (
+      SELECT grp, dur,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM subj GROUP BY grp, dur
+    ),
+    per_dur AS (
+      SELECT dur,
+             CAST(SUM(CASE WHEN grp = '{group_a}' THEN d ELSE 0 END) AS BIGINT) AS d_a,
+             CAST(SUM(CASE WHEN grp = '{group_b}' THEN d ELSE 0 END) AS BIGINT) AS d_b,
+             CAST(SUM(CASE WHEN grp = '{group_a}' THEN d + c ELSE 0 END) AS BIGINT) AS end_a,
+             CAST(SUM(CASE WHEN grp = '{group_b}' THEN d + c ELSE 0 END) AS BIGINT) AS end_b
+      FROM cells GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d_a, d_b,
+             CAST(SUM(end_a) OVER ()
+                  - (SUM(end_a) OVER (ORDER BY dur) - end_a) AS BIGINT) AS n_a,
+             CAST(SUM(end_b) OVER ()
+                  - (SUM(end_b) OVER (ORDER BY dur) - end_b) AS BIGINT) AS n_b
+      FROM per_dur
+    ),
+    terms AS (
+      SELECT d_a, d_b, n_a + n_b AS n, d_a + d_b AS d,
+             n_a * {_LR_SE} // (n_a + n_b) AS p_se,
+             n_a * {_LR_SV} // (n_a + n_b) AS p_sv
+      FROM risk WHERE d_a + d_b > 0
+    ),
+    sums AS (
+      SELECT CAST(COALESCE(SUM(d_a), 0) AS BIGINT) AS o_a,
+             CAST(COALESCE(SUM(d_b), 0) AS BIGINT) AS o_b,
+             CAST(COALESCE(SUM(d * p_se), 0) AS BIGINT) AS e_a_scaled,
+             CAST(COALESCE(SUM((d * (n - d) // greatest(n - 1, 1)) * p_sv
+                      * ({_LR_SV} - p_sv)), 0) AS BIGINT) AS v_scaled
+      FROM terms
+    )
+    SELECT o_a, o_b, e_a_scaled, v_scaled,
+           CAST(floor(({_LR_CHI2}) * 1000.0 + 0.5) AS BIGINT) AS chi2_milli
+    FROM sums
     """
