@@ -81,17 +81,33 @@ def main() -> None:
         "select_kcenter_coreset",
         "graph_kcore_membership",
     }
+    # construct_secs (VERDICT r15 ask #2): the iterative selectors (MMR,
+    # k-center, k-core) run their Spark actions at entry CONSTRUCTION,
+    # which the timed-write span never sees — select_kcenter_coreset read
+    # as 0.28 s in the r15 map while its isolated warm cost is 4.2 s. Time
+    # the fn(...) call per rep too and record the per-entry MIN above a
+    # 0.1 s floor (the floor keeps the map from growing 250+ near-zero
+    # plan-build rows; memoized fixture planting is a first-rep cost, so
+    # the MIN on min-of-2 entries reports the warm construct).
     timings: dict[str, float] = {}
     heavy_reps: dict[str, list[float]] = {}
+    construct: dict[str, float] = {}
+    construct_total = 0.0
     for name in sorted(REGISTRY):
         reps = 2 if name in heavy_min2 else 1
         secs: list[float] = []
+        csecs: list[float] = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
+            csecs.append(round(time.perf_counter() - t0, 4))
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             secs.append(round(time.perf_counter() - t0, 4))
         timings[name] = min(secs)
+        construct_total += min(csecs)
+        if min(csecs) >= 0.1:
+            construct[name] = min(csecs)
         if reps > 1:
             heavy_reps[name] = secs
 
@@ -156,6 +172,10 @@ def main() -> None:
         # the same code; the MIN is the number that reflects it)
         "ingest_rep_secs": ingest_reps,
         "rollup_rep_secs": rollup_reps,
+        # total entry-construction wall (plan build + any construction-
+        # time Spark actions); per-entry detail for entries ≥ 0.1 s is in
+        # the full line's construct_secs map
+        "construct_total_secs": round(construct_total, 4),
     }
     # Full per-query map first (the permanent record; ~10 KB with 250+
     # entries), THEN a compact final line. The driver keeps only the tail
@@ -164,7 +184,8 @@ def main() -> None:
     # "parsed": null. The final line stays well under the tail window:
     # totals + a fixed headline subset of per-query times.
     print(json.dumps({**common, "queries": timings,
-                      "heavy_rep_secs": heavy_reps}))
+                      "heavy_rep_secs": heavy_reps,
+                      "construct_secs": construct}))
     headline = [
         "tick_point_get",
         "tick_range_scan",
