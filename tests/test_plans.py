@@ -868,3 +868,19 @@ def test_split_leakage_plain_side_joins_nothing(spark):
     )
     assert count_op(plain_only, "Join") == 0
     assert count_op(plain_only, "Exchange") <= 1  # the 1-row combine
+
+
+def test_mmr_indexed_candidates_no_corpus_cosine(spark):
+    """VERDICT r15 ask #3: the index-sourced batch MMR must never score
+    the whole corpus — its candidate frame's corpus-sized stages are
+    equi-joins on the stored (table_id, bucket) signature column and on
+    cid (no BroadcastNestedLoopJoin, which is exactly the stage shape
+    the brute mmr_select_batch pays for its full cosine scan)."""
+    from tickdb_spark.operators.diversify import _index_candidates
+    from tickdb_spark.operators.similarity import lsh_signature_table
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    sig = lsh_signature_table(emb)
+    df = _index_candidates(emb, sig, [1, 5, 9], 32, "vec_id", "embedding")
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert count_op(df, "BroadcastHashJoin") >= 2  # bucket probe + qvec join

@@ -912,6 +912,61 @@ def test_kcore_equals_python_peel(spark, edges, k):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+def test_kcore_decompose_equals_python_and_duckdb(spark, edges):
+    """Full core decomposition equals (a) a direct python peel-at-
+    increasing-k and (b) the single-recursion DuckDB twin, on arbitrary
+    small graphs — every edge endpoint gets a core number ≥ 1."""
+    import duckdb
+
+    from tickdb_spark.operators.cluster import (
+        kcore_decompose,
+        kcore_decompose_sql,
+    )
+
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        r["node"]: r["core_num"] for r in kcore_decompose(df).collect()
+    }
+
+    want = {}
+    alive = {n for e in edges for n in e}
+    k = 1
+    while alive:
+        while True:
+            deg = {n: 0 for n in alive}
+            for a, b in edges:
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            new = {n for n in alive if deg[n] >= k}
+            if new == alive:
+                break
+            for n in alive - new:
+                want[n] = k - 1
+            alive = new
+        k += 1
+    assert got == want
+
+    con = duckdb.connect()
+    vals = " UNION ALL ".join(f"SELECT {a} AS id_a, {b} AS id_b"
+                              for a, b in sorted(edges))
+    duck = {
+        n: c
+        for n, c in con.execute(kcore_decompose_sql(vals)).fetchall()
+    }
+    assert duck == want
+
+
 def test_kcore_max_rounds_exhaustion_raises(spark):
     """ADVICE r15: exhausting max_rounds without a fixpoint must ERROR,
     not return a partial peel (a path graph at k=2 sheds only its two
@@ -952,6 +1007,79 @@ def test_mmr_batch_equals_per_query_loop(spark):
         one = mmr_select(df, qid, k=5, prefilter=30).toPandas()
         sub = batch[batch.query_id == qid][one.columns].reset_index(drop=True)
         pd.testing.assert_frame_equal(sub, one, check_dtype=False)
+
+
+def test_mmr_indexed_equals_brute_when_buckets_cover(spark):
+    """When every vector lands in every query's LSH buckets (clustered
+    fixtures with one shared dominant direction), the index-sourced
+    batch MMR must equal the brute-scan batch MMR exactly — candidate
+    sourcing is the ONLY difference between the two fronts."""
+    import numpy as np
+    import pandas as pd
+
+    from tickdb_spark.operators.diversify import (
+        mmr_select_batch,
+        mmr_select_batch_from_index,
+    )
+    from tickdb_spark.operators.similarity import lsh_signature_table
+
+    # seed 123: min |plane·base| = 0.33 over all 144 hyperplanes — far
+    # above float32 rounding, so positively-scaled copies keep every
+    # plane dot's sign exactly and all 40 vectors share one bucket per
+    # table (full LSH coverage)
+    rng = np.random.RandomState(123)
+    base = rng.randn(64).astype("float64")
+    rows = [
+        (i, [float(x) for x in (base * (1.0 + i / 100.0))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = lsh_signature_table(df)
+    # same dominant direction ⇒ same sign pattern ⇒ one bucket per table
+    # (24 LSH tables of 6 planes each)
+    assert sig.select("table_id", "bucket").distinct().count() == 24
+    qids = [0, 3]
+    brute = mmr_select_batch(df, qids, k=5, prefilter=40).toPandas()
+    idx = mmr_select_batch_from_index(df, sig, qids, k=5, prefilter=40).toPandas()
+    cols = sorted(brute.columns)
+    pd.testing.assert_frame_equal(
+        brute[cols].sort_values(cols).reset_index(drop=True),
+        idx[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_kcenter_floor_drops_low_relevance(spark):
+    """Quality-gated k-center: candidates below the relevance floor
+    never enter the coreset; the anchor itself is excluded; the
+    survivors' greedy equals plain k-center on the filtered corpus."""
+    import pandas as pd
+
+    from tickdb_spark.operators.diversify import kcenter_select
+
+    # anchor 0 = e1; ids 1-4 aligned with e1 (rel 1e6); 5-8 orthogonal
+    dim = 8
+    rows = [(0, [1.0] + [0.0] * (dim - 1))]
+    for i in range(1, 5):
+        v = [1.0] + [0.0] * (dim - 1)
+        v[1] = 0.01 * i
+        rows.append((i, v))
+    for i in range(5, 9):
+        v = [0.0] * dim
+        v[2 + (i - 5)] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_select(
+        df, k=8, query_id=0, rel_floor_ppm=500_000
+    ).toPandas()
+    assert set(got.vec_id) == {1, 2, 3, 4}  # orthogonals + anchor dropped
+    plain = kcenter_select(
+        df.where("vec_id IN (1,2,3,4)"), k=8
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), plain.reset_index(drop=True),
+        check_dtype=False,
+    )
 
 
 km_subj_st = st.tuples(

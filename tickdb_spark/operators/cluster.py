@@ -421,10 +421,22 @@ def kcore_nodes(
 
     Returns ``(node, core_deg)`` — members of the k-core with their
     degree INSIDE the core (≥ k by construction)."""
+    edges, alive = _edge_node_frames(pairs, src_col, dst_col)
+    alive, _ = _peel_fixpoint(edges, alive, alive.count(), k, max_rounds)
+    return _alive_degrees(edges, alive).select(
+        F.col("n").alias("node"), "deg"
+    ).withColumnRenamed("deg", "core_deg")
+
+
+def _edge_node_frames(
+    pairs: DataFrame, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Checkpointed distinct edge list + node spine shared by the k-core
+    family (referenced every round — pin the detector)."""
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .distinct()
-        .localCheckpoint()  # referenced every round — pin the detector
+        .localCheckpoint()
     )
     alive = (
         edges.select(F.col("a").alias("n"))
@@ -432,25 +444,38 @@ def kcore_nodes(
         .distinct()
         .localCheckpoint()
     )
-    prev = alive.count()
+    return edges, alive
 
-    def _core_edges(al: DataFrame) -> DataFrame:
-        return edges.join(
-            al.select(F.col("n").alias("a")), "a", "left_semi"
-        ).join(al.select(F.col("n").alias("b")), "b", "left_semi")
 
-    def _degrees(e2: DataFrame) -> DataFrame:
-        return (
-            e2.select(F.col("a").alias("n"))
-            .unionAll(e2.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        )
+def _alive_degrees(edges: DataFrame, alive: DataFrame) -> DataFrame:
+    """Per-node degree within the alive-restricted subgraph."""
+    e2 = edges.join(
+        alive.select(F.col("n").alias("a")), "a", "left_semi"
+    ).join(alive.select(F.col("n").alias("b")), "b", "left_semi")
+    return (
+        e2.select(F.col("a").alias("n"))
+        .unionAll(e2.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
 
-    converged = False
+
+def _peel_fixpoint(
+    edges: DataFrame,
+    alive: DataFrame,
+    alive_cnt: int,
+    k: int,
+    max_rounds: int,
+) -> tuple[DataFrame, int]:
+    """Peel ``alive`` at threshold ``k`` to the fixpoint; returns the
+    checkpointed fixpoint frame and its count. Raises on max_rounds
+    exhaustion (ADVICE r15: a partial peel returns nodes with degree < k,
+    breaking the contract and hash-diverging from the fixpoint oracle —
+    a path graph at k=2 sheds only its endpoints per round)."""
+    prev = alive_cnt
     for _ in range(max_rounds):
         new_alive = (
-            _degrees(_core_edges(alive))
+            _alive_degrees(edges, alive)
             .where(F.col("deg") >= int(k))
             .select("n")
             .localCheckpoint()
@@ -458,22 +483,16 @@ def kcore_nodes(
         cnt = new_alive.count()
         alive = new_alive
         if cnt == prev:  # monotone ⊆ + equal counts ⇒ fixpoint
-            converged = True
-            break
+            return alive, cnt
         prev = cnt
-    if not converged and prev > 0:
-        # ADVICE r15: a partial peel would return nodes with degree < k
-        # (breaking the '≥ k by construction' contract) and hash-diverge
-        # from the fixpoint oracle — e.g. a path graph at k=2 peels only
-        # its two endpoints per round. Error loudly instead.
-        raise RuntimeError(
-            f"kcore_nodes: peel did not reach a fixpoint within "
-            f"max_rounds={max_rounds} ({prev} nodes still alive) — "
-            "raise max_rounds (chain-like graphs peel O(diameter) rounds)"
-        )
-    return _degrees(_core_edges(alive)).select(
-        F.col("n").alias("node"), "deg"
-    ).withColumnRenamed("deg", "core_deg")
+    # loop exhausted without an equal-count round
+    if prev == 0:
+        return alive, 0  # empty set is trivially the fixpoint
+    raise RuntimeError(
+        f"kcore peel did not reach a fixpoint within "
+        f"max_rounds={max_rounds} ({prev} nodes still alive) — "
+        "raise max_rounds (chain-like graphs peel O(diameter) rounds)"
+    )
 
 
 def kcore_nodes_sql(
@@ -526,6 +545,121 @@ def kcore_nodes_sql(
       ) GROUP BY n
     )
     SELECT node, core_deg FROM core_deg
+    """
+
+
+def kcore_decompose(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_k: int = 64,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Full k-core decomposition (Seidman 1983; Matula & Beck 1983
+    degeneracy ordering): the CORE NUMBER of every node — the largest k
+    such that the node belongs to the k-core. The whole robustness
+    profile of the dedup graph in one frame, where :func:`kcore_nodes`
+    answers only a single membership question: core-1 nodes are
+    incidental pairs, the max-core nodes are the densest duplication
+    family, and the distribution is the graph's degeneracy fingerprint.
+
+    Mechanics: repeated frontier peeling at INCREASING k — the k-core is
+    a subset of the (k−1)-core, so each level starts from the previous
+    fixpoint (never the full graph), and a node dropped while peeling at
+    level k has core number k−1. Total driver rounds = Σ per-level peel
+    rounds ≤ degeneracy + total shrink rounds; every round's plan is one
+    semi-restricted degree aggregate on a checkpointed alive set
+    (constant depth — the iterative-plan lesson). Shuffle per round is
+    the surviving edge volume; at 100 TB levels shrink geometrically for
+    near-dup graphs (degeneracy stays small: dup families are dense but
+    tiny).
+
+    Returns ``(node, core_num)`` for every node in the edge list
+    (``core_num ≥ 1``: an edge endpoint always survives the 1-core)."""
+    spark = pairs.sparkSession
+    edges, alive = _edge_node_frames(pairs, src_col, dst_col)
+    cnt = alive.count()
+    out_parts: list[DataFrame] = []
+    schema = "node long, core_num long"
+    for k in range(1, int(max_k) + 1):
+        if cnt == 0:
+            break
+        fix, fix_cnt = _peel_fixpoint(edges, alive, cnt, k, max_rounds)
+        if fix_cnt < cnt:
+            dropped = alive.join(fix, "n", "left_anti").select(
+                F.col("n").alias("node"),
+                F.lit(k - 1).cast("long").alias("core_num"),
+            )
+            out_parts.append(dropped)
+        alive, cnt = fix, fix_cnt
+    else:
+        if cnt > 0:
+            raise RuntimeError(
+                f"kcore_decompose: core numbers exceed max_k={max_k} "
+                f"({cnt} nodes still in the {max_k}-core) — raise max_k"
+            )
+    if not out_parts:
+        return spark.createDataFrame([], schema)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def kcore_decompose_sql(
+    pairs_sql: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`kcore_decompose`: ONE recursive CTE whose
+    state is ``(step, k, alive-list)`` — each step runs a single peel
+    round at the current k (drop alive nodes with in-alive degree < k);
+    an unchanged round ADVANCES k instead (the carried fixpoint test).
+    A node's core number is ``k − 1`` for the step level k at which it
+    left the alive list — recovered afterwards with one ``lead()`` over
+    the emitted levels (no self-join: the recursion would re-evaluate
+    per reference)."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT {src_col} AS a, {dst_col} AS b FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT n FROM (
+        SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+      )
+    ),
+    peel(step, k, alive) AS (
+      SELECT 0, 1, COALESCE((SELECT list(n ORDER BY n) FROM nodes), [])
+      UNION ALL
+      SELECT p.step + 1,
+             CASE WHEN len(nx.new_alive) < len(p.alive)
+                  THEN p.k ELSE p.k + 1 END,
+             CASE WHEN len(nx.new_alive) < len(p.alive)
+                  THEN nx.new_alive ELSE p.alive END
+      FROM peel p, LATERAL (
+        SELECT COALESCE(list(n ORDER BY n), []) AS new_alive FROM (
+          SELECT n FROM (
+            SELECT a AS n FROM edges
+            WHERE list_contains(p.alive, a) AND list_contains(p.alive, b)
+            UNION ALL
+            SELECT b AS n FROM edges
+            WHERE list_contains(p.alive, a) AND list_contains(p.alive, b)
+          ) GROUP BY n HAVING count(*) >= p.k
+        )
+      ) nx
+      WHERE len(p.alive) > 0
+    ),
+    steps AS MATERIALIZED (
+      SELECT step, k, alive,
+             lead(alive) OVER (ORDER BY step) AS next_alive
+      FROM peel
+    )
+    SELECT unnest(list_filter(alive, n -> NOT list_contains(next_alive, n)))
+             AS node,
+           CAST(k - 1 AS BIGINT) AS core_num
+    FROM steps
+    WHERE next_alive IS NOT NULL AND len(next_alive) < len(alive)
     """
 
 

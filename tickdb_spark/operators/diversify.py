@@ -238,11 +238,186 @@ def mmr_select_batch_sql(
     return " UNION ALL ".join(blocks)
 
 
+def mmr_select_batch_from_index(
+    emb: DataFrame,
+    sig: DataFrame,
+    query_ids: list[int],
+    k: int = 8,
+    lam_ppm: int = MMR_LAM_PPM,
+    prefilter: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch MMR with candidates sourced from a STORED LSH-signature
+    index instead of a brute corpus cosine scan (VERDICT r15 ask #3 —
+    the ann_topk_filtered routing idea applied to selection). ``sig`` is
+    the ``(vec_id, table_id, bucket)`` multi-table signature frame —
+    either batch-built (:func:`similarity.lsh_signature_table`) or the
+    maintained streaming face's index table: the candidate set for each
+    query is every vector sharing ≥ 1 band bucket with it, so the ONLY
+    per-query corpus work is equi-joins on (table_id, bucket) — exact
+    cosines are computed for candidates alone, never the corpus (no
+    BroadcastNestedLoopJoin stage; plan-pinned in tests). Recall < 1 by
+    LSH design — the documented trade of every index-routed ANN path.
+
+    Output schema and greedy semantics are identical to
+    :func:`mmr_select_batch` (same integer scores, same tie-breaks), so
+    the two differ only in candidate sourcing."""
+    top = _index_candidates(
+        emb, sig, query_ids, prefilter, id_col, vec_col
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in top:
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["cid"]), list(r["vec"]), int(r["rel_q"]))
+        )
+    rows = []
+    for qid in sorted(by_q):
+        for rnk, cid, rq, ms, sc in _greedy_mmr(
+            by_q[qid], int(k), int(lam_ppm)
+        ):
+            rows.append((qid, rnk, cid, rq, ms, sc))
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "query_id long, rnk int, vec_id long, rel_q long,"
+        " maxsim_q long, mmr_q long",
+    )
+
+
+def _index_candidates(
+    emb: DataFrame,
+    sig: DataFrame,
+    query_ids: list[int],
+    prefilter: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The index-probe candidate frame of
+    :func:`mmr_select_batch_from_index`, exposed so plan tests can pin
+    the no-full-corpus-cosine property (the only corpus-sized stages
+    are equi-joins on the stored (table_id, bucket) column and on cid —
+    never a BroadcastNestedLoopJoin scoring every row)."""
+    qids = [int(x) for x in query_ids]
+    q = emb.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    qsig = sig.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("qid"), "table_id", "bucket"
+    )
+    cand_ids = (
+        sig.join(F.broadcast(qsig), ["table_id", "bucket"])
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col).alias("cid"))
+        .distinct()
+    )
+    rel = F.expr(
+        f"CAST(floor(({cosine_expr('qvec', 'vec')}) * 1000000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    from pyspark.sql import Window
+
+    # the candidate set is bucket-bounded, but keep the two-phase salted
+    # top-N anyway: a hot bucket must not serialize one query's scoring
+    # onto a single task (the grouped-top-k pattern, same as the brute
+    # batch front)
+    salts = 16
+    wloc = Window.partitionBy("qid", "_salt").orderBy(F.desc("rel_q"), "cid")
+    wglob = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
+    return (
+        cand_ids.join(
+            emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec")),
+            "cid",
+        )
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "cid", "vec", rel.alias("rel_q"),
+            F.pmod(F.col("cid"), F.lit(salts)).alias("_salt"),
+        )
+        .withColumn("_rn", F.row_number().over(wloc))
+        .where(F.col("_rn") <= int(prefilter))
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(wglob))
+        .where(F.col("_rn") <= int(prefilter))
+    )
+
+
+def mmr_select_batch_from_index_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 8,
+    lam_ppm: int = MMR_LAM_PPM,
+    prefilter: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin of :func:`mmr_select_batch_from_index`: replays the
+    index PROBE (signatures recomputed with the literal bucket
+    expansions — bit-identical to the stored column, the house LSH
+    recipe) and then the same per-query recursive-CTE greedy, with the
+    cand CTE restricted to bucket-mates before the top-``prefilter``."""
+    from tickdb_spark.operators.similarity import lsh_signature_table_sql
+
+    sigs = lsh_signature_table_sql(table, id_col, vec_col)
+    cosq = cosine_expr("q.qvec", "c.vec", dim, sql=True)
+    cosp = cosine_expr("c.vec", "c2.vec", dim, sql=True)
+    blocks = []
+    for qid in query_ids:
+        ms = (
+            f"(SELECT MAX(CAST(floor(({cosp}) * 1000000.0 + 0.5) AS BIGINT)) "
+            f"FROM cand c2 WHERE list_contains(s.ids, c2.vec_id))"
+        )
+        blocks.append(f"""
+    SELECT CAST({int(qid)} AS BIGINT) AS query_id, * FROM (
+    WITH RECURSIVE sigs AS MATERIALIZED ({sigs}),
+    cids AS MATERIALIZED (
+      SELECT DISTINCT s.{id_col} AS vec_id
+      FROM sigs s JOIN sigs qs
+        ON s.table_id = qs.table_id AND s.bucket = qs.bucket
+      WHERE qs.{id_col} = {int(qid)} AND s.{id_col} <> {int(qid)}
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id, vec, rel_q FROM (
+        SELECT c.vec_id, c.vec,
+               CAST(floor(({cosq}) * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+        FROM (SELECT t.{id_col} AS vec_id, t.{vec_col} AS vec FROM {table} t
+              JOIN cids ON t.{id_col} = cids.vec_id) c,
+             (SELECT {vec_col} AS qvec FROM {table}
+              WHERE {id_col} = {int(qid)}) q
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY rel_q DESC, vec_id)
+                  <= {int(prefilter)}
+    ),
+    sel AS (
+      (SELECT 1 AS rnk, vec_id, rel_q,
+              CAST(0 AS BIGINT) AS maxsim_q,
+              {int(lam_ppm)} * rel_q AS mmr_q,
+              [vec_id] AS ids
+       FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT s.rnk + 1, p.vec_id, p.rel_q, p.maxsim_q, p.mmr_q,
+             list_append(s.ids, p.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id, c.rel_q, {ms} AS maxsim_q,
+               {int(lam_ppm)} * c.rel_q
+                 - (1000000 - {int(lam_ppm)}) * {ms} AS mmr_q
+        FROM cand c
+        WHERE NOT list_contains(s.ids, c.vec_id)
+        ORDER BY mmr_q DESC, c.vec_id LIMIT 1
+      ) p
+      WHERE s.rnk < {int(k)}
+    )
+    SELECT rnk, vec_id, rel_q, maxsim_q, mmr_q FROM sel ORDER BY rnk
+    )""")
+    return " UNION ALL ".join(blocks)
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_id: int | None = None,
+    rel_floor_ppm: int | None = None,
 ) -> DataFrame:
     """Farthest-first (Gonzalez 1985 k-center greedy) coreset selection:
     seed with the smallest id (a fixed, documented convention — any
@@ -266,8 +441,30 @@ def kcenter_select(
     crossJoin + one fold deep regardless of k — without it the
     accumulated greatest() chain re-analyzes and re-compiles per step
     (measured ~1.4 s/step of pure plan overhead at any data size) and
-    each action recomputes all earlier folds."""
+    each action recomputes all earlier folds.
+
+    ``query_id`` + ``rel_floor_ppm`` (r16): the QUALITY-GATED coreset —
+    drop candidates whose ppm cosine relevance to the anchor vector
+    falls below the floor BEFORE the greedy (and exclude the anchor
+    itself), so the coreset spreads over the relevant slice only. The
+    floor filter is one broadcast crossJoin + fold on the corpus scan
+    it already pays; the seed convention (smallest surviving id) and
+    tie-breaks are unchanged."""
     cand = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
+    if query_id is not None and rel_floor_ppm is not None:
+        anchor = emb.where(F.col(id_col) == int(query_id)).select(
+            F.col(vec_col).alias("qvec")
+        )
+        rel = F.expr(
+            f"CAST(floor(({cosine_expr('qvec', 'vec')}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        )
+        cand = (
+            cand.where(F.col("cid") != int(query_id))
+            .crossJoin(F.broadcast(anchor))
+            .where(rel >= int(rel_floor_ppm))
+            .select("cid", "vec")
+        )
     seed_rows = cand.orderBy("cid").limit(1).collect()
     out_schema = "rnk int, vec_id long, maxsim_q long"
     if not seed_rows:
@@ -315,17 +512,34 @@ def kcenter_select_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMB_DIM,
+    query_id: int | None = None,
+    rel_floor_ppm: int | None = None,
 ) -> str:
     """DuckDB twin: the same greedy as a recursive-CTE per-level ARGMIN
-    of the correlated max-similarity aggregate."""
+    of the correlated max-similarity aggregate; with a quality floor the
+    cand CTE carries the same anchor-relevance filter."""
     cosp = cosine_expr("c.vec", "c2.vec", dim, sql=True)
     ms = (
         f"(SELECT MAX(CAST(floor(({cosp}) * 1000000.0 + 0.5) AS BIGINT)) "
         f"FROM cand c2 WHERE list_contains(s.ids, c2.vec_id))"
     )
+    if query_id is not None and rel_floor_ppm is not None:
+        cosq = cosine_expr("q.qvec", "c.vec", dim, sql=True)
+        cand_body = f"""
+      SELECT vec_id, vec FROM (
+        SELECT c.vec_id, c.vec,
+               CAST(floor(({cosq}) * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+        FROM (SELECT {id_col} AS vec_id, {vec_col} AS vec FROM {table}
+              WHERE {id_col} <> {int(query_id)}) c,
+             (SELECT {vec_col} AS qvec FROM {table}
+              WHERE {id_col} = {int(query_id)}) q
+      ) WHERE rel_q >= {int(rel_floor_ppm)}
+        """
+    else:
+        cand_body = f"SELECT {id_col} AS vec_id, {vec_col} AS vec FROM {table}"
     return f"""
     WITH RECURSIVE cand AS MATERIALIZED (
-      SELECT {id_col} AS vec_id, {vec_col} AS vec FROM {table}
+      {cand_body}
     ),
     sel AS (
       (SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS maxsim_q,
