@@ -2074,3 +2074,91 @@ def test_stream_groupby_mv_topk_states(tmp_path, spark):
         "rid", k=3,
     ))
     assert got3 == _py_topk(corrected_rows + [("a", 99.0, 8)])
+
+
+def test_compact_all_unified_workdir_pass(tmp_path, spark):
+    """Unified lifecycle (VERDICT r15 ask #4): two faces maintain their
+    logs under ONE work_dir (LSH signatures + group-by MV partials);
+    compact_all drives each log's compact_index off the shared
+    compaction_policy trigger in one pass. Rows are bit-identical
+    before/after per table, epoch-dir counts collapse to a single
+    sorted file, checkpoint dirs and not-due logs are left alone, and
+    the report says why each log was or wasn't rewritten."""
+    import glob
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from tickdb_spark.streaming.index import (
+        _SIG_SCHEMA,
+        _read_maintained,
+        compact_all,
+        compaction_policy,
+        stream_ann_index_maintenance,
+        stream_groupby_mv_maintenance,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(60)
+    )
+    pdf = emb.toPandas()
+    land_e = tmp_path / "landing_emb"
+    land_e.mkdir()
+    for i in range(3):
+        pdf.iloc[i * 20 : (i + 1) * 20].to_parquet(
+            land_e / f"b{i}.parquet", index=False
+        )
+    land_m = tmp_path / "landing_mv"
+    land_m.mkdir()
+    for i in range(3):
+        pd.DataFrame({"g": ["a", "b"], "v": [1.0 + i, 2.0 + i]}).to_parquet(
+            land_m / f"b{i}.parquet", index=False
+        )
+    work = str(tmp_path / "state")
+    mv_schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    sig_before = stream_ann_index_maintenance(
+        spark, str(land_e), work, schema=emb.schema
+    ).collect()
+    mv_before = stream_groupby_mv_maintenance(
+        spark, str(land_m), work, mv_schema, ["g"], "v"
+    ).collect()
+
+    # 3 epochs each; max_epochs=2 makes both logs due, tombstone seed not
+    reports = compact_all(spark, work, max_epochs=2)
+    by_name = {r["table"]: r for r in reports}
+    assert by_name["signatures"]["compacted"] is True
+    assert by_name["mv_partials"]["compacted"] is True
+    assert any("epochs" in s for s in by_name["signatures"]["reasons"])
+    # the MV tombstone seed (0 epochs) is discovered but not rewritten
+    assert by_name["mv_tombstones"]["compacted"] is False
+    assert not any(t.startswith("checkpoint") for t in by_name)
+
+    # identical rows, one file, zero epoch dirs after
+    for name, before in (("signatures", sig_before),):
+        dest = by_name[name]["dest"]
+        after = spark.read.parquet(dest).collect()
+        assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+        assert len(glob.glob(dest + "/*.parquet")) == 1
+        assert compaction_policy(dest)["epochs"] == 0
+    # MV: the merged VIEW over the compacted partials equals the live one
+    from tickdb_spark.streaming.index import groupby_mv_report
+
+    comp = spark.read.parquet(by_name["mv_partials"]["dest"])
+    view_after = groupby_mv_report(comp, ["g"]).collect()
+    assert sorted(map(tuple, view_after)) == sorted(
+        map(tuple, (r for r in mv_before))
+    )
+
+    # second pass: nothing due anymore on the compacted bases; the live
+    # logs still carry their epochs so they stay due (the caller swaps
+    # probes to dest and retires the log, per the compact_index contract)
+    again = compact_all(spark, work, max_epochs=2)
+    assert {r["table"] for r in again} == set(by_name)

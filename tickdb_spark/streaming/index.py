@@ -173,6 +173,99 @@ def compaction_policy(
     }
 
 
+#: probe-sort keys for the canonical face state-log dir names — the key
+#: each face's read path prunes on (postings probe by token, IVF by
+#: cell, LSH by (table_id, bucket), …). Anything unlisted sorts by its
+#: full column list in schema order: still one sorted file with min/max
+#: envelopes, just without a curated probe key.
+COMPACT_SORT_COLS: dict[str, list[str]] = {
+    "signatures": ["table_id", "bucket", "vec_id"],
+    "pq_codes": ["vec_id", "m"],
+    "ivf_cells": ["cell", "vec_id"],
+    "phash_fingerprints": ["dhash_hi", "dhash_lo"],
+    "eval_grams": ["gram"],
+    "postings": ["token", "doc_id"],
+    "bm25_doc_ids": ["doc_id"],
+    "hll_registers": ["bucket"],
+    "fingerprints": ["content_hash"],
+    "doc_stats": ["doc_id"],
+    "bk_samples": ["_key", "_h"],
+    "components": ["id"],
+    "scd2_events": ["user_id", "ts_us"],
+    "scd2_history": ["user_id"],
+    "dq_counters": ["check_name", "epoch"],
+}
+
+
+def compact_all(
+    spark: SparkSession,
+    work_dir: str,
+    force: bool = False,
+    n_files: int = 1,
+    exclude: tuple[str, ...] = ("kept",),
+    **policy_kwargs,
+) -> list[dict]:
+    """Unified state-log compaction (VERDICT r15 ask #4): ONE pass over
+    a maintenance ``work_dir`` driving every face's existing
+    :func:`compact_index` off the shared :func:`compaction_policy`
+    trigger — today each log compacts separately; a long-running
+    pipeline wants "compact whatever is due under this work_dir" as a
+    single maintenance verb.
+
+    Discovery is structural, not schema-coded: any subdirectory holding
+    parquet (the seed + ``epoch_*`` layout every face writes) is a
+    candidate; ``checkpoint*`` dirs, prior ``*_compacted`` outputs, and
+    ``exclude`` names (default: the dedup stream's corpus-sized
+    ``kept`` output — data, not index state) are skipped. Schemas come
+    from the log's own parquet footers with ``mergeSchema`` (evolved
+    logs — the doc_stats V1→V2 face — compact to the union schema with
+    NULL backfill, exactly the face's own evolved-read semantics; the
+    footers carry the types the faces declared at write time, so no
+    pandas-style inference ever picks a type). Sort keys come from
+    ``COMPACT_SORT_COLS`` by dir name, falling back to the full column
+    list.
+
+    Per table, compaction runs iff ``force`` or the policy fires; rows
+    are identical by construction (compact_index is a sorted rewrite).
+    Returns one report dict per discovered table — the policy stats
+    plus ``compacted``/``dest`` — so callers can log WHY each log was
+    or wasn't rewritten."""
+    reports: list[dict] = []
+    for name in sorted(os.listdir(work_dir)):
+        d = os.path.join(work_dir, name)
+        if not os.path.isdir(d):
+            continue
+        if name.startswith("checkpoint") or name.endswith("_compacted"):
+            continue
+        if name in exclude:
+            continue
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d)
+            for f in fs
+        )
+        if not has_parquet:
+            continue
+        pol = compaction_policy(d, **policy_kwargs)
+        row = {"table": name, "compacted": False, "dest": None, **pol}
+        if force or pol["due"]:
+            merged_schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true")
+                .parquet(d)
+                .schema
+            )
+            sort_cols = COMPACT_SORT_COLS.get(
+                name, [f.name for f in merged_schema.fields]
+            )
+            row["dest"] = compact_index(
+                spark, d, merged_schema, sort_cols, n_files
+            )
+            row["compacted"] = True
+        reports.append(row)
+    return reports
+
+
 def emb_schema(dim: int = 64) -> T.StructType:
     return T.StructType(
         [
