@@ -11735,6 +11735,249 @@ def tick_calendar_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "analytics_km_logrank",
+    _survival.km_logrank_sql(
+        "events", "event_type", "event_id % 30 + 1", "event_id % 4 <> 0",
+        "click", "view",
+    ),
+    "two-sample log-rank test (Mantel 1966) — are two groups' survival "
+    "curves the same? The natural follow-on to analytics_km_survival, "
+    "sharing its (group, duration) cell aggregate. Per distinct event "
+    "duration the hypergeometric O/E/V terms accumulate as FLOOR-"
+    "QUANTIZED BIGINT sums (p = n_a·S div n at S=1e6 for expectation, "
+    "1e4-per-factor for variance — exact integer arithmetic on both "
+    "engines; float sums would be partition-order-dependent), and the "
+    "chi-square statistic is ONE fixed double expression of the three "
+    "exact integer sums (the AUC/Mann-Whitney discipline), 2^53-guarded. "
+    "Scale: subjects collapse to cells in one hash aggregate; the "
+    "cross-group merge is a |durations|-row pivot + one ordered window "
+    "(duration resolution, not corpus size, bounds it)",
+)
+def analytics_km_logrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return _survival.km_logrank(
+        ev, "event_type", "event_id % 30 + 1", "event_id % 4 != 0",
+        "click", "view",
+    )
+
+
+@register(
+    "graph_kcore_decomposition",
+    _cluster.kcore_decompose_sql(
+        _dedup.ngram_jaccard_pairs_sql("documents", "text", "doc_id", threshold=0.5)
+    ),
+    "FULL k-core decomposition (Seidman 1983; Matula-Beck degeneracy): "
+    "the core NUMBER of every node in the near-dup graph — the whole "
+    "robustness profile where graph_kcore_membership answers one "
+    "membership question (core-1 = incidental pairs, max-core = the "
+    "densest duplication family). Repeated frontier peeling at "
+    "increasing k, each level starting from the previous fixpoint "
+    "(k-core ⊆ (k−1)-core — never the full graph); every round one "
+    "semi-restricted degree aggregate on a checkpointed alive set "
+    "(constant plan depth), shuffle = surviving edges. The oracle is "
+    "ONE recursive CTE carrying (step, k, alive-list) — one peel round "
+    "or one k-advance per step — with core numbers recovered by a "
+    "single lead() diff over the emitted levels. All exact integers",
+)
+def graph_kcore_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    pairs = _dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return _cluster.kcore_decompose(pairs)
+
+
+@register(
+    "select_kcenter_quality_floor",
+    _diversify.kcenter_select_sql(
+        "embeddings", k=8, query_id=3, rel_floor_ppm=0
+    ),
+    "quality-gated k-center coreset (Gonzalez 1985 + relevance floor — "
+    "the r15 kcenter entry's scouted follow-on): candidates below a ppm "
+    "cosine-relevance floor to an anchor vector are dropped BEFORE the "
+    "farthest-first greedy, so the coreset spreads over the relevant "
+    "slice only (anchor excluded; floor 0 ≈ the corpus's top half — and "
+    "because rel_q is the same exact BIGINT on both engines, the floor "
+    "comparison can never sit marginal the way a ratio-threshold router "
+    "can). The floor filter rides the corpus scan the greedy already "
+    "pays (one broadcast crossJoin + fold); per-step plans stay "
+    "constant-depth via eager checkpoints. Oracle replays filter + "
+    "greedy as the same recursive-CTE per-level argmin",
+)
+def select_kcenter_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return _diversify.kcenter_select(emb, k=8, query_id=3, rel_floor_ppm=0)
+
+
+@register(
+    "select_mmr_batch_indexed",
+    _diversify.mmr_select_batch_from_index_sql(
+        "embeddings", [1, 5, 9], k=5, prefilter=32
+    ),
+    "batch MMR with candidates sourced from the STORED multi-table LSH "
+    "signature index instead of a brute corpus cosine scan (VERDICT r15 "
+    "ask #3 — the last selector whose fallback was a full scan): each "
+    "query's candidates are the vectors sharing ≥1 band bucket, so the "
+    "only corpus-sized stages are equi-joins on the stored (table_id, "
+    "bucket) column and on cid — no BroadcastNestedLoopJoin, plan-"
+    "pinned; exact cosines are computed for candidates alone, then the "
+    "same salted two-phase top-N and the same integer greedy as "
+    "select_mmr_batch_queries (recall < 1 by LSH design, the documented "
+    "trade of every index-routed ANN path). The oracle replays the "
+    "probe with literal bucket expansions (bit-identical buckets — the "
+    "house LSH recipe) and the same recursive-CTE greedy",
+)
+def select_mmr_batch_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    sig = _sim.lsh_signature_table(emb)
+    return _diversify.mmr_select_batch_from_index(
+        emb, sig, [1, 5, 9], k=5, prefilter=32
+    )
+
+
+_COMPACT_ALL_CACHE: dict[str, list] = {}
+
+
+def _compact_all_fixture(spark: SparkSession, sf_dir: str) -> list:
+    """Plant a two-face work_dir (LSH signatures + group-by MV), stream
+    3 landing files into each, run the unified compact_all pass, and
+    return deterministic per-log audit tuples. Memoized per sf_dir (the
+    trained-state precedent) — the oracle predicts literals, so the
+    memo cannot hide drift."""
+    if sf_dir in _COMPACT_ALL_CACHE:
+        return _COMPACT_ALL_CACHE[sf_dir]
+    from pyspark.sql import types as _T
+
+    from tickdb_spark.streaming.index import (
+        _read_maintained,
+        compact_all,
+        compaction_policy,
+        stream_ann_index_maintenance,
+        stream_groupby_mv_maintenance,
+    )
+
+    work = _os.path.join(_tempfile.mkdtemp(prefix="tickdb_compact_all_"), "state")
+    base = 1_700_000_000
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    epdf = emb.toPandas()
+    land_e = _os.path.join(_os.path.dirname(work), "landing_emb")
+    _os.makedirs(land_e)
+    for k in range(3):
+        part = epdf[epdf.vec_id % 3 == k]
+        _write_landing(
+            part, emb.schema, _os.path.join(land_e, f"b{k}.parquet"), base + k
+        )
+    ev = (
+        _read_events(spark, sf_dir)
+        .where(F.col("user_id") < 50)
+        .select("event_id", "event_type", "value")
+    )
+    mv_schema = _T.StructType(
+        [
+            _T.StructField("event_id", _T.LongType(), False),
+            _T.StructField("event_type", _T.StringType(), False),
+            _T.StructField("value", _T.DoubleType(), True),
+        ]
+    )
+    evdf = ev.toPandas()
+    land_m = _os.path.join(_os.path.dirname(work), "landing_mv")
+    _os.makedirs(land_m)
+    for k in range(3):
+        part = evdf[evdf.event_id % 3 == k]
+        _write_landing(
+            part, mv_schema, _os.path.join(land_m, f"b{k}.parquet"), base + k
+        )
+    sig_live = stream_ann_index_maintenance(
+        spark, land_e, work,
+        schema=_T.StructType(
+            [
+                _T.StructField("vec_id", _T.LongType(), False),
+                _T.StructField("embedding", _T.ArrayType(_T.FloatType()), True),
+            ]
+        ),
+    )
+    mv_live_rows = sorted(
+        map(
+            tuple,
+            stream_groupby_mv_maintenance(
+                spark, land_m, work, mv_schema, ["event_type"], "value"
+            ).collect(),
+        )
+    )
+    sig_live_rows = sorted(map(tuple, sig_live.collect()))
+    reports = compact_all(spark, work, max_epochs=2)
+    rows = []
+    for r in sorted(reports, key=lambda x: x["table"]):
+        if r["compacted"]:
+            comp = sorted(map(tuple, spark.read.parquet(r["dest"]).collect()))
+            live = sig_live_rows if r["table"] == "signatures" else mv_live_rows
+            if r["table"] == "mv_partials":
+                # partials are epoch-log rows; compare the merged VIEW
+                from tickdb_spark.streaming.index import groupby_mv_report
+
+                comp = sorted(
+                    map(
+                        tuple,
+                        groupby_mv_report(
+                            spark.read.parquet(r["dest"]), ["event_type"]
+                        ).collect(),
+                    )
+                )
+            identical = comp == live
+            epochs_after = compaction_policy(r["dest"])["epochs"]
+        else:
+            identical = None
+            epochs_after = None
+        rows.append(
+            (
+                r["table"],
+                bool(r["due"]),
+                bool(r["compacted"]),
+                int(r["epochs"]),
+                epochs_after,
+                identical,
+            )
+        )
+    _COMPACT_ALL_CACHE[sf_dir] = rows
+    return rows
+
+
+@register(
+    "index_compact_all_audit",
+    """
+    SELECT * FROM (
+      SELECT 'mv_partials' AS log_name, TRUE AS due, TRUE AS compacted,
+             CAST(3 AS BIGINT) AS epochs_before,
+             CAST(0 AS BIGINT) AS epochs_after, TRUE AS rows_identical
+      UNION ALL
+      SELECT 'mv_tombstones', FALSE, FALSE, CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+      UNION ALL
+      SELECT 'signatures', TRUE, TRUE, CAST(3 AS BIGINT),
+             CAST(0 AS BIGINT), TRUE
+    )
+    """,
+    "unified state-log compaction audit (VERDICT r15 ask #4): TWO faces "
+    "maintain their epoch logs under ONE work_dir (LSH signatures + "
+    "group-by MV partials, 3 stream epochs each); compact_all drives "
+    "each log's compact_index off the shared compaction_policy trigger "
+    "in a single pass. The emitted row per discovered log carries only "
+    "the DETERMINISTIC lifecycle facts — due/compacted flags, epoch "
+    "counts before (3, fixture-controlled) and after (0), and a rows-"
+    "identical boolean comparing the compacted table (for the MV log: "
+    "its merged VIEW) against the live log — the bound-check-boolean "
+    "discipline that makes engine-internal lifecycle hash-checkable; "
+    "byte statistics stay out (box-dependent). The MV tombstone seed is "
+    "discovered but correctly NOT rewritten (0 epochs, nothing due)",
+)
+def index_compact_all_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _compact_all_fixture(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "log_name string, due boolean, compacted boolean,"
+        " epochs_before long, epochs_after long, rows_identical boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering.
 #
