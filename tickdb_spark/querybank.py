@@ -11988,78 +11988,77 @@ def index_compact_all_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r15 head: the 1 entry NEW in r15 (MV-face HLL distinct states) and
-#: the 6 entries whose behavior or oracle text changed this round lead;
-#: then the FULL remaining r9-stale cohort (31 — VERDICT r14 ask #1);
-#: the last 12 slots take the r10 cohort's first 12 alphabetically (the
-#: remaining 33 r10 entries queue for the r16 head).
+#: r16 head: the 5 entries NEW in r16 and the 5 whose kernels changed
+#: this round lead; then the FULL remaining r10-stale cohort (38 —
+#: VERDICT r15 ask #1, exactly the evidence-ledger listing); the last
+#: 2 slots start the r11 cohort alphabetically.
 #: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (0) NEW in r15 — never sampled by construction
-    "stream_groupby_mv_hll_distinct",
-    "stream_groupby_mv_topk",
-    "select_mmr_diverse_topk",
-    "select_mmr_batch_queries",
-    "select_kcenter_coreset",
-    "analytics_km_survival",
-    "graph_kcore_membership",
-    # (1) CHANGED in r15 — behavior or oracle text edited this round, so
-    # they need fresh driver proof regardless of when last sampled:
-    # lazy width-as-column planner (+ empty-input/overflow-safe width
-    # exprs in the SQL twin); MV variance overflow guards touch the
-    # partial kernel and report of both MV entries; seasonal ANOVA row
-    # bound; dedup-recall tau 0.7→0.8 (values changed); zorder entry now
-    # exercises the self-tuning n_files=None path
-    "diag_join_planner_autowidth",
-    "stream_groupby_mv_variance_rebuild",
+    # (0) NEW in r16 — never sampled by construction
+    "analytics_km_logrank",
+    "graph_kcore_decomposition",
+    "select_kcenter_quality_floor",
+    "select_mmr_batch_indexed",
+    "index_compact_all_audit",
+    # (1) CHANGED in r16 — kernel code edited this round, so they need
+    # fresh driver proof regardless of when last sampled: the MV
+    # partial kernel grew the max_rows budget knob + NULL-tolerant q2
+    # guard (both MV entries); the k-core peel was refactored into the
+    # shared fixpoint helper with the exhaustion raise; km_curve now
+    # shares _km_cells and carries the duration ceiling; kcenter_select
+    # grew the optional quality-floor parameters
     "stream_groupby_mv_maintenance",
-    "trend_seasonal_strength_anova",
-    "eval_dedup_recall_lsh",
-    "source_zorder_pruning",
-    # (2) stalest driver proof: the FULL remaining r9 cohort (31 entries,
-    # last driver-hash-proven in round 9 — VERDICT r14 ask #1)
-    "media_phash_dedup_clusters",
-    "media_phash_neardup_pairs",
-    "pipeline_media_curation",
-    "sample_hash_deterministic",
-    "sample_stratified_quota",
-    "sample_weighted_mixture",
-    "sessionize_user_events",
-    "sim_ann_topk_ivf",
-    "stream_stateful_spike_detect",
-    "text_pmi_collocations",
-    "text_unigram_tokenize",
-    "text_unigram_train_vocab",
-    "tick_anomaly_zscore",
-    "tick_bucket_2month_anchored",
-    "tick_bucket_5min_anchored",
-    "tick_bucket_day_count_avg",
-    "tick_bucket_day_ohlc",
-    "tick_bucket_hour_sum",
-    "tick_bucket_minute_minmax",
-    "tick_bucket_second",
-    "tick_cusum_drift",
-    "tick_ma3_hourly",
-    "tick_multiseries_day_agg",
-    "tick_range_scan",
-    "tick_rolling_median",
-    "tick_rolling_p90",
-    "tick_sparse_field_nulls",
-    "tick_twa_6h",
-    "tick_upsert_delete_lifecycle",
-    "tick_winsorize_p99",
-    "tpch_q1_pricing_summary",
-    # (3) next-stalest (r10 cohort, 12 of 45): first 12 alphabetically;
-    # the remaining 33 r10 entries queue for the r16 head. NEW r15
+    "stream_groupby_mv_variance_rebuild",
+    "graph_kcore_membership",
+    "analytics_km_survival",
+    "select_kcenter_coreset",
+    # (2) stalest driver proof: the FULL remaining r10 cohort (38
+    # entries, last driver-hash-proven in round 10 — VERDICT r15 ask #1)
+    "tick_point_get",
+    "tick_bucket_month_sum",
+    "scalar_function_battery",
+    "setop_all_multiset_variants",
+    "asof_purchase_last_click",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints",
+    "sim_ann_topk_bruteforce",
+    "eval_ann_mrr_lsh",
+    "sim_cosine_neardup_pairs",
+    "media_feature_extract",
+    "decontaminate_neardup_eval",
+    "text_bpe_train_merges",
+    "text_bpe_tokenize",
+    "media_decode_jpeg",
+    "media_video_frame_sample",
+    "stream_windowed_bucket_agg",
+    "stream_session_windows",
+    "stream_ann_index_maintenance",
+    "join_semi_anti_customers",
+    "join_bucketed_colocated",
+    "tick_bucket_year",
+    "win_analytic_suite",
+    "tick_bucket_week_sum",
+    "rangejoin_click_attribution",
+    "decontaminate_train_vs_eval",
+    "sample_token_budget",
+    "select_curriculum_order",
+    "diag_vocab_drift",
+    "diag_lsh_bucket_skew",
+    "stream_phash_index_maintenance",
+    "media_audio_fingerprint_pairs",
+    "stream_pq_index_maintenance",
+    "stream_ivf_cell_maintenance",
+    "stream_decontam_gram_maintenance",
+    "stream_hll_maintenance",
+    "select_doremi_domain_weights",
+    # (3) next-stalest (r11 cohort, 2 of 50): first 2 alphabetically;
+    # the remaining 48 r11 entries queue for the r17 head. NEW r16
     # entries added after this rotation displace names from the END of
     # this section (keep sections (0)/(1) complete, keep the total 50).
-    "agg_cube_flag_status",
-    "agg_multi_distinct_stringagg",
-    "agg_rollup_region_nation",
-    "agg_value_histogram",
-    "analytics_vwap_daily",
-    "ann_delete_tombstones",
+    "agg_equidepth_scale",
+    "agg_quantile_sketch_bottomk",
 ]
 
 
