@@ -183,6 +183,99 @@ def km_curve_sql(
     """
 
 
+#: scale for the Nelson-Aalen hazard terms: each d/n quantizes to
+#: floor(d·S/n) ≤ S = 10^9 per duration, so the cumulative BIGINT sum
+#: has headroom to ~9×10^9 distinct durations — unreachable under the
+#: KM_MAX_DURATIONS discipline.
+_NA_SCALE = 10**9
+
+
+def na_cumhaz(
+    df: DataFrame,
+    group_col: str,
+    duration_expr: str,
+    event_expr: str,
+    max_durations: int = KM_MAX_DURATIONS,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard estimator (Nelson 1972, Aalen
+    1978): per group and distinct duration t, ``H(t) = Σ_{t'≤t}
+    d_{t'}/n_{t'}`` — the additive companion to the Kaplan-Meier
+    product-limit curve (H ≈ −ln S for small hazards), preferred when
+    hazard INCREMENTS are the signal (failure-rate monitoring, churn
+    acceleration). Shares :func:`km_curve`'s cell aggregate.
+
+    Unlike the KM product (a sorted FOLD, quadratic window state), the
+    cumulative hazard is a plain ordered window SUM of per-duration
+    terms — each term ``floor(d·S/n)`` is exact BIGINT arithmetic
+    (truncating division, identical on both engines), so the running
+    sum is exact integer and bit-identical cross-engine at any
+    partitioning. Emits ``(group_col, duration, n_risk, d_events,
+    c_censored, cumhaz_scaled)`` with the hazard at scale 10^9."""
+    cells = _km_cells(df, group_col, duration_expr, event_expr)
+    w = Window.partitionBy("grp").orderBy("dur")
+    wall = Window.partitionBy("grp")
+    cells = cells.withColumn(
+        "_n_durs", F.count(F.lit(1)).over(wall)
+    ).where(
+        F.assert_true(
+            F.col("_n_durs") <= int(max_durations),
+            F.lit(
+                f"na_cumhaz: a group exceeds max_durations="
+                f"{int(max_durations)} distinct durations — coarsen "
+                "duration_expr (bucket seconds to days)"
+            ),
+        ).isNull()
+    ).drop("_n_durs")
+    term = F.expr(f"d * {_NA_SCALE} div n_risk")
+    return cells.withColumn("_t", term).withColumn(
+        "cumhaz_scaled", F.sum("_t").over(w).cast("long")
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("dur").alias("duration"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        "cumhaz_scaled",
+    )
+
+
+def na_cumhaz_sql(
+    rel: str,
+    group_col: str,
+    duration_expr: str,
+    event_expr: str,
+) -> str:
+    """DuckDB twin of :func:`na_cumhaz`: same cells, same truncating
+    integer term, same ordered window sum."""
+    return f"""
+    WITH subj AS (
+      SELECT {group_col} AS grp,
+             CAST({duration_expr} AS BIGINT) AS dur,
+             CAST({event_expr} AS BOOLEAN) AS ev
+      FROM {rel}
+    ),
+    cells AS (
+      SELECT grp, dur,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      FROM subj GROUP BY grp, dur
+    ),
+    risk AS (
+      SELECT grp, dur, d, c,
+             CAST(SUM(d + c) OVER (PARTITION BY grp)
+                  - (SUM(d + c) OVER (PARTITION BY grp ORDER BY dur)
+                     - (d + c)) AS BIGINT) AS n_risk
+      FROM cells
+    )
+    SELECT grp AS {group_col}, dur AS duration, n_risk,
+           d AS d_events, c AS c_censored,
+           CAST(SUM(d * {_NA_SCALE} // n_risk)
+                OVER (PARTITION BY grp ORDER BY dur) AS BIGINT)
+             AS cumhaz_scaled
+    FROM risk
+    """
+
+
 #: integer scales for the log-rank sums: expected-events terms carry
 #: S_E = 10^6 (p₁ = n₁·S_E div n has 6 digits), variance terms carry
 #: S_V = 10^4 PER FACTOR (the term multiplies p₁ᵥ·q₁ᵥ, so the summed

@@ -11834,6 +11834,28 @@ def select_mmr_batch_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "analytics_na_cumhaz",
+    _survival.na_cumhaz_sql(
+        "events", "event_type", "event_id % 30 + 1", "event_id % 4 <> 0"
+    ),
+    "Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the "
+    "additive companion to the KM product-limit curve (H ≈ −ln S), the "
+    "estimator of choice when hazard INCREMENTS are the signal "
+    "(failure-rate monitoring, churn acceleration). Shares km_curve's "
+    "(group, duration) cell aggregate, but the cumulative hazard is a "
+    "plain ordered window SUM of floor(d·1e9/n) terms — exact "
+    "truncating BIGINT arithmetic on both engines, NO quadratic "
+    "factor-prefix window (the km_curve O(D²) caveat does not apply). "
+    "Same synthetic duration/censor columns as the KM entry",
+)
+def analytics_na_cumhaz_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return _survival.na_cumhaz(
+        ev, "event_type", "event_id % 30 + 1", "event_id % 4 != 0"
+    )
+
+
 _COMPACT_ALL_CACHE: dict[str, list] = {}
 
 
@@ -11988,15 +12010,16 @@ def index_compact_all_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r16 head: the 5 entries NEW in r16 and the 5 whose kernels changed
+#: r16 head: the 6 entries NEW in r16 and the 5 whose kernels changed
 #: this round lead; then the FULL remaining r10-stale cohort (38 —
 #: VERDICT r15 ask #1, exactly the evidence-ledger listing); the last
-#: 2 slots start the r11 cohort alphabetically.
+#: slot starts the r11 cohort alphabetically.
 #: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
     # (0) NEW in r16 — never sampled by construction
     "analytics_km_logrank",
+    "analytics_na_cumhaz",
     "graph_kcore_decomposition",
     "select_kcenter_quality_floor",
     "select_mmr_batch_indexed",
@@ -12053,12 +12076,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "stream_decontam_gram_maintenance",
     "stream_hll_maintenance",
     "select_doremi_domain_weights",
-    # (3) next-stalest (r11 cohort, 2 of 50): first 2 alphabetically;
-    # the remaining 48 r11 entries queue for the r17 head. NEW r16
-    # entries added after this rotation displace names from the END of
-    # this section (keep sections (0)/(1) complete, keep the total 50).
+    # (3) next-stalest (r11 cohort, 1 of 50): first alphabetically; the
+    # remaining 49 r11 entries queue for the r17 head. NEW r16 entries
+    # added after this rotation displace names from the END of this
+    # section (keep sections (0)/(1) complete, keep the total 50).
     "agg_equidepth_scale",
-    "agg_quantile_sketch_bottomk",
 ]
 
 
