@@ -2162,3 +2162,112 @@ def test_compact_all_unified_workdir_pass(tmp_path, spark):
     # probes to dest and retires the log, per the compact_index contract)
     again = compact_all(spark, work, max_epochs=2)
     assert {r["table"] for r in again} == set(by_name)
+
+
+def test_swap_compacted_adopts_base_and_stream_continues(tmp_path, spark):
+    """The 'caller swaps probes over and retires the log' step as a
+    crash-safe primitive: maintain 3 epochs -> compact_all(swap=True)
+    adopts the rewrite as base_1/ INSIDE the table dir and retires
+    exactly the covered epoch files; the same stream (same checkpoint)
+    then lands 2 MORE epochs and the maintained view equals the batch
+    aggregate over all 5 batches. A simulated kill between install and
+    retire rolls forward via the journal on the next compact_all."""
+    import glob
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from tickdb_spark.streaming.index import (
+        _SIG_SCHEMA,
+        _read_maintained,
+        compact_all,
+        compaction_policy,
+        stream_ann_index_maintenance,
+        swap_recover,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+    pdf = emb.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        pdf.iloc[i * 20 : (i + 1) * 20].to_parquet(
+            landing / f"b{i}.parquet", index=False
+        )
+    work = str(tmp_path / "state")
+    live1 = sorted(
+        map(
+            tuple,
+            stream_ann_index_maintenance(
+                spark, str(landing), work, schema=emb.schema
+            ).collect(),
+        )
+    )
+
+    sig_dir = _os.path.join(work, "signatures")
+    reports = compact_all(spark, work, max_epochs=2, swap=True)
+    (r,) = [x for x in reports if x["table"] == "signatures"]
+    assert r["compacted"] and r["dest"] == _os.path.join(sig_dir, "base_1")
+    # epoch dirs retired, base adopted, rows identical, dest dir gone
+    assert compaction_policy(sig_dir)["epochs"] == 0
+    assert not _os.path.isdir(sig_dir + "_compacted")
+    assert len(glob.glob(sig_dir + "/**/*.parquet", recursive=True)) == 1
+    after = sorted(
+        map(tuple, _read_maintained(spark, sig_dir, _SIG_SCHEMA).collect())
+    )
+    assert after == live1
+
+    # the SAME stream continues: 2 new files, same checkpoint
+    for i in range(3, 5):
+        pdf.iloc[i * 20 : (i + 1) * 20].to_parquet(
+            landing / f"b{i}.parquet", index=False
+        )
+    live2 = sorted(
+        map(
+            tuple,
+            stream_ann_index_maintenance(
+                spark, str(landing), work, schema=emb.schema
+            ).collect(),
+        )
+    )
+    from tickdb_spark.operators.similarity import lsh_signature_table
+
+    want = sorted(map(tuple, lsh_signature_table(emb).collect()))
+    assert live2 == want
+    assert compaction_policy(sig_dir)["epochs"] == 2  # the new epochs only
+
+    # crash window: compact again, then simulate a kill AFTER the journal
+    # write but BEFORE any move — recovery must complete the swap
+    reports = compact_all(spark, work, max_epochs=1)
+    (r2,) = [x for x in reports if x["table"] == "signatures"]
+    assert r2["compacted"]
+    dest = r2["dest"]
+    man = _json.load(open(_os.path.join(dest, "_compact_manifest.json")))
+    journal = {
+        "dest": _os.path.abspath(dest),
+        "table_dir": _os.path.abspath(sig_dir),
+        "install_dir": "base_2",
+        "install_files": sorted(
+            f for f in _os.listdir(dest) if f.endswith(".parquet")
+        ),
+        "retire": man["sources"],
+    }
+    jp = sig_dir + "_swap_journal.json"
+    with open(jp, "w") as fh:
+        _json.dump(journal, fh)
+    assert swap_recover(sig_dir) is True
+    assert not _os.path.exists(jp)
+    assert compaction_policy(sig_dir)["epochs"] == 0
+    final = sorted(
+        map(tuple, _read_maintained(spark, sig_dir, _SIG_SCHEMA).collect())
+    )
+    assert final == want
+    # double recovery is a no-op
+    assert swap_recover(sig_dir) is False

@@ -23,8 +23,10 @@ in Spark streaming state, so the index horizon is unbounded.
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +98,15 @@ def compact_index(
     rewrite (:func:`tombstone_filter` semantics) and the tombstone
     table can be retired afterwards."""
     dest = table_dir.rstrip("/") + "_compacted"
+    # manifest FIRST: the source snapshot must be the set of files the
+    # compacted output is built from, so epochs landing DURING the
+    # rewrite are never retired by a later swap_compacted
+    sources = sorted(
+        os.path.relpath(os.path.join(r, f), table_dir)
+        for r, _, fs in os.walk(table_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
     df = _read_maintained(spark, table_dir, schema)
     if tombstones is not None:
         df = tombstone_filter(df, tombstones, id_col)
@@ -105,7 +116,106 @@ def compact_index(
         .write.mode("overwrite")
         .parquet(dest)
     )
+    with open(os.path.join(dest, "_compact_manifest.json"), "w") as fh:
+        json.dump({"table_dir": os.path.abspath(table_dir),
+                   "sources": sources}, fh)
     return dest
+
+
+def _swap_journal_path(table_dir: str) -> str:
+    return table_dir.rstrip("/") + "_swap_journal.json"
+
+
+def swap_compacted(table_dir: str, dest: str | None = None) -> str:
+    """Adopt a :func:`compact_index` output IN PLACE: install the
+    compacted files as the table's new base (``base_<n>/`` inside
+    ``table_dir``) and retire exactly the source files the rewrite was
+    built from (the manifest snapshot — epochs that landed AFTER the
+    compact are preserved untouched). The stream keeps appending new
+    ``epoch_*`` dirs to the same directory and the same checkpoint;
+    probes stop paying per-epoch listing/footer costs. This is the
+    "caller swaps probes over and retires the log" step of the
+    compact_index contract, made a primitive.
+
+    Crash atomicity is JOURNALED ROLL-FORWARD (the delete_range/recover
+    discipline, >2 artifacts are touched): the journal (atomic
+    ``os.replace``) records the full plan — install file moves + the
+    retire list — before any mutation; any kill point re-runs through
+    :func:`swap_recover` (each step is an idempotent move/delete).
+    Readers during the swap can see a torn state, so run it in a
+    maintenance window (the availableNow faces are batch-shaped between
+    invocations anyway) and call ``swap_recover`` before the first read
+    after a crash — :func:`compact_all` does so automatically."""
+    dest = dest or table_dir.rstrip("/") + "_compacted"
+    with open(os.path.join(dest, "_compact_manifest.json")) as fh:
+        manifest = json.load(fh)
+    existing = [
+        d for d in os.listdir(table_dir)
+        if d.startswith("base_") and os.path.isdir(os.path.join(table_dir, d))
+    ]
+    nxt = 1 + max((int(d.split("_")[1]) for d in existing), default=0)
+    install_dir = f"base_{nxt}"
+    install_files = sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    journal = {
+        "dest": os.path.abspath(dest),
+        "table_dir": os.path.abspath(table_dir),
+        "install_dir": install_dir,
+        "install_files": install_files,
+        "retire": manifest["sources"],
+    }
+    jpath = _swap_journal_path(table_dir)
+    tmp = jpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(journal, fh)
+    os.replace(tmp, jpath)
+    _swap_roll_forward(journal, jpath)
+    return os.path.join(table_dir, install_dir)
+
+
+def swap_recover(table_dir: str) -> bool:
+    """Roll an interrupted :func:`swap_compacted` forward from its
+    journal (idempotent — every step is a skip-if-done move/delete).
+    Returns True if a journal was found and replayed."""
+    jpath = _swap_journal_path(table_dir)
+    if not os.path.exists(jpath):
+        return False
+    with open(jpath) as fh:
+        journal = json.load(fh)
+    _swap_roll_forward(journal, jpath)
+    return True
+
+
+def _swap_roll_forward(journal: dict, jpath: str) -> None:
+    table_dir = journal["table_dir"]
+    dest = journal["dest"]
+    inst = os.path.join(table_dir, journal["install_dir"])
+    os.makedirs(inst, exist_ok=True)
+    for f in journal["install_files"]:
+        src, dst = os.path.join(dest, f), os.path.join(inst, f)
+        if os.path.exists(src):
+            os.replace(src, dst)  # same-fs atomic; skip if already moved
+    for rel in journal["retire"]:
+        p = os.path.join(table_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
+        crc = os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        parent = os.path.dirname(p)
+        # drop epoch dirs holding only write artifacts (_SUCCESS, .crc)
+        # — never table_dir itself
+        if parent != table_dir.rstrip("/") and os.path.isdir(parent):
+            leftover = [
+                n for n in os.listdir(parent)
+                if not (n.startswith(".") or n.startswith("_"))
+            ]
+            if not leftover:
+                shutil.rmtree(parent, ignore_errors=True)
+    if os.path.isdir(dest):
+        shutil.rmtree(dest, ignore_errors=True)
+    os.remove(jpath)
 
 
 def compaction_policy(
@@ -203,6 +313,7 @@ def compact_all(
     force: bool = False,
     n_files: int = 1,
     exclude: tuple[str, ...] = ("kept",),
+    swap: bool = False,
     **policy_kwargs,
 ) -> list[dict]:
     """Unified state-log compaction (VERDICT r15 ask #4): ONE pass over
@@ -227,6 +338,12 @@ def compact_all(
 
     Per table, compaction runs iff ``force`` or the policy fires; rows
     are identical by construction (compact_index is a sorted rewrite).
+    With ``swap=True`` each rewrite is then ADOPTED in place
+    (:func:`swap_compacted`): the epoch log the rewrite covered is
+    retired and the output becomes the table's ``base_<n>/``, so the
+    next policy evaluation sees a collapsed log while the stream keeps
+    appending to the same dir/checkpoint. Interrupted swaps from a
+    prior crashed pass are rolled forward first (:func:`swap_recover`).
     Returns one report dict per discovered table — the policy stats
     plus ``compacted``/``dest`` — so callers can log WHY each log was
     or wasn't rewritten."""
@@ -239,6 +356,7 @@ def compact_all(
             continue
         if name in exclude:
             continue
+        swap_recover(d)  # roll forward any interrupted prior swap
         has_parquet = any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(d)
@@ -262,6 +380,8 @@ def compact_all(
                 spark, d, merged_schema, sort_cols, n_files
             )
             row["compacted"] = True
+            if swap:
+                row["dest"] = swap_compacted(d, row["dest"])
         reports.append(row)
     return reports
 
