@@ -11926,26 +11926,47 @@ def _compact_all_fixture(spark: SparkSession, sf_dir: str) -> list:
         )
     )
     sig_live_rows = sorted(map(tuple, sig_live.collect()))
-    reports = compact_all(spark, work, max_epochs=2)
+    # swap=True: the rewrite is ADOPTED in place (base_<n>/ inside the
+    # table dir, covered epochs retired via the journaled roll-forward),
+    # so epochs_after and rows_identical are measured on the LIVE dir —
+    # the full compact → swap → read-path lifecycle in one entry
+    reports = compact_all(spark, work, max_epochs=2, swap=True)
     rows = []
     for r in sorted(reports, key=lambda x: x["table"]):
         if r["compacted"]:
-            comp = sorted(map(tuple, spark.read.parquet(r["dest"]).collect()))
-            live = sig_live_rows if r["table"] == "signatures" else mv_live_rows
+            live_dir = _os.path.join(work, r["table"])
             if r["table"] == "mv_partials":
                 # partials are epoch-log rows; compare the merged VIEW
-                from tickdb_spark.streaming.index import groupby_mv_report
+                from tickdb_spark.streaming.index import (
+                    _mv_seed_schema,
+                    groupby_mv_report,
+                )
 
                 comp = sorted(
                     map(
                         tuple,
                         groupby_mv_report(
-                            spark.read.parquet(r["dest"]), ["event_type"]
+                            _read_maintained(
+                                spark, live_dir,
+                                _mv_seed_schema(mv_schema, ["event_type"], None),
+                            ).drop("epoch", "rebuilt"),
+                            ["event_type"],
                         ).collect(),
                     )
                 )
+                live = mv_live_rows
+            else:
+                from tickdb_spark.streaming.index import _SIG_SCHEMA
+
+                comp = sorted(
+                    map(
+                        tuple,
+                        _read_maintained(spark, live_dir, _SIG_SCHEMA).collect(),
+                    )
+                )
+                live = sig_live_rows
             identical = comp == live
-            epochs_after = compaction_policy(r["dest"])["epochs"]
+            epochs_after = compaction_policy(live_dir)["epochs"]
         else:
             identical = None
             epochs_after = None
