@@ -2271,3 +2271,91 @@ def test_swap_compacted_adopts_base_and_stream_continues(tmp_path, spark):
     assert final == want
     # double recovery is a no-op
     assert swap_recover(sig_dir) is False
+
+
+def test_swap_absorbed_epoch_replay_does_not_double_count(tmp_path, spark):
+    """The checkpoint-replay crash window (r16 review finding): an epoch
+    is written, the process dies BEFORE the stream commit, and the
+    operator runs compact_all(swap=True) before restarting — on restart
+    the checkpoint replays the batch and RE-CREATES the retired epoch
+    dir, whose rows already live in base_<n>. The absorbed-epochs ledger
+    makes the replayed dir reader-invisible (rows stay exact), and the
+    next compact cycle retires the debris."""
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from tickdb_spark.streaming.index import (
+        _read_maintained,
+        compact_all,
+        compaction_policy,
+        stream_groupby_mv_maintenance,
+        groupby_mv_report,
+        _mv_seed_schema,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i in range(3):
+        pd.DataFrame({"g": ["a", "b"], "v": [1.0 + i, 2.0 + i]}).to_parquet(
+            land / f"b{i}.parquet", index=False
+        )
+    work = str(tmp_path / "state")
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    want = sorted(
+        map(
+            tuple,
+            stream_groupby_mv_maintenance(
+                spark, str(land), work, schema, ["g"], "v"
+            ).collect(),
+        )
+    )
+    mv_dir = _os.path.join(work, "mv_partials")
+    compact_all(spark, work, max_epochs=2, swap=True)
+
+    # simulate the replay: re-create a retired epoch dir with the exact
+    # partial the stream handler would rewrite (epoch 1's batch)
+    from tickdb_spark.streaming.index import _mv_partial_agg
+    from pyspark.sql import functions as F
+
+    b1 = spark.createDataFrame([("a", 2.0), ("b", 3.0)], "g string, v double")
+    _mv_partial_agg(b1, ["g"], "v", 1_000_000, None).withColumn(
+        "epoch", F.lit(1).cast("long")
+    ).withColumn("rebuilt", F.lit(False)).write.mode("overwrite").parquet(
+        _os.path.join(mv_dir, "epoch_1")
+    )
+
+    seed = _mv_seed_schema(schema, ["g"], None)
+    got = sorted(
+        map(
+            tuple,
+            groupby_mv_report(
+                _read_maintained(spark, mv_dir, seed).drop("epoch", "rebuilt"),
+                ["g"],
+            ).collect(),
+        )
+    )
+    assert got == want  # replayed epoch invisible — no double count
+    # policy: the debris dir is absorbed, not a live epoch
+    assert compaction_policy(mv_dir)["epochs"] == 0
+    # next compact cycle: identical rows, debris listed for retire
+    reports = compact_all(spark, work, max_epochs=0, force=True, swap=True)
+    (r,) = [x for x in reports if x["table"] == "mv_partials"]
+    assert r["compacted"]
+    assert not _os.path.isdir(_os.path.join(mv_dir, "epoch_1"))
+    got2 = sorted(
+        map(
+            tuple,
+            groupby_mv_report(
+                _read_maintained(spark, mv_dir, seed).drop("epoch", "rebuilt"),
+                ["g"],
+            ).collect(),
+        )
+    )
+    assert got2 == want

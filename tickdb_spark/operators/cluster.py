@@ -580,7 +580,12 @@ def kcore_decompose(
     edges, alive = _edge_node_frames(pairs, src_col, dst_col)
     cnt = alive.count()
     out_parts: list[DataFrame] = []
-    schema = "node long, core_num long"
+    # empty-result schema derives from the input's id type (a hardcoded
+    # long would make the empty-graph edge case schema-diverge from the
+    # non-empty path on string-keyed pair frames)
+    empty = alive.select(F.col("n").alias("node")).withColumn(
+        "core_num", F.lit(0).cast("long")
+    ).limit(0)
     for k in range(1, int(max_k) + 1):
         if cnt == 0:
             break
@@ -599,7 +604,7 @@ def kcore_decompose(
                 f"({cnt} nodes still in the {max_k}-core) — raise max_k"
             )
     if not out_parts:
-        return spark.createDataFrame([], schema)
+        return empty
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionAll(p)

@@ -145,6 +145,54 @@ def _greedy_mmr(cands, k: int, lam_ppm: int):
     return out
 
 
+#: output schema of the batch-MMR fronts (shared so the brute and
+#: index-sourced variants can never drift)
+_BATCH_MMR_SCHEMA = (
+    "query_id long, rnk int, vec_id long, rel_q long,"
+    " maxsim_q long, mmr_q long"
+)
+
+
+def _salted_topn(scored: DataFrame, prefilter: int) -> DataFrame:
+    """Two-phase grouped top-N over ``(qid, cid, vec, rel_q)`` rows
+    (exact: the global top-N is a subset of the union of per-salt
+    top-Ns): a single per-query window would put each query's WHOLE
+    candidate set on one task — salting keeps parallelism Q×S on the
+    big pass, and the final per-query window sees only Q·S·prefilter
+    rows. Shared by the brute and index-sourced batch fronts."""
+    from pyspark.sql import Window
+
+    salts = 16
+    wloc = Window.partitionBy("qid", "_salt").orderBy(F.desc("rel_q"), "cid")
+    wglob = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
+    return (
+        scored.withColumn("_salt", F.pmod(F.col("cid"), F.lit(salts)))
+        .withColumn("_rn", F.row_number().over(wloc))
+        .where(F.col("_rn") <= int(prefilter))
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(wglob))
+        .where(F.col("_rn") <= int(prefilter))
+        .drop("_rn", "_salt")
+    )
+
+
+def _greedy_tail_rows(top, k: int, lam_ppm: int) -> list[tuple]:
+    """Run the per-query sequential greedy over collected candidate
+    rows — the driver-state tail shared by both batch fronts."""
+    by_q: dict[int, list] = {}
+    for r in top:
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["cid"]), list(r["vec"]), int(r["rel_q"]))
+        )
+    rows: list[tuple] = []
+    for qid in sorted(by_q):
+        for rnk, cid, rq, ms, sc in _greedy_mmr(
+            by_q[qid], int(k), int(lam_ppm)
+        ):
+            rows.append((qid, rnk, cid, rq, ms, sc))
+    return rows
+
+
 def mmr_select_batch(
     emb: DataFrame,
     query_ids: list[int],
@@ -169,47 +217,14 @@ def mmr_select_batch(
         f"CAST(floor(({cosine_expr('qvec', 'vec')}) * 1000000.0 + 0.5)"
         " AS BIGINT)"
     )
-    from pyspark.sql import Window
-
-    # two-phase grouped top-N (exact: the global top-N is a subset of
-    # the union of per-salt top-Ns): a single per-query window would put
-    # each query's WHOLE corpus on one task — the grouped-top-k salting
-    # pattern keeps parallelism Q×S on the corpus-sized pass, and the
-    # final per-query window sees only Q·S·prefilter rows
-    salts = 16
-    wloc = Window.partitionBy("qid", "_salt").orderBy(F.desc("rel_q"), "cid")
-    wglob = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
     scored = (
         emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
         .join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select(
-            "qid", "cid", "vec", rel.alias("rel_q"),
-            F.pmod(F.col("cid"), F.lit(salts)).alias("_salt"),
-        )
+        .select("qid", "cid", "vec", rel.alias("rel_q"))
     )
-    top = (
-        scored.withColumn("_rn", F.row_number().over(wloc))
-        .where(F.col("_rn") <= int(prefilter))
-        .drop("_rn")
-        .withColumn("_rn", F.row_number().over(wglob))
-        .where(F.col("_rn") <= int(prefilter))
-        .collect()
-    )
-    by_q: dict[int, list] = {}
-    for r in top:
-        by_q.setdefault(int(r["qid"]), []).append(
-            (int(r["cid"]), list(r["vec"]), int(r["rel_q"]))
-        )
-    rows = []
-    for qid in sorted(by_q):
-        for rnk, cid, rq, ms, sc in _greedy_mmr(
-            by_q[qid], int(k), int(lam_ppm)
-        ):
-            rows.append((qid, rnk, cid, rq, ms, sc))
+    top = _salted_topn(scored, prefilter).collect()
     return emb.sparkSession.createDataFrame(
-        rows,
-        "query_id long, rnk int, vec_id long, rel_q long,"
-        " maxsim_q long, mmr_q long",
+        _greedy_tail_rows(top, k, lam_ppm), _BATCH_MMR_SCHEMA
     )
 
 
@@ -266,21 +281,8 @@ def mmr_select_batch_from_index(
     top = _index_candidates(
         emb, sig, query_ids, prefilter, id_col, vec_col
     ).collect()
-    by_q: dict[int, list] = {}
-    for r in top:
-        by_q.setdefault(int(r["qid"]), []).append(
-            (int(r["cid"]), list(r["vec"]), int(r["rel_q"]))
-        )
-    rows = []
-    for qid in sorted(by_q):
-        for rnk, cid, rq, ms, sc in _greedy_mmr(
-            by_q[qid], int(k), int(lam_ppm)
-        ):
-            rows.append((qid, rnk, cid, rq, ms, sc))
     return emb.sparkSession.createDataFrame(
-        rows,
-        "query_id long, rnk int, vec_id long, rel_q long,"
-        " maxsim_q long, mmr_q long",
+        _greedy_tail_rows(top, k, lam_ppm), _BATCH_MMR_SCHEMA
     )
 
 
@@ -314,31 +316,19 @@ def _index_candidates(
         f"CAST(floor(({cosine_expr('qvec', 'vec')}) * 1000000.0 + 0.5)"
         " AS BIGINT)"
     )
-    from pyspark.sql import Window
-
     # the candidate set is bucket-bounded, but keep the two-phase salted
     # top-N anyway: a hot bucket must not serialize one query's scoring
     # onto a single task (the grouped-top-k pattern, same as the brute
     # batch front)
-    salts = 16
-    wloc = Window.partitionBy("qid", "_salt").orderBy(F.desc("rel_q"), "cid")
-    wglob = Window.partitionBy("qid").orderBy(F.desc("rel_q"), "cid")
-    return (
+    scored = (
         cand_ids.join(
             emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec")),
             "cid",
         )
         .join(F.broadcast(q), "qid")
-        .select(
-            "qid", "cid", "vec", rel.alias("rel_q"),
-            F.pmod(F.col("cid"), F.lit(salts)).alias("_salt"),
-        )
-        .withColumn("_rn", F.row_number().over(wloc))
-        .where(F.col("_rn") <= int(prefilter))
-        .drop("_rn")
-        .withColumn("_rn", F.row_number().over(wglob))
-        .where(F.col("_rn") <= int(prefilter))
+        .select("qid", "cid", "vec", rel.alias("rel_q"))
     )
+    return _salted_topn(scored, prefilter)
 
 
 def mmr_select_batch_from_index_sql(
@@ -450,6 +440,12 @@ def kcenter_select(
     floor filter is one broadcast crossJoin + fold on the corpus scan
     it already pays; the seed convention (smallest surviving id) and
     tie-breaks are unchanged."""
+    if (query_id is None) != (rel_floor_ppm is None):
+        raise ValueError(
+            "kcenter_select: query_id and rel_floor_ppm must be passed "
+            "together — a half-configured quality floor would be "
+            "silently ignored"
+        )
     cand = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("vec"))
     if query_id is not None and rel_floor_ppm is not None:
         anchor = emb.where(F.col(id_col) == int(query_id)).select(
@@ -518,6 +514,11 @@ def kcenter_select_sql(
     """DuckDB twin: the same greedy as a recursive-CTE per-level ARGMIN
     of the correlated max-similarity aggregate; with a quality floor the
     cand CTE carries the same anchor-relevance filter."""
+    if (query_id is None) != (rel_floor_ppm is None):
+        raise ValueError(
+            "kcenter_select_sql: query_id and rel_floor_ppm must be "
+            "passed together"
+        )
     cosp = cosine_expr("c.vec", "c2.vec", dim, sql=True)
     ms = (
         f"(SELECT MAX(CAST(floor(({cosp}) * 1000000.0 + 0.5) AS BIGINT)) "

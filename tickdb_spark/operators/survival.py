@@ -75,6 +75,29 @@ def _km_cells(
 KM_MAX_DURATIONS = 10_000
 
 
+def _guard_max_durations(
+    cells: DataFrame, max_durations: int, fn_name: str
+) -> DataFrame:
+    """Shared D-ceiling guard: error any group whose distinct-duration
+    count exceeds the budget, telling the caller to bucket the duration
+    column (shared by the product window, which is O(D²), and the
+    hazard sum, where the ceiling just keeps state dimension-sized)."""
+    wall = Window.partitionBy("grp")
+    return cells.withColumn(
+        "_n_durs", F.count(F.lit(1)).over(wall)
+    ).where(
+        F.assert_true(
+            F.col("_n_durs") <= int(max_durations),
+            F.lit(
+                f"{fn_name}: a group exceeds max_durations="
+                f"{int(max_durations)} distinct durations — coarsen "
+                "duration_expr (bucket seconds to days) instead of "
+                "raising the ceiling"
+            ),
+        ).isNull()
+    ).drop("_n_durs")
+
+
 def km_curve(
     df: DataFrame,
     group_col: str,
@@ -90,22 +113,11 @@ def km_curve(
     ``max_durations`` bounds distinct durations per group (the running
     factor-prefix window is quadratic in it — bucket the duration
     instead of raising the ceiling)."""
-    cells = _km_cells(df, group_col, duration_expr, event_expr)
+    cells = _guard_max_durations(
+        _km_cells(df, group_col, duration_expr, event_expr),
+        max_durations, "km_curve",
+    )
     w = Window.partitionBy("grp").orderBy("dur")
-    wall = Window.partitionBy("grp")
-    cells = cells.withColumn(
-        "_n_durs", F.count(F.lit(1)).over(wall)
-    ).where(
-        F.assert_true(
-            F.col("_n_durs") <= int(max_durations),
-            F.lit(
-                f"km_curve: a group exceeds max_durations={int(max_durations)} "
-                "distinct durations — the running factor window is O(D²); "
-                "coarsen duration_expr (bucket seconds to days) instead of "
-                "raising the ceiling"
-            ),
-        ).isNull()
-    ).drop("_n_durs")
     # duration-sorted running factor list → one fixed fold order: the
     # window collects the (dur, factor) structs over the running frame
     # (unbounded preceding → current row), the fold happens in a plain
@@ -211,21 +223,11 @@ def na_cumhaz(
     sum is exact integer and bit-identical cross-engine at any
     partitioning. Emits ``(group_col, duration, n_risk, d_events,
     c_censored, cumhaz_scaled)`` with the hazard at scale 10^9."""
-    cells = _km_cells(df, group_col, duration_expr, event_expr)
+    cells = _guard_max_durations(
+        _km_cells(df, group_col, duration_expr, event_expr),
+        max_durations, "na_cumhaz",
+    )
     w = Window.partitionBy("grp").orderBy("dur")
-    wall = Window.partitionBy("grp")
-    cells = cells.withColumn(
-        "_n_durs", F.count(F.lit(1)).over(wall)
-    ).where(
-        F.assert_true(
-            F.col("_n_durs") <= int(max_durations),
-            F.lit(
-                f"na_cumhaz: a group exceeds max_durations="
-                f"{int(max_durations)} distinct durations — coarsen "
-                "duration_expr (bucket seconds to days)"
-            ),
-        ).isNull()
-    ).drop("_n_durs")
     term = F.expr(f"d * {_NA_SCALE} div n_risk")
     return cells.withColumn("_t", term).withColumn(
         "cumhaz_scaled", F.sum("_t").over(w).cast("long")

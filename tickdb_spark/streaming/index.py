@@ -41,6 +41,39 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
+#: swap-adoption ledger: epoch dir names whose rows live in a base_<n>/
+#: — a checkpoint REPLAY re-creating one of these dirs (crash between
+#: the epoch write and the stream commit, swap run before restart) must
+#: be invisible to readers or its rows double-count against the base.
+ABSORBED_EPOCHS = "_absorbed_epochs.json"
+
+
+def _absorbed_set(table_dir: str) -> set[str]:
+    p = os.path.join(table_dir, ABSORBED_EPOCHS)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def _maintained_files(table_dir: str) -> list[str]:
+    """Relative paths of the table's LIVE parquet files: everything
+    except files under absorbed epoch dirs (their rows are already in a
+    base — presence means checkpoint-replay debris, retired by the next
+    compact/swap cycle)."""
+    absorbed = _absorbed_set(table_dir)
+    out = []
+    for r, _, fs in os.walk(table_dir):
+        rel_root = os.path.relpath(r, table_dir)
+        top = rel_root.split(os.sep)[0]
+        if top in absorbed:
+            continue
+        for f in fs:
+            if f.endswith(".parquet"):
+                out.append(os.path.normpath(os.path.join(rel_root, f)))
+    return sorted(out)
+
+
 def _read_maintained(
     spark: SparkSession, table_dir: str, schema: T.StructType
 ) -> DataFrame:
@@ -48,7 +81,16 @@ def _read_maintained(
     subdirectories (the idempotent-write layout): recursiveFileLookup
     flattens the seed file + every ``epoch_<id>/`` part file into one
     scan, bypassing partition discovery (epoch is a write-idempotence
-    artifact, not a data column)."""
+    artifact, not a data column). Once a swap has ever absorbed epochs
+    into an in-place base, the read switches to an explicit driver-side
+    file listing that EXCLUDES absorbed epoch dirs — the epoch-overwrite
+    idempotence the faces rely on must keep holding when a replayed
+    epoch re-creates a dir whose rows already live in the base."""
+    if _absorbed_set(table_dir):
+        files = [os.path.join(table_dir, p) for p in _maintained_files(table_dir)]
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
     return (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -98,16 +140,27 @@ def compact_index(
     rewrite (:func:`tombstone_filter` semantics) and the tombstone
     table can be retired afterwards."""
     dest = table_dir.rstrip("/") + "_compacted"
-    # manifest FIRST: the source snapshot must be the set of files the
-    # compacted output is built from, so epochs landing DURING the
-    # rewrite are never retired by a later swap_compacted
-    sources = sorted(
+    # ONE source snapshot drives BOTH the read and the manifest: the
+    # compacted output and a later swap's retire set must be the same
+    # file set, or an epoch landing between two listings gets written
+    # into the output AND left in the log (duplicated after the swap).
+    # Absorbed-epoch replay debris is excluded the same way the read
+    # path excludes it (and retiring it is what cleans it up — its rows
+    # already live in the base, so it is listed for retire only).
+    sources = _maintained_files(table_dir)
+    debris = sorted(
         os.path.relpath(os.path.join(r, f), table_dir)
         for r, _, fs in os.walk(table_dir)
         for f in fs
         if f.endswith(".parquet")
+        and os.path.relpath(r, table_dir).split(os.sep)[0] in _absorbed_set(table_dir)
     )
-    df = _read_maintained(spark, table_dir, schema)
+    if sources:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, p) for p in sources]
+        )
+    else:
+        df = spark.createDataFrame([], schema)
     if tombstones is not None:
         df = tombstone_filter(df, tombstones, id_col)
     (
@@ -118,7 +171,7 @@ def compact_index(
     )
     with open(os.path.join(dest, "_compact_manifest.json"), "w") as fh:
         json.dump({"table_dir": os.path.abspath(table_dir),
-                   "sources": sources}, fh)
+                   "sources": sources + debris}, fh)
     return dest
 
 
@@ -145,7 +198,19 @@ def swap_compacted(table_dir: str, dest: str | None = None) -> str:
     Readers during the swap can see a torn state, so run it in a
     maintenance window (the availableNow faces are batch-shaped between
     invocations anyway) and call ``swap_recover`` before the first read
-    after a crash — :func:`compact_all` does so automatically."""
+    after a crash — :func:`compact_all` does so automatically.
+
+    Replay safety: retired epoch dir NAMES go into the table's
+    ``_absorbed_epochs.json`` ledger — a checkpoint replay that
+    re-creates one (crash between the epoch write and the stream
+    commit, swap run before restart) is reader-invisible, preserving
+    the faces' epoch-overwrite idempotence; the next compact cycle
+    retires the debris. Two caveats the ledger relies on: stream epoch
+    ids are MONOTONE per checkpoint (resetting a checkpoint under a
+    swapped table dir would mask new epochs 0..N — use a fresh work
+    dir), and an MV per-key rebuild re-run at an ALREADY-ABSORBED
+    cutoff is masked too — re-corrections must use a later cutoff,
+    which the documented cutoff=max-epoch convention gives for free."""
     dest = dest or table_dir.rstrip("/") + "_compacted"
     with open(os.path.join(dest, "_compact_manifest.json")) as fh:
         manifest = json.load(fh)
@@ -158,12 +223,20 @@ def swap_compacted(table_dir: str, dest: str | None = None) -> str:
     install_files = sorted(
         f for f in os.listdir(dest) if f.endswith(".parquet")
     )
+    absorb = sorted(
+        {
+            p.split(os.sep)[0]
+            for p in manifest["sources"]
+            if p.split(os.sep)[0].startswith("epoch_")
+        }
+    )
     journal = {
         "dest": os.path.abspath(dest),
         "table_dir": os.path.abspath(table_dir),
         "install_dir": install_dir,
         "install_files": install_files,
         "retire": manifest["sources"],
+        "absorb": absorb,
     }
     jpath = _swap_journal_path(table_dir)
     tmp = jpath + ".tmp"
@@ -196,6 +269,15 @@ def _swap_roll_forward(journal: dict, jpath: str) -> None:
         src, dst = os.path.join(dest, f), os.path.join(inst, f)
         if os.path.exists(src):
             os.replace(src, dst)  # same-fs atomic; skip if already moved
+    # absorbed ledger BEFORE the retire deletes: a checkpoint replay
+    # that re-creates a retired epoch dir must be reader-invisible (its
+    # rows are in the base now) — _read_maintained excludes these names
+    merged = sorted(_absorbed_set(table_dir) | set(journal.get("absorb", [])))
+    if merged:
+        atmp = os.path.join(table_dir, ABSORBED_EPOCHS + ".tmp")
+        with open(atmp, "w") as fh:
+            json.dump(merged, fh)
+        os.replace(atmp, os.path.join(table_dir, ABSORBED_EPOCHS))
     for rel in journal["retire"]:
         p = os.path.join(table_dir, rel)
         if os.path.exists(p):
@@ -243,12 +325,30 @@ def compaction_policy(
 
     Returns ``{"due", "reasons", "epochs", "files", "log_bytes",
     "avg_file_bytes", "base_bytes"}`` so callers can log WHY."""
+    absorbed = _absorbed_set(table_dir)
     epochs = 0
     files = 0
     log_bytes = 0
+    inplace_base = 0
+    has_inplace = False
     for root, dirs, names in os.walk(table_dir):
+        rel = os.path.relpath(root, table_dir)
+        top = rel.split(os.sep)[0]
         if root == table_dir:
-            epochs = sum(1 for d in dirs if d.startswith("epoch_"))
+            epochs = sum(
+                1 for d in dirs if d.startswith("epoch_") and d not in absorbed
+            )
+        # a swap-adopted base_<n>/ is BASE, not log: its bytes feed the
+        # LSM ratio trigger and must not dilute the small-files average;
+        # absorbed replay debris belongs to neither
+        if top.startswith("base_"):
+            has_inplace = True
+            for n in names:
+                if n.endswith(".parquet"):
+                    inplace_base += os.path.getsize(os.path.join(root, n))
+            continue
+        if top in absorbed:
+            continue
         for n in names:
             if n.endswith(".parquet"):
                 files += 1
@@ -262,6 +362,8 @@ def compaction_policy(
             for n in ns
             if n.endswith(".parquet")
         )
+    if has_inplace:
+        base_bytes = (base_bytes or 0) + inplace_base
     avg = log_bytes // files if files else 0
     reasons = []
     if epochs > max_epochs:
