@@ -2359,3 +2359,38 @@ def test_swap_absorbed_epoch_replay_does_not_double_count(tmp_path, spark):
         )
     )
     assert got2 == want
+
+
+def test_dedup_stream_sees_swapped_fingerprint_base(tmp_path, spark):
+    """After compact_all(swap=True) adopts the fingerprint log into
+    base_1/, the dedup stream's anti-join must still see every
+    committed hash — a duplicate of a pre-swap document landing
+    post-swap is dropped, not re-kept."""
+    import pandas as pd
+
+    from tickdb_spark.streaming.dedup import stream_dedup_ingest
+    from tickdb_spark.streaming.index import compact_all, compaction_policy
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["aa", "bb"]}).to_parquet(
+        landing / "b0.parquet", index=False
+    )
+    pd.DataFrame({"doc_id": [3], "text": ["cc"]}).to_parquet(
+        landing / "b1.parquet", index=False
+    )
+    work = str(tmp_path / "state")
+    kept1 = stream_dedup_ingest(spark, str(landing), work)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 2, 3]
+
+    reports = compact_all(spark, work, max_epochs=1, swap=True)
+    (fp,) = [r for r in reports if r["table"] == "fingerprints"]
+    assert fp["compacted"]
+    assert compaction_policy(str(tmp_path / "state" / "fingerprints"))["epochs"] == 0
+
+    # post-swap batch: one dup of doc 1, one new doc
+    pd.DataFrame({"doc_id": [10, 11], "text": ["aa", "dd"]}).to_parquet(
+        landing / "b2.parquet", index=False
+    )
+    kept2 = stream_dedup_ingest(spark, str(landing), work)
+    assert sorted(r.doc_id for r in kept2.collect()) == [1, 2, 3, 11]

@@ -84,11 +84,25 @@ def stream_dedup_ingest(
         """Every fingerprint epoch EXCEPT the handler's own: on a crash
         re-run the epoch's partial write must not feed its own
         anti-join (it would filter the keepers out and overwrite the
-        kept epoch with nothing)."""
+        kept epoch with nothing). Swap-aware (r16): a compacted-and-
+        adopted ``base_<n>/`` holds committed epochs' hashes and MUST
+        join the read, while absorbed replay-debris epoch dirs must
+        not (their rows are in the base — the index-face ledger rule)."""
+        from tickdb_spark.streaming.index import _absorbed_set
+
+        absorbed = _absorbed_set(fp_dir)
         dirs = [
             os.path.join(fp_dir, d)
             for d in sorted(os.listdir(fp_dir))
-            if d.startswith("epoch_") and d != f"epoch_{own_epoch}"
+            if os.path.isdir(os.path.join(fp_dir, d))
+            and (
+                d.startswith("base_")
+                or (
+                    d.startswith("epoch_")
+                    and d != f"epoch_{own_epoch}"
+                    and d not in absorbed
+                )
+            )
         ]
         if not dirs:
             return s.createDataFrame([], _FP_SCHEMA)
