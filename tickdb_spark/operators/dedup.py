@@ -172,7 +172,19 @@ def ngram_jaccard_pairs(
     # text, mirrored exactly in the oracle SQL. Distinct-shingle counts
     # are exact up to 60-bit collisions (~n²/2^61 — negligible, and both
     # engines hash identically so the gate is unaffected regardless).
-    sh = df.select(
+    # r16 opt, two fixes from stage profiling (guide §1.1/§2.5):
+    # (a) repartition the input — a single-split corpus serializes the
+    # tokenize/explode onto ONE task (the r10 corpus-projection rule;
+    # callers that already fanned out pay one tiny extra exchange);
+    # (b) materialize the cache EAGERLY (count()) — a lazy cache is
+    # re-executed by every parallel consumer stage of the first action
+    # (r13 lesson; measured 3 near-identical ~10 s tokenize stages per
+    # triangle-counts run). count() keeps the cache (instead of the
+    # containment_pairs eager checkpoint) because nine registry entries
+    # share this detector plan verbatim and InMemoryRelation reuse makes
+    # every later entry's detector free within a session.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
     ).select(
         "id",
@@ -180,6 +192,7 @@ def ngram_jaccard_pairs(
         .cast("long")
         .alias("shingle"),
     ).cache()
+    sh.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -479,7 +492,14 @@ def minhash_lsh_pairs(
     # One tokenize+md5 pass feeds BOTH the signatures and the exact-verify
     # join (cached); signatures derive their 44-bit base by shifting the
     # shared 60-bit shingle hash.
-    sh = _hashed_shingles(df, text_col, id_col).cache()
+    # r16 opt: fan the single-split corpus + materialize the cache
+    # eagerly — same two fixes as ngram_jaccard_pairs above (the lazy
+    # cache was re-executed by the signature AND verify stages of one
+    # action; measured as three ~11 s parallel stages in
+    # eval_dedup_recall_lsh).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _hashed_shingles(df.repartition(par), text_col, id_col).cache()
+    sh.count()
     sig = _sigs_from_hashed(sh, k)
     band_cols = [
         F.struct(

@@ -85,6 +85,73 @@ def _sorted_small(df: DataFrame, *cols) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def _read_fanned(
+    spark: SparkSession, sf_dir: str, table: str, *cols: str
+) -> DataFrame:
+    """Read a table narrowed to ``cols`` and fan a SINGLE-SPLIT scan out
+    to the session's cores before CPU-heavy aggregation (optimization
+    round r16, guide §2.5 "input skew: one huge unsplittable file").
+
+    Every testdata parquet file is ONE row group, so a scan + partial
+    aggregate is one task no matter the core count (CLAUDE.md r9) — a
+    decimal-heavy aggregate like tpch_q1 or agg_corr_covar_moments runs
+    single-threaded. The fix is the same discipline ``_docs_ranged``
+    already applies to per-document projections: an explicit round-robin
+    exchange of the NARROW projection (project-before-exchange, guide
+    §2.3), which AQE's coalescing cannot fold back to one task because
+    the partition count is explicit.
+
+    SIZE-ADAPTIVE, not local-tuned: the exchange is inserted only when
+    the file layout cannot feed the session's cores — estimated splits
+    (bytes / maxPartitionBytes, the scan's actual split rule) below
+    defaultParallelism. At 100 TB the same call sees thousands of splits
+    and returns the plain pruned scan, paying nothing. Callers must only
+    use order-independent aggregation above this frame (decimal/bigint
+    sums, min/max, count, exact percentile — the cross-engine discipline
+    every oracle-checked aggregate already follows)."""
+    df = _read(spark, sf_dir, table)
+    if cols:
+        df = df.select(*cols)
+    return _fan_small(spark, df, sf_dir, table)
+
+
+def _fan_small(
+    spark: SparkSession, df: DataFrame, sf_dir: str, table: str
+) -> DataFrame:
+    """Insert the explicit round-robin exchange behind :func:`_read_fanned`
+    on an already-projected/filtered frame over ``table`` (filters placed
+    below this call stay pushed to the scan — deterministic predicates
+    push through a Repartition). See ``_read_fanned`` for the
+    size-adaptive gate and the order-independence contract."""
+    import os
+
+    try:
+        path = f"{sf_dir}/{table}.parquet"
+        nbytes = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return df
+    try:
+        max_split = int(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).lower().rstrip("b")
+        )
+    except ValueError:  # "128MB"-style spelling
+        max_split = 134217728
+    par = spark.sparkContext.defaultParallelism
+    if nbytes // max_split + 1 >= par:
+        return df
+    return df.repartition(par)
+
+
 def _docs_ranged(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
     """The documents table, narrowed to (doc_id, text, *extra_cols) and
     explicitly range-distributed + sorted on doc_id BEFORE any expensive
@@ -385,7 +452,14 @@ register(
     "TPC-H Q1-style pricing summary: multi-agg hash aggregate",
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem")
+    # _read_fanned (r16 opt): the single-split lineitem scan serialized
+    # this decimal-heavy aggregate on one core; all aggregates below are
+    # order-free (exact double / decimal sums, count).
+    li = _read_fanned(
+        spark, sf_dir, "lineitem",
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
@@ -3428,8 +3502,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot's inverse (narrow schema for generic per-metric pipelines)",
 )
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    # _read_fanned (r16 opt): unpivot triples the rows of a single-split
+    # scan before an order-free aggregate — fan out first.
+    li = _read_fanned(
+        spark, sf_dir, "lineitem",
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax",
     )
     m = li.unpivot(
         ["l_orderkey", "l_linenumber"],
@@ -4109,6 +4186,9 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path at 100 TB is percentile_approx (same API shape, no oracle)",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 opt note: tried _read_fanned here — REGRESSED 1.09 -> 1.23 s
+    # (orders is only 2.7 MB; the exchange costs more than the serial
+    # percentile saves). Left on the plain pruned scan.
     orders = _read(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -4440,7 +4520,11 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cheaper than (38,10): 3.2 s -> 2.1 s at sf0.1",
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem")
+    # _read_fanned (r16 opt): single-split scan serialized the decimal
+    # moment sums on one core; every aggregate is order-free.
+    li = _read_fanned(
+        spark, sf_dir, "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     D28 = "decimal(28,10)"
     m = li.groupBy("l_returnflag").agg(
@@ -5554,6 +5638,10 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(
         (F.col("ts") >= 1704067200 * 10**9) & (F.col("ts") < 1706745600 * 10**9)
     )
+    # _fan_small (r16 opt): the Expand rewrite multiplies each row once
+    # per distinct lane — fan the single-split scan first; distinct
+    # counts and the sorted collect_set are order-free.
+    ev = _fan_small(spark, ev.select("event_type", "user_id", "ts"), sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -6031,10 +6119,21 @@ _PLANNER_PAIRS_SQL = " UNION ALL ".join(
     "broadcast physical plan). Five pairs cover all five strategies",
 )
 def diag_join_planner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem")
+    # _fan_small (r16 opt): each pair's key_counts partial-aggregates
+    # over the big side's SINGLE parquet split (one ~1.3-1.7 s serial
+    # task per lineitem reference, 3 references); the fan parallelizes
+    # the count aggregate whose outputs (exact integer stats, CMS
+    # counters) are order-free sums, so every decision value is
+    # unchanged.
+    li = _fan_small(spark, _read(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part").select("p_partkey")
     orders = _read(spark, sf_dir, "orders").select("o_orderkey")
-    ev_hot = _read(spark, sf_dir, "events").select(F.expr(_HOTKEY_EXPR).alias("hk"))
+    ev_hot = _fan_small(
+        spark,
+        _read(spark, sf_dir, "events").select(F.expr(_HOTKEY_EXPR).alias("hk")),
+        sf_dir,
+        "events",
+    )
     nation = _read(spark, sf_dir, "nation").select(
         (F.col("n_nationkey") + 1_000_000).alias("nk")
     )
@@ -6122,7 +6221,11 @@ _PLANNER_AUTO_SQL = " UNION ALL ".join(
     "on tiny dims (p=4), and a high-match-rate shuffle",
 )
 def diag_join_planner_autowidth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem").select("l_orderkey")
+    # _fan_small (r16 opt): same as diag_join_planner — parallelize the
+    # single-split key_counts scans; all derived stats are order-free.
+    li = _fan_small(
+        spark, _read(spark, sf_dir, "lineitem").select("l_orderkey"), sf_dir, "lineitem"
+    )
     orders = _read(spark, sf_dir, "orders").select("o_orderkey")
     nation = _read(spark, sf_dir, "nation").select("n_nationkey")
     region = _read(spark, sf_dir, "region").select("r_regionkey")
@@ -6910,6 +7013,10 @@ _PROFILE_NUM = {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_d
     "and data-quality check every ingestion pipeline runs",
 )
 def profile_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 opt note: tried _read_fanned here — REGRESSED 1.9 -> 2.65 s.
+    # The union's per-column aggregate branches already run as parallel
+    # single-split stages; funnelling them through one exchange serialized
+    # the scan into the shuffle write and added 8 shuffle-read fans.
     li = _read(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
     return _profile.profile_table(li, _PROFILE_COLS).orderBy("column")
 
