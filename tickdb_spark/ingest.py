@@ -164,27 +164,25 @@ def append_batch(db_path: str, ticks: DataFrame) -> int:
     # then prune [from, to) scans within a day — the file-level analogue
     # of the reference's time-sorted leaf order (node.go:229-245).
     out = out.repartition("series", "dt").sortWithinPartitions("ts")
-    # Record which (series, dt) partitions this batch touched so rollup
-    # refresh can be incremental (reference: dirty-path tracking,
-    # node.go:34 / cursor.go:34-39). The touched set rides the WRITE job
-    # as an observed metric (CollectMetrics): the old
-    # ``out.select(...).distinct().collect()`` was a SECOND full pass
-    # over the batch — re-scan + re-project + exchange per append
-    # (optimization guide §1.2: don't recompute what one pass already
-    # saw). The set is bounded by the batch's partition fan-out, not its
-    # row count, and observed metrics count each row exactly once per
-    # completed action (task retries are reconciled by the metric
-    # machinery), so the dirty list is identical to the old distinct().
-    from pyspark.sql import Observation
-
-    obs = Observation(f"touched_parts_{seq}_{uuid.uuid4().hex[:8]}")
-    out = out.observe(
-        obs, F.collect_set(F.struct("series", "dt")).alias("touched")
-    )
     out.write.mode("append").partitionBy("series", "dt").parquet(
         os.path.join(db_path, TICKS_DIR)
     )
-    touched = [[r["series"], str(r["dt"])] for r in obs.get["touched"]]
+    # Record which (series, dt) partitions this batch touched so rollup
+    # refresh can be incremental (reference: dirty-path tracking,
+    # node.go:34 / cursor.go:34-39). The distinct list is bounded by the
+    # batch's partition fan-out, not its row count.
+    # r16 opt note: tried riding the write job via df.observe +
+    # collect_set(struct(series, dt)) to remove this second pass —
+    # MEASURED WORSE (clean serial A/B at 1M points: append 4.80 →
+    # 7.07 s min-of-3 while the unchanged rollup drifted only 1.2×):
+    # CollectMetrics pays an interpreted per-row struct set-insert in
+    # every write task, which costs more than this column-pruned
+    # re-scan + partial-aggregated exchange of two narrow columns.
+    # Reverted; the narrow distinct stays.
+    touched = [
+        [r["series"], str(r["dt"])]
+        for r in out.select("series", "dt").distinct().collect()
+    ]
     dirty = {tuple(x) for x in meta.get("dirty", [])} | {tuple(t) for t in touched}
     meta["dirty"] = sorted([list(t) for t in dirty])
     meta["next_seq"] = seq + 1

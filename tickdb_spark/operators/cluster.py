@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -421,30 +422,65 @@ def kcore_nodes(
 
     Returns ``(node, core_deg)`` — members of the k-core with their
     degree INSIDE the core (≥ k by construction)."""
-    edges, alive = _edge_node_frames(pairs, src_col, dst_col)
-    alive, _ = _peel_fixpoint(edges, alive, alive.count(), k, max_rounds)
-    return _alive_degrees(edges, alive).select(
-        F.col("n").alias("node"), "deg"
-    ).withColumnRenamed("deg", "core_deg")
-
-
-def _edge_node_frames(
-    pairs: DataFrame, src_col: str, dst_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """Checkpointed distinct edge list + node spine shared by the k-core
-    family (referenced every round — pin the detector)."""
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .distinct()
         .localCheckpoint()
     )
+    head = edges.limit(KCORE_LOCAL_MAX_EDGES + 1).collect()
+    if len(head) <= KCORE_LOCAL_MAX_EDGES:
+        alive_set = {r["a"] for r in head} | {r["b"] for r in head}
+        fix, deg = _local_peel_fixpoint([(r["a"], r["b"]) for r in head], alive_set, int(k))
+        out_schema = T.StructType(
+            [
+                T.StructField("node", edges.schema["a"].dataType, True),
+                T.StructField("core_deg", T.LongType(), False),
+            ]
+        )
+        rows = sorted((n, deg[n]) for n in fix if deg.get(n, 0) > 0)
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
     alive = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
         .distinct()
         .localCheckpoint()
     )
-    return edges, alive
+    alive, _ = _peel_fixpoint(edges, alive, alive.count(), k, max_rounds)
+    return _alive_degrees(edges, alive).select(
+        F.col("n").alias("node"), "deg"
+    ).withColumnRenamed("deg", "core_deg")
+
+
+#: Edge-count ceiling for the LOCAL k-core fixpoint (r16 optimization).
+#: Below it the peel runs as a plain Python loop over the collected edge
+#: list: each distributed peel round costs two driver jobs (checkpoint +
+#: count) of pure fixed overhead at this size — measured 6-10 s of
+#: construction for a 47-edge gate graph — while the local loop is
+#: microseconds and BIT-IDENTICAL (the k-core fixpoint is unique; degrees
+#: are exact integers). Above the ceiling the distributed frontier peel
+#: runs unchanged — that is the 100 TB path. Same engineering as the
+#: gapfill single-chunk fast path and the MMR/k-center prefilter-bounded
+#: driver tails: a size-GATED driver step, never a corpus collect.
+KCORE_LOCAL_MAX_EDGES = 200_000
+
+
+def _local_peel_fixpoint(
+    edges: list[tuple], alive: set, k: int
+) -> tuple[set, dict]:
+    """Python mirror of :func:`_peel_fixpoint` over a collected edge
+    list: returns the fixpoint alive set and each survivor's degree
+    inside it. Degree = tuple-occurrence count per endpoint, exactly the
+    unionAll+groupBy count the distributed `_alive_degrees` computes."""
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new_alive = {n for n in alive if deg.get(n, 0) >= k}
+        if new_alive == alive:
+            return alive, deg
+        alive = new_alive
 
 
 def _alive_degrees(edges: DataFrame, alive: DataFrame) -> DataFrame:
@@ -577,7 +613,44 @@ def kcore_decompose(
     Returns ``(node, core_num)`` for every node in the edge list
     (``core_num ≥ 1``: an edge endpoint always survives the 1-core)."""
     spark = pairs.sparkSession
-    edges, alive = _edge_node_frames(pairs, src_col, dst_col)
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    head = edges.limit(KCORE_LOCAL_MAX_EDGES + 1).collect()
+    if len(head) <= KCORE_LOCAL_MAX_EDGES:
+        # local fixpoint ladder (see KCORE_LOCAL_MAX_EDGES): identical
+        # drop-at-level-k → core k−1 bookkeeping as the frames below
+        edge_list = [(r["a"], r["b"]) for r in head]
+        alive_set = {a for a, _ in edge_list} | {b for _, b in edge_list}
+        dropped: list[tuple] = []
+        for kk in range(1, int(max_k) + 1):
+            if not alive_set:
+                break
+            fix, _ = _local_peel_fixpoint(edge_list, alive_set, kk)
+            dropped.extend((n, kk - 1) for n in alive_set - fix)
+            alive_set = fix
+        else:
+            if alive_set:
+                raise RuntimeError(
+                    f"kcore_decompose: core numbers exceed max_k={max_k} "
+                    f"({len(alive_set)} nodes still in the {max_k}-core) — "
+                    "raise max_k"
+                )
+        out_schema = T.StructType(
+            [
+                T.StructField("node", edges.schema["a"].dataType, True),
+                T.StructField("core_num", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(sorted(dropped), out_schema)
+    alive = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
     cnt = alive.count()
     out_parts: list[DataFrame] = []
     # empty-result schema derives from the input's id type (a hardcoded

@@ -193,7 +193,15 @@ def ngram_jaccard_pairs(
         .alias("shingle"),
     ).cache()
     sh.count()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes is referenced FIVE times (ranked join, candidate length
+    # filter ×2, final Jaccard ×2) and each broadcast-build reference
+    # re-aggregated the whole shingle frame — cache + materialize it
+    # too (plan profiling r16: the detector's wall was ~12 broadcast
+    # subtree jobs each recomputing sizes/dfreq/window work).
+    sizes = (
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")).cache()
+    )
+    sizes.count()
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
 
@@ -227,7 +235,11 @@ def ngram_jaccard_pairs(
         # pairs. The epsilon biases toward a longer prefix — extra
         # candidates get killed by exact verify; missed ones are gone.
         plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
-        prefix = ranked.where(F.col("rnk") <= plen).select("id", "shingle")
+        # prefix feeds BOTH sides of the candidate self-join; without
+        # materialization each side re-runs the dfreq join + the ranking
+        # window (r16 plan profiling, same class as sizes above).
+        prefix = ranked.where(F.col("rnk") <= plen).select("id", "shingle").cache()
+        prefix.count()
         pa, pb = prefix.alias("pa"), prefix.alias("pb")
         candidates = (
             pa.join(
@@ -500,6 +512,9 @@ def minhash_lsh_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = _hashed_shingles(df.repartition(par), text_col, id_col).cache()
     sh.count()
+    # banded feeds BOTH sides of the candidate self-join; materialize it
+    # so each side reads the 12 min-aggregates instead of recomputing
+    # them (r16 plan profiling — the broadcast-subtree class).
     sig = _sigs_from_hashed(sh, k)
     band_cols = [
         F.struct(
@@ -510,7 +525,8 @@ def minhash_lsh_pairs(
     ]
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
         "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_sig").alias("band_sig")
-    )
+    ).cache()
+    banded.count()
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

@@ -128,14 +128,20 @@ class RollupStore:
                 continue  # a coarser level merges fine from any finer one
             df = rollup_from_ticks(ticks, unit) if prev is None else rollup_merge(prev, unit)
             path = self._path(unit)
-            # repartition("series") caps the write at one task per series
-            # — measured (fresh-process A/B, 10M-point cascade, 5-series
-            # warehouse, 32 cores): series-only 9.4/9.4 s vs
-            # (series, bucket) 9.9/11.3 s. The explode+aggregate
-            # dominates, not the write, and the extra hash just fans each
-            # series across 32 writer tasks (one file per task per dir —
-            # small-files growth) for nothing. Keep series-only.
-            df.repartition("series").write.mode("overwrite").partitionBy("series").parquet(path)
+            # r16 opt (guide §2.4 "remove shuffles outright"): write
+            # DIRECTLY from the aggregate's output partitions. The old
+            # `repartition("series")` added a second full exchange of the
+            # rollup state per level AND capped the write at one task per
+            # series — at 100 TB a TB-sized series becomes a single
+            # straggling writer. The aggregate's final partitions are
+            # already AQE-coalesced toward the advisory size, so the
+            # per-directory file count is bounded by ⌈state/advisory⌉
+            # writer tasks, each emitting advisory-sized files — the
+            # small-files defense without the exchange. (The earlier
+            # series-only-vs-(series,bucket) A/B compared two REPARTITION
+            # variants; writing from the agg partitions beats both: one
+            # less exchange, no per-series writer cap.)
+            df.write.mode("overwrite").partitionBy("series").parquet(path)
             prev = self.spark.read.parquet(path)
         # a full rebuild supersedes any pending incremental work
         from tickdb_spark.ingest import _read_meta, _write_meta
