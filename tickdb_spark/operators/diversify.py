@@ -401,6 +401,66 @@ def mmr_select_batch_from_index_sql(
     return " UNION ALL ".join(blocks)
 
 
+#: Candidate-count ceiling for the LOCAL k-center greedy (r16 opt; the
+#: k-core KCORE_LOCAL_MAX_EDGES pattern). ~100k 64-dim float32 vectors
+#: collect to ~30 MB of driver state — far under any corpus scale, and
+#: below it the distributed loop's 2 fixed jobs/step dominate. Above,
+#: the distributed per-step loop runs unchanged.
+KCENTER_LOCAL_MAX_VECS = 100_000
+
+
+def _py_cos_ppm(u, v) -> int:
+    """floor(cosine(u, v) * 1e6 + 0.5) with the EXACT Spark op sequence:
+    0.0-seeded left folds over per-element float64 casts (== zip_with/
+    aggregate foldLeft), correctly-rounded sqrt, one division, one
+    multiply+add+floor. Bit-identical to ``cosine_expr`` + the ppm cast."""
+    d = 0.0
+    for x, y in zip(u, v):
+        d += float(x) * float(y)
+    na = 0.0
+    for x in u:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in v:
+        nb += float(y) * float(y)
+    return int(math.floor((d / (math.sqrt(na) * math.sqrt(nb))) * 1000000.0 + 0.5))
+
+
+def _kcenter_local(spark, rows, k: int) -> DataFrame:
+    """Driver-side mirror of the distributed greedy below: same seed
+    convention (smallest id), same running-max accumulation from the
+    ``-(2**62)`` floor, same (maxsim, id) argmin tie-break — emitted
+    values are bit-identical because every arithmetic step is
+    (:func:`_py_cos_ppm`)."""
+    out_schema = "rnk int, vec_id long, maxsim_q long"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    cands = sorted(((int(r["cid"]), list(r["vec"])) for r in rows), key=lambda t: t[0])
+    by_id = dict(cands)
+    seed_id, seed_vec = cands[0]
+    out = [(1, seed_id, 0)]
+    picked = {seed_id}
+    maxsim = {cid: -(2**62) for cid, _ in cands}
+    last_vec = seed_vec
+    for rnk in range(2, int(k) + 1):
+        best = None
+        for cid, vec in cands:
+            s = _py_cos_ppm(vec, last_vec)
+            if s > maxsim[cid]:
+                maxsim[cid] = s
+            if cid not in picked:
+                key = (maxsim[cid], cid)
+                if best is None or key < best:
+                    best = key
+        if best is None:  # corpus smaller than k: selection is the corpus
+            break
+        ms, cid = best
+        picked.add(cid)
+        last_vec = by_id[cid]
+        out.append((rnk, cid, int(ms)))
+    return spark.createDataFrame(out, out_schema)
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int = 8,
@@ -461,6 +521,20 @@ def kcenter_select(
             .where(rel >= int(rel_floor_ppm))
             .select("cid", "vec")
         )
+    # r16 opt: size-GATED local greedy (the k-core local-fixpoint
+    # pattern). Each distributed step costs two fixed driver jobs
+    # (checkpoint + argmin collect) — ~4 s of pure per-step overhead for
+    # a 2000-vector corpus. Below the ceiling the whole greedy runs on
+    # the collected candidate set with BIT-IDENTICAL arithmetic: the
+    # Python left fold over float32→float64 casts IS the zip_with/
+    # aggregate fold order, math.sqrt is correctly rounded like Spark's,
+    # and floor(x*1e6+0.5) is the same IEEE op sequence — so every
+    # emitted (rnk, vec_id, maxsim_q) matches the distributed loop and
+    # the recursive-CTE oracle. Above the ceiling the distributed
+    # per-step loop below runs unchanged (the 100 TB path).
+    head = cand.limit(KCENTER_LOCAL_MAX_VECS + 1).collect()
+    if len(head) <= KCENTER_LOCAL_MAX_VECS:
+        return _kcenter_local(emb.sparkSession, head, k)
     seed_rows = cand.orderBy("cid").limit(1).collect()
     out_schema = "rnk int, vec_id long, maxsim_q long"
     if not seed_rows:
