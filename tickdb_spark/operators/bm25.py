@@ -174,7 +174,14 @@ def bm25_topk(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        .cache()
     )
+    # EAGER materialization (r16 opt): _rank_from_tf references tf twice
+    # (dfreq broadcast build + the scored stream) and each reference
+    # re-ran the corpus tokenize+explode. tf holds only query-term-
+    # matching (doc, term) rows — the index-path scan size — so the
+    # cache is small at any corpus scale.
+    tf.count()
     qt = spark.createDataFrame(terms, "q_id long, token string")
     return _rank_from_tf(tf, qt, n_docs, tot, k_top)
 
@@ -285,11 +292,20 @@ def bm25_topk_by_example(
         F.sum(F.size(toks)).cast("long"),
     ).first()
 
+    # EAGER materializations (r16 opt): qt feeds its own broadcast, the
+    # qterms derivation, and the final scored join — un-cached, each
+    # reference re-ran the (doc_id-pruned) tokenize; tf feeds both the
+    # dfreq broadcast build and the scored stream — un-cached, each
+    # re-ran the FULL corpus tokenize+explode. Both frames are bounded
+    # by the query docs' term sets (qt) and the matching (doc, term)
+    # rows (tf) — small at any corpus scale.
     qt = (
         tok.where(F.col("doc_id").isin(qids))
         .select(F.col("doc_id").alias("q_id"), "token")
         .distinct()
+        .cache()
     )
+    qt.count()
     qterms = qt.select("token").distinct()
     tf = (
         tok.join(F.broadcast(qterms), "token")
@@ -298,7 +314,9 @@ def bm25_topk_by_example(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        .cache()
     )
+    tf.count()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     score_q = F.expr(
         _SCORE_TMPL.format(
@@ -467,7 +485,14 @@ def rag_chunk_topk(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        .cache()
     )
+    # EAGER materialization (r16 opt): tf feeds BOTH the dfreq broadcast
+    # build and the scored stream — each reference re-ran the whole
+    # chunk-token explode (the run's dominant stage, 2×). tf is the
+    # query-term-matching rows only (exactly what the scoring shuffle
+    # carries anyway), so the cache is small and spill-safe at scale.
+    tf.count()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qt = spark.createDataFrame(terms, "q_id long, token string")
     score_q = F.expr(

@@ -45,7 +45,9 @@ def _mg_partition(capacity: int, key: str):
 
     def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         acc = None
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             counts = pdf[key].value_counts()
             acc = counts if acc is None else acc.add(counts, fill_value=0)
             if len(acc) > capacity:
@@ -55,10 +57,17 @@ def _mg_partition(capacity: int, key: str):
                 delta = acc.nlargest(capacity + 1).iloc[-1]
                 acc = acc - delta
                 acc = acc[acc > 0]
-        if acc is None or len(acc) == 0:
-            yield pd.DataFrame({key: pd.Series(dtype="object")})
-        else:
-            yield pd.DataFrame({key: acc.index.astype(str)})
+        # candidates (one row each) + ONE total row (key NULL, _pn = this
+        # partition's exact row count) — the same scan serves candidate
+        # generation AND the global n, so the corpus is read once here
+        keys = (
+            pd.Series(dtype="object")
+            if acc is None or len(acc) == 0
+            else pd.Series(acc.index.astype(str))
+        )
+        out = pd.DataFrame({key: keys, "_pn": pd.array([None] * len(keys), dtype="Int64")})
+        total_row = pd.DataFrame({key: pd.array([None], dtype="object"), "_pn": pd.array([n_p], dtype="Int64")})
+        yield pd.concat([out, total_row], ignore_index=True)
 
     return summarize
 
@@ -94,12 +103,18 @@ def heavy_hitters_exact(
     """
     num, den = _phi_rational(phi)
     c = capacity if capacity is not None else math.ceil(2.0 / phi)
-    cands = (
-        items.select(key_col)
-        .mapInPandas(_mg_partition(c, key_col), f"{key_col} string")
-        .distinct()
-    )
-    total = items.agg(F.count(F.lit(1)).alias("_n"))
+    # ONE corpus pass yields candidates AND per-partition exact row
+    # counts (r16 opt: `total` as a separate aggregate re-ran the whole
+    # items subtree — tokenize+explode for the gate entry — as a third
+    # scan). The summary is tiny (≤ capacity+1 rows per partition), so
+    # the eager cache that lets its two consumers share it is free; lazy
+    # caches don't dedupe the parallel broadcast builds (CLAUDE.md r13).
+    summ = items.select(key_col).mapInPandas(
+        _mg_partition(c, key_col), f"{key_col} string, _pn long"
+    ).cache()
+    summ.count()
+    cands = summ.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    total = summ.agg(F.coalesce(F.sum("_pn"), F.lit(0)).cast("long").alias("_n"))
     return (
         items.join(F.broadcast(cands), key_col)
         .groupBy(key_col)
