@@ -75,8 +75,20 @@ def bigram_familiarity(
     ``n_matched``/``n_oov`` count bigram occurrences with/without model
     support.
     """
-    model = bigram_model(docs, text_col, id_col, train_fraction)
-    doc_grams = _doc_bigrams(docs, text_col, id_col)
+    # ONE corpus explode (r16 opt): the model is the train-split id
+    # filter + re-aggregation OF the per-doc gram table (the hash split
+    # is a pure id predicate and per-doc multiplicities are independent
+    # across docs, so the sums are identical to training on a separate
+    # tokenize of the split — which is what this used to do, paying the
+    # explode twice). doc_grams is exactly the scoring join's input, so
+    # the eager cache adds no new state beyond what the join shuffles.
+    doc_grams = _doc_bigrams(docs, text_col, id_col).cache()
+    doc_grams.count()
+    model = (
+        hash_sample(doc_grams, id_col, train_fraction)
+        .groupBy("bigram")
+        .agg(F.sum("mult").cast("long").alias("model_count"))
+    )
     scored = doc_grams.join(model, "bigram", "left")
     agg = scored.groupBy(id_col).agg(
         F.sum("mult").cast("long").alias("n_bigrams"),

@@ -4851,6 +4851,11 @@ def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is map-side-combined (vocab is zipf-bounded, tiny vs the corpus)",
 )
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: an explicit fan of this scan was TRIED AND REVERTED — the
+    # single linear explode+aggregate is cheaper than the exchange it
+    # would take to spread it (measured 0.40 -> 0.94 s at sf0.1; the
+    # agg_percentiles_by_priority result, same size class). At 100 TB
+    # the corpus arrives in many splits and parallelizes by itself.
     docs = _read(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -4901,6 +4906,13 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     n_docs = docs.count()
+    # r16: a cache-tf-derive-df-from-it rewrite was TRIED AND REVERTED —
+    # locally the two branch passes run as PARALLEL single-split tasks
+    # (wall ≈ one pass, measured 0.80 vs 1.01 s rewritten), and at
+    # 100 TB tf is corpus-sized, so caching it means writing the corpus
+    # once instead of streaming two cheap scans. The duplicated explode
+    # is the right trade in both regimes here (contrast bm25, whose tf
+    # is query-term-filtered and tiny — cached there).
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
@@ -5945,7 +5957,11 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _docs_ranged: a range exchange adds a sampling pass per subtree
     # use and no final order is needed (driver and parity sort before
     # hashing).
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return _rep.repetition_metrics(docs, "text", "doc_id")
 
 
@@ -5963,7 +5979,11 @@ def text_bigram_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input (4.4 -> 1.7 s at sf0.1). The input subtree is referenced
     # three times (model, doc grams, id spine) — with a range exchange
     # each reference re-runs its own sampling pass (measured 9.4 s).
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return _lm.bigram_familiarity(docs, "text", "doc_id", train_fraction=0.1)
 
 
