@@ -3894,3 +3894,31 @@ def test_planned_join_auto_output_identity(spark):
     got2 = planned_join_auto(big, "k", tiny, "k")     # broadcast_b route
     plain2 = big.join(tiny, "k")
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, plain2.collect()))
+
+
+def test_dsir_target_pred_matches_two_frame_path(spark):
+    """r16 opt: the single-pass target_pred path must emit bit-identical
+    (id, score) rows to the separate-target-frame path when the target
+    is the same pool subset."""
+    from pyspark.sql import functions as F
+
+    from tickdb_spark.operators.dsir import dsir_select
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('tok', CAST(id % 17 AS STRING), ' word', CAST(id % 5 AS STRING), "
+        "' filler common the of and') AS text",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+    )
+    target = docs.where("doc_id % 3 = 0").select("doc_id", "text")
+    a = sorted(
+        (r.doc_id, r.dsir_score)
+        for r in dsir_select(docs.select("doc_id", "text"), target, k=50).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.dsir_score)
+        for r in dsir_select(
+            docs, None, k=50, target_pred=F.col("lang") == "en"
+        ).collect()
+    )
+    assert a == b

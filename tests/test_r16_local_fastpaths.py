@@ -55,6 +55,29 @@ def test_kcore_decompose_local_matches_distributed(spark, monkeypatch):
     assert cores[0] == 4 and cores[10] == 2 and cores[21] == 1
 
 
+def test_cc_local_matches_distributed(spark, monkeypatch):
+    # chain + clique + singletons: exercises multi-round label flow and
+    # the singleton coalesce
+    edges = [(1, 2), (2, 3), (3, 4)] + [(a, b) for a in (20, 21, 22) for b in (21, 22, 23) if a < b]
+    pairs = _pairs(spark, edges)
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 20, 21, 22, 23, 99]], "doc_id long"
+    )
+    local = _rows(_cluster.connected_components(nodes, pairs, id_col="doc_id"))
+    monkeypatch.setattr(_cluster, "CC_LOCAL_MAX_EDGES", 0)
+    dist = _rows(_cluster.connected_components(nodes, pairs, id_col="doc_id"))
+    assert local == dist
+    comp = dict(local)
+    assert comp[4] == 1 and comp[23] == 20 and comp[99] == 99
+
+
+def test_cc_local_empty_edges(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = _pairs(spark, [])
+    rows = _rows(_cluster.connected_components(nodes, pairs, id_col="doc_id"))
+    assert rows == [(i, i) for i in range(5)]
+
+
 def _emb(spark, n=40, dim=8, seed=7):
     rng = random.Random(seed)
     rows = [

@@ -38,6 +38,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: Edge-row ceiling for the LOCAL connected-components fixpoint (rows of
+#: the symmetrized distinct edge list, i.e. 2× undirected edges). 200k
+#: (u, v) longs collect to a few MB of driver state — the
+#: KCORE_LOCAL_MAX_EDGES precedent; above it the distributed hash-min
+#: loop runs unchanged.
+CC_LOCAL_MAX_EDGES = 200_000
+
+
+def _cc_local_labels(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over a collected symmetric edge list.
+    Emits ``(id, component=min id in component)`` for every node that
+    appears in an edge — the unique fixpoint the distributed hash-min
+    loop converges to, so the output is bit-identical (integer ids, no
+    float arithmetic anywhere)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    best: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in best or x < best[r]:
+            best[r] = x
+    rows = [(x, best[find(x)]) for x in parent]
+    return spark.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -70,6 +110,24 @@ def connected_components(
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+
+    # r16 opt: size-GATED local fixpoint (the k-core pattern). Each
+    # distributed round below costs two fixed driver jobs (checkpoint +
+    # convergence probe); on a gate-sized pair graph that overhead IS
+    # the cost. Component-of-min-id is the unique fixpoint of min-label
+    # propagation, so union-find over the collected edge list emits
+    # bit-identical (id, component) labels — the existing
+    # two_phase-vs-union-find property test blesses exactly this
+    # reference. Above the ceiling the distributed loop runs unchanged
+    # (the 100 TB path); the gate is a limit(N+1) probe on the already-
+    # checkpointed symmetric edge frame, never a corpus collect.
+    head = sym.limit(CC_LOCAL_MAX_EDGES + 1).collect()
+    if len(head) <= CC_LOCAL_MAX_EDGES:
+        labels = _cc_local_labels(nodes.sparkSession, head)
+        return (
+            ids.join(labels, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
 
     # Labels only for nodes that appear in edges — the frontier. Singletons
     # join in at the end (no reason to drag the whole corpus through the

@@ -39,6 +39,7 @@ def contamination_report(
     id_col: str,
     n: int = 8,
     eval_grams: DataFrame | None = None,
+    train_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per training doc: how many distinct n-grams it shares with the
     eval set and the keep/drop verdict. Returns
@@ -48,13 +49,21 @@ def contamination_report(
     maintained set from ``streaming/index.stream_decontam_gram_
     maintenance``) — the production shape: the benchmark gram set is
     stored state, not a per-run re-derivation. Omitted, it is derived
-    from ``eval_set`` inline."""
+    from ``eval_set`` inline. ``train_grams`` (r16 opt) likewise takes a
+    pre-built ``(id, gram)`` table covering the train docs — a caller
+    auditing several splits of ONE corpus derives the gram table once
+    and passes id-filtered slices (gram derivation is row-local, so the
+    filter commutes and counts are bit-identical)."""
     # Spread the doc rows first: the gram build + md5 is the expensive
     # part, and a single-split parquet source would otherwise run it in
     # one task (the single-split gotcha in the working notes; shuffling raw docs is
     # cheap next to hashing every 8-gram).
     par = train.sparkSession.sparkContext.defaultParallelism
-    tg = _gram_hashes(train.repartition(par), text_col, id_col, n)
+    tg = (
+        train_grams
+        if train_grams is not None
+        else _gram_hashes(train.repartition(par), text_col, id_col, n)
+    )
     eg = (
         eval_grams.select("gram")
         if eval_grams is not None

@@ -56,9 +56,17 @@ DSIR_BUCKETS = 256
 QUANTUM = 1e10
 
 
-def _feature_stream(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+def _feature_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """(id, bucket): one row per unigram AND bigram occurrence
-    (duplicates kept — DSIR counts occurrences, not types)."""
+    (duplicates kept — DSIR counts occurrences, not types). ``carry``
+    names extra per-doc columns to ride along unchanged."""
+    extra = list(carry or [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     bigrams = F.when(
         F.size(toks) > 1,
@@ -70,12 +78,14 @@ def _feature_stream(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.concat(toks, bigrams)).alias("feat"),
+        *[F.col(c) for c in extra],
     ).select(
         "id",
         (
             F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
             % F.lit(n_buckets)
         ).alias("bucket"),
+        *[F.col(c) for c in extra],
     )
 
 
@@ -122,18 +132,51 @@ def _bucket_weights(src_feats: DataFrame, tgt_feats: DataFrame, n_buckets: int) 
 
 def dsir_select(
     pool: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
     k: int = 100,
+    target_pred=None,
 ) -> DataFrame:
     """Top-k pool documents by DSIR importance score against ``target``.
     Returns ``(id_col, dsir_score)`` — score is the exact BIGINT sum of
-    the document's per-feature quantized target/pool ratios."""
-    feats = _feature_stream(pool, text_col, id_col, n_buckets)
-    tgt = _feature_stream(target, text_col, id_col, n_buckets)
-    w = _bucket_weights(feats, tgt, n_buckets)
+    the document's per-feature quantized target/pool ratios.
+
+    ``target_pred`` (r16 opt): when the target is a SUBSET of the pool,
+    pass the boolean Column over ``pool``'s columns that selects it
+    (and ``target=None``). The flag rides the feature stream, so BOTH
+    bucket histograms come from ONE tokenize pass (was two: pool
+    histogram + a separate target-stream explode). Counts are identical
+    — the flagged rows ARE the filtered-subset stream's rows (the
+    per-row derivation commutes with the filter)."""
+    if target_pred is not None:
+        flagged = _feature_stream(
+            pool.withColumn("_dsir_tgt", target_pred),
+            text_col,
+            id_col,
+            n_buckets,
+            carry=["_dsir_tgt"],
+        )
+        spark = pool.sparkSession
+        hist = flagged.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.count(F.when(F.col("_dsir_tgt"), 1)).alias("ct"),
+        )
+        grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        ratio = (
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
+        )
+        w = grid.join(hist, "bucket", "left").select(
+            "bucket",
+            F.floor(ratio * F.lit(QUANTUM) + F.lit(0.5)).cast("long").alias("w"),
+        )
+        feats = _feature_stream(pool, text_col, id_col, n_buckets)
+    else:
+        feats = _feature_stream(pool, text_col, id_col, n_buckets)
+        tgt = _feature_stream(target, text_col, id_col, n_buckets)
+        w = _bucket_weights(feats, tgt, n_buckets)
     scored = (
         feats.join(F.broadcast(w), "bucket")
         .groupBy("id")

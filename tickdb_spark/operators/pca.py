@@ -80,6 +80,13 @@ def embedding_covariance(
         .mapInPandas(partials, "i int, j int, s long")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
+        # r16 opt: this d²/2+d+1-row aggregate (2,145 rows at d=64) is
+        # referenced FOUR times below (n, lin as i-side, lin as j-side,
+        # prod) and each broadcast build re-ran the whole corpus
+        # mapInPandas pass (guide §2.4 / CLAUDE.md multiply-referenced-
+        # subtree class). Eager checkpoint = one corpus scan total; the
+        # checkpointed state is dimension-sized, never corpus-sized.
+        .localCheckpoint(eager=True)
     )
     n = agg.where((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("s").alias("_n")
