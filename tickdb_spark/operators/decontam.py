@@ -123,6 +123,7 @@ def novelty_report(
     id_col: str,
     n: int = 8,
     ref_grams: DataFrame | None = None,
+    doc_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus — the
     inverse of :func:`contamination_report` and the "does this shard add
@@ -138,9 +139,18 @@ def novelty_report(
     Same scale shape as contamination: the reference gram set broadcasts
     (or arrives as the stored/maintained gram table via ``ref_grams``),
     the corpus streams through one scan, and the rate is exact integer
-    arithmetic (never a float fraction)."""
+    arithmetic (never a float fraction).
+
+    ``doc_grams`` (r16 opt): pre-built ``(id, gram)`` rows for ``docs``
+    — a caller splitting ONE corpus into docs/reference by an id
+    predicate derives the gram table once and passes filtered slices
+    (gram derivation is row-local, so the filter commutes)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    tg = _gram_hashes(docs.repartition(par), text_col, id_col, n)
+    tg = (
+        doc_grams
+        if doc_grams is not None
+        else _gram_hashes(docs.repartition(par), text_col, id_col, n)
+    )
     rg = (
         ref_grams.select("gram")
         if ref_grams is not None

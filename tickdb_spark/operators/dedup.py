@@ -692,7 +692,13 @@ def simhash_near_pairs(
     (block_idx, block_value), never a cross join. Fewer, wider blocks =
     far more selective candidate sets.
     """
-    fps = simhash(df, text_col, id_col)
+    # r16 opt: the fingerprint frame is self-joined below — BOTH join
+    # sides re-ran the whole tokenize+weighted-bit-majority pass (and a
+    # lazy cache would not help: the two sides are parallel stages of
+    # one action, the r13 parallel-stage recompute class). One row per
+    # DOC (id, simhash long) — dimension-narrow at any corpus scale, so
+    # the eager checkpoint materializes 16 B/doc, never token volume.
+    fps = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     blocks = fps.select(
         "id",
         "simhash",

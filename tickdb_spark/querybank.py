@@ -9758,9 +9758,24 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.where(F.col("doc_id") % 5 != 0)
     ref = docs.where(F.col("doc_id") % 5 == 0)
+    # r16 opt: both sides are id-predicate slices of ONE corpus, so the
+    # 8-gram table is built once (cached) and filtered per side — gram
+    # derivation is row-local, the filter commutes (the cross-split
+    # entry's argument). Was two tokenize+md5 passes.
+    par = spark.sparkContext.defaultParallelism
+    grams = _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8).cache()
+    grams.count()
     # no final orderBy: a range exchange's sampling pass would re-run
     # the gram-hash subtree (r9 lesson); driver/parity sort pre-hash
-    return _decontam.novelty_report(train, ref, "text", "doc_id", 8)
+    return _decontam.novelty_report(
+        train,
+        None,
+        "text",
+        "doc_id",
+        8,
+        ref_grams=grams.where(F.col("id") % 5 == 0).select("gram").distinct(),
+        doc_grams=grams.where(F.col("id") % 5 != 0),
+    )
 
 
 _RAG_IDX_QUERIES = [
