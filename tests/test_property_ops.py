@@ -967,16 +967,20 @@ def test_kcore_decompose_equals_python_and_duckdb(spark, edges):
     assert duck == want
 
 
-def test_kcore_max_rounds_exhaustion_raises(spark):
+def test_kcore_max_rounds_exhaustion_raises(spark, monkeypatch):
     """ADVICE r15: exhausting max_rounds without a fixpoint must ERROR,
     not return a partial peel (a path graph at k=2 sheds only its two
     endpoints per round, so nodes with degree < k would leak into the
     'core'). The same graph under enough rounds converges to the true
-    (empty) 2-core."""
+    (empty) 2-core. The r16 local-fixpoint fast path never exhausts
+    rounds (it iterates to the fixpoint in-process), so the ceiling is
+    pinned to 0 to exercise the DISTRIBUTED peel this contract governs."""
     import pytest
 
+    from tickdb_spark.operators import cluster as _cluster
     from tickdb_spark.operators.cluster import kcore_nodes
 
+    monkeypatch.setattr(_cluster, "KCORE_LOCAL_MAX_EDGES", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
