@@ -1286,6 +1286,19 @@ def test_pagerank_integer_exact_vs_reference(spark):
     total = sum(got.values())
     assert scale * 0.95 <= total <= scale, f"mass off: {total}"
 
+    # r17: the 60-edge graph takes the LOCAL fixpoint above; force the
+    # DISTRIBUTED loop and require bit-identity between the two paths
+    # (the r16 monkeypatch pattern from test_r16_local_fastpaths).
+    from tickdb_spark.operators import cluster as C
+
+    old = C.PAGERANK_LOCAL_MAX_EDGES
+    C.PAGERANK_LOCAL_MAX_EDGES = 0
+    try:
+        dist = {r.id: r.rank for r in pagerank(pairs, iterations=iters).collect()}
+    finally:
+        C.PAGERANK_LOCAL_MAX_EDGES = old
+    assert dist == got
+
 
 def test_reservoir_per_key_deterministic_and_uniform_size(spark):
     """k-per-key reservoir: exactly min(k, n) rows per key, and the

@@ -1,0 +1,57 @@
+"""r17 focused tests: bounded corpus-cache registry lifecycle and the
+CC local-path schema parameterization (VERDICT r16 ask #4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from tickdb_spark import cachereg
+from tickdb_spark.operators.cluster import _cc_local_labels
+
+
+def test_corpus_persist_evicts_past_slot_cap(spark, monkeypatch):
+    cachereg.evict_all()
+    monkeypatch.setenv("SPARKTICK_CORPUS_CACHE_SLOTS", "2")
+    frames = [
+        cachereg.corpus_persist(spark.range(10 + i).toDF("v")) for i in range(3)
+    ]
+    # Oldest evicted, newest two still cached.
+    assert not frames[0].storageLevel.useMemory
+    assert frames[1].storageLevel.useMemory
+    assert frames[2].storageLevel.useMemory
+    # Results stay correct after eviction (just recomputed).
+    assert frames[0].count() == 10
+    cachereg.evict_all()
+    assert not frames[2].storageLevel.useMemory
+
+
+def test_corpus_persist_lazy_registers_too(spark, monkeypatch):
+    cachereg.evict_all()
+    monkeypatch.setenv("SPARKTICK_CORPUS_CACHE_SLOTS", "1")
+    a = cachereg.corpus_persist(spark.range(5).toDF("v"), materialize=False)
+    b = cachereg.corpus_persist(spark.range(6).toDF("v"), materialize=False)
+    assert not a.storageLevel.useMemory
+    assert b.storageLevel.useMemory
+    cachereg.evict_all()
+
+
+@pytest.mark.parametrize(
+    "dtype", [T.LongType(), T.IntegerType(), T.StringType()]
+)
+def test_cc_local_labels_schema_follows_id_type(spark, dtype):
+    # Symmetric edge rows for {1-2, 2-3} plus isolated-in-edges 7-7 loopback.
+    def v(x):
+        return str(x) if isinstance(dtype, T.StringType) else x
+
+    rows = [
+        {"u": v(1), "v": v(2)},
+        {"u": v(2), "v": v(1)},
+        {"u": v(2), "v": v(3)},
+        {"u": v(3), "v": v(2)},
+    ]
+    out = _cc_local_labels(spark, rows, id_type=dtype)
+    assert out.schema["id"].dataType == dtype
+    assert out.schema["component"].dataType == dtype
+    got = {(r["id"], r["component"]) for r in out.collect()}
+    assert got == {(v(1), v(1)), (v(2), v(1)), (v(3), v(1))}

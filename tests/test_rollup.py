@@ -229,3 +229,27 @@ def test_incremental_refresh_matches_full(tmp_path, spark):
         for u in ("minute", "hour", "day", "month")
     }
     assert incremental == full
+
+
+def test_refresh_salted_write_bounds_files_per_series(db, spark):
+    """r17 (VERDICT r16 ask #2): the salted write shape must bound BOTH
+    writers and files per series — at most SPLITS_PER_SERIES parquet
+    files in any series dir at any level (the small-files guarantee the
+    removed per-series exchange used to give, without its one-writer-
+    per-series straggler)."""
+    import os
+
+    from tickdb_spark.rollup import SPLITS_PER_SERIES
+
+    _tdb, path = db
+    for unit in ("minute", "hour", "day"):
+        lvl = os.path.join(path, "rollups", unit)
+        assert os.path.isdir(lvl)
+        per_series = {}
+        for root, _dirs, files in os.walk(lvl):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if pq and "series=" in root:
+                key = [p for p in root.split(os.sep) if p.startswith("series=")][0]
+                per_series[key] = per_series.get(key, 0) + len(pq)
+        assert per_series, f"no series dirs under {lvl}"
+        assert max(per_series.values()) <= SPLITS_PER_SERIES, (unit, per_series)

@@ -46,12 +46,15 @@ from pyspark.sql import types as T
 CC_LOCAL_MAX_EDGES = 200_000
 
 
-def _cc_local_labels(spark, edge_rows) -> DataFrame:
+def _cc_local_labels(spark, edge_rows, id_type=None) -> DataFrame:
     """Driver-side union-find over a collected symmetric edge list.
     Emits ``(id, component=min id in component)`` for every node that
     appears in an edge — the unique fixpoint the distributed hash-min
     loop converges to, so the output is bit-identical (integer ids, no
-    float arithmetic anywhere)."""
+    float arithmetic anywhere). ``id_type`` is the edge frame's id
+    DataType so both paths emit the same schema (r17, VERDICT fix: a
+    hardcoded long would schema-diverge from the distributed path if the
+    entry cast were ever relaxed)."""
     parent: dict = {}
 
     def find(x):
@@ -75,7 +78,11 @@ def _cc_local_labels(spark, edge_rows) -> DataFrame:
         if r not in best or x < best[r]:
             best[r] = x
     rows = [(x, best[find(x)]) for x in parent]
-    return spark.createDataFrame(rows, "id long, component long")
+    dt = id_type if id_type is not None else T.LongType()
+    out_schema = T.StructType(
+        [T.StructField("id", dt, True), T.StructField("component", dt, True)]
+    )
+    return spark.createDataFrame(rows, out_schema)
 
 
 def connected_components(
@@ -98,6 +105,11 @@ def connected_components(
     2-3). ``algorithm="two_phase"``: alternating large-star/small-star
     (Kiveris et al.), O(log diameter) rounds — for adversarial shapes
     (long chains, giant stringy components).
+
+    ``max_iter`` bounds only the DISTRIBUTED loops; below
+    ``CC_LOCAL_MAX_EDGES`` the hash_min path runs the driver-side
+    union-find to full convergence regardless (same contract as k-core's
+    ``max_rounds``: the local fast path cannot return partial labels).
     """
     if algorithm == "two_phase":
         return _cc_two_phase(nodes, edges, id_col, src_col, dst_col, max_iter)
@@ -123,7 +135,9 @@ def connected_components(
     # checkpointed symmetric edge frame, never a corpus collect.
     head = sym.limit(CC_LOCAL_MAX_EDGES + 1).collect()
     if len(head) <= CC_LOCAL_MAX_EDGES:
-        labels = _cc_local_labels(nodes.sparkSession, head)
+        labels = _cc_local_labels(
+            nodes.sparkSession, head, id_type=sym.schema["u"].dataType
+        )
         return (
             ids.join(labels, "id", "left")
             .select("id", F.coalesce("component", "id").alias("component"))
@@ -799,6 +813,44 @@ def kcore_decompose_sql(
     """
 
 
+#: Edge-row ceiling for the LOCAL PageRank fixpoint (undirected pair
+#: rows). Same sizing argument as CC_LOCAL_MAX_EDGES: 200k (u, v) longs
+#: collect to a few MB of driver state; above it the distributed
+#: join+sum loop runs unchanged.
+PAGERANK_LOCAL_MAX_EDGES = 200_000
+
+
+def _pagerank_local(
+    spark, edge_pairs, iterations: int, damping_pct: int, scale: int, id_type=None
+) -> DataFrame:
+    """Driver-side integer PageRank replay — the same floored-division
+    op sequence as the distributed loop (`//` == `div` on non-negative
+    BIGINTs), so the emitted (id, rank) rows are bit-identical. Edge
+    multiplicity is preserved exactly as ``unionAll`` preserves it."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    rest = 100 - damping_pct
+    rank = {v: scale // n for v in adj}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += c
+        rank = {
+            v: ((rest * scale) // 100) // n + (damping_pct * contrib[v]) // 100
+            for v in adj
+        }
+    dt = id_type if id_type is not None else T.LongType()
+    out_schema = T.StructType(
+        [T.StructField("id", dt, True), T.StructField("rank", T.LongType(), True)]
+    )
+    return spark.createDataFrame(sorted(rank.items()), out_schema)
+
+
 def pagerank(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -839,6 +891,29 @@ def pagerank(
     # (an LSH/prefix-filter join); it is referenced once per direction
     # plus once per derived frame below — checkpoint it so it runs once.
     pairs = pairs.select(src_col, dst_col).localCheckpoint(eager=False)
+
+    # r17 opt: size-GATED local fixpoint (the r16 CC/k-core pattern,
+    # guide §1.2 step 1). Each distributed iteration below materializes
+    # a join + aggregate at CONSTRUCTION (lazy localCheckpoint converts
+    # to RDD under AQE — the r15 lesson), ~2 fixed driver jobs per
+    # round; on a gate-sized pair graph that overhead IS the cost
+    # (bench construct_secs: 28 s for a few hundred edges). The
+    # arithmetic is all-BIGINT with floored divisions, so a Python
+    # replay (int // == Spark div on non-negatives) is bit-identical —
+    # the existing sequential-reference property test pins exactly this.
+    # Above the ceiling the distributed loop runs unchanged (the 100 TB
+    # path); the gate is a limit(N+1) probe, never a corpus collect.
+    head = pairs.limit(PAGERANK_LOCAL_MAX_EDGES + 1).collect()
+    if len(head) <= PAGERANK_LOCAL_MAX_EDGES:
+        return _pagerank_local(
+            pairs.sparkSession,
+            [(r[src_col], r[dst_col]) for r in head],
+            iterations,
+            damping_pct,
+            scale,
+            id_type=pairs.schema[src_col].dataType,
+        )
+
     e0 = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).unionAll(
         pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     )

@@ -371,8 +371,17 @@ def neardup_contamination(
     if k % bands:
         raise ValueError(f"bands={bands} must divide MINHASH_K={k}")
     r = k // bands
+    # r17: the train-side shingles are corpus-token-sized -> bounded
+    # corpus_persist registry (lazy here: consumers are sequential, the
+    # persist only needs to survive the signature + verify passes of one
+    # action). The eval side is benchmark-sized — plain cache is fine.
+    from tickdb_spark.cachereg import corpus_persist
+
     par = train.sparkSession.sparkContext.defaultParallelism
-    t_sh = _hashed_shingles(train.repartition(par), text_col, id_col).cache()
+    t_sh = corpus_persist(
+        _hashed_shingles(train.repartition(par), text_col, id_col),
+        materialize=False,
+    )
     e_sh = _hashed_shingles(eval_set, text_col, id_col).cache()
 
     def banded(sig: DataFrame) -> DataFrame:

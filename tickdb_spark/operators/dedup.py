@@ -35,6 +35,8 @@ import random as _random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tickdb_spark.cachereg import corpus_persist
+
 NGRAM_N = 3
 MINHASH_K = 12  # total hash functions
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
@@ -183,16 +185,20 @@ def ngram_jaccard_pairs(
     # containment_pairs eager checkpoint) because nine registry entries
     # share this detector plan verbatim and InMemoryRelation reuse makes
     # every later entry's detector free within a session.
+    # r17: the substrate is corpus-TOKEN-sized, so it goes through the
+    # bounded corpus_persist registry (explicit storage level + FIFO
+    # unpersist past the slot cap — see cachereg module docstring for
+    # the spill contract). sizes/prefix below stay on plain cache():
+    # dimension-sized, footprint independent of token volume.
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
+    sh = corpus_persist(df.repartition(par).select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
     ).select(
         "id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
         .cast("long")
         .alias("shingle"),
-    ).cache()
-    sh.count()
+    ))
     # sizes is referenced FIVE times (ranked join, candidate length
     # filter ×2, final Jaccard ×2) and each broadcast-build reference
     # re-aggregated the whole shingle frame — cache + materialize it
@@ -509,9 +515,10 @@ def minhash_lsh_pairs(
     # cache was re-executed by the signature AND verify stages of one
     # action; measured as three ~11 s parallel stages in
     # eval_dedup_recall_lsh).
+    # r17: corpus-token-sized substrate -> bounded corpus_persist
+    # registry (explicit storage level + FIFO unpersist; see cachereg).
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = _hashed_shingles(df.repartition(par), text_col, id_col).cache()
-    sh.count()
+    sh = corpus_persist(_hashed_shingles(df.repartition(par), text_col, id_col))
     # banded feeds BOTH sides of the candidate self-join; materialize it
     # so each side reads the 12 min-aggregates instead of recomputing
     # them (r16 plan profiling — the broadcast-subtree class).

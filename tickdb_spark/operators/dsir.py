@@ -150,6 +150,14 @@ def dsir_select(
     histogram + a separate target-stream explode). Counts are identical
     — the flagged rows ARE the filtered-subset stream's rows (the
     per-row derivation commutes with the filter)."""
+    # r17 (ADVICE fix): exactly one of target / target_pred must be given —
+    # a non-None target alongside target_pred was silently ignored, and
+    # neither crashed deep inside _feature_stream with an opaque error.
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "dsir_select: pass exactly one of `target` (a DataFrame) or "
+            "`target_pred` (a boolean Column over the pool)"
+        )
     if target_pred is not None:
         flagged = _feature_stream(
             pool.withColumn("_dsir_tgt", target_pred),

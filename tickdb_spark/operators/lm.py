@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tickdb_spark.cachereg import corpus_persist
 from tickdb_spark.functions.text import TOKEN_SEP
 from tickdb_spark.operators.sampling import hash_sample, hash_sample_sql
 
@@ -82,8 +83,9 @@ def bigram_familiarity(
     # tokenize of the split — which is what this used to do, paying the
     # explode twice). doc_grams is exactly the scoring join's input, so
     # the eager cache adds no new state beyond what the join shuffles.
-    doc_grams = _doc_bigrams(docs, text_col, id_col).cache()
-    doc_grams.count()
+    # r17: corpus-token-sized substrate -> bounded corpus_persist
+    # registry (explicit storage level + FIFO unpersist; see cachereg).
+    doc_grams = corpus_persist(_doc_bigrams(docs, text_col, id_col))
     model = (
         hash_sample(doc_grams, id_col, train_fraction)
         .groupBy("bigram")

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tickdb_spark import cachereg as _cachereg
 from tickdb_spark.operators.asof import asof_join
 from tickdb_spark.tickquery import run_tick_query
 
@@ -115,6 +116,15 @@ def _read_fanned(
     return _fan_small(spark, df, sf_dir, table)
 
 
+def _size_bytes(value: str) -> int:
+    """Spark byte-size conf parse (r17, ADVICE fix: the old ``rstrip('b')``
+    raised on any suffixed value like ``128m``/``512MB`` and silently fell
+    back to 128 MB). Shared with rollup's salted write sizing."""
+    from tickdb_spark.session import size_bytes
+
+    return size_bytes(value)
+
+
 def _fan_small(
     spark: SparkSession, df: DataFrame, sf_dir: str, table: str
 ) -> DataFrame:
@@ -127,25 +137,24 @@ def _fan_small(
 
     try:
         path = f"{sf_dir}/{table}.parquet"
-        nbytes = (
-            os.path.getsize(path)
-            if os.path.isfile(path)
-            else sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        )
+        if os.path.isfile(path):
+            nbytes = os.path.getsize(path)
+        else:
+            # Sum recursively: partitioned tables keep their data files in
+            # nested partition subdirs (r17, ADVICE fix — a flat listdir
+            # undercounted them and could fan a many-split input).
+            nbytes = 0
+            for root, _dirs, files in os.walk(path):
+                nbytes += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
     except OSError:
         return df
-    try:
-        max_split = int(
-            spark.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728"
-            ).lower().rstrip("b")
-        )
-    except ValueError:  # "128MB"-style spelling
-        max_split = 134217728
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     par = spark.sparkContext.defaultParallelism
     if nbytes // max_split + 1 >= par:
         return df
@@ -9799,8 +9808,10 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation is row-local, the filter commutes (the cross-split
     # entry's argument). Was two tokenize+md5 passes.
     par = spark.sparkContext.defaultParallelism
-    grams = _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8).cache()
-    grams.count()
+    # r17: corpus-token-sized -> bounded corpus_persist (see cachereg).
+    grams = _cachereg.corpus_persist(
+        _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8)
+    )
     # no final orderBy: a range exchange's sampling pass would re-run
     # the gram-hash subtree (r9 lesson); driver/parity sort pre-hash
     return _decontam.novelty_report(
@@ -9918,8 +9929,10 @@ def diag_cross_split_contamination_q(spark: SparkSession, sf_dir: str) -> DataFr
     # from the filtered docs — the bigram-model argument. The semi-joins
     # move a 16-byte-per-gram table instead of re-hashing the corpus.
     par = spark.sparkContext.defaultParallelism
-    grams = _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8).cache()
-    grams.count()
+    # r17: corpus-token-sized -> bounded corpus_persist (see cachereg).
+    grams = _cachereg.corpus_persist(
+        _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8)
+    )
     out = None
     for method, frame in (("plain", plain), ("safe", safe)):
         train = frame.where(F.col("split") == "train").select("doc_id", "text")

@@ -102,6 +102,60 @@ def rollup_merge(finer: DataFrame, unit: str) -> DataFrame:
     )
 
 
+#: Write shape for the cascade levels (r17, VERDICT r16 ask #2 — the r16
+#: "direct" shape was the round's one unverified change and its one
+#: plausible regression; the serial A/B lives in scripts/r17_rollup_ab.py
+#: and the decision + numbers in OPTIMIZATION_r17.md):
+#:   "salted"  (default): one explicit exchange on (series, salt) where
+#:             salt = pmod(xxhash64(bucket), SPLITS_PER_SERIES). Bounds
+#:             files per series AND writers per series at SPLITS — the
+#:             small-files defense of the old per-series exchange without
+#:             its one-writer-per-series straggler.
+#:   "series"  the pre-r16 shape (repartition("series")): one writer —
+#:             and one file — per series.
+#:   "direct"  the r16 shape: write straight from the aggregate's
+#:             AQE-coalesced partitions; no second exchange, but every
+#:             writer task can touch every series dir (tasks x series
+#:             files at scale).
+_WRITE_SHAPE = os.environ.get("SPARKTICK_ROLLUP_WRITE_SHAPE", "salted")
+
+#: Salt cardinality for the "salted" shape: max writers (= max files)
+#: per series per level. 8 keeps gate-scale file counts tiny while
+#: splitting a TB-sized production series across 8 writers; raise via
+#: env for clusters where per-series volume / advisory >> 8.
+SPLITS_PER_SERIES = int(os.environ.get("SPARKTICK_ROLLUP_SPLITS_PER_SERIES", "8"))
+
+
+def _shape_for_write(spark: SparkSession, df: DataFrame, src_path: str) -> DataFrame:
+    """Apply the configured pre-write exchange for one cascade level.
+
+    For "salted", the partition count is SIZE-ADAPTIVE (never a constant
+    tuned to one box): ceil(source bytes / maxPartitionBytes), floored at
+    defaultParallelism — the source (raw ticks for the base level, the
+    just-written finer level for merges) upper-bounds the level's state,
+    and extra partitions beyond the distinct (series, salt) pairs stay
+    empty (no files, scheduling-only cost)."""
+    if _WRITE_SHAPE == "direct":
+        return df
+    if _WRITE_SHAPE == "series":
+        return df.repartition("series")
+    nbytes = 0
+    for root, _dirs, files in os.walk(src_path):
+        nbytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    from tickdb_spark.session import size_bytes
+
+    max_split = size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    par = max(spark.sparkContext.defaultParallelism, nbytes // max_split + 1)
+    salt = F.pmod(F.xxhash64(F.col("bucket")), F.lit(SPLITS_PER_SERIES))
+    return df.repartition(par, F.col("series"), salt)
+
+
 class RollupStore:
     """Persisted rollup cascade for one database directory."""
 
@@ -123,26 +177,16 @@ class RollupStore:
         partition layout already supports it."""
         ticks = read_ticks(self.spark, self.db_path)
         prev: DataFrame | None = None
+        src_path = os.path.join(self.db_path, "ticks")
         for unit in LEVELS:
             if unit not in levels:
                 continue  # a coarser level merges fine from any finer one
             df = rollup_from_ticks(ticks, unit) if prev is None else rollup_merge(prev, unit)
             path = self._path(unit)
-            # r16 opt (guide §2.4 "remove shuffles outright"): write
-            # DIRECTLY from the aggregate's output partitions. The old
-            # `repartition("series")` added a second full exchange of the
-            # rollup state per level AND capped the write at one task per
-            # series — at 100 TB a TB-sized series becomes a single
-            # straggling writer. The aggregate's final partitions are
-            # already AQE-coalesced toward the advisory size, so the
-            # per-directory file count is bounded by ⌈state/advisory⌉
-            # writer tasks, each emitting advisory-sized files — the
-            # small-files defense without the exchange. (The earlier
-            # series-only-vs-(series,bucket) A/B compared two REPARTITION
-            # variants; writing from the agg partitions beats both: one
-            # less exchange, no per-series writer cap.)
+            df = _shape_for_write(self.spark, df, src_path)
             df.write.mode("overwrite").partitionBy("series").parquet(path)
             prev = self.spark.read.parquet(path)
+            src_path = path
         # a full rebuild supersedes any pending incremental work
         from tickdb_spark.ingest import _read_meta, _write_meta
 

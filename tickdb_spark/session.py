@@ -36,6 +36,20 @@ _BASE_CONF = {
 }
 
 
+def size_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string (``134217728``, ``128m``,
+    ``512MB``, ``1g``) the way ``JavaUtils.byteStringAsBytes`` does."""
+    s = value.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
 def get_spark(
     app_name: str = "tickdb_spark",
     master: str | None = None,
