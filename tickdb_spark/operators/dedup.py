@@ -275,6 +275,15 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_shared"))
         )
 
+    # r17 opt (guide §2.4 / construct_total): the VERIFIED pair output is
+    # dimension-sized (pairs, never token volume) while its plan — prefix
+    # self-join + exact verify — is the expensive part of every graph
+    # consumer (nine entries share this τ=0.5 plan verbatim, and each was
+    # re-running the join: CC collect, triangles wedge build, pagerank,
+    # k-core, retention, leakage audits). A lazy cache() makes the first
+    # consumer's action materialize it once per session; consumers that
+    # reference it multiply WITHIN one action keep their own
+    # checkpoint/collect discipline (r12/r13 lessons).
     return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
@@ -284,6 +293,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .cache()
     )
 
 
@@ -558,6 +568,8 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # r17 opt: same dimension-sized output cache as ngram_jaccard_pairs —
+    # the banded self-join + verify re-ran in every consumer entry.
     return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
@@ -567,6 +579,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .cache()
     )
 
 
