@@ -82,7 +82,9 @@ def _cc_local_labels(spark, edge_rows, id_type=None) -> DataFrame:
     out_schema = T.StructType(
         [T.StructField("id", dt, True), T.StructField("component", dt, True)]
     )
-    return spark.createDataFrame(rows, out_schema)
+    from tickdb_spark.session import local_frame
+
+    return local_frame(spark, rows, out_schema)
 
 
 def connected_components(
@@ -510,7 +512,9 @@ def kcore_nodes(
             ]
         )
         rows = sorted((n, deg[n]) for n in fix if deg.get(n, 0) > 0)
-        return pairs.sparkSession.createDataFrame(rows, out_schema)
+        from tickdb_spark.session import local_frame
+
+        return local_frame(pairs.sparkSession, rows, out_schema)
     alive = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -716,7 +720,9 @@ def kcore_decompose(
                 T.StructField("core_num", T.LongType(), False),
             ]
         )
-        return spark.createDataFrame(sorted(dropped), out_schema)
+        from tickdb_spark.session import local_frame
+
+        return local_frame(spark, sorted(dropped), out_schema)
     alive = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -848,7 +854,9 @@ def _pagerank_local(
     out_schema = T.StructType(
         [T.StructField("id", dt, True), T.StructField("rank", T.LongType(), True)]
     )
-    return spark.createDataFrame(sorted(rank.items()), out_schema)
+    from tickdb_spark.session import local_frame
+
+    return local_frame(spark, sorted(rank.items()), out_schema)
 
 
 def pagerank(

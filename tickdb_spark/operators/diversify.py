@@ -99,7 +99,10 @@ def mmr_select(
         int(k),
         int(lam_ppm),
     )
-    return emb.sparkSession.createDataFrame(
+    from tickdb_spark.session import local_frame
+
+    return local_frame(
+        emb.sparkSession,
         out,
         "rnk int, vec_id long, rel_q long, maxsim_q long, mmr_q long",
     )
@@ -223,8 +226,10 @@ def mmr_select_batch(
         .select("qid", "cid", "vec", rel.alias("rel_q"))
     )
     top = _salted_topn(scored, prefilter).collect()
-    return emb.sparkSession.createDataFrame(
-        _greedy_tail_rows(top, k, lam_ppm), _BATCH_MMR_SCHEMA
+    from tickdb_spark.session import local_frame
+
+    return local_frame(
+        emb.sparkSession, _greedy_tail_rows(top, k, lam_ppm), _BATCH_MMR_SCHEMA
     )
 
 
@@ -281,8 +286,10 @@ def mmr_select_batch_from_index(
     top = _index_candidates(
         emb, sig, query_ids, prefilter, id_col, vec_col
     ).collect()
-    return emb.sparkSession.createDataFrame(
-        _greedy_tail_rows(top, k, lam_ppm), _BATCH_MMR_SCHEMA
+    from tickdb_spark.session import local_frame
+
+    return local_frame(
+        emb.sparkSession, _greedy_tail_rows(top, k, lam_ppm), _BATCH_MMR_SCHEMA
     )
 
 
@@ -458,7 +465,9 @@ def _kcenter_local(spark, rows, k: int) -> DataFrame:
         picked.add(cid)
         last_vec = by_id[cid]
         out.append((rnk, cid, int(ms)))
-    return spark.createDataFrame(out, out_schema)
+    from tickdb_spark.session import local_frame
+
+    return local_frame(spark, out, out_schema)
 
 
 def kcenter_select(
@@ -550,10 +559,12 @@ def kcenter_select(
         f"CAST(floor(({cosine_expr('vec', 'cvec')}) * 1000000.0 + 0.5)"
         " AS BIGINT)"
     )
+    from tickdb_spark.session import local_frame
+
     for rnk in range(2, int(k) + 1):
-        cvec = spark.createDataFrame(
-            [(centers[-1][1],)], "cvec array<float>"
-        )
+        # one slice: a 32-slice single-row frame pays 32 Python worker
+        # round-trips per broadcast build, once per greedy step
+        cvec = local_frame(spark, [(centers[-1][1],)], "cvec array<float>")
         # same plan shape every step (only the broadcast row changes) →
         # constant analysis/codegen cost per step, one fold per row
         cur = (
@@ -573,7 +584,7 @@ def kcenter_select(
         pick = picks[0]
         centers.append((int(pick["cid"]), list(pick["vec"])))
         out.append((rnk, int(pick["cid"]), int(pick["maxsim_q"])))
-    return spark.createDataFrame(out, out_schema)
+    return local_frame(spark, out, out_schema)
 
 
 def kcenter_select_sql(

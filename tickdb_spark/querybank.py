@@ -103,13 +103,19 @@ def _read_fanned(
     the partition count is explicit.
 
     SIZE-ADAPTIVE, not local-tuned: the exchange is inserted only when
-    the file layout cannot feed the session's cores — estimated splits
-    (bytes / maxPartitionBytes, the scan's actual split rule) below
-    defaultParallelism. At 100 TB the same call sees thousands of splits
-    and returns the plain pruned scan, paying nothing. Callers must only
-    use order-independent aggregation above this frame (decimal/bigint
-    sums, min/max, count, exact percentile — the cross-engine discipline
-    every oracle-checked aggregate already follows)."""
+    the scan would be (near-)SINGLE-SPLIT — estimated splits
+    (bytes / maxPartitionBytes, the scan's actual split rule) at 1, so
+    the exchange moves at most one split's bytes to unlock every core.
+    r17 tightening (measured in scripts/r17_scale_probe.py at a 40x /
+    430 MB lineitem): once the input has even a FEW splits, the fan
+    shuffles the whole projection below the aggregate's partial-agg
+    barrier and LOSES — 4-split plain scan 2.8 s vs fanned 4.8 s warm
+    (cold: 3.3 s vs 25.4 s, 31 KB vs 424 MB shuffled). At 100 TB the
+    same call sees thousands of splits and returns the plain pruned
+    scan, paying nothing. Callers must only use order-independent
+    aggregation above this frame (decimal/bigint sums, min/max, count,
+    exact percentile — the cross-engine discipline every oracle-checked
+    aggregate already follows)."""
     df = _read(spark, sf_dir, table)
     if cols:
         df = df.select(*cols)
@@ -156,7 +162,12 @@ def _fan_small(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     par = spark.sparkContext.defaultParallelism
-    if nbytes // max_split + 1 >= par:
+    # Fan ONLY the single-split case (nbytes fits one scan split) AND
+    # only when that single task would starve the session's cores. A
+    # multi-split input never fans: the exchange would move the whole
+    # projection below the partial-agg barrier (r17 scale probe: 4-split
+    # 430 MB input, plain 2.8 s vs fanned 4.8 s warm, 424 MB shuffled).
+    if nbytes > max_split or par <= 1:
         return df
     return df.repartition(par)
 

@@ -82,3 +82,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_frame(spark: SparkSession, rows, schema):
+    """DataFrame over DRIVER-LOCAL rows (a computed fixpoint, a greedy
+    selection) as ONE partition.
+
+    ``createDataFrame(list)`` parallelizes into defaultParallelism
+    Python partitions, and every downstream action then pays one Python
+    worker round-trip PER PARTITION to convert the pickled rows — under
+    the ``coalesce(1)`` the display-sized outputs all end with, the 32
+    round-trips run SEQUENTIALLY in one task (measured: 3.7 s for a
+    2000-row local frame vs 0.24 s evaluated in parallel, pagerank's
+    run span 5.2 s -> ~0.3 s with one slice). Driver-local results are
+    one partition's worth of data by construction; ship them as one."""
+    sc = spark.sparkContext
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    return spark.createDataFrame(sc.parallelize(list(rows), 1), schema)
