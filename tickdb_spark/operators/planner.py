@@ -97,6 +97,8 @@ def choose_join(
     depth: int = 4,
     width: int = 512,
     bloom_keys: int = BLOOM_KEYS,
+    a_keys: DataFrame | None = None,
+    b_keys: DataFrame | None = None,
 ) -> DataFrame:
     """One row: ``(n_a, a_keys, a_max_key_rows, n_b, b_keys,
     b_max_key_rows, est_rows, exact_rows, decision)``. All inputs to
@@ -108,11 +110,26 @@ def choose_join(
     (``sketch.key_counts``, lineage-truncated — it feeds the side
     stats, the CMS sketch, and the exact product, three references)
     is everything the planner needs; counters and counts are
-    bit-identical to the row-level builds."""
+    bit-identical to the row-level builds.
+
+    ``a_keys``/``b_keys`` (r17 opt, guide §2.4): accept PRE-BUILT
+    key-count frames — the production "ANALYZE TABLE once, plan many
+    joins" shape. A caller planning several pairs over the same sides
+    builds (and checkpoints) each side's key counts once; the lazy
+    checkpoint here otherwise re-materializes per call (AQE converts
+    at RDD build — the r15 lesson)."""
     from tickdb_spark.operators.sketch import key_counts
 
-    ka = key_counts(a, a_col).localCheckpoint(eager=False)
-    kb = key_counts(b, b_col).localCheckpoint(eager=False)
+    ka = (
+        a_keys
+        if a_keys is not None
+        else key_counts(a, a_col).localCheckpoint(eager=False)
+    )
+    kb = (
+        b_keys
+        if b_keys is not None
+        else key_counts(b, b_col).localCheckpoint(eager=False)
+    )
     stats = (
         _side_stats(ka, "a")
         .crossJoin(F.broadcast(_side_stats(kb, "b")))
@@ -304,6 +321,8 @@ def choose_join_auto(
     depth: int = 4,
     bloom_keys: int = BLOOM_KEYS,
     p: int = 12,
+    a_keys: DataFrame | None = None,
+    b_keys: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`choose_join` with the CMS width derived from the data:
     one row ``(hll_keys, width, n_a, a_keys, a_max_key_rows, n_b,
@@ -321,8 +340,18 @@ def choose_join_auto(
     (two CMS builds + the output columns) don't re-run the HLL pass."""
     from tickdb_spark.operators.sketch import cms_build_from_key_counts, key_counts
 
-    ka = key_counts(a, a_col).localCheckpoint(eager=False)
-    kb = key_counts(b, b_col).localCheckpoint(eager=False)
+    # a_keys/b_keys: pre-built key-count frames (see choose_join — the
+    # ANALYZE-once-plan-many shape); derived widths/stats are identical.
+    ka = (
+        a_keys
+        if a_keys is not None
+        else key_counts(a, a_col).localCheckpoint(eager=False)
+    )
+    kb = (
+        b_keys
+        if b_keys is not None
+        else key_counts(b, b_col).localCheckpoint(eager=False)
+    )
     wplan = cms_width_plan(
         a, a_col, b, b_col, p, a_keys=ka, b_keys=kb
     ).localCheckpoint(eager=False)
