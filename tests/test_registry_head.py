@@ -144,7 +144,8 @@ def test_trained_state_cold_vs_memo(spark):
     from tickdb_spark import querybank as Q
 
     names = ["text_unigram_tokenize", "sim_ann_pq_adc",
-             "sim_ann_pq_rerank", "sim_ann_ivfadc"]
+             "sim_ann_pq_rerank", "sim_ann_ivfadc",
+             "text_quality_perceptron"]  # r17: perceptron weight memo
 
     def run(name):
         df = Q.REGISTRY[name].fn(spark, SF_CORRECT).toPandas()

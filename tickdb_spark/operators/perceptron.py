@@ -94,11 +94,22 @@ def perceptron_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     epochs: int = 20,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """Train, then score every document with the learned weights:
     ``(id, y, margin, pred, correct)`` — margin = w.x (BIGINT), pred =
-    +1 when margin > 0 else -1 (ties predict -1 on both engines)."""
-    w = perceptron_train(docs, label, text_col, id_col, epochs)
+    +1 when margin > 0 else -1 (ties predict -1 on both engines).
+
+    ``weights`` (r17 opt): accept a pre-trained weight vector — trained
+    state is ingest-time state (the BPE/unigram/k-means memo
+    precedent); callers scoring the same corpus repeatedly train once.
+    The oracle still replays the trainer per entry, so a memoized
+    vector that drifted from a cold train would hash-mismatch."""
+    w = (
+        list(weights)
+        if weights is not None
+        else perceptron_train(docs, label, text_col, id_col, epochs)
+    )
     feats = _features(docs, text_col, id_col, label)
     margin = sum(F.col(f"x{j}") * F.lit(w[j]) for j in range(N_FEATURES))
     return feats.select(
