@@ -36,6 +36,24 @@ def test_corpus_persist_lazy_registers_too(spark, monkeypatch):
     cachereg.evict_all()
 
 
+def test_corpus_persist_same_plan_shares_one_slot(spark, monkeypatch):
+    """Detector helpers are called once per consumer entry; every call
+    builds a NEW DataFrame over the SAME plan. Those must share one
+    registry slot (CacheManager dedupes them to one InMemoryRelation) —
+    per-object slots would evict a relation other handles still serve
+    (measured r17: the shared corpus gram table was evicted mid-bench
+    by nine same-plan detector registrations)."""
+    cachereg.evict_all()
+    monkeypatch.setenv("SPARKTICK_CORPUS_CACHE_SLOTS", "2")
+    shared = cachereg.corpus_persist(spark.range(42).toDF("v"))
+    # five same-plan registrations (new DataFrame objects each time)
+    for _ in range(5):
+        cachereg.corpus_persist(spark.range(7).toDF("v"))
+    # the shared substrate survives: the five calls consumed ONE slot
+    assert shared.storageLevel.useMemory
+    cachereg.evict_all()
+
+
 @pytest.mark.parametrize(
     "dtype", [T.LongType(), T.IntegerType(), T.StringType()]
 )

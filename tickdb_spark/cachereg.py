@@ -46,8 +46,24 @@ def _slots() -> int:
     return int(os.environ.get("SPARKTICK_CORPUS_CACHE_SLOTS", "8"))
 
 
-#: Live corpus-sized substrates, insertion-ordered: id(df) -> df.
+#: Live corpus-sized substrates, insertion-ordered. Keyed by the plan's
+#: SEMANTIC HASH, not id(df): detector helpers are called once per
+#: consumer entry and every call builds a new DataFrame over the SAME
+#: plan — Spark's CacheManager dedupes those to one InMemoryRelation,
+#: so per-object keys would (a) burn a slot per call and (b) on
+#: eviction unpersist a relation other registered handles still serve
+#: (measured r17: nine τ=0.5 detector calls evicted the shared corpus
+#: gram table mid-bench and its next consumer re-derived it at RUN
+#: time). One slot per distinct substrate; a re-registration refreshes
+#: recency instead of evicting.
 _LIVE: "OrderedDict[int, DataFrame]" = OrderedDict()
+
+
+def _plan_key(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return id(df)  # degraded mode: per-object key (still bounded)
 
 
 def corpus_persist(df: DataFrame, materialize: bool = True) -> DataFrame:
@@ -58,7 +74,9 @@ def corpus_persist(df: DataFrame, materialize: bool = True) -> DataFrame:
     df.persist(StorageLevel.MEMORY_AND_DISK)
     if materialize:
         df.count()
-    _LIVE[id(df)] = df
+    key = _plan_key(df)
+    _LIVE.pop(key, None)  # re-registration refreshes recency
+    _LIVE[key] = df
     while len(_LIVE) > _slots():
         _, old = _LIVE.popitem(last=False)
         try:
